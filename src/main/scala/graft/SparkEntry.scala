@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"       -> (Analytics.q1Agg _),
+    "q3_join"      -> (Analytics.q3Join _),
+    "q5_join"      -> (Analytics.q5Join _),
+    "q_topk_window" -> (Analytics.qTopkWindow _),
+    "q_rollup"     -> (Analytics.qRollup _),
+    "q_approx_distinct" -> (Analytics.qDistinct _),
+  )
+
+  /** DuckDB-equivalent SQL per query key (column names must match). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg"       -> Analytics.q1AggSql,
+    "q3_join"      -> Analytics.q3JoinSql,
+    "q5_join"      -> Analytics.q5JoinSql,
+    "q_topk_window" -> Analytics.qTopkWindowSql,
+    "q_rollup"     -> Analytics.qRollupSql,
+    "q_approx_distinct" -> Analytics.qDistinctSql,
+  )
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Core batch analytics: grouped aggregation, multi-way joins, window
+  * ranking, rollups, sketch counting.
+  *
+  * Oracle-determinism rule: money arithmetic runs in exact DECIMAL on both
+  * Spark and DuckDB, with a single final cast to DOUBLE, so results
+  * hash-match regardless of floating-point association order across
+  * partitions.
+  *
+  * Scale notes are inline per operator (SURVEY.md §4).
+  */
+object Analytics {
+
+  private val Dec = DecimalType(18, 2)
+
+  /** TPC-H Q1-style pricing summary.
+    *
+    * One shuffle on the (tiny-cardinality) group key; Spark plans a
+    * partial_sum/partial_count map-side aggregate, so the shuffle carries
+    * ~#groups × #partitions rows — scales to any fact size.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast(Dec)).cast(DoubleType).as("sum_qty"),
+        sum($"l_extendedprice".cast(Dec)).cast(DoubleType).as("sum_base_price"),
+        sum($"l_extendedprice".cast(Dec) * (lit(BigDecimal(1)).cast(Dec) - $"l_discount".cast(Dec)))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum($"l_quantity".cast(Dec)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1AggSql: String = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus"""
+
+  /** TPC-H Q3-style: revenue of top 10 orders for one market segment.
+    *
+    * customer is the small side → Catalyst broadcasts it (checked via
+    * explain); orders⋈lineitem shuffles on the order key only. Top-10 via
+    * sort-limit = per-partition partial top-k then a single-reducer merge
+    * of 10-row partials — no global sort of the fact table.
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum($"l_extendedprice".cast(Dec) * (lit(BigDecimal(1)).cast(Dec) - $"l_discount".cast(Dec)))
+        .cast(DoubleType).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  val q3JoinSql: String = """
+    SELECT l_orderkey, o_orderdate,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10"""
+
+  /** TPC-H Q5-style: revenue by nation through a 5-way join.
+    *
+    * region⋈nation⋈customer collapse into one broadcast chain (all dims);
+    * only orders⋈lineitem shuffles. At 100 TB the customer dim may exceed
+    * the broadcast threshold — Catalyst then falls back to shuffled hash
+    * join on the same plan; nothing here hard-codes broadcast for it.
+    */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum($"l_extendedprice".cast(Dec) * (lit(BigDecimal(1)).cast(Dec) - $"l_discount".cast(Dec)))
+        .cast(DoubleType).as("revenue"))
+  }
+
+  val q5JoinSql: String = """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name"""
+
+  /** Top-3 orders per customer by total price (window ranking).
+    *
+    * Single shuffle on o_custkey; rank + filter stays in one whole-stage
+    * codegen span after the sort. Ties broken by orderkey for determinism.
+    */
+  def qTopkWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+  }
+
+  val qTopkWindowSql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+      FROM orders) WHERE rk <= 3"""
+
+  /** Rollup aggregate: order counts and totals by (status, priority) with
+    * subtotals. Same partial-agg + single shuffle shape as q1.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(Dec)).cast(DoubleType).as("total"))
+  }
+
+  val qRollupSql: String = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
+  /** Sketch counting: exact distinct per group. The Spark side ALSO computes
+    * approx_count_distinct (HLL) and asserts it in the spec; the oracled
+    * output is the exact twin so hashes match (HLL implementations differ
+    * across engines by construction).
+    */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_partkey")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"))
+  }
+
+  val qDistinctSql: String =
+    "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_returnflag"
+}

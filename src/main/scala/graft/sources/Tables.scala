@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed accessors for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All reads go through `spark.read.parquet` so Catalyst gets native
+  * parquet scans with predicate pushdown and column pruning; callers
+  * `.select` early so `ReadSchema` stays minimal.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
