@@ -19,6 +19,12 @@ object SparkEntry {
     "q_topk_window" -> (Analytics.qTopkWindow _),
     "q_rollup"     -> (Analytics.qRollup _),
     "q_approx_distinct" -> (Analytics.qDistinct _),
+    "q_tumble_count"   -> (Windows.tumbleCount _),
+    "q_slide_count"    -> (Windows.slideCount _),
+    "q_session_window" -> (Windows.sessionWindow _),
+    "q_events_parse"   -> (Windows.eventsParse _),
+    "q_dgim_tumble"    -> (DgimQueries.dgimTumble _),
+    "q_dgim_slide"     -> (DgimQueries.dgimSlide _),
   )
 
   /** DuckDB-equivalent SQL per query key (column names must match). */
@@ -29,5 +35,11 @@ object SparkEntry {
     "q_topk_window" -> Analytics.qTopkWindowSql,
     "q_rollup"     -> Analytics.qRollupSql,
     "q_approx_distinct" -> Analytics.qDistinctSql,
+    "q_tumble_count"   -> Windows.tumbleCountSql,
+    "q_slide_count"    -> Windows.slideCountSql,
+    "q_session_window" -> Windows.sessionWindowSql,
+    "q_events_parse"   -> Windows.eventsParseSql,
+    // q_dgim_tumble / q_dgim_slide: DGIM is not SQL-expressible → rows-only
+    // driver check; ScalaTest DgimSpec is the in-repo oracle.
   )
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-time windowing over the `events` stream table — the batch analog
+  * of the reference's Flink jobs (tumble / hop / session), with the
+  * reference's "traffic bit" mapped to `event_type = 'click'`.
+  *
+  * Reference semantics mirrored (see SURVEY.md §1):
+  *  - tumbling 60 s count → tumbling 1 h count here
+  *    (/root/reference/src/main/java/com/bencejdanko/flink/StreamingJob.java:85-99)
+  *  - HOP slide 10 s / size 60 s → 15 min / 1 h here
+  *    (SlidingWindowStreamingJob.java:96-118)
+  *
+  * Scale: each query is one shuffle on the window (+user) key with map-side
+  * partial aggregation; hop windows fan each row out ×(size/slide)=4 before
+  * the partial agg — a bounded constant, never a data explosion.
+  */
+object Windows {
+
+  /** Tumbling 1 h window, exact count of 1-bits (clicks). */
+  def tumbleCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_type" === "click")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("window_start"), $"window.end".as("window_end"), $"cnt")
+  }
+
+  val tumbleCountSql: String = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS cnt
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1"""
+
+  /** Sliding (hop) window: 1 h size, 15 min slide, exact count. */
+  def slideCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_type" === "click")
+      .groupBy(window($"ts", "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("window_start"), $"window.end".as("window_end"), $"cnt")
+  }
+
+  /** Oracle: each event belongs to the 4 hop windows whose start is
+    * floor15(ts) - i·15min, i ∈ 0..3 (Spark aligns hop starts to epoch
+    * multiples of the slide, same as time_bucket).
+    */
+  val slideCountSql: String = """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS cnt
+    FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
+    WHERE event_type = 'click'
+    GROUP BY 1, 2"""
+
+  /** Session windows per user, 30 min inactivity gap: Spark's native
+    * `session_window` (merge-on-overlap, end = last event + gap).
+    */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events")
+  }
+
+  /** Gaps-and-islands twin. New session when diff >= gap (Spark windows are
+    * half-open [ts, ts+gap)).
+    */
+  val sessionWindowSql: String = """
+    WITH marked AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid"""
+
+  /** Lenient JSON field extraction from `props` (the reference's
+    * json.ignore-parse-errors source semantics): extract k, aggregate per
+    * event_type. get_json_object returns NULL on malformed input instead
+    * of failing — same as DuckDB's TRY json path.
+    */
+  def eventsParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), count($"k").as("n_valid"),
+        sum($"k").as("sum_k"), max($"k").as("max_k"))
+  }
+
+  val eventsParseSql: String = """
+    SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_valid,
+           CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+    FROM (SELECT event_type,
+            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type"""
+}

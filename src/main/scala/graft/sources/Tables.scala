@@ -19,7 +19,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to TimestampType. Read it as raw nanos (legacy conf) and floor-divide
+    * to microseconds — identical to DuckDB's ns→µs truncation, so oracle
+    * comparisons stay exact.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Dgim
+
+class DgimSpec extends AnyFunSuite {
+
+  private def exactInWindow(ts: Array[Long], w: Long): Long = {
+    if (ts.isEmpty) return 0L
+    val latest = ts.max
+    ts.count(t => latest - t < w).toLong
+  }
+
+  test("empty stream estimates 0") {
+    assert(Dgim.estimateSorted(Array.empty, 3600) === 0L)
+  }
+
+  test("small streams (no merges) are exact") {
+    // With <= 2 one-bits all buckets have size 1 → estimate is exact.
+    assert(Dgim.estimateSorted(Array(10L), 3600) === 1L)
+    assert(Dgim.estimateSorted(Array(10L, 20L), 3600) === 2L)
+  }
+
+  test("expiry drops bits older than the window") {
+    // bits at t=0..9 then one at t=5000 with W=3600: only the last remains
+    val ts = (0L to 9L).toArray :+ 5000L
+    assert(Dgim.estimateSorted(ts, 3600) === 1L)
+  }
+
+  test("estimate respects the DGIM 50% error bound (200 seeded random streams)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val n = rnd.nextInt(2000)
+      val w = Seq(60L, 600L, 3600L)(rnd.nextInt(3))
+      val ts = Array.fill(n)(rnd.nextLong(7200L)).sorted
+      val est = Dgim.estimateSorted(ts, w)
+      val exact = exactInWindow(ts, w)
+      // DGIM guarantee: |est - exact| <= exact/2 (+1 slack for the
+      // flagship's round-up of the oldest bucket)
+      assert(math.abs(est - exact) <= exact / 2 + 1,
+        s"est=$est exact=$exact w=$w n=${ts.length}")
+    }
+  }
+
+  test("dense stream estimate stays within bound (merge-heavy path)") {
+    val ts = Array.tabulate(10000)(i => (i / 3).toLong) // 3 bits per second
+    val est = Dgim.estimateSorted(ts, 3600)
+    val exact = exactInWindow(ts, 3600)
+    assert(math.abs(est - exact) <= exact / 2 + 1)
+  }
+
+  test("bucket invariant: at most 2 buckets of each size, sizes are powers of 2") {
+    val b = new Dgim.Builder(3600)
+    (0 until 5000).foreach(i => b.add(i / 2L))
+    val st = b.state
+    val bySize = st.size.groupBy(identity)
+    bySize.foreach { case (sz, occ) =>
+      assert((sz & (sz - 1)) == 0, s"size $sz not a power of 2")
+      assert(occ.length <= 2, s"${occ.length} buckets of size $sz")
+    }
+  }
+
+  test("canonical merge matches reference semantics and keeps the bound") {
+    val left = {
+      val b = new Dgim.Builder(3600); (0L until 300L).foreach(b.add); b.state
+    }
+    val right = {
+      val b = new Dgim.Builder(3600); (300L until 700L).foreach(b.add); b.state
+    }
+    val merged = Dgim.merge(left, right)
+    val exact = 700L // all within window of latest=699
+    assert(math.abs(merged.estimate - exact) <= exact / 2 + 1)
+    assert(merged.latest === 699L)
+  }
+
+  test("out-of-order adds expire against the incoming timestamp (reference add semantics)") {
+    val b = new Dgim.Builder(60)
+    b.add(1000L); b.add(1001L); b.add(2000L)
+    // bits at 1000/1001 are >= 60s older than 2000 → expired
+    assert(b.state.estimate === 1L)
+  }
+}
