@@ -25,6 +25,8 @@ object SparkEntry {
     "q_events_parse"   -> (Windows.eventsParse _),
     "q_dgim_tumble"    -> (DgimQueries.dgimTumble _),
     "q_dgim_slide"     -> (DgimQueries.dgimSlide _),
+    "q_stream_tumble"  -> (StreamQueries.streamTumbleCount _),
+    "q_stream_dgim_tumble" -> (StreamQueries.streamDgimTumble _),
   )
 
   /** DuckDB-equivalent SQL per query key (column names must match). */
@@ -41,5 +43,7 @@ object SparkEntry {
     "q_events_parse"   -> Windows.eventsParseSql,
     // q_dgim_tumble / q_dgim_slide: DGIM is not SQL-expressible → rows-only
     // driver check; ScalaTest DgimSpec is the in-repo oracle.
+    "q_stream_tumble"  -> Windows.tumbleCountSql, // streaming == batch
+    // q_stream_dgim_tumble: rows-only; StreamingSpec asserts error bound.
   )
 }

@@ -122,6 +122,32 @@ object Dgim {
   * canonical bucket merge. For the deterministic batch twin use
   * `Dgim.estimateSorted` via mapGroups.
   */
+/** Raw traffic message shape fed to [[DgimBitAggregator]]: the reference's
+  * accumulate(value, timestampSeconds) signature
+  * (DGIMAggregateFunction.java:56-78).
+  */
+case class BitEvent(value: String, tsSec: Long)
+
+/** DGIM over (value, ts) pairs: non-numeric values are skipped, only
+  * bit == 1 feeds the sketch — the reference's lenient accumulate.
+  */
+class DgimBitAggregator(windowSeconds: Long) extends Aggregator[BitEvent, Dgim.State, Long] {
+  override def zero: Dgim.State = Dgim.emptyState(windowSeconds)
+  override def reduce(b: Dgim.State, e: BitEvent): Dgim.State = {
+    val isOne = e.value != null && e.value.trim.toIntOption.contains(1)
+    if (!isOne) b
+    else {
+      val builder = new Dgim.Builder(windowSeconds).loadFrom(b)
+      builder.add(e.tsSec)
+      builder.state
+    }
+  }
+  override def merge(a: Dgim.State, b: Dgim.State): Dgim.State = Dgim.merge(a, b)
+  override def finish(r: Dgim.State): Long = r.estimate
+  override def bufferEncoder: Encoder[Dgim.State] = Encoders.product[Dgim.State]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
 class DgimAggregator(windowSeconds: Long) extends Aggregator[Long, Dgim.State, Long] {
   override def zero: Dgim.State = Dgim.emptyState(windowSeconds)
   override def reduce(b: Dgim.State, tsSeconds: Long): Dgim.State = {

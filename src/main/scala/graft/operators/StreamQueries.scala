@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.sources.TrafficSource
+import graft.streaming.TrafficJobs
+
+/** Queries that push data through REAL Structured Streaming graphs
+  * (readStream → window agg → sink) inside the batch Verify harness,
+  * using Trigger.AvailableNow + a memory sink in complete mode.
+  * `q_stream_tumble`'s oracle is the same SQL as the batch tumble count —
+  * proving the streaming path is value-identical to batch.
+  */
+object StreamQueries {
+
+  /** events.parquet schema with ts as raw nanos (legacy nanosAsLong). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def runToTable(spark: SparkSession, out: DataFrame): DataFrame = {
+    val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream sources require a directory: stream the sf dir with a
+    // glob filter instead of pointing at the single parquet file
+    spark.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1 h click count through Structured Streaming; hash-matches
+    * the batch `Windows.tumbleCountSql` oracle.
+    */
+  def streamTumbleCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .filter($"event_type" === "click")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("window_start"), $"window.end".as("window_end"), $"cnt")
+    runToTable(spark, agg)
+  }
+
+  /** The reference's full pipeline shape end-to-end: events → traffic-JSON
+    * messages → lenient TrafficSource decode → streaming tumbling DGIM
+    * (1 h windows to fit the events table's timescale). Rows-only driver
+    * check; StreamingSpec asserts the error bound.
+    */
+  def streamDgimTumble(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // materialize the message stream as text (what the Kafka topic held)
+    val msgDir = java.nio.file.Files
+      .createTempDirectory("graft_traffic_msgs").toString
+    graft.sources.Tables.events(spark, dir)
+      .select(to_json(struct(
+        when($"event_type" === "click", "1").otherwise("0").as("value"),
+        date_format($"ts", TrafficSource.IsoMicros).as("timestamp"))).as("raw"))
+      .write.mode("overwrite").text(msgDir)
+
+    val parsed = TrafficSource.parse(
+      spark.readStream.format("text").load(msgDir).withColumnRenamed("value", "raw"))
+    runToTable(spark,
+      TrafficJobs.tumbleDgim(parsed, size = "1 hour", windowSeconds = 3600L,
+        watermark = "2 hours"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TrafficSource
+import graft.streaming.{TrafficGen, TrafficJobs}
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def writeMessages(rows: Seq[String]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_spec_msgs").toString
+    rows.toDF("raw").coalesce(1).write.mode("overwrite").text(dir)
+    dir
+  }
+
+  private def runComplete(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val name = "spec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("TrafficSource.parse drops malformed JSON and bad timestamps, keeps valid rows") {
+    import spark.implicits._
+    val msgs = Seq(
+      """{"value": "1", "timestamp": "2024-01-01T00:00:01.000000"}""",
+      """{"value": "0", "timestamp": "2024-01-01T00:00:02.500000"}""",
+      """not json at all""",
+      """{"value": "1", "timestamp": "yesterday"}""",
+      """{"value": null, "timestamp": "2024-01-01T00:00:03.000000"}""",
+      """{"timestamp": "2024-01-01T00:00:04.000000"}""")
+    val parsed = TrafficSource.parse(msgs.toDF("raw")).collect()
+    assert(parsed.length === 2)
+    assert(parsed.map(_.getAs[Long]("ts_sec")).sorted.toSeq ===
+      Seq(1704067201L, 1704067202L))
+  }
+
+  test("streaming tumbleDgim over a file-backed traffic stream matches exact count within DGIM bound") {
+    // 600 messages over 120 s → two 60 s windows; bit=1 for every 3rd msg
+    val base = 1704067200L // 2024-01-01T00:00:00 UTC
+    val msgs = (0 until 600).map { i =>
+      val sec = base + i / 5 // 5 msg/s
+      val bit = if (i % 3 == 0) "1" else "0"
+      val iso = java.time.LocalDateTime.ofEpochSecond(sec, i % 5 * 1000, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      s"""{"value": "$bit", "timestamp": "$iso"}"""
+    }
+    val dir = writeMessages(msgs)
+    val parsed = TrafficSource.parse(
+      spark.readStream.format("text").load(dir).withColumnRenamed("value", "raw"))
+    val out = runComplete(TrafficJobs.tumbleDgim(parsed)).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      val est = r.getAs[Long]("count_estimate")
+      val exact = 100L // 300 msgs per window, every 3rd is a 1
+      assert(math.abs(est - exact) <= exact / 2 + 1, s"est=$est exact=$exact")
+    }
+  }
+
+  test("streaming hopDgim emits size/slide windows with estimates in bound") {
+    val base = 1704067200L
+    val msgs = (0 until 300).map { i =>
+      val sec = base + i / 5
+      val iso = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      s"""{"value": "1", "timestamp": "$iso"}"""
+    }
+    val dir = writeMessages(msgs)
+    val parsed = TrafficSource.parse(
+      spark.readStream.format("text").load(dir).withColumnRenamed("value", "raw"))
+    val out = runComplete(TrafficJobs.hopDgim(parsed)).collect()
+    // 60 s of data, 60 s windows hopping by 10 s → starts from -50 s to +50 s
+    assert(out.length >= 6)
+    val full = out.filter(_.getAs[java.sql.Timestamp]("window_start").getTime == base * 1000L)
+    assert(full.length === 1)
+    val est = full.head.getAs[Long]("count_estimate")
+    assert(math.abs(est - 300L) <= 150L + 1)
+  }
+
+  test("TrafficGen produces parseable messages with both bit values") {
+    import spark.implicits._
+    // drive the deterministic jsonify on a batch frame shaped like the rate source
+    val fake = (0 until 1000).map(i =>
+      (new java.sql.Timestamp(1704067200000L + i * 20L), i.toLong))
+      .toDF("timestamp", "value")
+    val parsed = TrafficSource.parse(TrafficGen.jsonify(fake)).collect()
+    assert(parsed.length === 1000)
+    val bits = parsed.map(_.getAs[String]("value")).toSet
+    assert(bits === Set("0", "1"))
+  }
+}
