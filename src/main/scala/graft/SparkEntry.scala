@@ -27,6 +27,19 @@ object SparkEntry {
     "q_dgim_slide"     -> (DgimQueries.dgimSlide _),
     "q_stream_tumble"  -> (StreamQueries.streamTumbleCount _),
     "q_stream_dgim_tumble" -> (StreamQueries.streamDgimTumble _),
+    "dedup_exact"      -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash"    -> (Dedup.minhashLsh _),
+    "dedup_simhash"    -> (Dedup.simhash _),
+    "dedup_embed"      -> (Similarity.embedPairs _),
+    "ann_bruteforce"   -> (Similarity.annBruteforce _),
+    "ann_lsh"          -> (Similarity.annLsh _),
+    "text_langid"      -> (TextAnalysis.langid _),
+    "text_quality"     -> (TextAnalysis.quality _),
+    "text_tokens"      -> (TextAnalysis.tokens _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_rollhash"    -> (TextAnalysis.rollhash _),
+    "mm_meta"          -> (Multimodal.meta _),
   )
 
   /** DuckDB-equivalent SQL per query key (column names must match). */
@@ -45,5 +58,18 @@ object SparkEntry {
     // driver check; ScalaTest DgimSpec is the in-repo oracle.
     "q_stream_tumble"  -> Windows.tumbleCountSql, // streaming == batch
     // q_stream_dgim_tumble: rows-only; StreamingSpec asserts error bound.
+    "dedup_exact"      -> Dedup.exactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    // dedup_minhash / dedup_simhash: sketch-based, not SQL-expressible →
+    // rows-only driver check; DedupSpec asserts recall/precision.
+    "dedup_embed"      -> Similarity.embedPairsSql,
+    "ann_bruteforce"   -> Similarity.annBruteforceSql,
+    // ann_lsh: rows-only; SimilaritySpec measures recall vs brute force.
+    "text_langid"      -> TextAnalysis.langidSql,
+    "text_quality"     -> TextAnalysis.qualitySql,
+    "text_tokens"      -> TextAnalysis.tokensSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    // text_rollhash: rows-only; TextSpec pins known hash vectors.
+    "mm_meta"          -> Multimodal.metaSql,
   )
 }

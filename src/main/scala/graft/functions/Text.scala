@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by dedup + text-analysis operators.
+  * Everything here is a `functions._` composition (whole-stage codegen,
+  * no shuffle); the two sketch functions (minhash bands, simhash) are
+  * per-row Scala UDFs over pre-hashed shingle arrays — per-row CPU only,
+  * never a distribution concern.
+  */
+object Text {
+
+  /** lowercase, strip non-alphanumerics, collapse whitespace — the
+    * canonical form used by every dedup/fingerprint operator. Kept
+    * DuckDB-replicable: regexp_replace(lower) twice + trim.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  def words(c: Column): Column = split(normalize(c), " ")
+
+  /** Word n-grams as an array column (empty when the doc is shorter than n). */
+  def shingles(wordsCol: Column, n: Int): Column = {
+    val idxExpr = transform(
+      sequence(lit(0), size(wordsCol) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(wordsCol, i + k + 1)): _*))
+    when(size(wordsCol) >= n, idxExpr).otherwise(array().cast("array<string>"))
+  }
+
+  /** xxhash64 of each shingle — the numeric form fed to the sketches. */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => xxhash64(s))
+
+  // ---- MinHash --------------------------------------------------------
+
+  val MinhashPerms = 128
+  val LshBands = 16
+  val LshRows = 8 // MinhashPerms / LshBands
+  private val MersennePrime = 2147483647L // 2^31-1
+
+  /** Deterministic permutation parameters (seeded, 31-bit so a*x+b stays
+    * in 63 bits).
+    */
+  private val (permA, permB): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(MinhashPerms)(rnd.nextInt(Int.MaxValue - 1).toLong + 1),
+      Array.fill(MinhashPerms)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 128-perm minhash signature of a shingle-hash array. */
+  def minhashSignature(hashes: Array[Long]): Array[Long] = {
+    val sig = Array.fill(MinhashPerms)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val x = hashes(i) >>> 33 // 31-bit universe
+      var p = 0
+      while (p < MinhashPerms) {
+        val h = (permA(p) * x + permB(p)) % MersennePrime
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 16 LSH band hashes (8 minhash rows per band) for bucket joining. */
+  def minhashBandHashes(hashes: Array[Long]): Array[Long] = {
+    val sig = minhashSignature(hashes)
+    Array.tabulate(LshBands) { b =>
+      var h = 1125899906842597L // deterministic FNV-ish fold of the band
+      var r = 0
+      while (r < LshRows) {
+        h = h * 1099511628211L + sig(b * LshRows + r)
+        r += 1
+      }
+      h
+    }
+  }
+
+  /** Estimated Jaccard from two signatures (fraction of agreeing perms). */
+  def minhashJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var agree = 0
+    var i = 0
+    while (i < MinhashPerms) { if (a(i) == b(i)) agree += 1; i += 1 }
+    agree.toDouble / MinhashPerms
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit simhash of a shingle-hash array: per-bit majority vote. */
+  def simhash64(hashes: Array[Long]): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  val minhashBandsUdf =
+    udf((hashes: Seq[Long]) => minhashBandHashes(hashes.toArray))
+  val minhashSigUdf =
+    udf((hashes: Seq[Long]) => minhashSignature(hashes.toArray))
+  val simhashUdf =
+    udf((hashes: Seq[Long]) => simhash64(hashes.toArray))
+
+  // ---- Rolling hash fingerprint --------------------------------------
+
+  /** 61-bit rolling polynomial hash of the normalized text (Rabin–Karp
+    * style, base 257 mod 2^61-1) — the order-sensitive fingerprint
+    * companion to md5.
+    */
+  private val Mersenne61 = (1L << 61) - 1
+
+  /** (a*b) mod 2^61-1 via the Mersenne fold: with x = a·b in 128 bits,
+    * x ≡ (x & M) + (x >> 61) (mod M) because 2^61 ≡ 1.
+    */
+  private def mulMod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & Mersenne61) + ((hi << 3) | (lo >>> 61))
+    while (r >= Mersenne61) r -= Mersenne61
+    r
+  }
+
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (mulMod61(h, 257L) + s.charAt(i).toLong) % Mersenne61
+      i += 1
+    }
+    h
+  }
+
+  val rollingHashUdf = udf((s: String) => rollingHash(s))
+}

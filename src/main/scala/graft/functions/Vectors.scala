@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure Catalyst
+  * expressions (`zip_with` + `aggregate` fold): codegen'd, no UDF, no
+  * shuffle.
+  *
+  * Determinism: all arithmetic is a sequential left fold in DOUBLE —
+  * replicated exactly in the DuckDB oracles via
+  * list_sum(list_transform(list_zip(...))) on double-cast lists, which
+  * the parity probe showed is bit-identical.
+  */
+object Vectors {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Deterministic random-hyperplane LSH keys: `tables` keys per vector,
+    * each a `bits`-bit sign pattern tagged with its table index. Seeded
+    * gaussian hyperplanes (Charikar, STOC 2002).
+    */
+  def lshKeys(dim: Int, tables: Int, bits: Int, seed: Long = 7L): Column => Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(tables * bits, dim)(rnd.nextGaussian())
+    val f = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      Array.tabulate(tables) { t =>
+        var key = 0L
+        var b = 0
+        while (b < bits) {
+          val p = planes(t * bits + b)
+          var s = 0.0
+          var i = 0
+          while (i < v.length && i < dim) { s += p(i) * v(i); i += 1 }
+          if (s >= 0) key |= (1L << b)
+          b += 1
+        }
+        (t.toLong << 32) | key
+      }
+    }
+    (c: Column) => f(c)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Document deduplication: exact, exact-Jaccard with prefix filtering,
+  * MinHash+LSH, SimHash — the standard LLM-corpus dedup ladder.
+  *
+  * Scale design (SURVEY.md §4): nothing here is O(n²) over the corpus.
+  *  - exact: one hash-shuffle on the normalized-text key.
+  *  - jaccard: inverted-index join restricted by PREFIX FILTERING — each
+  *    doc only indexes its p = n - ceil(t·n) + 1 canonically-smallest
+  *    shingles, which is sound for Jaccard ≥ t (two docs with J ≥ t must
+  *    share a prefix shingle) and collapses the candidate space.
+  *  - minhash-lsh: ~n·16 band rows, candidates only within equal band
+  *    buckets (sublinear; the 100 TB path).
+  *  - simhash: 4×16-bit block blocking, complete for Hamming ≤ 3 by
+  *    pigeonhole.
+  */
+object Dedup {
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(
+        Text.shingles(Text.words($"text"), 3))).as("s"))
+  }
+
+  /** Exact dedup: group by normalized text, keep the min doc_id. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", md5(Text.normalize($"text")).as("text_hash"))
+      .groupBy($"text_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val exactSql: String = """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS text_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1"""
+
+  /** Exact 3-gram Jaccard ≥ 0.8 pairs via inverted index + prefix filter. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = 0.8
+    val sh = docShingles(spark, dir).cache()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val ranked = sh.withColumn("rk",
+      row_number().over(Window.partitionBy($"doc_id").orderBy(md5($"s"), $"s")))
+    val prefix = ranked.join(sz, "doc_id")
+      .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
+      .select($"doc_id", $"s")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb")).distinct()
+    val inter = cand
+      .join(sh.as("x"), $"ida" === $"x.doc_id")
+      .join(sh.as("y"), $"idb" === $"y.doc_id" && $"x.s" === $"y.s")
+      .groupBy($"ida", $"idb").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("sa"), $"ida" === $"sa.doc_id")
+      .join(sz.as("sb"), $"idb" === $"sb.doc_id")
+      .select($"ida".as("doc_id_a"), $"idb".as("doc_id_b"),
+        ($"inter" * lit(1.0) / ($"sa.n" + $"sb.n" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= t)
+  }
+
+  val ngramJaccardSql: String = """
+    WITH docs AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    wrds AS (SELECT doc_id, string_split(t,' ') w FROM docs),
+    idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1,1))) i FROM wrds),
+    sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] s FROM idx),
+    sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    ranked AS (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY md5(s), s) rk FROM sh),
+    prefix AS (SELECT r.doc_id, r.s FROM ranked r JOIN sz USING (doc_id) WHERE rk <= n - ceil(n*0.8) + 1),
+    cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id),
+    inter AS (SELECT ida, idb, count(*) i FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb AND y.s = x.s GROUP BY 1,2)
+    SELECT ida AS doc_id_a, idb AS doc_id_b, i*1.0/(sa.n+sb.n-i) AS jaccard
+    FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+    WHERE i*1.0/(sa.n+sb.n-i) >= 0.8"""
+
+  /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
+    * Rows-only driver check; DedupSpec asserts recall vs exact Jaccard.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withHashes = Tables.documents(spark, dir)
+      .select($"doc_id", Text.shingleHashes(array_distinct(
+        Text.shingles(Text.words($"text"), 3))).as("hashes"))
+      .filter(size($"hashes") > 0)
+    val sigs = withHashes
+      .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"),
+        Text.minhashBandsUdf($"hashes").as("bands"))
+      .cache()
+    val banded = sigs.select($"doc_id", $"sig",
+      posexplode($"bands").as(Seq("band_idx", "band_hash")))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_id_a"), $"b.doc_id".as("doc_id_b"),
+        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+    val simUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      Text.minhashJaccard(a.toArray, b.toArray))
+    cand.select($"doc_id_a", $"doc_id_b",
+        simUdf($"sig_a", $"sig_b").as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.7)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, 4-block banding, exact
+    * Hamming ≤ 3 verify. Rows-only driver check + DedupSpec oracle.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Tables.documents(spark, dir)
+      .select($"doc_id", Text.simhashUdf(Text.shingleHashes(array_distinct(
+        Text.shingles(Text.words($"text"), 3)))).as("sig"))
+      .cache()
+    // 4 blocks of 16 bits; Hamming <= 3 pairs must agree on >= 1 block
+    val blocked = sigs.select($"doc_id", $"sig", explode(array(
+      (0 until 4).map(b => struct(lit(b).as("blk"),
+        (shiftright($"sig", b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*)).as("e"))
+      .select($"doc_id", $"sig", $"e.blk", $"e.bh")
+    val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    blocked.as("a").join(blocked.as("b"),
+        $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_id_a"), $"b.doc_id".as("doc_id_b"),
+        hammingUdf($"a.sig", $"b.sig").as("hamming"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .filter($"hamming" <= 3)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+/** In-repo oracles for the sketch operators the driver can only
+  * rows-check: MinHash+LSH, SimHash, hyperplane-LSH ANN, rolling hash.
+  */
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def pairs(df: org.apache.spark.sql.DataFrame,
+      a: String = "doc_id_a", b: String = "doc_id_b"): Set[(Long, Long)] =
+    df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH recovers every exact-Jaccard>=0.8 pair (recall 1.0 on planted dups)") {
+    val exact = pairs(Dedup.ngramJaccard(spark, sf))
+    val cand = pairs(Dedup.minhashLsh(spark, sf))
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(exact.subsetOf(cand),
+      s"missed pairs: ${exact.diff(cand).take(5)}")
+  }
+
+  test("minhash signature-estimated Jaccard tracks exact Jaccard within 0.15") {
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val est = Dedup.minhashLsh(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val common = exact.keySet.intersect(est.keySet)
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(exact(k) - est(k)) <= 0.15,
+        s"pair $k exact=${exact(k)} est=${est(k)}")
+    }
+  }
+
+  test("simhash Hamming<=3 pairs are true near-duplicates (precision)") {
+    val exact = pairs(Dedup.ngramJaccard(spark, sf))
+    val sh = pairs(Dedup.simhash(spark, sf))
+    assert(sh.nonEmpty, "simhash should find the closest planted dups")
+    val truePos = sh.intersect(exact).size.toDouble / sh.size
+    assert(truePos >= 0.9, s"precision $truePos; fp pairs: ${sh.diff(exact).take(5)}")
+  }
+
+  test("lsh ANN candidates achieve usable recall vs brute force on top-5") {
+    val brute = Similarity.annBruteforce(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLsh(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    // random synthetic vectors have no cluster structure; 6-bit × 8-table
+    // hyperplane LSH is calibrated to >=20% top-5 recall here (real
+    // embedding corpora cluster and do far better)
+    assert(recall >= 0.2, s"recall@5 = $recall")
+  }
+
+  test("brute-force ANN output is internally consistent") {
+    val rows = Similarity.annBruteforce(spark, sf).collect()
+    assert(rows.length === 50) // 10 queries × 5 neighbours
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq === Seq(1, 2, 3, 4, 5))
+      val cosines = byRank.map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+      cosines.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("rolling hash matches a BigInt reference implementation (overflow-free split)") {
+    val Mod = BigInt((1L << 61) - 1)
+    def reference(s: String): Long =
+      s.foldLeft(BigInt(0))((h, c) => (h * 257 + c.toInt) mod Mod).toLong
+    assert(Text.rollingHash("") === 0L)
+    assert(Text.rollingHash("a") === 97L)
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val s = rnd.alphanumeric.take(rnd.nextInt(2000)).mkString
+      assert(Text.rollingHash(s) === reference(s), s"mismatch on len=${s.length}")
+    }
+  }
+
+  test("minhash/simhash signatures are deterministic across invocations") {
+    val h = Array(123456789L, -987654321L, 42L, Long.MaxValue / 3)
+    assert(Text.minhashSignature(h).toSeq === Text.minhashSignature(h.clone()).toSeq)
+    assert(Text.simhash64(h) === Text.simhash64(h.clone()))
+    assert(Text.minhashBandHashes(h).length === Text.LshBands)
+  }
+}
