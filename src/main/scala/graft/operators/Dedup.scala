@@ -94,8 +94,8 @@ object Dedup {
         Text.shingles(Text.words($"text"), 3))).as("hashes"))
       .filter(size($"hashes") > 0)
     val sigs = withHashes
-      .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"),
-        Text.minhashBandsUdf($"hashes").as("bands"))
+      .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"))
+      .select($"doc_id", $"sig", Text.bandsFromSigUdf($"sig").as("bands"))
       .cache()
     val banded = sigs.select($"doc_id", $"sig",
       posexplode($"bands").as(Seq("band_idx", "band_hash")))

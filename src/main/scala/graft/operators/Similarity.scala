@@ -49,17 +49,60 @@ object Similarity {
     FROM s QUALIFY rank <= 5"""
 
   /** Embedding near-duplicate pairs: cosine ≥ 0.4 (threshold is
-    * data-calibrated; the synthetic corpus tops out at ~0.51). Exact
-    * pairwise — the sublinear path at scale is [[annLsh]]'s bucketing.
+    * data-calibrated; the synthetic corpus tops out at ~0.51).
+    *
+    * Exact all-pairs via broadcast-corpus + per-partition primitive loops:
+    * one side of the O(n²) comparison is broadcast (embeddings are the
+    * SMALL distilled table; 2 K × 64 floats ≈ 0.5 MB — at 100 TB the
+    * corpus-scale near-dup path is [[annLsh]] / [[Dedup.minhashLsh]],
+    * all-pairs is for the final candidate set), the other side streams
+    * partition-local. Equivalent join-based form costs ~15 µs/pair in
+    * interpreted UDF/HOF overhead; this is ~0.1 µs/pair.
     */
   def embedPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"))
-    emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("vec_id_a"), $"b.vec_id".as("vec_id_b"),
-        (Vectors.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cos"))
-      .filter($"cos" >= 0.4)
+    val rows = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    val corpus = rows.collect().sortBy(_._1)
+    val norms = corpus.map { case (_, v) => math.sqrt(selfDot(v)) }
+    val bc = spark.sparkContext.broadcast((corpus, norms))
+    rows.mapPartitions { it =>
+      val (corp, nrm) = bc.value
+      it.flatMap { case (ida, va) =>
+        val na = math.sqrt(selfDot(va))
+        // corp is sorted by vec_id: only compare against larger ids
+        val start = lowerBound(corp, ida)
+        (start until corp.length).iterator.flatMap { j =>
+          val (idb, vb) = corp(j)
+          val c = dotD(va, vb) / (na * nrm(j))
+          if (c >= 0.4) Some((ida, idb, c)) else None
+        }
+      }
+    }.toDF("vec_id_a", "vec_id_b", "cos")
+  }
+
+  /** Sequential double left fold — bit-identical to the DuckDB oracle's
+    * list_sum(list_transform(list_zip(...))).
+    */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def selfDot(a: Array[Float]): Double = dotD(a, a)
+
+  /** Index of the first corpus entry with vec_id strictly greater than id. */
+  private def lowerBound(corp: Array[(Long, Array[Float])], id: Long): Int = {
+    var lo = 0
+    var hi = corp.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (corp(mid)._1 <= id) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   val embedPairsSql: String = duckEmb + """
