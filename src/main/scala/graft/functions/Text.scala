@@ -41,6 +41,77 @@ object Text {
   def shingleHashes(shinglesCol: Column): Column =
     transform(shinglesCol, s => xxhash64(s))
 
+  // ---- Fast single-pass shingle path ---------------------------------
+  //
+  // The Column pipeline above (normalize → split → slice/zip_with →
+  // transform(xxhash64) → array_distinct) is the declarative statement of
+  // the semantics, but every step is an interpreted higher-order function:
+  // measured ~0.8 ms/row on 300-char docs, and it dominates the dedup
+  // queries. The UDFs below compute the IDENTICAL result in one primitive
+  // pass (~µs/row): same lowercase (UTF8String.toLowerCase == Spark
+  // `lower`), same char class, same collapse/trim, same first-occurrence
+  // distinct order, same xxhash64 seed-42 values
+  // (XXH64.hashUTF8String == Spark `xxhash64`). TextFastPathSpec asserts
+  // bit-equality against the Column path on real testdata docs.
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Scala replication of [[normalize]]: lowercase, any char outside
+    * [a-z0-9 ] becomes a space, collapse space runs, trim.
+    */
+  def normalizeString(s: String): String = {
+    val lowered = UTF8String.fromString(s).toLowerCase.toString
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pendingSpace = false
+      } else pendingSpace = true
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Distinct word n-grams of the normalized text, first-occurrence order
+    * (== array_distinct(shingles(words(text), n))).
+    */
+  def shingleSet(text: String, n: Int): Array[String] = {
+    val norm = normalizeString(text)
+    if (norm.isEmpty) return Array.empty
+    val ws = norm.split(' ')
+    if (ws.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(ws(i + k)); k += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Spark-`xxhash64`-identical string hash (XXH64, seed 42). */
+  def xx64(s: String): Long = XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+
+  /** text → distinct 3-shingles (fast path of the Column pipeline). */
+  val shinglesFastUdf = udf((text: String) => shingleSet(text, 3))
+
+  /** text → xxhash64 of each distinct 3-shingle (fast path). */
+  val shingleHashesFastUdf = udf { (text: String) =>
+    val sh = shingleSet(text, 3)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = xx64(sh(i)); i += 1 }
+    out
+  }
+
   // ---- MinHash --------------------------------------------------------
 
   val MinhashPerms = 128

@@ -26,8 +26,7 @@ object Dedup {
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(
-        Text.shingles(Text.words($"text"), 3))).as("s"))
+      .select($"doc_id", explode(Text.shinglesFastUdf($"text")).as("s"))
   }
 
   /** Exact dedup: group by normalized text, keep the min doc_id. */
@@ -90,8 +89,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val withHashes = Tables.documents(spark, dir)
-      .select($"doc_id", Text.shingleHashes(array_distinct(
-        Text.shingles(Text.words($"text"), 3))).as("hashes"))
+      .select($"doc_id", Text.shingleHashesFastUdf($"text").as("hashes"))
       .filter(size($"hashes") > 0)
     val sigs = withHashes
       .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"))
@@ -118,8 +116,7 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = Tables.documents(spark, dir)
-      .select($"doc_id", Text.simhashUdf(Text.shingleHashes(array_distinct(
-        Text.shingles(Text.words($"text"), 3)))).as("sig"))
+      .select($"doc_id", Text.simhashUdf(Text.shingleHashesFastUdf($"text")).as("sig"))
       .cache()
     // 4 blocks of 16 bits; Hamming <= 3 pairs must agree on >= 1 block
     val blocked = sigs.select($"doc_id", $"sig", explode(array(
