@@ -25,15 +25,12 @@ object Vectors {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    val n = math.min(a.length, b.length)
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
-
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  /** The hot-path form: a native codegen'd Catalyst expression
+    * ([[FloatDotProduct]]) — same sequential double fold as [[dotExpr]],
+    * but a primitive Java loop over columnar ArrayData that stays inside
+    * whole-stage codegen (no Seq[Float] boxing, no codegen break).
+    */
+  def dot(a: Column, b: Column): Column = FloatDotProduct(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
