@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatDotProduct
+
+/** graft's `SparkSessionExtensions` entry point — makes the native
+  * expressions available to pure-SQL users:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * spark.sql("SELECT float_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * Registered functions:
+  *  - `float_dot(array<float>, array<float>) -> double` — codegen'd
+  *    sequential-fold dot product ([[graft.functions.FloatDotProduct]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"float_dot takes 2 arguments, got ${args.length}")
+        FloatDotProduct(args.head, args(1))
+      }))
+  }
+}

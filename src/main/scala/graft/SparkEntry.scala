@@ -19,6 +19,8 @@ object SparkEntry {
     "q_topk_window" -> (Analytics.qTopkWindow _),
     "q_rollup"     -> (Analytics.qRollup _),
     "q_approx_distinct" -> (Analytics.qDistinct _),
+    "q_quantile"   -> (Analytics.qQuantile _),
+    "q_asof_join"  -> (AsofJoin.clicksLastPurchase _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_session_window" -> (Windows.sessionWindow _),
@@ -27,6 +29,7 @@ object SparkEntry {
     "q_dgim_slide"     -> (DgimQueries.dgimSlide _),
     "q_stream_tumble"  -> (StreamQueries.streamTumbleCount _),
     "q_stream_dgim_tumble" -> (StreamQueries.streamDgimTumble _),
+    "q_stream_slide"   -> (StreamQueries.streamSlideCount _),
     "dedup_exact"      -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash"    -> (Dedup.minhashLsh _),
@@ -50,6 +53,8 @@ object SparkEntry {
     "q_topk_window" -> Analytics.qTopkWindowSql,
     "q_rollup"     -> Analytics.qRollupSql,
     "q_approx_distinct" -> Analytics.qDistinctSql,
+    "q_quantile"   -> Analytics.qQuantileSql,
+    "q_asof_join"  -> AsofJoin.clicksLastPurchaseSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_session_window" -> Windows.sessionWindowSql,
@@ -57,6 +62,7 @@ object SparkEntry {
     // q_dgim_tumble / q_dgim_slide: DGIM is not SQL-expressible → rows-only
     // driver check; ScalaTest DgimSpec is the in-repo oracle.
     "q_stream_tumble"  -> Windows.tumbleCountSql, // streaming == batch
+    "q_stream_slide"   -> Windows.slideCountSql,  // streaming == batch
     // q_stream_dgim_tumble: rows-only; StreamingSpec asserts error bound.
     "dedup_exact"      -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

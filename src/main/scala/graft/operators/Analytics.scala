@@ -173,4 +173,31 @@ object Analytics {
 
   val qDistinctSql: String =
     "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_returnflag"
+
+  /** Exact distributed quantiles per group: Spark's `percentile` (exact,
+    * sort-based) is bit-identical to DuckDB's `quantile_cont` (verified:
+    * both interpolate `lo + (hi-lo)·frac` at 1-based position `(n-1)·p`).
+    * The approximate twin (`approx_percentile`, the 100 TB path — a
+    * bounded-memory KLL-style sketch vs a full per-group sort) is asserted
+    * within its error bound against this exact output in AnalyticsSpec.
+    */
+  def qQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice")
+      .groupBy($"l_returnflag")
+      .agg(percentile($"l_extendedprice",
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("q"))
+      .select($"l_returnflag",
+        element_at($"q", 1).as("p25"), element_at($"q", 2).as("p50"),
+        element_at($"q", 3).as("p75"), element_at($"q", 4).as("p95"))
+  }
+
+  val qQuantileSql: String = """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag"""
 }

@@ -55,6 +55,21 @@ object StreamQueries {
     runToTable(spark, agg)
   }
 
+  /** Sliding (hop) 1 h / 15 min click count through Structured Streaming —
+    * the streaming twin of the reference's Job 2 (SlidingWindowStreamingJob);
+    * hash-matches the batch `Windows.slideCountSql` oracle.
+    */
+  def streamSlideCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .filter($"event_type" === "click")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("window_start"), $"window.end".as("window_end"), $"cnt")
+    runToTable(spark, agg)
+  }
+
   /** The reference's full pipeline shape end-to-end: events → traffic-JSON
     * messages → lenient TrafficSource decode → streaming tumbling DGIM
     * (1 h windows to fit the events table's timescale). Rows-only driver

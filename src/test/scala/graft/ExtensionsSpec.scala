@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions registers the native expressions for pure-SQL use;
+  * this spec builds a session through the extension point and exercises
+  * `float_dot` from SQL, plus the approx_percentile sketch bound that
+  * backs q_quantile's 100 TB path.
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("float_dot is callable from SQL via SparkSessionExtensions") {
+    val r = spark.sql(
+      """SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
+        |""".stripMargin).collect()
+    assert(r(0).getDouble(0) === 11.0)
+  }
+
+  test("float_dot SQL form works against real embeddings") {
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    val rows = spark.sql(
+      """SELECT a.vec_id, b.vec_id, float_dot(a.embedding, b.embedding) AS d
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id LIMIT 100""".stripMargin)
+      .collect()
+    assert(rows.length === 100)
+    assert(rows.forall(r => !r.isNullAt(2)))
+  }
+
+  test("float_dot rejects non-array-of-float arguments at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT float_dot(array(1.0), array(2.0))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<float>"))
+  }
+
+  test("approx_percentile tracks exact percentile within the sketch bound (q_quantile's scale path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select($"l_extendedprice")
+    val acc = 1000 // error <= 1/acc of the rank
+    val Seq(exact, approx) = Seq(
+      percentile($"l_extendedprice", array(lit(0.25), lit(0.5), lit(0.95))),
+      approx_percentile($"l_extendedprice", array(lit(0.25), lit(0.5), lit(0.95)), lit(acc)))
+      .map(c => li.agg(c).collect()(0).getSeq[Double](0))
+    val n = li.count()
+    // rank error bound: the approx value's rank is within n/acc of target
+    val sorted = li.as[Double].collect().sorted
+    approx.zip(Seq(0.25, 0.5, 0.95)).foreach { case (v, p) =>
+      val rank = sorted.count(_ <= v).toDouble
+      assert(math.abs(rank - p * n) <= n.toDouble / acc * 2 + 1,
+        s"p=$p approx=$v rank=$rank target=${p * n}")
+    }
+    assert(exact.length === 3)
+  }
+}
