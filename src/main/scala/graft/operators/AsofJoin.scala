@@ -25,9 +25,12 @@ import graft.sources.Tables
   * keys degrade to a sort of that key's rows, never a quadratic join.
   *
   * Demonstrated on `events`: every click joined to the same user's most
-  * recent prior-or-simultaneous purchase. Right side is pre-deduplicated
-  * to one row per (user, ts) (max value — deterministic under ties).
-  * Oracle: DuckDB's native `ASOF LEFT JOIN`.
+  * recent prior-or-simultaneous purchase. Ties (several purchases at one
+  * (user, ts)) resolve to the max value — not via a pre-dedup groupBy
+  * (that would cost a second shuffle) but by adding `p_value` to the
+  * window sort: the carry-forward `last` then lands on the max-value
+  * purchase of the tied group. The whole operator is ONE exchange.
+  * Oracle: DuckDB's native `ASOF LEFT JOIN` over a max-deduped right side.
   */
 object AsofJoin {
 
@@ -37,7 +40,7 @@ object AsofJoin {
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id", $"ts", $"event_id")
     val purchases = ev.filter($"event_type" === "purchase")
-      .groupBy($"user_id", $"ts").agg(max($"value").as("p_value"))
+      .select($"user_id", $"ts", $"value".as("p_value"))
 
     val unioned = clicks
       .select($"user_id", $"ts", lit(1).as("side"), $"event_id",
@@ -46,7 +49,7 @@ object AsofJoin {
         .select($"user_id", $"ts", lit(0).as("side"),
           lit(null).cast("bigint").as("event_id"), $"ts".as("p_ts"), $"p_value"))
 
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side", $"p_value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("carry", last(
