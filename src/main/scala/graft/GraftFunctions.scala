@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions.udaf
+
+import graft.functions.{DgimBitAggregator, Text}
+
+/** Session-scoped SQL function registration — the UDF/UDAF companions to
+  * [[GraftExtensions]] (which injects native expressions). Together they
+  * give pure-SQL users the reference engine's registered-function surface:
+  * the Flink job registers `DGIM_ESTIMATE` as a SQL aggregate
+  * (/root/reference/src/main/java/com/bencejdanko/flink/StreamingJob.java:57-58);
+  * graft registers the same name over the same (value, ts_seconds)
+  * signature.
+  *
+  * {{{
+  * GraftFunctions.register(spark)
+  * spark.sql("""
+  *   SELECT window_start, dgim_estimate(value, ts_sec) AS count_estimate
+  *   FROM traffic GROUP BY window_start""")
+  * }}}
+  */
+object GraftFunctions {
+
+  /** Window size of the registered `dgim_estimate`, in seconds. The
+    * reference fixes 60 s at registration time (its jobs use 60 s
+    * windows); graft's batch queries use 1 h windows over the events
+    * table, so that is the registered default here. Register another name
+    * via [[registerDgim]] for other window sizes.
+    */
+  val DefaultDgimWindowSeconds = 3600L
+
+  def register(spark: SparkSession): Unit = {
+    registerDgim(spark, "dgim_estimate", DefaultDgimWindowSeconds)
+    spark.udf.register("rolling_hash61", Text.rollingHashUdf)
+  }
+
+  /** Register a DGIM estimate aggregate bound to `windowSeconds`:
+    * `name(value STRING, ts_sec BIGINT) -> BIGINT` — lenient accumulate
+    * (non-"1" values ignored), canonical bucket merge across partitions.
+    */
+  def registerDgim(spark: SparkSession, name: String, windowSeconds: Long): Unit =
+    spark.udf.register(name,
+      udaf(new DgimBitAggregator(windowSeconds), Encoders.product[graft.functions.BitEvent]))
+}

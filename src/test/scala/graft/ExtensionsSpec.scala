@@ -47,6 +47,23 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.contains("array<float>"))
   }
 
+  test("dgim_estimate is callable from SQL (the reference's registered-aggregate surface)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 1-bits at seconds 0..99 within one window -> estimate near 100
+    (0L until 100L).map(s => ("1", s)).toDF("value", "ts_sec")
+      .createOrReplaceTempView("traffic_bits")
+    val est = spark.sql(
+      "SELECT dgim_estimate(value, ts_sec) AS e FROM traffic_bits").collect()(0).getLong(0)
+    assert(est >= 50 && est <= 150, s"estimate $est out of DGIM bound for 100 ones")
+    // lenient accumulate: junk values ignored
+    val est2 = spark.sql(
+      """SELECT dgim_estimate(v, t) AS e FROM VALUES ('1', 10L), ('0', 11L),
+        |  ('x', 12L), (NULL, 13L), ('1', 14L) AS t(v, t)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(est2 === 2L)
+  }
+
   test("approx_percentile tracks exact percentile within the sketch bound (q_quantile's scale path)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
