@@ -77,14 +77,17 @@ object StreamQueries {
     */
   def streamDgimTumble(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // materialize the message stream as text (what the Kafka topic held)
-    val msgDir = java.nio.file.Files
-      .createTempDirectory("graft_traffic_msgs").toString
-    graft.sources.Tables.events(spark, dir)
-      .select(to_json(struct(
-        when($"event_type" === "click", "1").otherwise("0").as("value"),
-        date_format($"ts", TrafficSource.IsoMicros).as("timestamp"))).as("raw"))
-      .write.mode("overwrite").text(msgDir)
+    // materialize the message stream as text (what the Kafka topic held);
+    // keyed by the (read-only) source dir so repeat runs reuse the dump
+    val msgDir = s"${System.getProperty("java.io.tmpdir")}/graft_traffic_msgs_" +
+      Integer.toHexString(dir.hashCode)
+    if (!new java.io.File(s"$msgDir/_SUCCESS").exists()) {
+      graft.sources.Tables.events(spark, dir)
+        .select(to_json(struct(
+          when($"event_type" === "click", "1").otherwise("0").as("value"),
+          date_format($"ts", TrafficSource.IsoMicros).as("timestamp"))).as("raw"))
+        .write.mode("overwrite").text(msgDir)
+    }
 
     val parsed = TrafficSource.parse(
       spark.readStream.format("text").load(msgDir).withColumnRenamed("value", "raw"))
