@@ -21,6 +21,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Analytics.qDistinct _),
     "q_quantile"   -> (Analytics.qQuantile _),
     "q_asof_join"  -> (AsofJoin.clicksLastPurchase _),
+    "q_range_join" -> (RangeJoin.errorClicksWithin5Min _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_session_window" -> (Windows.sessionWindow _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "q_approx_distinct" -> Analytics.qDistinctSql,
     "q_quantile"   -> Analytics.qQuantileSql,
     "q_asof_join"  -> AsofJoin.clicksLastPurchaseSql,
+    "q_range_join" -> RangeJoin.errorClicksWithin5MinSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_session_window" -> Windows.sessionWindowSql,
