@@ -22,6 +22,7 @@ import graft.functions.FloatDotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.DgimStrategy)
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),

@@ -1,23 +1,24 @@
 package graft.operators
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.Dgim
+import graft.plans.{DgimStrategy, DgimWindowAggPlan}
 import graft.sources.Tables
 
 /** DGIM approximate 1-bit counting per event-time window — the reference's
   * flagship capability (tumble + hop DGIM estimates), deterministic batch
   * form.
   *
-  * Plan shape: filter → window-assign → ONE shuffle on the window key
-  * (groupByKey) → per-group sort of click epoch-seconds → sequential DGIM
-  * fold. Per-group state is one window's worth of clicks; at 100 TB the
-  * group key (window[, interface/user]) keeps groups bounded, and the
-  * mergeable `DgimAggregator` is the constant-memory streaming path
-  * (graft.streaming.TrafficJobs).
+  * Executed by the custom [[graft.plans.DgimWindowAggExec]] physical
+  * operator: filter → window-assign → ONE shuffle on the window key +
+  * SPILLABLE external sort (both planned by EnsureRequirements from the
+  * operator's declared distribution/ordering requirements) → streaming
+  * per-group DGIM fold with O(log² W) state. Unlike groupByKey.mapGroups,
+  * no group is ever materialized in task memory, so a hot window cannot
+  * OOM a task at 100 TB. The mergeable `DgimAggregator` remains the
+  * incremental streaming path (graft.streaming.TrafficJobs).
   */
 object DgimQueries {
 
@@ -29,20 +30,13 @@ object DgimQueries {
       case None    => window($"ts", duration)
     }
     val windowSeconds = 3600L // both variants use a 1 h window size
-    Tables.events(spark, dir)
+    val child = Tables.events(spark, dir)
       .filter($"event_type" === "click")
       .select(win.as("w"), unix_timestamp($"ts").as("ts_sec"))
       .select($"w.start".cast("long").as("ws"), $"w.end".cast("long").as("we"), $"ts_sec")
-      .as[(Long, Long, Long)]
-      .groupByKey { case (ws, we, _) => (ws, we) }
-      .mapGroups { (key: (Long, Long), rows: Iterator[(Long, Long, Long)]) =>
-        val (ws, we) = key
-        val arr = rows.map(_._3).toArray
-        java.util.Arrays.sort(arr)
-        (new Timestamp(ws * 1000L), new Timestamp(we * 1000L),
-          Dgim.estimateSorted(arr, windowSeconds), arr.length.toLong)
-      }
-      .toDF("window_start", "window_end", "count_estimate", "exact_count")
+    DgimStrategy.ensureRegistered(spark)
+    ColumnBridge.ofRows(spark,
+      DgimWindowAggPlan(windowSeconds, ColumnBridge.logicalPlan(child)))
   }
 
   /** Tumbling 1 h DGIM estimate (reference Job 1; StreamingJob.java:85-99). */

@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.functions.Dgim
+
+/** Whole-operator DGIM windowed aggregation as a first-class Catalyst
+  * citizen: LogicalPlan → Strategy → SparkPlan, registered via
+  * `SparkSessionExtensions.injectPlannerStrategy` (or
+  * `spark.experimental.extraStrategies`).
+  *
+  * Why a custom physical operator instead of groupByKey.mapGroups: the
+  * deterministic DGIM semantics (reference PyFlink job,
+  * /root/reference/src/usrcode/job.py:75-93 — sort each window's
+  * timestamps, fold, estimate at max ts) needs per-group ORDERED input.
+  * mapGroups must materialize each group and sort it in user memory —
+  * O(group) heap per task, no spill. This operator instead DECLARES its
+  * requirements to the planner:
+  *
+  *  - `requiredChildDistribution` = clustered by (window_start, window_end)
+  *  - `requiredChildOrdering`     = (window_start, window_end, ts) asc
+  *
+  * and EnsureRequirements plans the shuffle + a SPILLABLE external sort.
+  * The fold itself then streams over sorted rows with O(log² W) DGIM
+  * bucket state — group size no longer bounds memory. At 100 TB this is
+  * the difference between "one hot window OOMs a task" and "never".
+  *
+  * Output: (window_start TS, window_end TS, count_estimate L, exact_count L).
+  * Child contract: exactly 3 non-null LONG columns (ws_sec, we_sec, ts_sec).
+  */
+case class DgimWindowAggPlan(windowSeconds: Long, output: Seq[Attribute],
+    child: LogicalPlan) extends UnaryNode {
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  // the operator consumes ALL child columns positionally; without this,
+  // ColumnPruning sees zero references and replaces the child with an
+  // empty Project
+  override def references: AttributeSet = child.outputSet
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+object DgimWindowAggPlan {
+  /** Constructs the plan with FRESH output attributes — output must be a
+    * constructor field (not a `val`): plan copies during optimization
+    * would otherwise mint new ExprIds and break resolution upstream.
+    */
+  def apply(windowSeconds: Long, child: LogicalPlan): DgimWindowAggPlan =
+    DgimWindowAggPlan(windowSeconds, Seq(
+      AttributeReference("window_start", TimestampType, nullable = false)(),
+      AttributeReference("window_end", TimestampType, nullable = false)(),
+      AttributeReference("count_estimate", LongType, nullable = false)(),
+      AttributeReference("exact_count", LongType, nullable = false)()), child)
+}
+
+object DgimStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: DgimWindowAggPlan =>
+      // capture the child's attributes HERE: the physical child is a
+      // PlanLater placeholder with empty output until planning finishes,
+      // so required* must not read child.output lazily
+      DgimWindowAggExec(p.windowSeconds, p.output, p.child.output,
+        planLater(p.child)) :: Nil
+    case _ => Nil
+  }
+
+  /** Idempotently register this strategy on a session (the extension-free
+    * path; GraftExtensions also injects it).
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(DgimStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ DgimStrategy
+    }
+}
+
+case class DgimWindowAggExec(windowSeconds: Long, output: Seq[Attribute],
+    childAttrs: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
+
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(childAttrs(0), childAttrs(1))) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(Seq(
+    SortOrder(childAttrs(0), Ascending),
+    SortOrder(childAttrs(1), Ascending),
+    SortOrder(childAttrs(2), Ascending)))
+
+  // one output row per group; group-key partitioning is not expressible in
+  // terms of `output` (the keys are transformed), so declare unknown
+  override def outputPartitioning: Partitioning =
+    UnknownPartitioning(child.outputPartitioning.numPartitions)
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { iter =>
+      new Iterator[InternalRow] {
+        private val writer = new UnsafeRowWriter(4)
+        private var hasGroup = false
+        private var curWs = 0L
+        private var curWe = 0L
+        private var builder: Dgim.Builder = _
+        private var exact = 0L
+        private var pending: InternalRow = _
+
+        private def emit(): InternalRow = {
+          writer.reset()
+          writer.write(0, curWs * 1000000L) // epoch seconds -> micros
+          writer.write(1, curWe * 1000000L)
+          writer.write(2, builder.state.estimate)
+          writer.write(3, exact)
+          writer.getRow
+        }
+
+        private def startGroup(ws: Long, we: Long): Unit = {
+          curWs = ws; curWe = we
+          builder = new Dgim.Builder(windowSeconds)
+          exact = 0L
+          hasGroup = true
+        }
+
+        private def advance(): Unit = {
+          while (pending == null && iter.hasNext) {
+            val r = iter.next()
+            val ws = r.getLong(0); val we = r.getLong(1); val ts = r.getLong(2)
+            if (!hasGroup) startGroup(ws, we)
+            else if (ws != curWs || we != curWe) {
+              pending = emit()
+              startGroup(ws, we)
+            }
+            builder.add(ts)
+            exact += 1
+          }
+          if (pending == null && hasGroup && !iter.hasNext) {
+            pending = emit()
+            hasGroup = false
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): InternalRow = {
+          advance()
+          val r = pending; pending = null; r
+        }
+      }
+    }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
