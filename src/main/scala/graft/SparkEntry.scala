@@ -44,6 +44,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rollhash"    -> (TextAnalysis.rollhash _),
     "mm_meta"          -> (Multimodal.meta _),
+    "sample_stratified" -> (Curation.sampleStratified _),
+    "pipeline_curate"  -> (Curation.curate _),
   )
 
   /** DuckDB-equivalent SQL per query key (column names must match). */
@@ -79,5 +81,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     // text_rollhash: rows-only; TextSpec pins known hash vectors.
     "mm_meta"          -> Multimodal.metaSql,
+    "sample_stratified" -> Curation.sampleStratifiedSql,
+    "pipeline_curate"  -> Curation.curateSql,
   )
 }

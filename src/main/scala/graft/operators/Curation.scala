@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Corpus curation operators: deterministic sampling and the composed
+  * end-to-end filter→dedup pipeline a pre-training data run actually
+  * executes. Both are fully declarative (one window shuffle each), so
+  * Catalyst plans them like any analytics query — filters push to the
+  * scan, the sample rank and the dedup argmin are single-shuffle windows.
+  */
+object Curation {
+
+  /** Deterministic stratified sample: exactly ceil(10%) of each `lang`
+    * stratum, chosen by md5(doc_id) order — reproducible across runs,
+    * engines, and partitionings (no RNG state), which is what a data
+    * pipeline needs for auditable subsampling. One shuffle on `lang`.
+    *
+    * At 100 TB: rank-per-stratum needs only the stratum's rows on one
+    * partition; for strata too large for that, the same md5 order admits
+    * a threshold form (md5 < quantile) computed from a first-pass count —
+    * the deterministic-order principle is the point.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+    val w = Window.partitionBy($"lang")
+    docs
+      .withColumn("rk", row_number().over(w.orderBy($"h", $"doc_id")))
+      .withColumn("n_lang", count(lit(1)).over(w))
+      .filter($"rk" <= ceil($"n_lang" * 0.1))
+      .select($"doc_id", $"lang", $"rk")
+  }
+
+  val sampleStratifiedSql: String = """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents)
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= ceil(n_lang * 0.1)"""
+
+  /** The composed curation pipeline: quality-filter → language-filter →
+    * exact-dedup (keep min doc_id per normalized-text hash) → per-doc
+    * stats. This is the reference shape of an LLM pre-training data run,
+    * expressed as ONE declarative query: the quality/langid expressions
+    * inline into the scan stage (no shuffle), and dedup is the single
+    * window shuffle. Thresholds chosen for the synthetic corpus.
+    */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Text.words($"text")
+    val nWords = size(w)
+    val stopHits = size(filter(w, x =>
+      x.isInCollection(Seq("the", "a", "of", "and", "to", "is"))))
+    val filtered = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text", nWords.as("n_words"),
+        (stopHits.cast("double") / nWords).as("stop_ratio"),
+        md5(Text.normalize($"text")).as("text_hash"))
+      .filter($"lang" === "en" && $"n_words" >= 30 && $"stop_ratio" > 0)
+    filtered
+      .withColumn("pick", row_number().over(
+        Window.partitionBy($"text_hash").orderBy($"doc_id")))
+      .filter($"pick" === 1)
+      .select($"doc_id", $"lang", $"n_words", $"stop_ratio", $"text_hash")
+  }
+
+  val curateSql: String = """
+    WITH d AS (
+      SELECT doc_id, lang, text,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' ') AS w,
+             md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS text_hash
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, text_hash, CAST(len(w) AS INT) AS n_words,
+             len(list_filter(w, x -> x IN ('the','a','of','and','to','is'))) * 1.0 / len(w) AS stop_ratio
+      FROM d),
+    filtered AS (
+      SELECT * FROM scored
+      WHERE lang = 'en' AND n_words >= 30 AND stop_ratio > 0),
+    deduped AS (
+      SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS pick
+      FROM filtered)
+    SELECT doc_id, lang, n_words, stop_ratio, text_hash
+    FROM deduped WHERE pick = 1"""
+}
