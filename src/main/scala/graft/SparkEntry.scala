@@ -71,15 +71,15 @@ object SparkEntry {
     "dedup_exact"      -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     // dedup_minhash / dedup_simhash: sketch-based, not SQL-expressible →
-    // rows-only driver check; DedupSpec asserts recall/precision.
+    // rows-only driver check; SketchSpec asserts recall/precision.
     "dedup_embed"      -> Similarity.embedPairsSql,
     "ann_bruteforce"   -> Similarity.annBruteforceSql,
-    // ann_lsh: rows-only; SimilaritySpec measures recall vs brute force.
+    // ann_lsh: rows-only; SketchSpec measures recall vs brute force.
     "text_langid"      -> TextAnalysis.langidSql,
     "text_quality"     -> TextAnalysis.qualitySql,
     "text_tokens"      -> TextAnalysis.tokensSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
-    // text_rollhash: rows-only; TextSpec pins known hash vectors.
+    // text_rollhash: rows-only; SketchSpec pins known hash vectors.
     "mm_meta"          -> Multimodal.metaSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "pipeline_curate"  -> Curation.curateSql,

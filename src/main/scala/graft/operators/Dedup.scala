@@ -13,9 +13,10 @@ import graft.sources.Tables
   * Scale design (SURVEY.md §4): nothing here is O(n²) over the corpus.
   *  - exact: one hash-shuffle on the normalized-text key.
   *  - jaccard: inverted-index join restricted by PREFIX FILTERING — each
-  *    doc only indexes its p = n - ceil(t·n) + 1 canonically-smallest
-  *    shingles, which is sound for Jaccard ≥ t (two docs with J ≥ t must
-  *    share a prefix shingle) and collapses the candidate space.
+  *    doc only indexes its p = n - ceil(t·n) + 1 rarest shingles
+  *    (df-ascending global order), which is sound for Jaccard ≥ t (two
+  *    docs with J ≥ t must share a prefix shingle) and collapses the
+  *    candidate space while keeping high-df shingles out of the index.
   *  - minhash-lsh: ~n·16 band rows, candidates only within equal band
   *    buckets (sublinear; the 100 TB path).
   *  - simhash: 4×16-bit block blocking, complete for Hamming ≤ 3 by
@@ -97,7 +98,7 @@ object Dedup {
     WHERE i*1.0/(sa.n+sb.n-i) >= 0.8"""
 
   /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
-    * Rows-only driver check; DedupSpec asserts recall vs exact Jaccard.
+    * Rows-only driver check; SketchSpec asserts recall vs exact Jaccard.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -124,7 +125,7 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, 4-block banding, exact
-    * Hamming ≤ 3 verify. Rows-only driver check + DedupSpec oracle.
+    * Hamming ≤ 3 verify. Rows-only driver check + SketchSpec oracle.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -113,7 +113,7 @@ object Similarity {
     WHERE cos >= 0.4"""
 
   /** LSH-bucketed ANN: 8 tables × 8-bit hyperplane keys, exact re-score of
-    * in-bucket candidates, top-5. Rows-only driver check; SimilaritySpec
+    * in-bucket candidates, top-5. Rows-only driver check; SketchSpec
     * measures recall against [[annBruteforce]].
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {

@@ -131,7 +131,7 @@ object TextAnalysis {
     FROM documents"""
 
   /** Order-sensitive 61-bit rolling polynomial fingerprint (Rabin–Karp).
-    * Not SQL-expressible → rows-only driver check; TextSpec pins known
+    * Not SQL-expressible → rows-only driver check; SketchSpec pins known
     * vectors.
     */
   def rollhash(spark: SparkSession, dir: String): DataFrame = {
