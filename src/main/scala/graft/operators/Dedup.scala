@@ -109,18 +109,24 @@ object Dedup {
       .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"))
       .select($"doc_id", $"sig", Text.bandsFromSigUdf($"sig").as("bands"))
       .cache()
-    val banded = sigs.select($"doc_id", $"sig",
+    // join SLIM (doc_id, band) rows only — the 128-long signatures would
+    // otherwise be shuffled twice (join + dedup) per band row; attach
+    // them to the few surviving candidate pairs afterwards
+    val banded = sigs.select($"doc_id",
       posexplode($"bands").as(Seq("band_idx", "band_hash")))
     val cand = banded.as("a").join(banded.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
           $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_id_a"), $"b.doc_id".as("doc_id_b"),
-        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
+      .select($"a.doc_id".as("doc_id_a"), $"b.doc_id".as("doc_id_b"))
+      .distinct()
     val simUdf = udf((a: Seq[Long], b: Seq[Long]) =>
       Text.minhashJaccard(a.toArray, b.toArray))
-    cand.select($"doc_id_a", $"doc_id_b",
-        simUdf($"sig_a", $"sig_b").as("est_jaccard"))
+    val sigTable = sigs.select($"doc_id", $"sig")
+    cand
+      .join(sigTable.as("sa"), $"doc_id_a" === $"sa.doc_id")
+      .join(sigTable.as("sb"), $"doc_id_b" === $"sb.doc_id")
+      .select($"doc_id_a", $"doc_id_b",
+        simUdf($"sa.sig", $"sb.sig").as("est_jaccard"))
       .filter($"est_jaccard" >= 0.7)
   }
 
