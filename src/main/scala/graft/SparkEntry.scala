@@ -20,6 +20,9 @@ object SparkEntry {
     "q_rollup"     -> (Analytics.qRollup _),
     "q_approx_distinct" -> (Analytics.qDistinct _),
     "q_quantile"   -> (Analytics.qQuantile _),
+    "q_cube"       -> (Analytics.qCube _),
+    "q_semi_join"  -> (Analytics.qSemiJoin _),
+    "q_anti_join"  -> (Analytics.qAntiJoin _),
     "q_asof_join"  -> (AsofJoin.clicksLastPurchase _),
     "q_range_join" -> (RangeJoin.errorClicksWithin5Min _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
@@ -57,6 +60,9 @@ object SparkEntry {
     "q_rollup"     -> Analytics.qRollupSql,
     "q_approx_distinct" -> Analytics.qDistinctSql,
     "q_quantile"   -> Analytics.qQuantileSql,
+    "q_cube"       -> Analytics.qCubeSql,
+    "q_semi_join"  -> Analytics.qSemiJoinSql,
+    "q_anti_join"  -> Analytics.qAntiJoinSql,
     "q_asof_join"  -> AsofJoin.clicksLastPurchaseSql,
     "q_range_join" -> RangeJoin.errorClicksWithin5MinSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,

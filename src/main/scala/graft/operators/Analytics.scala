@@ -174,6 +174,61 @@ object Analytics {
   val qDistinctSql: String =
     "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_returnflag"
 
+  /** Cube aggregate: all grouping-set combinations of (status, priority).
+    * Same partial-agg single-shuffle shape as rollup, 4 grouping sets.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(Dec)).cast(DoubleType).as("total"))
+  }
+
+  val qCubeSql: String = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+  /** Left-semi join: customers with at least one urgent order. The semi
+    * join shuffles only the distinct key set of the right side (no
+    * right-side payload, no row multiplication) — at 100 TB Catalyst can
+    * also turn this into a broadcast of the filtered key set.
+    */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+  }
+
+  val qSemiJoinSql: String = """
+    SELECT c_custkey, c_name, c_nationkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')"""
+
+  /** Left-anti join: customers who never placed an urgent order. Same
+    * cost shape as the semi join (only the filtered key set shuffles).
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+
+  val qAntiJoinSql: String = """
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')"""
+
   /** Exact distributed quantiles per group: Spark's `percentile` (exact,
     * sort-based) is bit-identical to DuckDB's `quantile_cont` (verified:
     * both interpolate `lo + (hi-lo)·frac` at 1-based position `(n-1)·p`).
