@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import java.sql.Timestamp
 
-import graft.functions.{BitEvent, DgimBitAggregator}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.{BitEvent, Dgim, DgimBitAggregator}
 
 /** Structured Streaming equivalents of the reference's two Flink jobs.
   *
@@ -45,4 +48,63 @@ object TrafficJobs {
       .agg(dgimAgg(windowSeconds)(col("value"), col("ts_sec")).as("count_estimate"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("count_estimate"))
+
+  /** One upsert emission per window per micro-batch. `finalized` flips to
+    * true when the watermark passes the window (state evicted) — the
+    * event-time-timeout emission, mirroring an upsert sink's last write
+    * for the key.
+    */
+  case class TrafficUpdate(window_end: Timestamp, count_estimate: Long,
+    finalized: Boolean)
+
+  /** The reference's upsert-sink semantics made explicit with
+    * `flatMapGroupsWithState`: DGIM state lives in the state store keyed
+    * by window_end; every micro-batch folds its new bits in (arrival
+    * order — the reference's accumulate semantics) and RE-EMITS the
+    * key's current estimate (update mode == upsert keyed by window_end,
+    * StreamingJob.java:60-83's `upsert-kafka` sink). An event-time
+    * timeout finalizes and evicts the window once the watermark passes.
+    *
+    * vs the `udaf` jobs above: same O(log² W) per-window state, but with
+    * direct control of emission timing and state lifecycle — the shape
+    * to use when the sink needs per-batch upserts rather than
+    * append-on-finalize.
+    */
+  def upsertDgim(parsed: DataFrame, size: String = "60 seconds",
+      windowSeconds: Long = 60L,
+      watermark: String = "2 minutes"): Dataset[TrafficUpdate] = {
+    implicit val stateEnc = Encoders.product[Dgim.State]
+    implicit val outEnc = Encoders.product[TrafficUpdate]
+    implicit val keyEnc = Encoders.TIMESTAMP
+    implicit val rowEnc = Encoders.tuple(Encoders.TIMESTAMP,
+      Encoders.STRING, Encoders.scalaLong)
+    parsed
+      .select(window(col("event_ts"), size)("end").as("we"),
+        col("value"), col("ts_sec"))
+      // watermark on the window-end key itself: the event-time timeout
+      // then fires exactly when the watermark passes the window
+      .withWatermark("we", watermark)
+      .as[(Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Dgim.State, TrafficUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: Timestamp, rows: Iterator[(Timestamp, String, Long)],
+            state: GroupState[Dgim.State]) =>
+          if (state.hasTimedOut) {
+            val est = state.getOption.map(_.estimate).getOrElse(0L)
+            state.remove()
+            Iterator.single(TrafficUpdate(key, est, finalized = true))
+          } else {
+            val b = new Dgim.Builder(windowSeconds)
+            state.getOption.foreach(b.loadFrom)
+            rows.foreach { case (_, v, ts) =>
+              if (v != null && v.trim.toIntOption.contains(1)) b.add(ts)
+            }
+            val s = b.state
+            state.update(s)
+            state.setTimeoutTimestamp(key.getTime)
+            Iterator.single(TrafficUpdate(key, s.estimate, finalized = false))
+          }
+      }
+  }
 }

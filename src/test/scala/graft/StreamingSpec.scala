@@ -94,6 +94,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - 300L) <= 150L + 1)
   }
 
+  test("upsertDgim (flatMapGroupsWithState) re-emits per-window estimates in update mode") {
+    val base = 1704067200L
+    val msgs = (0 until 600).map { i =>
+      val sec = base + i / 5
+      val bit = if (i % 3 == 0) "1" else "0"
+      val iso = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      s"""{"value": "$bit", "timestamp": "$iso"}"""
+    }
+    val dir = writeMessages(msgs)
+    val parsed = TrafficSource.parse(
+      spark.readStream.format("text").load(dir).withColumnRenamed("value", "raw"))
+    val name = "spec_upsert_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = TrafficJobs.upsertDgim(parsed).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(name).collect()
+    // two 60 s windows, each with 100 one-bits; last emission per key
+    // carries the window's final state
+    val lastPerKey = out.groupBy(_.getAs[java.sql.Timestamp]("window_end"))
+      .map { case (_, rs) => rs.last }
+    assert(lastPerKey.size === 2)
+    lastPerKey.foreach { r =>
+      val est = r.getAs[Long]("count_estimate")
+      assert(math.abs(est - 100L) <= 51L, s"est=$est")
+    }
+  }
+
   test("TrafficGen produces parseable messages with both bit values") {
     import spark.implicits._
     // drive the deterministic jsonify on a batch frame shaped like the rate source
