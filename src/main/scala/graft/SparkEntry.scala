@@ -46,6 +46,8 @@ object SparkEntry {
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rollhash"    -> (TextAnalysis.rollhash _),
+    "text_tfidf"       -> (TextAnalysis.tfidf _),
+    "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "mm_meta"          -> (Multimodal.meta _),
     "sample_stratified" -> (Curation.sampleStratified _),
     "pipeline_curate"  -> (Curation.curate _),
@@ -86,6 +88,8 @@ object SparkEntry {
     "text_tokens"      -> TextAnalysis.tokensSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     // text_rollhash: rows-only; SketchSpec pins known hash vectors.
+    "text_tfidf"       -> TextAnalysis.tfidfSql,
+    "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,
     "mm_meta"          -> Multimodal.metaSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "pipeline_curate"  -> Curation.curateSql,

@@ -116,6 +116,46 @@ object TextAnalysis {
       length(text) * 1.0 / greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1) AS chars_per_token
     FROM wd"""
 
+  /** TF-IDF-style salient terms: top-3 words per document ranked by
+    * tf/df (term frequency over corpus document frequency). The ratio
+    * needs no transcendentals, so the ordering is bit-deterministic
+    * across engines; the emitted columns are all integers (rank, tf, df)
+    * — no floats in the hash compare. Shape: explode → two groupBys
+    * (tf per (doc,word), df per word) → top-k window; at 100 TB the df
+    * table is words-cardinality (broadcastable) and the window is the
+    * same map-side-limited top-k as q_topk_window.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Text.words($"text")).as("word"))
+      .filter(length($"word") >= 3)
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = words.select($"doc_id", $"word").distinct()
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+    tf.join(df, "word")
+      .withColumn("rk", row_number().over(
+        w.partitionBy($"doc_id")
+          .orderBy(($"tf" * lit(1.0) / $"df").desc, $"word".asc)))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"word", $"rk", $"tf", $"df")
+  }
+
+  val tfidfSql: String = sqlWords + """
+    , words AS (
+      SELECT doc_id, unnest(w) AS word FROM wd),
+    fw AS (SELECT doc_id, word FROM words WHERE length(word) >= 3),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM fw GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM fw GROUP BY 1),
+    ranked AS (
+      SELECT t.doc_id, t.word, t.tf, df.df,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY t.tf * 1.0 / df.df DESC, t.word ASC) AS rk
+      FROM tf t JOIN df USING (word))
+    SELECT doc_id, word, CAST(rk AS INT) AS rk, tf, df
+    FROM ranked WHERE rk <= 3"""
+
   /** Content fingerprint: md5 of the normalized text (SQL-oracled). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
