@@ -34,6 +34,8 @@ object SparkEntry {
     "q_stream_tumble"  -> (StreamQueries.streamTumbleCount _),
     "q_stream_dgim_tumble" -> (StreamQueries.streamDgimTumble _),
     "q_stream_slide"   -> (StreamQueries.streamSlideCount _),
+    "q_stream_session" -> (StreamQueries.streamSessionWindow _),
+    "q_stream_dedup"   -> (StreamQueries.streamDedup _),
     "dedup_exact"      -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash"    -> (Dedup.minhashLsh _),
@@ -75,6 +77,8 @@ object SparkEntry {
     // driver check; ScalaTest DgimSpec is the in-repo oracle.
     "q_stream_tumble"  -> Windows.tumbleCountSql, // streaming == batch
     "q_stream_slide"   -> Windows.slideCountSql,  // streaming == batch
+    "q_stream_session" -> Windows.sessionWindowSql, // streaming == batch
+    "q_stream_dedup"   -> StreamQueries.streamDedupSql,
     // q_stream_dgim_tumble: rows-only; StreamingSpec asserts error bound.
     "dedup_exact"      -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -32,6 +32,14 @@ object StreamQueries {
     spark.table(name)
   }
 
+  private def runToTableAppend(spark: SparkSession, out: DataFrame): DataFrame = {
+    val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file-stream sources require a directory: stream the sf dir with a
@@ -67,6 +75,46 @@ object StreamQueries {
       .groupBy(window($"ts", "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("cnt"))
       .select($"window.start".as("window_start"), $"window.end".as("window_end"), $"cnt")
+    runToTable(spark, agg)
+  }
+
+  /** Streaming stateful deduplication: `dropDuplicates` over the doc
+    * text-hash — the streaming twin of `dedup_exact`'s key step, with
+    * exact-once state per distinct key in the state store. Append mode:
+    * each hash is emitted exactly once on first sight, so the emitted SET
+    * equals the batch DISTINCT (deterministic regardless of arrival
+    * order). Hash-matches a batch SELECT DISTINCT oracle.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsRawSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream.schema(docsRawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val hashed = docs.select(
+      md5(graft.functions.Text.normalize($"text")).as("text_hash"))
+      .dropDuplicates("text_hash")
+    runToTableAppend(spark, hashed)
+  }
+
+  val streamDedupSql: String = """
+    SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS text_hash
+    FROM documents"""
+
+  /** Streaming session windows (complete mode), hash-matching the batch
+    * `Windows.sessionWindowSql` oracle — the streaming path of the
+    * merge-on-overlap session state machine.
+    */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events")
     runToTable(spark, agg)
   }
 
