@@ -60,26 +60,29 @@ object Dedup {
     import spark.implicits._
     val t = 0.8
     val sh = docShingles(spark, dir).cache()
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(df, "s").withColumn("rk",
-      row_number().over(Window.partitionBy($"doc_id").orderBy($"df", $"s")))
-    val prefix = ranked.join(sz, "doc_id")
+    // doc size n rides the SAME per-doc window shuffle as the prefix rank
+    // (no separate size aggregation), and is carried through the candidate
+    // pairs so the final Jaccard needs no size joins at all
+    val wDoc = Window.partitionBy($"doc_id")
+    val ranked = sh.join(df, "s")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rk", row_number().over(wDoc.orderBy($"df", $"s")))
+    val prefix = ranked
       .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
       .select($"doc_id", $"s", $"n")
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
           least($"a.n", $"b.n") >= ceil(greatest($"a.n", $"b.n") * t))
-      .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb")).distinct()
-    val inter = cand
+      .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"),
+        $"a.n".as("na"), $"b.n".as("nb"))
+      .distinct()
+    cand
       .join(sh.as("x"), $"ida" === $"x.doc_id")
       .join(sh.as("y"), $"idb" === $"y.doc_id" && $"x.s" === $"y.s")
-      .groupBy($"ida", $"idb").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.as("sa"), $"ida" === $"sa.doc_id")
-      .join(sz.as("sb"), $"idb" === $"sb.doc_id")
+      .groupBy($"ida", $"idb", $"na", $"nb").agg(count(lit(1)).as("inter"))
       .select($"ida".as("doc_id_a"), $"idb".as("doc_id_b"),
-        ($"inter" * lit(1.0) / ($"sa.n" + $"sb.n" - $"inter")).as("jaccard"))
+        ($"inter" * lit(1.0) / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= t)
   }
 
