@@ -51,6 +51,7 @@ object SparkEntry {
     "text_tfidf"       -> (TextAnalysis.tfidf _),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "mm_meta"          -> (Multimodal.meta _),
+    "mm_framesample"   -> (Multimodal.frameSample _),
     "sample_stratified" -> (Curation.sampleStratified _),
     "pipeline_curate"  -> (Curation.curate _),
   )
@@ -95,6 +96,7 @@ object SparkEntry {
     "text_tfidf"       -> TextAnalysis.tfidfSql,
     "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,
     "mm_meta"          -> Multimodal.metaSql,
+    "mm_framesample"   -> Multimodal.frameSampleSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "pipeline_curate"  -> Curation.curateSql,
   )

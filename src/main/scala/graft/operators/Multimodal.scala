@@ -61,4 +61,50 @@ object Multimodal {
       1 + doc_id % 8 AS frames,
       'stubbed' AS decode_status
     FROM documents"""
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_offset: Long,
+    frame_len: Long)
+
+  /** Frame sampling plumbing: each payload splits into its `frames`
+    * equal byte ranges (stub for video keyframe extraction), one output
+    * row per sampled frame. The explode happens INSIDE the partition
+    * pass — a narrow ×frames fan-out with no shuffle; a real pipeline
+    * would decode each range in the same pass. Offsets/lengths are
+    * real byte arithmetic over the actual payload (oracle-checked);
+    * only the codec is stubbed.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[Payload]
+      .mapPartitions { rows =>
+        rows.flatMap { p =>
+          val m = decodeStub(p.doc_id, p.payload)
+          val n = m.frames
+          val base = m.byte_len / n
+          val rem = m.byte_len % n
+          (0L until n).iterator.map { i =>
+            // frame i gets [i*base + min(i, rem), ...) — remainder bytes
+            // distributed to the first `rem` frames
+            val off = i * base + math.min(i, rem)
+            val len = base + (if (i < rem) 1L else 0L)
+            Frame(p.doc_id, i, off, len)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  val frameSampleSql: String = """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS byte_len,
+             1 + doc_id % 8 AS frames
+      FROM documents)
+    SELECT doc_id,
+           i AS frame_idx,
+           i * (byte_len // frames) + least(i, byte_len % frames) AS frame_offset,
+           (byte_len // frames) + CASE WHEN i < byte_len % frames THEN 1 ELSE 0 END AS frame_len
+    FROM m, LATERAL (SELECT unnest(range(frames)) AS i)"""
 }
