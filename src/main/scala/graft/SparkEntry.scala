@@ -43,6 +43,7 @@ object SparkEntry {
     "dedup_embed"      -> (Similarity.embedPairs _),
     "ann_bruteforce"   -> (Similarity.annBruteforce _),
     "ann_lsh"          -> (Similarity.annLsh _),
+    "embed_centroids"  -> (Similarity.embedCentroids _),
     "text_langid"      -> (TextAnalysis.langid _),
     "text_quality"     -> (TextAnalysis.quality _),
     "text_tokens"      -> (TextAnalysis.tokens _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "dedup_embed"      -> Similarity.embedPairsSql,
     "ann_bruteforce"   -> Similarity.annBruteforceSql,
     // ann_lsh: rows-only; SketchSpec measures recall vs brute force.
+    "embed_centroids"  -> Similarity.embedCentroidsSql,
     "text_langid"      -> TextAnalysis.langidSql,
     "text_quality"     -> TextAnalysis.qualitySql,
     "text_tokens"      -> TextAnalysis.tokensSql,

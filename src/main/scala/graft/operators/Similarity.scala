@@ -136,4 +136,38 @@ object Similarity {
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
   }
+
+  /** Per-label centroid of the embedding corpus, one row per (label, dim).
+    * Summation runs in exact DECIMAL (float→decimal(27,9) cast on both
+    * engines) so the per-dimension sums are order-independent and
+    * hash-match; the mean is one final double division. Shape: posexplode
+    * ×dim fan-out → ONE shuffle on (label, dim) with map-side partial
+    * aggregation — the shuffle carries only #labels × dim × #partitions
+    * partial rows regardless of corpus size. This is the seed step of
+    * IVF-style ANN indexing (cluster assignment against centroids).
+    */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      // float → DOUBLE → decimal: both engines agree on the double
+      // expansion, whereas a direct float→decimal cast rounds the
+      // float's shortest decimal string in DuckDB (≈1e-9 mismatches)
+      .agg(sum($"v".cast("double").cast("decimal(27,9)")).as("s"),
+        count(lit(1)).as("n"))
+      .select($"label", $"dim",
+        ($"s".cast("double") / $"n").as("centroid"), $"n")
+  }
+
+  val embedCentroidsSql: String = """
+    WITH x AS (
+      SELECT label, CAST(i AS INT) - 1 AS dim,
+             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,9)) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i))
+    SELECT label, dim,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS centroid,
+           COUNT(*) AS n
+    FROM x GROUP BY label, dim"""
 }
