@@ -44,6 +44,7 @@ object SparkEntry {
     "ann_bruteforce"   -> (Similarity.annBruteforce _),
     "ann_lsh"          -> (Similarity.annLsh _),
     "embed_centroids"  -> (Similarity.embedCentroids _),
+    "ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "text_langid"      -> (TextAnalysis.langid _),
     "text_quality"     -> (TextAnalysis.quality _),
     "text_tokens"      -> (TextAnalysis.tokens _),

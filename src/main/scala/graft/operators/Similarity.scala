@@ -160,6 +160,50 @@ object Similarity {
         ($"s".cast("double") / $"n").as("centroid"), $"n")
   }
 
+  /** IVF-style ANN: the corpus is partitioned into cells (here the
+    * `label` column stands in for a k-means coarse quantizer; see
+    * [[embedCentroids]] — its output IS the cell codebook), each query
+    * probes its `nprobe` nearest cell centroids, and exact cosine runs
+    * only inside probed cells.
+    *
+    * Scale: the codebook is #cells × dim (always broadcastable); the
+    * probe join semi-filters the corpus scan to nprobe/#cells of the
+    * data — the classic IVF read reduction — and the final top-k is the
+    * same map-side-limited window as brute force. No corpus self-join,
+    * no full scan per query. Rows-only driver check; SketchSpec asserts
+    * internal consistency + recall vs brute force.
+    */
+  def annIvf(spark: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    // cell codebook: label -> dense centroid array (ordered by dim)
+    val cells = embedCentroids(spark, dir)
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"centroid"))).as("cs"))
+      .select($"label", $"cs.centroid".as("centroid"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        Vectors.norm2($"embedding").as("qn"))
+    // score each query against every cell centroid (tiny cross: Q × cells)
+    val qDotCell = queries.crossJoin(broadcast(cells))
+      .select($"query_id", $"qe", $"qn", $"label",
+        Vectors.dot($"qe", $"centroid".cast("array<float>")).as("score"))
+    val probes = qDotCell
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"score".desc, $"label".asc)))
+      .filter($"cell_rank" <= nprobe)
+      .select($"query_id", $"qe", $"qn", $"label")
+    // exact cosine only inside probed cells
+    val corpus = emb.select($"vec_id", $"label", $"embedding",
+      Vectors.norm2($"embedding").as("nrm"))
+    val scored = corpus.join(broadcast(probes), Seq("label"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"label",
+        (Vectors.dot($"qe", $"embedding") / ($"qn" * $"nrm")).as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+  }
+
   val embedCentroidsSql: String = """
     WITH x AS (
       SELECT label, CAST(i AS INT) - 1 AS dim,

@@ -70,6 +70,28 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"recall@5 = $recall")
   }
 
+  test("IVF ANN probes cells correctly and achieves usable recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val ivf = Similarity.annIvf(spark, sf).collect()
+    // 10 queries × top-5, every neighbor from a probed cell, ranked by cos
+    assert(ivf.length === 50)
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Any]("label")).distinct.length <= 3) // nprobe cells
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      val cosines = byRank.map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+    val brute = Similarity.annBruteforce(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    // labels are a stand-in quantizer on this unclustered synthetic
+    // corpus — recall is bounded by how often true neighbors share a
+    // probed cell (≈ nprobe/#cells at random); assert above chance
+    assert(recall >= 0.15, s"recall@5 = $recall")
+  }
+
   test("brute-force ANN output is internally consistent") {
     val rows = Similarity.annBruteforce(spark, sf).collect()
     assert(rows.length === 50) // 10 queries × 5 neighbours
