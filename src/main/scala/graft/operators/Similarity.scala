@@ -151,13 +151,16 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
       .groupBy($"label", $"dim")
-      // float → DOUBLE → decimal: both engines agree on the double
-      // expansion, whereas a direct float→decimal cast rounds the
-      // float's shortest decimal string in DuckDB (≈1e-9 mismatches)
-      .agg(sum($"v".cast("double").cast("decimal(27,9)")).as("s"),
+      // exact-integer summation: round(v·1e9) — the double multiply is
+      // bit-identical across engines and round() is half-away-from-zero
+      // in both, so each addend is the SAME integer everywhere (unlike
+      // double→decimal casts, whose rounding paths differ ~1e-9 on some
+      // values). Integer sums are order-independent; one final double
+      // division sequence, identical on both sides.
+      .agg(sum(round($"v".cast("double") * 1e9).cast("long")).as("s"),
         count(lit(1)).as("n"))
       .select($"label", $"dim",
-        ($"s".cast("double") / $"n").as("centroid"), $"n")
+        ($"s".cast("double") / 1e9 / $"n").as("centroid"), $"n")
   }
 
   /** IVF-style ANN: the corpus is partitioned into cells (here the
@@ -207,11 +210,11 @@ object Similarity {
   val embedCentroidsSql: String = """
     WITH x AS (
       SELECT label, CAST(i AS INT) - 1 AS dim,
-             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,9)) AS v
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS v
       FROM embeddings,
            LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i))
     SELECT label, dim,
-           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS centroid,
+           CAST(SUM(v) AS DOUBLE) / 1e9 / COUNT(*) AS centroid,
            COUNT(*) AS n
     FROM x GROUP BY label, dim"""
 }
