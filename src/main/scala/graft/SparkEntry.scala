@@ -40,7 +40,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash"    -> (Dedup.minhashLsh _),
     "dedup_simhash"    -> (Dedup.simhash _),
-    "dedup_embed"      -> (Similarity.embedPairs _),
+    "dedup_embed"      -> ((s: SparkSession, d: String) => Similarity.embedPairs(s, d)),
+    "dedup_embed_lsh"  -> (Similarity.embedPairsLsh _),
     "ann_bruteforce"   -> (Similarity.annBruteforce _),
     "ann_lsh"          -> (Similarity.annLsh _),
     "embed_centroids"  -> (Similarity.embedCentroids _),
@@ -88,6 +89,8 @@ object SparkEntry {
     // dedup_minhash / dedup_simhash: sketch-based, not SQL-expressible →
     // rows-only driver check; SketchSpec asserts recall/precision.
     "dedup_embed"      -> Similarity.embedPairsSql,
+    // dedup_embed_lsh: LSH candidate recall < 1 by construction → rows-only
+    // driver check; SketchSpec asserts precision 1.0 + recall vs exact twin.
     "ann_bruteforce"   -> Similarity.annBruteforceSql,
     // ann_lsh: rows-only; SketchSpec measures recall vs brute force.
     "embed_centroids"  -> Similarity.embedCentroidsSql,

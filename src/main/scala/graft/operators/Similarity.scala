@@ -51,34 +51,99 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine ≥ 0.4 (threshold is
     * data-calibrated; the synthetic corpus tops out at ~0.51).
     *
-    * Exact all-pairs via broadcast-corpus + per-partition primitive loops:
-    * one side of the O(n²) comparison is broadcast (embeddings are the
-    * SMALL distilled table; 2 K × 64 floats ≈ 0.5 MB — at 100 TB the
-    * corpus-scale near-dup path is [[annLsh]] / [[Dedup.minhashLsh]],
-    * all-pairs is for the final candidate set), the other side streams
-    * partition-local. Equivalent join-based form costs ~15 µs/pair in
-    * interpreted UDF/HOF overhead; this is ~0.1 µs/pair.
+    * Exact contract, fully distributed: a block self-join ("triangle
+    * join"). Each vector hashes into one of `blocks` blocks; every
+    * unordered block pair (i ≤ j) is one reduce group, and a vector in
+    * block b is replicated to exactly the `blocks` groups that pair b
+    * with every block. Shuffle volume is O(n·B) rows and task memory is
+    * O(n/B) vectors — both tunable via `blocks` to fit any cluster —
+    * while the Θ(n²) pair comparisons run as primitive in-memory loops
+    * spread evenly over B(B+1)/2 reduce groups. No driver collect, no
+    * whole-corpus broadcast.
+    *
+    * Exact all-pairs is inherently Θ(n²) compare; at 100 TB the
+    * sublinear path is [[embedPairsLsh]] (hyperplane-bucketed candidates
+    * + exact rescore) — kept separate because LSH recall < 1 would break
+    * this operator's exact-threshold contract.
     */
-  def embedPairs(spark: SparkSession, dir: String): DataFrame = {
+  def embedPairs(spark: SparkSession, dir: String, blocks: Int = 8): DataFrame = {
     import spark.implicits._
     val rows = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-    val corpus = rows.collect().sortBy(_._1)
-    val norms = corpus.map { case (_, v) => math.sqrt(selfDot(v)) }
-    val bc = spark.sparkContext.broadcast((corpus, norms))
-    rows.mapPartitions { it =>
-      val (corp, nrm) = bc.value
-      it.flatMap { case (ida, va) =>
-        val na = math.sqrt(selfDot(va))
-        // corp is sorted by vec_id: only compare against larger ids
-        val start = lowerBound(corp, ida)
-        (start until corp.length).iterator.flatMap { j =>
-          val (idb, vb) = corp(j)
-          val c = dotD(va, vb) / (na * nrm(j))
-          if (c >= 0.4) Some((ida, idb, c)) else None
+    val replicated = rows.flatMap { case (id, v) =>
+      val blk = (java.lang.Long.hashCode(id) & Int.MaxValue) % blocks
+      val nrm = math.sqrt(selfDot(v))
+      (0 until blocks).iterator.map { o =>
+        val (i, j) = if (o <= blk) (o, blk) else (blk, o)
+        (i * blocks + j, blk, id, v, nrm)
+      }
+    }
+    replicated.groupByKey(_._1).flatMapGroups { (rkey, it) =>
+      val (gi, gj) = (rkey / blocks, rkey % blocks)
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      it.foreach { case (_, blk, id, v, nrm) =>
+        if (blk == gi) left += ((id, v, nrm)) else right += ((id, v, nrm))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def compare(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)): Unit = {
+        val (ida, va, na) = a
+        val (idb, vb, nb) = b
+        val c = dotD(va, vb) / (na * nb)
+        if (c >= 0.4) out += (if (ida < idb) (ida, idb, c) else (idb, ida, c))
+      }
+      if (gi == gj) {
+        // diagonal group: all pairs within the block
+        var x = 0
+        while (x < left.length) {
+          var y = x + 1
+          while (y < left.length) { compare(left(x), left(y)); y += 1 }
+          x += 1
+        }
+      } else {
+        var x = 0
+        while (x < left.length) {
+          var y = 0
+          while (y < right.length) { compare(left(x), right(y)); y += 1 }
+          x += 1
         }
       }
+      out.iterator
     }.toDF("vec_id_a", "vec_id_b", "cos")
+  }
+
+  /** The sublinear scale path for embedding near-dup: hyperplane-LSH
+    * bucketed candidate generation (reusing [[Vectors.lshKeys]], the same
+    * machinery as [[annLsh]]) + exact [[Vectors.dot]] rescore of
+    * candidates only. Each vector lands in `tables` buckets; the
+    * self-join touches only same-bucket pairs (expected bucket size
+    * n/2^bits per table), so candidate volume is sublinear in n² and the
+    * join is an ordinary bucketed equi-join — no all-pairs anywhere.
+    *
+    * Approximate by construction: a true pair colliding in no table is
+    * missed. Rows-only driver check; SketchSpec asserts precision 1.0
+    * (exact rescore ⇒ every emitted pair is a true pair) and measures
+    * recall against the exact twin [[embedPairs]].
+    */
+  def embedPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // 4-bit keys × 16 tables: at the near-threshold cosine regime of this
+    // corpus (0.4-0.51 ⇒ per-bit collision ~0.63-0.67) more, shorter keys
+    // buy recall; real near-dup corpora (cos ≥ 0.9) do well with 8-bit.
+    val keyer = Vectors.lshKeys(dim = 64, tables = 16, bits = 4)
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"),
+        explode(keyer($"embedding")).as("bucket"))
+    val a = emb.select($"bucket", $"vec_id".as("vec_id_a"),
+      $"embedding".as("ea"), $"nrm".as("na"))
+    val b = emb.select($"bucket", $"vec_id".as("vec_id_b"),
+      $"embedding".as("eb"), $"nrm".as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter($"vec_id_a" < $"vec_id_b")
+      .dropDuplicates("vec_id_a", "vec_id_b")
+      .select($"vec_id_a", $"vec_id_b",
+        (Vectors.dot($"ea", $"eb") / ($"na" * $"nb")).as("cos"))
+      .filter($"cos" >= 0.4)
   }
 
   /** Sequential double left fold — bit-identical to the DuckDB oracle's
@@ -93,17 +158,6 @@ object Similarity {
   }
 
   private def selfDot(a: Array[Float]): Double = dotD(a, a)
-
-  /** Index of the first corpus entry with vec_id strictly greater than id. */
-  private def lowerBound(corp: Array[(Long, Array[Float])], id: Long): Int = {
-    var lo = 0
-    var hi = corp.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (corp(mid)._1 <= id) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
 
   val embedPairsSql: String = duckEmb + """
     SELECT * FROM (

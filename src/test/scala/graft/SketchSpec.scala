@@ -104,6 +104,43 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("embed triangle join matches a local all-pairs oracle exactly") {
+    // small-scale brute-force twin: the oracle the distributed block
+    // self-join must reproduce bit-for-bit
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val norms = emb.map { case (_, v) => math.sqrt(dot(v, v)) }
+    val expected = (for {
+      x <- emb.indices.iterator
+      y <- (x + 1) until emb.length
+      c = dot(emb(x)._2, emb(y)._2) / (norms(x) * norms(y))
+      if c >= 0.4
+    } yield ((emb(x)._1, emb(y)._1), c)).toMap
+    val got = Similarity.embedPairs(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, c) => assert(got(k) === c, s"cos mismatch on $k") }
+  }
+
+  test("embed LSH near-dup: precision 1.0 vs exact twin, recall measured") {
+    val exact = pairs(Similarity.embedPairs(spark, sf), "vec_id_a", "vec_id_b")
+    val lsh = pairs(Similarity.embedPairsLsh(spark, sf), "vec_id_a", "vec_id_b")
+    assert(exact.nonEmpty)
+    // exact rescore of candidates ⇒ every emitted pair is a true pair
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact).take(5)}")
+    val recall = lsh.size.toDouble / exact.size
+    // the corpus's near-dups sit at cos 0.4-0.51, the hardest LSH regime
+    // (per-bit collision 0.63-0.67) — 16 tables × 4-bit keys is calibrated
+    // to >=40% recall here; real near-dup corpora (cos>=0.9) approach 1.0
+    assert(recall >= 0.4, s"recall = $recall (${lsh.size}/${exact.size})")
+  }
+
   test("rolling hash matches a BigInt reference implementation (overflow-free split)") {
     val Mod = BigInt((1L << 61) - 1)
     def reference(s: String): Long =
