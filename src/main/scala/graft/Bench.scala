@@ -15,8 +15,14 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          // keep the row (visible -1 sentinel) but make the failure loud
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -15,11 +13,17 @@ import org.apache.spark.sql.expressions.Aggregator
   *    (middle timestamp kept, size doubled)
   *    — /root/reference/src/main/java/com/bencejdanko/flink/DGIMAccumulator.java:129-160
   *  - buckets expire when latest - ts >= W — DGIMAccumulator.java:167-176
-  *  - estimate = all bucket sizes except the oldest + ceil(oldest/2)
-  *    — DGIMAccumulator.java:75-95 (the Java flagship rounds up; the PyFlink
-  *    variant rounds down — we follow the flagship)
-  *  - accumulator merge = concat, sort desc by ts, re-merge, expire
-  *    — DGIMAccumulator.java:104-123
+  *  - estimate = all bucket sizes except the oldest + a half of the oldest;
+  *    the Java flagship rounds UP (ceil, DGIMAccumulator.java:75-95), the
+  *    PyFlink variant rounds DOWN (size // 2, /root/reference/src/usrcode/
+  *    job.py:37-46). Both published semantics are exposed via the
+  *    `roundUp` flag on [[State.estimate]]; the flagship's round-up is the
+  *    default everywhere.
+  *
+  * Hot-path design: the per-row add runs entirely on primitive Long
+  * arrays (System.arraycopy insert/compact, no boxing, no ArrayBuffer) —
+  * this is the inner loop of the streaming DGIM aggregation, executed
+  * once per 1-bit message.
   */
 object Dgim {
 
@@ -27,79 +31,126 @@ object Dgim {
     * arrays, newest first.
     */
   case class State(windowSeconds: Long, latest: Long, ts: Array[Long], size: Array[Long]) {
-    def estimate: Long = {
-      val (t, s) = expired(latest)
-      if (s.isEmpty) 0L
-      else if (s.length == 1) s.head
-      else s.view.slice(0, s.length - 1).sum + (s.last + 1) / 2
-    }
-    private def expired(now: Long): (Array[Long], Array[Long]) = {
-      val keep = ts.indices.takeWhile(i => now - ts(i) < windowSeconds)
-      (keep.map(ts).toArray, keep.map(size).toArray)
+    /** Flagship (round-up) estimate — DGIMAccumulator.java:75-95. */
+    def estimate: Long = estimate(roundUp = true)
+
+    /** `roundUp = true`: oldest bucket contributes ceil(size/2) (Java
+      * flagship); `false`: floor(size/2) (PyFlink variant, job.py:37-46).
+      */
+    def estimate(roundUp: Boolean): Long = {
+      // live prefix: buckets are newest-first; stop at the first expired
+      var m = 0
+      while (m < ts.length && latest - ts(m) < windowSeconds) m += 1
+      if (m == 0) 0L
+      else {
+        var total = 0L
+        var i = 0
+        while (i < m - 1) { total += size(i); i += 1 }
+        total + (if (roundUp) (size(m - 1) + 1) / 2 else size(m - 1) / 2)
+      }
     }
   }
 
   def emptyState(windowSeconds: Long): State =
     State(windowSeconds, 0L, Array.empty, Array.empty)
 
-  /** Mutable builder used on the hot path (one per group/partition). */
+  /** In-place triple-merge over the first `m` slots of newest-first
+    * parallel bucket arrays (restart-scan loop shape matching the
+    * reference, DGIMAccumulator.java:129-160). Returns the new length.
+    */
+  private def mergeTriplesInPlace(ts: Array[Long], sz: Array[Long], m0: Int): Int = {
+    var m = m0
+    var i = 0
+    while (i + 2 < m) {
+      if (sz(i) == sz(i + 1) && sz(i + 1) == sz(i + 2)) {
+        sz(i + 1) *= 2
+        System.arraycopy(ts, i + 3, ts, i + 2, m - i - 3)
+        System.arraycopy(sz, i + 3, sz, i + 2, m - i - 3)
+        m -= 1
+        i = 0
+      } else i += 1
+    }
+    m
+  }
+
+  /** Drop expired tail buckets (oldest are last). Returns the new length. */
+  private def expireTail(ts: Array[Long], m0: Int, now: Long, w: Long): Int = {
+    var m = m0
+    while (m > 0 && now - ts(m - 1) >= w) m -= 1
+    m
+  }
+
+  /** One 1-bit arriving at `tsSec`, applied to an immutable [[State]]:
+    * exactly two primitive array allocations, no boxing. This is the
+    * aggregator's per-row reduce path.
+    */
+  def added(s: State, tsSec: Long): State = {
+    val n = s.ts.length
+    val ts = new Array[Long](n + 1)
+    val sz = new Array[Long](n + 1)
+    ts(0) = tsSec
+    sz(0) = 1L
+    System.arraycopy(s.ts, 0, ts, 1, n)
+    System.arraycopy(s.size, 0, sz, 1, n)
+    var m = mergeTriplesInPlace(ts, sz, n + 1)
+    m = expireTail(ts, m, tsSec, s.windowSeconds)
+    State(s.windowSeconds, math.max(s.latest, tsSec),
+      if (m == ts.length) ts else java.util.Arrays.copyOf(ts, m),
+      if (m == sz.length) sz else java.util.Arrays.copyOf(sz, m))
+  }
+
+  /** Mutable builder used on per-group batch paths: reusable primitive
+    * arrays with capacity growth, O(#buckets) arraycopy per add.
+    */
   final class Builder(val windowSeconds: Long) {
-    private val bts = ArrayBuffer.empty[Long]   // newest first
-    private val bsz = ArrayBuffer.empty[Long]
+    private var bts = new Array[Long](16)
+    private var bsz = new Array[Long](16)
+    private var n = 0
     private var latest = 0L
 
     def add(tsSeconds: Long): Unit = {
       latest = math.max(latest, tsSeconds)
-      bts.insert(0, tsSeconds)
-      bsz.insert(0, 1L)
-      mergeTriples()
-      expire(tsSeconds)
+      if (n == bts.length) {
+        bts = java.util.Arrays.copyOf(bts, n * 2)
+        bsz = java.util.Arrays.copyOf(bsz, n * 2)
+      }
+      System.arraycopy(bts, 0, bts, 1, n)
+      System.arraycopy(bsz, 0, bsz, 1, n)
+      bts(0) = tsSeconds
+      bsz(0) = 1L
+      n = mergeTriplesInPlace(bts, bsz, n + 1)
+      n = expireTail(bts, n, tsSeconds, windowSeconds)
     }
 
-    /** Merge rule: while 3 consecutive buckets share a size, double the
-      * middle one and drop the oldest of the three (restart scan, matching
-      * the reference's loop shape).
-      */
-    private def mergeTriples(): Unit = {
-      var i = 0
-      while (i + 2 < bsz.length) {
-        if (bsz(i) == bsz(i + 1) && bsz(i + 1) == bsz(i + 2)) {
-          bsz(i + 1) *= 2
-          bts.remove(i + 2)
-          bsz.remove(i + 2)
-          i = 0
-        } else i += 1
-      }
-    }
-
-    private def expire(now: Long): Unit =
-      while (bts.nonEmpty && now - bts.last >= windowSeconds) {
-        bts.remove(bts.length - 1)
-        bsz.remove(bsz.length - 1)
-      }
-
-    def state: State = State(windowSeconds, latest, bts.toArray, bsz.toArray)
+    def state: State = State(windowSeconds, latest,
+      java.util.Arrays.copyOf(bts, n), java.util.Arrays.copyOf(bsz, n))
 
     def loadFrom(s: State): Builder = {
       latest = s.latest
-      bts.clear(); bts ++= s.ts
-      bsz.clear(); bsz ++= s.size
+      n = s.ts.length
+      if (bts.length < n) { bts = new Array[Long](n); bsz = new Array[Long](n) }
+      System.arraycopy(s.ts, 0, bts, 0, n)
+      System.arraycopy(s.size, 0, bsz, 0, n)
       this
     }
 
-    def rebalanceAndExpire(): Unit = { mergeTriples(); expire(latest) }
+    def rebalanceAndExpire(): Unit = {
+      n = mergeTriplesInPlace(bts, bsz, n)
+      n = expireTail(bts, n, latest, windowSeconds)
+    }
   }
 
   /** Deterministic batch path: sorted 1-bit timestamps → estimate at the
     * max timestamp. This is the reference PyFlink job's semantics
     * (sort-then-fold, /root/reference/src/usrcode/job.py:75-93) with the
-    * flagship's round-up estimate.
+    * flagship's round-up estimate by default.
     */
-  def estimateSorted(sortedTsSeconds: Array[Long], windowSeconds: Long): Long = {
+  def estimateSorted(sortedTsSeconds: Array[Long], windowSeconds: Long,
+      roundUp: Boolean = true): Long = {
     val b = new Builder(windowSeconds)
     var i = 0
     while (i < sortedTsSeconds.length) { b.add(sortedTsSeconds(i)); i += 1 }
-    b.state.estimate
+    b.state.estimate(roundUp)
   }
 
   /** Canonical merge of two states: concat, sort desc, re-merge, expire. */
@@ -114,14 +165,6 @@ object Dgim {
   }
 }
 
-/** Typed Aggregator exposing DGIM to DataFrame/streaming aggregation:
-  * `ds.groupBy(window(...)).agg(udaf(new DgimAggregator(3600)).apply($"ts_sec"))`.
-  *
-  * reduce() consumes timestamps in encounter order (the reference's
-  * accumulate semantics, approximate under repartitioning); merge() is the
-  * canonical bucket merge. For the deterministic batch twin use
-  * `Dgim.estimateSorted` via mapGroups.
-  */
 /** Raw traffic message shape fed to [[DgimBitAggregator]]: the reference's
   * accumulate(value, timestampSeconds) signature
   * (DGIMAggregateFunction.java:56-78).
@@ -130,17 +173,13 @@ case class BitEvent(value: String, tsSec: Long)
 
 /** DGIM over (value, ts) pairs: non-numeric values are skipped, only
   * bit == 1 feeds the sketch — the reference's lenient accumulate.
+  * reduce() is the allocation-lean [[Dgim.added]] primitive-array path.
   */
 class DgimBitAggregator(windowSeconds: Long) extends Aggregator[BitEvent, Dgim.State, Long] {
   override def zero: Dgim.State = Dgim.emptyState(windowSeconds)
   override def reduce(b: Dgim.State, e: BitEvent): Dgim.State = {
     val isOne = e.value != null && e.value.trim.toIntOption.contains(1)
-    if (!isOne) b
-    else {
-      val builder = new Dgim.Builder(windowSeconds).loadFrom(b)
-      builder.add(e.tsSec)
-      builder.state
-    }
+    if (!isOne) b else Dgim.added(b, e.tsSec)
   }
   override def merge(a: Dgim.State, b: Dgim.State): Dgim.State = Dgim.merge(a, b)
   override def finish(r: Dgim.State): Long = r.estimate
@@ -150,11 +189,8 @@ class DgimBitAggregator(windowSeconds: Long) extends Aggregator[BitEvent, Dgim.S
 
 class DgimAggregator(windowSeconds: Long) extends Aggregator[Long, Dgim.State, Long] {
   override def zero: Dgim.State = Dgim.emptyState(windowSeconds)
-  override def reduce(b: Dgim.State, tsSeconds: Long): Dgim.State = {
-    val builder = new Dgim.Builder(windowSeconds).loadFrom(b)
-    builder.add(tsSeconds)
-    builder.state
-  }
+  override def reduce(b: Dgim.State, tsSeconds: Long): Dgim.State =
+    Dgim.added(b, tsSeconds)
   override def merge(a: Dgim.State, b: Dgim.State): Dgim.State = Dgim.merge(a, b)
   override def finish(r: Dgim.State): Long = r.estimate
   override def bufferEncoder: Encoder[Dgim.State] = Encoders.product[Dgim.State]

@@ -68,12 +68,17 @@ object Dedup {
     val ranked = sh.join(df, "s")
       .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rk", row_number().over(wDoc.orderBy($"df", $"s")))
+    // thresholds in exact integer arithmetic: ceil(n·0.8) = (4n+4) div 5 —
+    // double ceil(n * 0.8) can land one above the exact value when
+    // fl(n·0.8) rounds up past the integer, silently over-pruning vs the
+    // oracle's exact DECIMAL 0.8. floor((4n+4)/5) is exact for n ≪ 2^50
+    // (the quotient is ≥ 0.2 from the next integer when fractional).
     val prefix = ranked
-      .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
+      .filter($"rk" <= $"n" - floor(($"n" * 4 + 4) / 5) + 1)
       .select($"doc_id", $"s", $"n")
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
-          least($"a.n", $"b.n") >= ceil(greatest($"a.n", $"b.n") * t))
+          least($"a.n", $"b.n") >= floor((greatest($"a.n", $"b.n") * 4 + 4) / 5))
       .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"),
         $"a.n".as("na"), $"b.n".as("nb"))
       .distinct()

@@ -30,8 +30,11 @@ object DgimQueries {
       case None    => window($"ts", duration)
     }
     val windowSeconds = 3600L // both variants use a 1 h window size
+    // ts null guard: the exec's child contract is 3 non-null LONG columns —
+    // a null ts would make window() emit a null struct whose getLong reads
+    // 0 and lands the row in the 1970 epoch window instead of failing
     val child = Tables.events(spark, dir)
-      .filter($"event_type" === "click")
+      .filter($"event_type" === "click" && $"ts".isNotNull)
       .select(win.as("w"), unix_timestamp($"ts").as("ts_sec"))
       .select($"w.start".cast("long").as("ws"), $"w.end".cast("long").as("we"), $"ts_sec")
     DgimStrategy.ensureRegistered(spark)

@@ -166,7 +166,7 @@ object Similarity {
       FROM n a JOIN n b ON a.vec_id < b.vec_id)
     WHERE cos >= 0.4"""
 
-  /** LSH-bucketed ANN: 8 tables × 8-bit hyperplane keys, exact re-score of
+  /** LSH-bucketed ANN: 8 tables × 6-bit hyperplane keys, exact re-score of
     * in-bucket candidates, top-5. Rows-only driver check; SketchSpec
     * measures recall against [[annBruteforce]].
     */

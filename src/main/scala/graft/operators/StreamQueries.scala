@@ -126,10 +126,10 @@ object StreamQueries {
   def streamDgimTumble(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // materialize the message stream as text (what the Kafka topic held);
-    // keyed by the (read-only) source dir so repeat runs reuse the dump
-    val msgDir = s"${System.getProperty("java.io.tmpdir")}/graft_traffic_msgs_" +
-      Integer.toHexString(dir.hashCode)
-    if (!new java.io.File(s"$msgDir/_SUCCESS").exists()) {
+    // keyed by canonical path + size+mtime fingerprint of the source file
+    // so repeat runs reuse the dump and changed/colliding sources cannot
+    val msgDir = graft.sources.DumpCache.dirFor("graft_traffic_msgs", dir, "events.parquet")
+    if (!graft.sources.DumpCache.isReady(msgDir)) {
       graft.sources.Tables.events(spark, dir)
         .select(to_json(struct(
           when($"event_type" === "click", "1").otherwise("0").as("value"),

@@ -129,6 +129,11 @@ case class DgimWindowAggExec(windowSeconds: Long, output: Seq[Attribute],
         private def advance(): Unit = {
           while (pending == null && iter.hasNext) {
             val r = iter.next()
+            // enforce the documented child contract (3 non-null LONGs):
+            // getLong on a null slot silently reads 0 and would group the
+            // row into the 1970 epoch window instead of failing
+            require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+              "DgimWindowAggExec child emitted a null window/ts column")
             val ws = r.getLong(0); val we = r.getLong(1); val ts = r.getLong(2)
             if (!hasGroup) startGroup(ws, we)
             else if (ws != curWs || we != curWe) {

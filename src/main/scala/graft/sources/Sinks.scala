@@ -22,9 +22,8 @@ object Sinks {
     */
   def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_docs_by_lang_" +
-      Integer.toHexString(dir.hashCode)
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    val out = DumpCache.dirFor("graft_docs_by_lang", dir, "documents.parquet")
+    if (!DumpCache.isReady(out)) {
       Tables.documents(spark, dir)
         .write.mode("overwrite").partitionBy("lang").parquet(out)
     }

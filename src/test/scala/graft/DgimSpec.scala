@@ -74,6 +74,40 @@ class DgimSpec extends AnyFunSuite {
     assert(merged.latest === 699L)
   }
 
+  test("round-up (Java flagship) vs round-down (PyFlink) estimates, hand-computed") {
+    // Two 1-bits → buckets [(20,1),(10,1)]; oldest has size 1, the only
+    // parity where the two published semantics differ:
+    //   flagship  (DGIMAccumulator.java:75-95): 1 + ceil(1/2) = 2
+    //   PyFlink   (job.py:37-46, size // 2):    1 + floor(1/2) = 1
+    assert(Dgim.estimateSorted(Array(10L, 20L), 3600, roundUp = true) === 2L)
+    assert(Dgim.estimateSorted(Array(10L, 20L), 3600, roundUp = false) === 1L)
+    assert(Dgim.estimateSorted(Array(10L), 3600, roundUp = true) === 1L)
+    assert(Dgim.estimateSorted(Array(10L), 3600, roundUp = false) === 0L)
+    // Three bits → triple-merge to [(30,1),(20,2)]; oldest size 2 is even
+    // so ceil == floor and both variants agree at 1 + 1 = 2:
+    assert(Dgim.estimateSorted(Array(10L, 20L, 30L), 3600, roundUp = true) === 2L)
+    assert(Dgim.estimateSorted(Array(10L, 20L, 30L), 3600, roundUp = false) === 2L)
+    // default estimate is the flagship's round-up
+    val b = new Dgim.Builder(3600); b.add(10L); b.add(20L)
+    assert(b.state.estimate === b.state.estimate(roundUp = true))
+  }
+
+  test("added() immutable fast path folds to the identical state as Builder") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val n = rnd.nextInt(500)
+      val ts = Array.fill(n)(rnd.nextLong(7200L)).sorted
+      val viaBuilder = {
+        val b = new Dgim.Builder(600); ts.foreach(b.add); b.state
+      }
+      val viaAdded = ts.foldLeft(Dgim.emptyState(600))(Dgim.added)
+      assert(viaAdded.ts.toSeq === viaBuilder.ts.toSeq)
+      assert(viaAdded.size.toSeq === viaBuilder.size.toSeq)
+      assert(viaAdded.latest === viaBuilder.latest)
+      assert(viaAdded.estimate === viaBuilder.estimate)
+    }
+  }
+
   test("out-of-order adds expire against the incoming timestamp (reference add semantics)") {
     val b = new Dgim.Builder(60)
     b.add(1000L); b.add(1001L); b.add(2000L)
