@@ -77,6 +77,12 @@ object Text {
     sb.toString
   }
 
+  /** Fast path of [[normalize]] — bit-equal per TextFastPathSpec; used by
+    * every operator that normalizes full documents (the triple regex costs
+    * ~0.8 ms/row on 300-char docs, this is ~µs/row).
+    */
+  val normalizeFastUdf = udf((s: String) => if (s == null) null else normalizeString(s))
+
   /** Distinct word n-grams of the normalized text, first-occurrence order
     * (== array_distinct(shingles(words(text), n))).
     */

@@ -64,7 +64,7 @@ object Curation {
     val filtered = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"text", nWords.as("n_words"),
         (stopHits.cast("double") / nWords).as("stop_ratio"),
-        md5(Text.normalize($"text")).as("text_hash"))
+        md5(Text.normalizeFastUdf($"text")).as("text_hash"))
       .filter($"lang" === "en" && $"n_words" >= 30 && $"stop_ratio" > 0)
     filtered
       .withColumn("pick", row_number().over(

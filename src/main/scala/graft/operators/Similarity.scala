@@ -132,15 +132,20 @@ object Similarity {
     // buy recall; real near-dup corpora (cos ≥ 0.9) do well with 8-bit.
     val keyer = Vectors.lshKeys(dim = 64, tables = 16, bits = 4)
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"),
-        explode(keyer($"embedding")).as("bucket"))
-    val a = emb.select($"bucket", $"vec_id".as("vec_id_a"),
-      $"embedding".as("ea"), $"nrm".as("na"))
-    val b = emb.select($"bucket", $"vec_id".as("vec_id_b"),
-      $"embedding".as("eb"), $"nrm".as("nb"))
-    a.join(b, Seq("bucket"))
+      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"))
+    // slim candidate generation: only (vec_id, bucket) rides the self-join
+    // and the pair-dedup shuffle; embeddings attach post-candidate via two
+    // id equi-joins (the same shape as minhash LSH's signature attach) —
+    // never shuffle 64-float payloads through the candidate explosion
+    val keys = emb.select($"vec_id", explode(keyer($"embedding")).as("bucket"))
+    val cand = keys.toDF("vec_id_a", "bucket")
+      .join(keys.toDF("vec_id_b", "bucket"), Seq("bucket"))
       .filter($"vec_id_a" < $"vec_id_b")
-      .dropDuplicates("vec_id_a", "vec_id_b")
+      .select($"vec_id_a", $"vec_id_b")
+      .distinct()
+    val a = emb.select($"vec_id".as("vec_id_a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val b = emb.select($"vec_id".as("vec_id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
+    cand.join(a, Seq("vec_id_a")).join(b, Seq("vec_id_b"))
       .select($"vec_id_a", $"vec_id_b",
         (Vectors.dot($"ea", $"eb") / ($"na" * $"nb")).as("cos"))
       .filter($"cos" >= 0.4)

@@ -94,7 +94,7 @@ object StreamQueries {
     val docs = spark.readStream.schema(docsRawSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val hashed = docs.select(
-      md5(graft.functions.Text.normalize($"text")).as("text_hash"))
+      md5(graft.functions.Text.normalizeFastUdf($"text")).as("text_hash"))
       .dropDuplicates("text_hash")
     runToTableAppend(spark, hashed)
   }

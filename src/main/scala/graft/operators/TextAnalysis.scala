@@ -80,7 +80,7 @@ object TextAnalysis {
     val stopRatio = hitRatio(w, stopwords("en"))
     Tables.documents(spark, dir).select($"doc_id",
       nChars.as("n_chars"), nWords.as("n_words"),
-      ((length(Text.normalize($"text")) - nWords + 1).cast("double") / nWords).as("avg_word_len"),
+      ((length(Text.normalizeFastUdf($"text")) - nWords + 1).cast("double") / nWords).as("avg_word_len"),
       (nPunct.cast("double") / nChars).as("punct_ratio"),
       stopRatio.as("stopword_ratio"),
       (least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5 + stopRatio * 0.5).as("quality_score"))
@@ -160,8 +160,8 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select($"doc_id",
-      md5(Text.normalize($"text")).as("fp_md5"),
-      length(Text.normalize($"text")).as("norm_len"))
+      md5(Text.normalizeFastUdf($"text")).as("fp_md5"),
+      length(Text.normalizeFastUdf($"text")).as("norm_len"))
   }
 
   val fingerprintSql: String = """
@@ -177,6 +177,6 @@ object TextAnalysis {
   def rollhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select($"doc_id",
-      Text.rollingHashUdf(Text.normalize($"text")).as("fp_roll"))
+      Text.rollingHashUdf(Text.normalizeFastUdf($"text")).as("fp_roll"))
   }
 }
