@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.functions.{BitEvent, Dgim, DgimBitAggregator}
 
@@ -106,5 +107,41 @@ object TrafficJobs {
             Iterator.single(TrafficUpdate(key, s.estimate, finalized = false))
           }
       }
+  }
+
+  /** Keyed-upsert materialization of [[upsertDgim]]'s update stream — the
+    * reference's upsert-Kafka sink (StreamingJob.java:60-83) re-expressed
+    * without a broker: `foreachBatch` appends each micro-batch's upserts
+    * as (batch_id, window_end, count_estimate, finalized) rows — exactly
+    * the changelog a compacted Kafka topic keyed by window_end would
+    * hold. The write is a distributed parquet append (no driver
+    * materialization); in production the batch body becomes a Kafka
+    * produce with key = window_end, or a Delta/Iceberg MERGE.
+    */
+  def upsertToLog(updates: Dataset[TrafficUpdate], logDir: String,
+      checkpoint: String): StreamingQuery =
+    updates.toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Last-write-wins read of the upsert log — what a consumer of the
+    * compacted topic (or the keyed upsert table) observes: one row per
+    * window_end, the latest batch's value winning. One shuffle on the
+    * key; at scale this is the standard changelog→snapshot compaction.
+    */
+  def compactedView(spark: SparkSession, logDir: String): DataFrame = {
+    val w = Window.partitionBy(col("window_end"))
+      .orderBy(col("batch_id").desc, col("finalized").desc)
+    spark.read.parquet(logDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("window_end", "count_estimate", "finalized")
   }
 }

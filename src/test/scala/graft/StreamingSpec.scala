@@ -123,6 +123,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("upsertToLog materializes last-write-wins per window_end across micro-batches") {
+    import spark.implicits._
+    val base = 1704067200L
+    def msg(sec: Long, bit: String) = {
+      val iso = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      s"""{"value": "$bit", "timestamp": "$iso"}"""
+    }
+    val dir = Files.createTempDirectory("graft_upsert_msgs").toString
+    val logDir = Files.createTempDirectory("graft_upsert_log").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    // four files -> four micro-batches (maxFilesPerTrigger=1):
+    //  f1: 40 ones in window0            -> first upsert for window0
+    //  f2: 20 more in window0 + 15 in w1 -> window0 RE-emitted (updated)
+    //  f3: a one at +300s                -> watermark jumps past w0/w1
+    //  f4: a one at +310s                -> timeout batch: w0/w1 finalize
+    (0 until 40).map(i => msg(base + i, "1")).toDF("raw")
+      .coalesce(1).write.mode("append").text(dir)
+    ((40 until 60).map(i => msg(base + i, "1")) ++
+      (60 until 75).map(i => msg(base + i, "1"))).toDF("raw")
+      .coalesce(1).write.mode("append").text(dir)
+    Seq(msg(base + 300, "1")).toDF("raw").coalesce(1).write.mode("append").text(dir)
+    Seq(msg(base + 310, "1")).toDF("raw").coalesce(1).write.mode("append").text(dir)
+
+    val parsed = TrafficSource.parse(
+      spark.readStream.format("text").option("maxFilesPerTrigger", "1")
+        .load(dir).withColumnRenamed("value", "raw"))
+    val q = TrafficJobs.upsertToLog(TrafficJobs.upsertDgim(parsed), logDir, ckpt)
+    q.awaitTermination()
+
+    val log = spark.read.parquet(logDir).collect()
+    val w0End = new java.sql.Timestamp((base + 60) * 1000L)
+    val w1End = new java.sql.Timestamp((base + 120) * 1000L)
+    // window0 was upserted in more than one micro-batch (the reference's
+    // per-batch re-emission under the upsert-Kafka sink)
+    val w0Batches = log.filter(_.getAs[java.sql.Timestamp]("window_end") == w0End)
+      .map(_.getAs[Long]("batch_id")).distinct
+    assert(w0Batches.length >= 2, s"w0 upserted in batches ${w0Batches.toSeq}")
+
+    val view = TrafficJobs.compactedView(spark, logDir).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_end") ->
+        ((r.getAs[Long]("count_estimate"), r.getAs[Boolean]("finalized")))).toMap
+    // one row per key, the LAST write winning: finalized estimates for the
+    // two closed windows, within the DGIM bound of their exact counts
+    assert(view.size === log.map(_.getAs[java.sql.Timestamp]("window_end")).distinct.length)
+    val (w0Est, w0Fin) = view(w0End)
+    assert(w0Fin, "window0 should be finalized by the event-time timeout")
+    assert(math.abs(w0Est - 60L) <= 31L, s"w0 est=$w0Est")
+    val (w1Est, w1Fin) = view(w1End)
+    assert(w1Fin, "window1 should be finalized by the event-time timeout")
+    assert(math.abs(w1Est - 15L) <= 8L, s"w1 est=$w1Est")
+    // last-write-wins == the max-batch_id row of the raw log
+    val w0Last = log.filter(_.getAs[java.sql.Timestamp]("window_end") == w0End)
+      .maxBy(r => (r.getAs[Long]("batch_id"), r.getAs[Boolean]("finalized")))
+    assert(w0Last.getAs[Long]("count_estimate") === w0Est)
+  }
+
   test("streaming tumble count resumes from checkpoint exactly-once across restarts") {
     import spark.implicits._
     val base = 1704067200L
