@@ -56,6 +56,7 @@ object SparkEntry {
     "mm_meta"          -> (Multimodal.meta _),
     "mm_framesample"   -> (Multimodal.frameSample _),
     "sample_stratified" -> (Curation.sampleStratified _),
+    "sample_stratified_topk" -> (Curation.sampleStratifiedThreshold _),
     "pipeline_curate"  -> (Curation.curate _),
   )
 
@@ -104,6 +105,8 @@ object SparkEntry {
     "mm_meta"          -> Multimodal.metaSql,
     "mm_framesample"   -> Multimodal.frameSampleSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
+    // identical output contract, huge-strata plan — same oracle
+    "sample_stratified_topk" -> Curation.sampleStratifiedSql,
     "pipeline_curate"  -> Curation.curateSql,
   )
 }

@@ -21,9 +21,9 @@ object Curation {
     * pipeline needs for auditable subsampling. One shuffle on `lang`.
     *
     * At 100 TB: rank-per-stratum needs only the stratum's rows on one
-    * partition; for strata too large for that, the same md5 order admits
-    * a threshold form (md5 < quantile) computed from a first-pass count —
-    * the deterministic-order principle is the point.
+    * partition; for strata too large for that use
+    * [[sampleStratifiedThreshold]] — identical output via per-partition
+    * local top-k + a global rank over candidates only.
     */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -47,6 +47,37 @@ object Curation {
       FROM documents)
     SELECT doc_id, lang, CAST(rk AS INT) AS rk
     FROM ranked WHERE rk <= ceil(n_lang * 0.1)"""
+
+  /** The huge-strata form of [[sampleStratified]] — identical output,
+    * different plan. Pass 1 computes stratum sizes (tiny agg, broadcast
+    * back); pass 2 takes each partition's LOCAL k-smallest (h, doc_id)
+    * per stratum — spread over (lang, partition) reducers, so no stratum
+    * ever needs all its rows on one partition — then ranks only the
+    * ≤ #partitions·k surviving candidates globally per stratum. Every
+    * true top-k row is in its partition's local top-k, so the final rank
+    * over the candidate superset reproduces the rank form's rows AND rank
+    * values exactly (same md5 order, no RNG). Work on any single
+    * partition is O(sample size), not O(stratum size).
+    */
+  def sampleStratifiedThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+    val ks = docs.groupBy($"lang")
+      .agg(ceil(count(lit(1)) * 0.1).cast("long").as("k"))
+    val local = docs
+      .withColumn("pid", spark_partition_id())
+      .join(broadcast(ks), "lang")
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy($"lang", $"pid").orderBy($"h", $"doc_id")))
+      .filter($"lrk" <= $"k")
+    local
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+      .filter($"rk" <= $"k")
+      .select($"doc_id", $"lang", $"rk")
+  }
 
   /** The composed curation pipeline: quality-filter → language-filter →
     * exact-dedup (keep min doc_id per normalized-text hash) → per-doc
