@@ -39,6 +39,25 @@ object TrafficJobs {
       .agg(dgimAgg(windowSeconds)(col("value"), col("ts_sec")).as("count_estimate"))
       .select(col("window.end").as("window_end"), col("count_estimate"))
 
+  /** Processing-time twin of [[tumbleDgim]] — the reference's literal
+    * window semantics: both Flink jobs window on `PROCTIME()`
+    * (StreamingJob.java:53, :85-99), i.e. rows bucket by ARRIVAL time,
+    * while the DGIM sketch inside still folds the payload's event
+    * timestamps. In Structured Streaming `current_timestamp()` is the
+    * micro-batch start time, logged in the offsets WAL — so a replay
+    * reproduces the same assignment. No watermark (proctime windows
+    * close by wall clock, not event progress); run in update/complete
+    * mode. The event-time jobs supersede this for determinism — kept as
+    * the reference-semantics variant.
+    */
+  def tumbleDgimProctime(parsed: DataFrame, size: String = "60 seconds",
+      windowSeconds: Long = 60L): DataFrame =
+    parsed
+      .withColumn("proc_ts", current_timestamp())
+      .groupBy(window(col("proc_ts"), size))
+      .agg(dgimAgg(windowSeconds)(col("value"), col("ts_sec")).as("count_estimate"))
+      .select(col("window.end").as("window_end"), col("count_estimate"))
+
   /** Hop-window DGIM estimate; reference Job 2 (60 s size / 10 s slide). */
   def hopDgim(parsed: DataFrame, size: String = "60 seconds",
       slide: String = "10 seconds", windowSeconds: Long = 60L,

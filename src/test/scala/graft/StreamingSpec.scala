@@ -123,6 +123,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tumbleDgimProctime buckets by arrival time: one batch -> one window") {
+    val base = 1704067200L
+    // event timestamps span 3 event-time windows, but a single
+    // Trigger.AvailableNow micro-batch arrives at ONE processing time →
+    // exactly one proctime window holding the whole stream
+    val msgs = (0 until 180).map { i =>
+      val bit = if (i % 2 == 0) "1" else "0"
+      val iso = java.time.LocalDateTime.ofEpochSecond(base + i, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      s"""{"value": "$bit", "timestamp": "$iso"}"""
+    }
+    val dir = writeMessages(msgs)
+    val parsed = TrafficSource.parse(
+      spark.readStream.format("text").load(dir).withColumnRenamed("value", "raw"))
+    val out = runComplete(
+      TrafficJobs.tumbleDgimProctime(parsed, windowSeconds = 3600L)).collect()
+    assert(out.length === 1, s"expected one proctime window, got ${out.length}")
+    val est = out.head.getAs[Long]("count_estimate")
+    // 90 one-bits across the batch; DGIM bound applies
+    assert(math.abs(est - 90L) <= 46L, s"est=$est")
+  }
+
   test("upsertToLog materializes last-write-wins per window_end across micro-batches") {
     import spark.implicits._
     val base = 1704067200L
