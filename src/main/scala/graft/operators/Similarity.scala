@@ -142,13 +142,19 @@ object Similarity {
       .join(keys.toDF("vec_id_b", "bucket"), Seq("bucket"))
       .filter($"vec_id_a" < $"vec_id_b")
       .select($"vec_id_a", $"vec_id_b")
-      .distinct()
     val a = emb.select($"vec_id".as("vec_id_a"), $"embedding".as("ea"), $"nrm".as("na"))
     val b = emb.select($"vec_id".as("vec_id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
-    cand.join(a, Seq("vec_id_a")).join(b, Seq("vec_id_b"))
+    // dedupe AFTER the rescore+threshold: with the embedding side
+    // broadcastable the attach joins are map-side, the codegen'd dot is
+    // ~ns/pair, and only the tiny surviving pair set hits the dedup
+    // shuffle (vs shuffling the full multi-table candidate set up front).
+    // When the embedding side is too big to broadcast — shuffle-join
+    // attach — flip to candidate-first distinct so id pairs shuffle once.
+    cand.join(broadcast(a), Seq("vec_id_a")).join(broadcast(b), Seq("vec_id_b"))
       .select($"vec_id_a", $"vec_id_b",
         (Vectors.dot($"ea", $"eb") / ($"na" * $"nb")).as("cos"))
       .filter($"cos" >= 0.4)
+      .dropDuplicates("vec_id_a", "vec_id_b")
   }
 
   /** Sequential double left fold — bit-identical to the DuckDB oracle's
