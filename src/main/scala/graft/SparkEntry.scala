@@ -52,6 +52,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rollhash"    -> (TextAnalysis.rollhash _),
     "text_tfidf"       -> (TextAnalysis.tfidf _),
+    "text_chunks"      -> (TextAnalysis.chunks _),
+    "text_decontam"    -> (Decontam.ngramCollisions _),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "mm_meta"          -> (Multimodal.meta _),
     "mm_framesample"   -> (Multimodal.frameSample _),
@@ -101,6 +103,8 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     // text_rollhash: rows-only; SketchSpec pins known hash vectors.
     "text_tfidf"       -> TextAnalysis.tfidfSql,
+    "text_chunks"      -> TextAnalysis.chunksSql,
+    "text_decontam"    -> Decontam.ngramCollisionsSql,
     "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,
     "mm_meta"          -> Multimodal.metaSql,
     "mm_framesample"   -> Multimodal.frameSampleSql,

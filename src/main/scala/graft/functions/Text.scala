@@ -109,6 +109,9 @@ object Text {
   /** text → distinct 3-shingles (fast path of the Column pipeline). */
   val shinglesFastUdf = udf((text: String) => shingleSet(text, 3))
 
+  /** text → distinct n-shingles for arbitrary n (same fast path). */
+  def shinglesNFastUdf(n: Int) = udf((text: String) => shingleSet(text, n))
+
   /** text → xxhash64 of each distinct 3-shingle (fast path). */
   val shingleHashesFastUdf = udf { (text: String) =>
     val sh = shingleSet(text, 3)

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Benchmark decontamination — the training-data hygiene step that flags
+  * corpus documents sharing verbatim n-grams with an evaluation set
+  * (the standard n-gram-collision protocol used for pre-training corpus
+  * decontamination). The `source ∈ {src0,src1,src2}` slice of `documents`
+  * stands in for the benchmark suite; everything else is the corpus.
+  *
+  * Scale shape: the eval set's distinct n-grams are benchmark-sized
+  * (small by construction — eval suites are ~10⁵ items no matter how big
+  * the corpus is), so they BROADCAST; the corpus side is one scan +
+  * per-row shingle fan-out, the collision check is a map-side broadcast
+  * join, and the only shuffle is the per-doc collision count on doc_id.
+  * Corpus size never touches a reducer except as the (tiny) hit set.
+  */
+object Decontam {
+
+  private val EvalSources = Seq("src0", "src1", "src2")
+  private val N = 7 // n-gram length of the collision protocol
+
+  /** (doc_id, n_collisions) for every corpus doc sharing ≥ 1 distinct
+    * 7-gram with the eval set; n_collisions counts the doc's DISTINCT
+    * colliding 7-grams.
+    */
+  def ngramCollisions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val shingled = docs.select($"doc_id", $"source",
+      explode(Text.shinglesNFastUdf(N)($"text")).as("s"))
+    val evalGrams = shingled
+      .filter($"source".isInCollection(EvalSources))
+      .select($"s").distinct()
+    shingled
+      .filter(!$"source".isInCollection(EvalSources))
+      .join(broadcast(evalGrams), "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_collisions"))
+  }
+
+  val ngramCollisionsSql: String = """
+    WITH docs AS (SELECT doc_id, source, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    wrds AS (SELECT doc_id, source, string_split(t,' ') w FROM docs),
+    idx AS (SELECT doc_id, source, w, unnest(range(1, greatest(len(w)-5,1))) i FROM wrds),
+    sh AS (SELECT DISTINCT doc_id, source, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6] s FROM idx),
+    ev AS (SELECT DISTINCT s FROM sh WHERE source IN ('src0','src1','src2'))
+    SELECT doc_id, count(*) AS n_collisions
+    FROM sh JOIN ev USING (s)
+    WHERE source NOT IN ('src0','src1','src2')
+    GROUP BY 1"""
+}

@@ -179,4 +179,41 @@ object TextAnalysis {
     Tables.documents(spark, dir).select($"doc_id",
       Text.rollingHashUdf(Text.normalizeFastUdf($"text")).as("fp_roll"))
   }
+
+  /** Overlapping word-window chunking — the tokenize-and-window step that
+    * turns documents into training sequences: 32-word chunks on a 24-word
+    * stride (8-word overlap), each identified by (doc_id, chunk_idx) and
+    * fingerprinted by md5 of the chunk text.
+    *
+    * Plan shape: one projection computes `words` ONCE into a column, then
+    * sequence+posexplode fan out start offsets and `slice` reads the
+    * materialized array — the lambda-free form (HOFs referencing a
+    * computed subtree re-evaluate it per element; an attribute reference
+    * is just a row read). Pure per-row fan-out ×(n_words/stride), no
+    * shuffle anywhere.
+    */
+  def chunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ChunkWords = 32
+    val Stride = 24
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.words($"text").as("w"))
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(0), size($"w") - 1, lit(Stride)))
+          .as(Seq("chunk_idx", "start_word")))
+      .select($"doc_id", $"chunk_idx", $"start_word",
+        slice($"w", $"start_word" + 1, lit(ChunkWords)).as("chunk"))
+      .select($"doc_id", $"chunk_idx", $"start_word",
+        size($"chunk").as("n_chunk_words"),
+        md5(concat_ws(" ", $"chunk")).as("chunk_md5"))
+  }
+
+  val chunksSql: String = sqlWords + """,
+    c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx, CAST(i * 24 AS INT) AS start_word,
+                 w[i*24 + 1 : i*24 + 32] AS chunk
+          FROM wd, LATERAL (SELECT unnest(range(0, (len(w) - 1) // 24 + 1)) AS i))
+    SELECT doc_id, chunk_idx, start_word,
+           CAST(len(chunk) AS INT) AS n_chunk_words,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c"""
 }
