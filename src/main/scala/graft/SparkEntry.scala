@@ -25,6 +25,7 @@ object SparkEntry {
     "q_anti_join"  -> (Analytics.qAntiJoin _),
     "q_asof_join"  -> (AsofJoin.clicksLastPurchase _),
     "q_range_join" -> (RangeJoin.errorClicksWithin5Min _),
+    "q_salted_join" -> ((s: SparkSession, d: String) => SkewJoin.saltedJoin(s, d)),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_session_window" -> (Windows.sessionWindow _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "q_anti_join"  -> Analytics.qAntiJoinSql,
     "q_asof_join"  -> AsofJoin.clicksLastPurchaseSql,
     "q_range_join" -> RangeJoin.errorClicksWithin5MinSql,
+    "q_salted_join" -> SkewJoin.saltedJoinSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_session_window" -> Windows.sessionWindowSql,
