@@ -46,6 +46,7 @@ object SparkEntry {
     "ann_bruteforce"   -> (Similarity.annBruteforce _),
     "ann_lsh"          -> (Similarity.annLsh _),
     "embed_centroids"  -> (Similarity.embedCentroids _),
+    "embed_quantize"   -> (Similarity.embedQuantize _),
     "ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "text_langid"      -> (TextAnalysis.langid _),
     "text_quality"     -> (TextAnalysis.quality _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "ann_bruteforce"   -> Similarity.annBruteforceSql,
     // ann_lsh: rows-only; SketchSpec measures recall vs brute force.
     "embed_centroids"  -> Similarity.embedCentroidsSql,
+    "embed_quantize"   -> Similarity.embedQuantizeSql,
     "text_langid"      -> TextAnalysis.langidSql,
     "text_quality"     -> TextAnalysis.qualitySql,
     "text_tokens"      -> TextAnalysis.tokensSql,

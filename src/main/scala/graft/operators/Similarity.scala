@@ -272,6 +272,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
   }
 
+  /** Symmetric int8 scalar quantization of each embedding — the storage
+    * step that makes a 100 TB vector store tractable (4× smaller than
+    * float32, SIMD-friendly dot products). Per vector: scale =
+    * max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127]; emitted metrics
+    * are ORDER-INDEPENDENT (max abs reconstruction error, zero count) so
+    * they hash-match DuckDB bit-for-bit — both engines round half away
+    * from zero and divide in IEEE double.
+    *
+    * Plan: pure per-row Column expressions, no shuffle. `scale`
+    * materializes into a column BEFORE the lambdas that use it (an
+    * attribute reference is a row read; a computed subtree inside a
+    * lambda would re-evaluate per element). The lambdas only touch their
+    * own element — the interpreted-HOF cost is ~µs/row on 64-dim
+    * vectors, not a hot-path concern.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        (array_max(transform($"embedding", x => abs(x.cast("double")))) / 127.0)
+          .as("scale"))
+      .filter($"scale" > 0)
+      .withColumn("q", transform($"embedding", x => round(x.cast("double") / $"scale")))
+      .select($"vec_id", $"scale",
+        array_max(zip_with($"q", $"embedding",
+          (q, x) => abs(q * $"scale" - x.cast("double")))).as("max_abs_err"),
+        size(filter($"q", q => q === 0)).as("n_zero"))
+  }
+
+  val embedQuantizeSql: String = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+               FROM embeddings),
+    s AS (SELECT vec_id, emb,
+                 list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+          FROM e),
+    q AS (SELECT vec_id, emb, scale,
+                 list_transform(emb, x -> round(x / scale)) AS qv
+          FROM s WHERE scale > 0)
+    SELECT vec_id, scale,
+           list_max(list_transform(list_zip(qv, emb), p -> abs(p[1] * scale - p[2]))) AS max_abs_err,
+           CAST(len(list_filter(qv, x -> x = 0)) AS INT) AS n_zero
+    FROM q"""
+
   val embedCentroidsSql: String = """
     WITH x AS (
       SELECT label, CAST(i AS INT) - 1 AS dim,
