@@ -62,6 +62,7 @@ object SparkEntry {
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_stratified_topk" -> (Curation.sampleStratifiedThreshold _),
     "pipeline_curate"  -> (Curation.curate _),
+    "pipeline_pack"    -> (Curation.pack _),
   )
 
   /** DuckDB-equivalent SQL per query key (column names must match). */
@@ -116,5 +117,6 @@ object SparkEntry {
     // identical output contract, huge-strata plan — same oracle
     "sample_stratified_topk" -> Curation.sampleStratifiedSql,
     "pipeline_curate"  -> Curation.curateSql,
+    "pipeline_pack"    -> Curation.packSql,
   )
 }

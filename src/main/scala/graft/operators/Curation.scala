@@ -79,6 +79,52 @@ object Curation {
       .select($"doc_id", $"lang", $"rk")
   }
 
+  /** Concat-and-split sequence packing — the training-batch assembly
+    * step: documents concatenate (per `lang` stream, deterministic
+    * doc_id order) and cut into fixed 512-word bins. Emitted per doc:
+    * its bin, offset within the bin, and whether it spans a bin
+    * boundary (split across training sequences).
+    *
+    * Plan: one window shuffle per stream key (the running word count);
+    * everything else is per-row arithmetic. At 100 TB the stream key is
+    * the shard/curriculum key — same single-shuffle shape. The windowed
+    * cumsum puts a stream's rows on one partition like the rank-based
+    * sample; for monster streams the same partial-prefix-sum trick as
+    * [[sampleStratifiedThreshold]] applies (per-partition sums, then a
+    * tiny prefix over partition totals).
+    */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val SeqLen = 512
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split(Text.normalizeFastUdf($"text"), " ")).as("n_words"))
+    docs
+      .withColumn("cum_before", coalesce(sum($"n_words").over(
+        Window.partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"lang", $"n_words",
+        ($"cum_before" / SeqLen).cast("int").as("bin_id"),
+        ($"cum_before" % SeqLen).cast("int").as("bin_offset"),
+        (($"cum_before" % SeqLen) + $"n_words" > SeqLen).cast("int").as("spans_bins"))
+  }
+
+  val packSql: String = """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' ')) AS INT) AS n_words
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_words,
+             CAST(coalesce(SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM d)
+    SELECT doc_id, lang, n_words,
+           CAST(cum_before // 512 AS INT) AS bin_id,
+           CAST(cum_before % 512 AS INT) AS bin_offset,
+           CAST(cum_before % 512 + n_words > 512 AS INT) AS spans_bins
+    FROM c"""
+
   /** The composed curation pipeline: quality-filter → language-filter →
     * exact-dedup (keep min doc_id per normalized-text hash) → per-doc
     * stats. This is the reference shape of an LLM pre-training data run,
