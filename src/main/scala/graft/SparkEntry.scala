@@ -34,6 +34,7 @@ object SparkEntry {
     "q_dgim_slide"     -> (DgimQueries.dgimSlide _),
     "q_stream_tumble"  -> (StreamQueries.streamTumbleCount _),
     "q_stream_dgim_tumble" -> (StreamQueries.streamDgimTumble _),
+    "q_stream_dgim_slide"  -> (StreamQueries.streamDgimSlide _),
     "q_stream_slide"   -> (StreamQueries.streamSlideCount _),
     "q_stream_session" -> (StreamQueries.streamSessionWindow _),
     "q_stream_dedup"   -> (StreamQueries.streamDedup _),

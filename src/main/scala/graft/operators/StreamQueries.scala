@@ -123,11 +123,35 @@ object StreamQueries {
     * (1 h windows to fit the events table's timescale). Rows-only driver
     * check; StreamingSpec asserts the error bound.
     */
+  /** Reference Job 2's full streaming pipeline: traffic-JSON messages →
+    * lenient decode → watermarked HOP (1 h / 15 min) DGIM. Rows-only
+    * driver check; StreamingSpec asserts the hop-window error bound.
+    */
+  def streamDgimSlide(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = TrafficSource.parse(
+      spark.readStream.format("text").load(messageDump(spark, dir))
+        .withColumnRenamed("value", "raw"))
+    runToTable(spark,
+      TrafficJobs.hopDgim(parsed, size = "1 hour", slide = "15 minutes",
+        windowSeconds = 3600L, watermark = "2 hours"))
+  }
+
   def streamDgimTumble(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = TrafficSource.parse(
+      spark.readStream.format("text").load(messageDump(spark, dir))
+        .withColumnRenamed("value", "raw"))
+    runToTable(spark,
+      TrafficJobs.tumbleDgim(parsed, size = "1 hour", windowSeconds = 3600L,
+        watermark = "2 hours"))
+  }
+
+  /** Materialize the event table as the traffic-JSON message stream (what
+    * the Kafka topic held); cached across runs keyed by canonical path +
+    * size+mtime fingerprint of the source file, so repeat runs reuse the
+    * dump and changed/colliding sources cannot.
+    */
+  private def messageDump(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    // materialize the message stream as text (what the Kafka topic held);
-    // keyed by canonical path + size+mtime fingerprint of the source file
-    // so repeat runs reuse the dump and changed/colliding sources cannot
     val msgDir = graft.sources.DumpCache.dirFor("graft_traffic_msgs", dir, "events.parquet")
     if (!graft.sources.DumpCache.isReady(msgDir)) {
       graft.sources.Tables.events(spark, dir)
@@ -136,11 +160,6 @@ object StreamQueries {
           date_format($"ts", TrafficSource.IsoMicros).as("timestamp"))).as("raw"))
         .write.mode("overwrite").text(msgDir)
     }
-
-    val parsed = TrafficSource.parse(
-      spark.readStream.format("text").load(msgDir).withColumnRenamed("value", "raw"))
-    runToTable(spark,
-      TrafficJobs.tumbleDgim(parsed, size = "1 hour", windowSeconds = 3600L,
-        watermark = "2 hours"))
+    msgDir
   }
 }
