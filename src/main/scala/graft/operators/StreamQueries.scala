@@ -24,21 +24,36 @@ object StreamQueries {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def runToTable(spark: SparkSession, out: DataFrame): DataFrame = {
-    val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+  /** A streaming aggregation materializes one state-store instance per
+    * shuffle partition, each with its own checkpoint files per
+    * micro-batch — at the gate's data volume that fixed I/O dominates.
+    * Run the harness streams with a handful of state partitions (results
+    * are partitioning-independent; a real deployment sizes this to the
+    * key cardinality instead).
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  private def runToTableAppend(spark: SparkSession, out: DataFrame): DataFrame = {
-    val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  private def runToTable(spark: SparkSession, out: DataFrame): DataFrame =
+    withStatePartitions(spark, 8) {
+      val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+
+  private def runToTableAppend(spark: SparkSession, out: DataFrame): DataFrame =
+    withStatePartitions(spark, 8) {
+      val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
