@@ -32,6 +32,10 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     registerDgim(spark, "dgim_estimate", DefaultDgimWindowSeconds)
+    // the PyFlink variant's semantics (floor of the oldest bucket,
+    // job.py:37-46) under its own name
+    registerDgim(spark, "dgim_estimate_floor", DefaultDgimWindowSeconds,
+      roundUp = false)
     spark.udf.register("rolling_hash61", Text.rollingHashUdf)
   }
 
@@ -39,7 +43,9 @@ object GraftFunctions {
     * `name(value STRING, ts_sec BIGINT) -> BIGINT` — lenient accumulate
     * (non-"1" values ignored), canonical bucket merge across partitions.
     */
-  def registerDgim(spark: SparkSession, name: String, windowSeconds: Long): Unit =
+  def registerDgim(spark: SparkSession, name: String, windowSeconds: Long,
+      roundUp: Boolean = true): Unit =
     spark.udf.register(name,
-      udaf(new DgimBitAggregator(windowSeconds), Encoders.product[graft.functions.BitEvent]))
+      udaf(new DgimBitAggregator(windowSeconds, roundUp),
+        Encoders.product[graft.functions.BitEvent]))
 }

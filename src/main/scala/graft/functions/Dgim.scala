@@ -174,15 +174,18 @@ case class BitEvent(value: String, tsSec: Long)
 /** DGIM over (value, ts) pairs: non-numeric values are skipped, only
   * bit == 1 feeds the sketch — the reference's lenient accumulate.
   * reduce() is the allocation-lean [[Dgim.added]] primitive-array path.
+  * `roundUp` selects the published estimate semantics (Java flagship
+  * ceil vs PyFlink floor of the oldest bucket).
   */
-class DgimBitAggregator(windowSeconds: Long) extends Aggregator[BitEvent, Dgim.State, Long] {
+class DgimBitAggregator(windowSeconds: Long, roundUp: Boolean = true)
+    extends Aggregator[BitEvent, Dgim.State, Long] {
   override def zero: Dgim.State = Dgim.emptyState(windowSeconds)
   override def reduce(b: Dgim.State, e: BitEvent): Dgim.State = {
     val isOne = e.value != null && e.value.trim.toIntOption.contains(1)
     if (!isOne) b else Dgim.added(b, e.tsSec)
   }
   override def merge(a: Dgim.State, b: Dgim.State): Dgim.State = Dgim.merge(a, b)
-  override def finish(r: Dgim.State): Long = r.estimate
+  override def finish(r: Dgim.State): Long = r.estimate(roundUp)
   override def bufferEncoder: Encoder[Dgim.State] = Encoders.product[Dgim.State]
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

@@ -64,6 +64,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est2 === 2L)
   }
 
+  test("dgim_estimate_floor exposes the PyFlink round-down semantics in SQL") {
+    GraftFunctions.register(spark)
+    // two 1-bits -> buckets [(20,1),(10,1)]; oldest size 1 is the parity
+    // where the two published semantics differ: ceil gives 2, floor 1
+    val sql = "SELECT %s(v, t) AS e FROM VALUES ('1', 10L), ('1', 20L) AS x(v, t)"
+    assert(spark.sql(sql.format("dgim_estimate")).collect()(0).getLong(0) === 2L)
+    assert(spark.sql(sql.format("dgim_estimate_floor")).collect()(0).getLong(0) === 1L)
+  }
+
   test("approx_percentile tracks exact percentile within the sketch bound (q_quantile's scale path)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
