@@ -20,6 +20,13 @@ object Text {
 
   def words(c: Column): Column = split(normalize(c), " ")
 
+  /** Fast form of [[words]]: identical output (normalizeFastUdf is pinned
+    * bit-equal to the triple-regex normalize; the split is the same) at
+    * ~µs/row instead of ~ms/row. Use for per-document tokenization in
+    * queries; [[words]] remains the declarative semantics statement.
+    */
+  def wordsFast(c: Column): Column = split(normalizeFastUdf(c), " ")
+
   /** Word n-grams as an array column (empty when the doc is shorter than n).
     *
     * Built from n shifted `slice`s folded with `zip_with`, NOT

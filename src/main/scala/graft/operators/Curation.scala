@@ -134,7 +134,7 @@ object Curation {
     */
   def curate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Text.words($"text")
+    val w = Text.wordsFast($"text")
     val nWords = size(w)
     val stopHits = size(filter(w, x =>
       x.isInCollection(Seq("the", "a", "of", "and", "to", "is"))))

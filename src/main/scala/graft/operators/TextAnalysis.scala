@@ -39,7 +39,7 @@ object TextAnalysis {
     */
   def langid(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Text.words($"text")
+    val w = Text.wordsFast($"text")
     val scored = Tables.documents(spark, dir).select($"doc_id",
       hitRatio(w, stopwords("en")).as("s_en"), hitRatio(w, stopwords("es")).as("s_es"),
       hitRatio(w, stopwords("de")).as("s_de"), hitRatio(w, stopwords("fr")).as("s_fr"))
@@ -73,7 +73,7 @@ object TextAnalysis {
     */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Text.words($"text")
+    val w = Text.wordsFast($"text")
     val nWords = size(w)
     val nChars = length($"text")
     val nPunct = length(regexp_replace($"text", "[a-zA-Z0-9 ]", ""))
@@ -103,7 +103,7 @@ object TextAnalysis {
     import spark.implicits._
     val pattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
     Tables.documents(spark, dir).select($"doc_id",
-      size(Text.words($"text")).as("n_words"),
+      size(Text.wordsFast($"text")).as("n_words"),
       regexp_count(lower($"text"), lit(pattern)).as("n_regex_tokens"),
       (length($"text").cast("double") /
         greatest(regexp_count(lower($"text"), lit(pattern)), lit(1))).as("chars_per_token"))
@@ -129,7 +129,7 @@ object TextAnalysis {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
     val words = Tables.documents(spark, dir)
-      .select($"doc_id", explode(Text.words($"text")).as("word"))
+      .select($"doc_id", explode(Text.wordsFast($"text")).as("word"))
       .filter(length($"word") >= 3)
     val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
     val df = words.select($"doc_id", $"word").distinct()
@@ -197,7 +197,7 @@ object TextAnalysis {
     val ChunkWords = 32
     val Stride = 24
     Tables.documents(spark, dir)
-      .select($"doc_id", Text.words($"text").as("w"))
+      .select($"doc_id", Text.wordsFast($"text").as("w"))
       .select($"doc_id", $"w",
         posexplode(sequence(lit(0), size($"w") - 1, lit(Stride)))
           .as(Seq("chunk_idx", "start_word")))
