@@ -82,10 +82,18 @@ object Dedup {
       .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"),
         $"a.n".as("na"), $"b.n".as("nb"))
       .distinct()
+    // ppjoin-style verification: the surviving candidates are few, so
+    // attach each side's full (distinct) shingle array via joins against
+    // the per-doc set table — broadcastable (docs × ~n_shingles strings;
+    // at corpus scale these become shuffle hash joins on doc_id) — and
+    // intersect in-row. No second pass over the exploded inverted index.
+    val docSets = Tables.documents(spark, dir)
+      .select($"doc_id", Text.shinglesFastUdf($"text").as("ss"))
     cand
-      .join(sh.as("x"), $"ida" === $"x.doc_id")
-      .join(sh.as("y"), $"idb" === $"y.doc_id" && $"x.s" === $"y.s")
-      .groupBy($"ida", $"idb", $"na", $"nb").agg(count(lit(1)).as("inter"))
+      .join(docSets.toDF("ida", "sa"), "ida")
+      .join(docSets.toDF("idb", "sb"), "idb")
+      .select($"ida", $"idb", $"na", $"nb",
+        size(array_intersect($"sa", $"sb")).cast("long").as("inter"))
       .select($"ida".as("doc_id_a"), $"idb".as("doc_id_b"),
         ($"inter" * lit(1.0) / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= t)
