@@ -96,7 +96,9 @@ class DgimSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 50) {
       val n = rnd.nextInt(500)
-      val ts = Array.fill(n)(rnd.nextLong(7200L)).sorted
+      // UNSORTED: the streaming aggregator consumes arrival order, so the
+      // fast path must match the builder on out-of-order streams too
+      val ts = Array.fill(n)(rnd.nextLong(7200L))
       val viaBuilder = {
         val b = new Dgim.Builder(600); ts.foreach(b.add); b.state
       }
