@@ -60,6 +60,8 @@ object SparkEntry {
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "mm_meta"          -> (Multimodal.meta _),
     "mm_framesample"   -> (Multimodal.frameSample _),
+    "mm_resize"        -> (Multimodal.resize _),
+    "mm_features"      -> (Multimodal.features _),
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_stratified_topk" -> (Curation.sampleStratifiedThreshold _),
     "pipeline_curate"  -> (Curation.curate _),
@@ -114,6 +116,8 @@ object SparkEntry {
     "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,
     "mm_meta"          -> Multimodal.metaSql,
     "mm_framesample"   -> Multimodal.frameSampleSql,
+    "mm_resize"        -> Multimodal.resizeSql,
+    "mm_features"      -> Multimodal.featuresSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     // identical output contract, huge-strata plan — same oracle
     "sample_stratified_topk" -> Curation.sampleStratifiedSql,

@@ -107,4 +107,93 @@ object Multimodal {
            i * (byte_len // frames) + least(i, byte_len % frames) AS frame_offset,
            (byte_len // frames) + CASE WHEN i < byte_len % frames THEN 1 ELSE 0 END AS frame_len
     FROM m, LATERAL (SELECT unnest(range(frames)) AS i)"""
+
+  case class Resize(doc_id: Long, width: Long, height: Long,
+    out_w: Long, out_h: Long, resize_status: String)
+
+  /** Resize plumbing: letterbox each (stub-decoded) image into a 224×224
+    * budget preserving aspect ratio — the geometry every vision-model
+    * preprocessing pass computes. All integer arithmetic (floor'd scaled
+    * dims, min 1 px), oracle-checked; only the pixel resample itself is
+    * the stubbed codec step. Narrow map, no shuffle.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Target = 224L
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[Payload]
+      .mapPartitions { rows =>
+        rows.map { p =>
+          val m = decodeStub(p.doc_id, p.payload)
+          val (w, h) = (m.width, m.height)
+          val (ow, oh) =
+            if (w >= h) (Target, math.max(1L, h * Target / w))
+            else (math.max(1L, w * Target / h), Target)
+          Resize(p.doc_id, w, h, ow, oh, "stubbed")
+        }
+      }
+      .toDF()
+  }
+
+  val resizeSql: String = """
+    WITH m AS (
+      SELECT doc_id,
+             64 + octet_length(encode(text)) % 193 AS width,
+             64 + (octet_length(encode(text)) * 31) % 157 AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+           CASE WHEN width >= height THEN 224 ELSE greatest(1, width * 224 // height) END AS out_w,
+           CASE WHEN width >= height THEN greatest(1, height * 224 // width) ELSE 224 END AS out_h,
+           'stubbed' AS resize_status
+    FROM m"""
+
+  case class Features(doc_id: Long, byte_len: Long, byte_sum: Long,
+    n_distinct_bytes: Long, min_byte: Long, max_byte: Long)
+
+  /** Feature extraction over the RAW payload bytes — real computation
+    * (order-independent integer statistics), not a stub: primitive loop
+    * per payload inside the partition pass, exactly where a production
+    * pipeline runs its embedding/codec feature extractor. The corpus is
+    * ASCII so the DuckDB oracle recomputes the same statistics from
+    * per-character code points.
+    */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[Payload]
+      .mapPartitions { rows =>
+        rows.map { p =>
+          val bs = p.payload
+          var sum = 0L
+          var mn = 256L
+          var mx = -1L
+          val seen = new Array[Boolean](256)
+          var i = 0
+          while (i < bs.length) {
+            val v = (bs(i) & 0xff).toLong
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            seen(v.toInt) = true
+            i += 1
+          }
+          Features(p.doc_id, bs.length.toLong, sum,
+            seen.count(identity).toLong, mn, mx)
+        }
+      }
+      .toDF()
+  }
+
+  val featuresSql: String = """
+    WITH c AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
+    b AS (SELECT doc_id, unicode(ch) AS v FROM c WHERE ch != '')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS byte_len,
+           CAST(sum(v) AS BIGINT) AS byte_sum,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_bytes,
+           CAST(min(v) AS BIGINT) AS min_byte,
+           CAST(max(v) AS BIGINT) AS max_byte
+    FROM b GROUP BY doc_id"""
 }
