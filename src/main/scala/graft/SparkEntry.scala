@@ -58,6 +58,7 @@ object SparkEntry {
     "text_chunks"      -> (TextAnalysis.chunks _),
     "text_decontam"    -> (Decontam.ngramCollisions _),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
+    "sink_csv"         -> (graft.sources.Sinks.csvRoundTrip _),
     "mm_meta"          -> (Multimodal.meta _),
     "mm_framesample"   -> (Multimodal.frameSample _),
     "mm_resize"        -> (Multimodal.resize _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "text_chunks"      -> TextAnalysis.chunksSql,
     "text_decontam"    -> Decontam.ngramCollisionsSql,
     "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,
+    "sink_csv"         -> graft.sources.Sinks.csvRoundTripSql,
     "mm_meta"          -> Multimodal.metaSql,
     "mm_framesample"   -> Multimodal.frameSampleSql,
     "mm_resize"        -> Multimodal.resizeSql,

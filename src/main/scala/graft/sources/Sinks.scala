@@ -36,4 +36,30 @@ object Sinks {
   val partitionedRoundTripSql: String = """
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents WHERE lang != 'zh' GROUP BY lang"""
+
+  /** Schema-ful CSV round trip: write the documents' metadata columns as
+    * headered CSV (the interchange format everything speaks), read back
+    * with an EXPLICIT schema (never inferSchema at scale — it double-scans
+    * and guesses), aggregate. Hash-matches the same aggregate computed on
+    * the original parquet — proving the text round trip is lossless for
+    * the typed columns.
+    */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = DumpCache.dirFor("graft_docs_csv", dir, "documents.parquet")
+    if (!DumpCache.isReady(out)) {
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .write.mode("overwrite").option("header", "true").csv(out)
+    }
+    val schema = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    spark.read.schema(schema).option("header", "true").csv(out)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
+  val csvRoundTripSql: String = """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1, 2"""
 }
