@@ -68,8 +68,20 @@ object Similarity {
     */
   def embedPairs(spark: SparkSession, dir: String, blocks: Int = 8): DataFrame = {
     import spark.implicits._
-    val rows = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    trianglePairs(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])],
+      blocks, threshold = 0.4)
+  }
+
+  /** The reusable exact all-pairs core of [[embedPairs]] (see its
+    * scaladoc for the shuffle/memory analysis); separated so specs can
+    * drive synthetic corpora — including sizes small enough that some
+    * blocks are EMPTY, which must not corrupt the group bookkeeping.
+    */
+  def trianglePairs(rows: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      blocks: Int, threshold: Double): DataFrame = {
+    import rows.sparkSession.implicits._
     val replicated = rows.flatMap { case (id, v) =>
       val blk = (java.lang.Long.hashCode(id) & Int.MaxValue) % blocks
       val nrm = math.sqrt(selfDot(v))
@@ -90,7 +102,7 @@ object Similarity {
         val (ida, va, na) = a
         val (idb, vb, nb) = b
         val c = dotD(va, vb) / (na * nb)
-        if (c >= 0.4) out += (if (ida < idb) (ida, idb, c) else (idb, ida, c))
+        if (c >= threshold) out += (if (ida < idb) (ida, idb, c) else (idb, ida, c))
       }
       if (gi == gj) {
         // diagonal group: all pairs within the block

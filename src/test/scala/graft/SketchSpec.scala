@@ -128,6 +128,32 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     expected.foreach { case (k, c) => assert(got(k) === c, s"cos mismatch on $k") }
   }
 
+  test("triangle join property: random corpora, incl. sizes with EMPTY blocks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    // n = 3 with blocks = 8 guarantees empty blocks; 40 and 300 exercise
+    // diagonal and off-diagonal groups at several densities
+    for (n <- Seq(3, 40, 300)) {
+      val vecs = (0L until n.toLong).map(id =>
+        (id, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      val expected = (for {
+        x <- vecs.indices.iterator
+        y <- (x + 1) until n
+        c = dot(vecs(x)._2, vecs(y)._2) /
+          (math.sqrt(dot(vecs(x)._2, vecs(x)._2)) * math.sqrt(dot(vecs(y)._2, vecs(y)._2)))
+        if c >= 0.1
+      } yield (vecs(x)._1, vecs(y)._1)).toSet
+      val got = Similarity.trianglePairs(vecs.toDS(), blocks = 8, threshold = 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"n=$n diff=${got.diff(expected).take(3)}/${expected.diff(got).take(3)}")
+    }
+  }
+
   test("embed LSH near-dup: precision 1.0 vs exact twin, recall measured") {
     val exact = pairs(Similarity.embedPairs(spark, sf), "vec_id_a", "vec_id_b")
     val lsh = pairs(Similarity.embedPairsLsh(spark, sf), "vec_id_a", "vec_id_b")
