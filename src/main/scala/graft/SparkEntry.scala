@@ -65,6 +65,7 @@ object SparkEntry {
     "mm_features"      -> (Multimodal.features _),
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_stratified_topk" -> (Curation.sampleStratifiedThreshold _),
+    "sample_weighted"  -> (Curation.sampleWeighted _),
     "pipeline_curate"  -> (Curation.curate _),
     "pipeline_pack"    -> (Curation.pack _),
   )
@@ -123,6 +124,7 @@ object SparkEntry {
     "sample_stratified" -> Curation.sampleStratifiedSql,
     // identical output contract, huge-strata plan — same oracle
     "sample_stratified_topk" -> Curation.sampleStratifiedSql,
+    "sample_weighted"  -> Curation.sampleWeightedSql,
     "pipeline_curate"  -> Curation.curateSql,
     "pipeline_pack"    -> Curation.packSql,
   )

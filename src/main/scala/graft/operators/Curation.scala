@@ -79,6 +79,47 @@ object Curation {
       .select($"doc_id", $"lang", $"rk")
   }
 
+  /** Curriculum / source-mixture sampling: each source gets a target
+    * sampling RATE (the knob a pre-training data recipe turns — upweight
+    * curated sources, downweight crawl), applied as a deterministic
+    * per-row Bernoulli: keep iff the first 8 hex chars of md5(doc_id)
+    * are lexicographically below the rate's hex threshold. Fixed-width
+    * lowercase hex compares identically to the numeric compare in BOTH
+    * engines, so the oracle is exact — and the whole operator is a pure
+    * scan-stage filter: ZERO shuffles, reproducible across runs,
+    * partitionings, and engines (contrast [[sampleStratified]], which
+    * buys exact per-stratum counts with a shuffle).
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25)
+    val default = 0.1
+    def hexThreshold(rate: Double): String =
+      f"${math.min((rate * (1L << 32)).toLong, 0xffffffffL)}%08x"
+    val thr = weights.foldLeft(lit(hexThreshold(default))) {
+      case (acc, (src, rate)) =>
+        when($"source" === src, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        substring(md5($"doc_id".cast("string").cast("binary")), 1, 8).as("h"),
+        thr.as("thr"))
+      .filter($"h" < $"thr")
+      .select($"doc_id", $"source")
+  }
+
+  val sampleWeightedSql: String = {
+    def hexThreshold(rate: Double): String =
+      f"${math.min((rate * (1L << 32)).toLong, 0xffffffffL)}%08x"
+    s"""
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE source WHEN 'src0' THEN '${hexThreshold(0.8)}'
+                      WHEN 'src1' THEN '${hexThreshold(0.5)}'
+                      WHEN 'src2' THEN '${hexThreshold(0.25)}'
+                      ELSE '${hexThreshold(0.1)}' END"""
+  }
+
   /** Concat-and-split sequence packing — the training-batch assembly
     * step: documents concatenate (per `lang` stream, deterministic
     * doc_id order) and cut into fixed 512-word bins. Emitted per doc:

@@ -65,6 +65,24 @@ class DgimPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exec enforces its non-null child contract instead of silently reading 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a null ts slipped past the query-level guard must FAIL the task,
+    // not land the row in the 1970 epoch window
+    val child = Seq((3600L, 7200L, Some(3700L)), (3600L, 7200L, None))
+      .toDF("ws", "we", "ts_sec")
+      .select($"ws", $"we", $"ts_sec".cast("long").as("ts_sec"))
+    graft.plans.DgimStrategy.ensureRegistered(spark)
+    val df = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      graft.plans.DgimWindowAggPlan(3600L,
+        org.apache.spark.sql.graft.ColumnBridge.logicalPlan(child)))
+    val e = intercept[Exception] { df.collect() }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("null window/ts")), s"got: ${chain(e).take(3)}")
+  }
+
   test("operator streams groups (no OOM-prone per-group materialization): many tiny groups") {
     import spark.implicits._
     // sanity: outputs one row per distinct window even when #groups >> partitions
