@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Pins the PHYSICAL shape of representative queries — the properties the
+  * 100 TB story depends on (shuffle counts, dim broadcasts, scan-level
+  * filter pushdown). A refactor that silently turns a broadcast join into
+  * a sort-merge join, or adds a shuffle to a scan-stage operator, fails
+  * here before it costs anything at scale.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def physical(df: DataFrame) = {
+    val p = df.queryExecution.executedPlan
+    val root = p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    root.collect { case n => n }
+  }
+
+  private def shuffles(df: DataFrame): Int =
+    physical(df).count(_.isInstanceOf[ShuffleExchangeExec])
+
+  test("per-row operators are shuffle-free scan-stage pipelines") {
+    for ((name, df) <- Seq(
+        "text_chunks" -> TextAnalysis.chunks(spark, sf),
+        "embed_quantize" -> Similarity.embedQuantize(spark, sf),
+        "sample_weighted" -> Curation.sampleWeighted(spark, sf),
+        "mm_meta" -> Multimodal.meta(spark, sf),
+        "mm_resize" -> Multimodal.resize(spark, sf),
+        "mm_features" -> Multimodal.features(spark, sf),
+        "text_fingerprint" -> TextAnalysis.fingerprint(spark, sf)))
+      assert(shuffles(df) === 0, s"$name grew a shuffle")
+  }
+
+  test("single-shuffle operators stay single-shuffle") {
+    for ((name, df, n) <- Seq(
+        ("dedup_exact", Dedup.exact(spark, sf), 1),
+        ("pipeline_pack", Curation.pack(spark, sf), 1)))
+      assert(shuffles(df) === n, s"$name shuffle count changed")
+  }
+
+  test("dimension joins broadcast (q3, salted join); no sort-merge join appears") {
+    for ((name, df) <- Seq(
+        "q3_join" -> Analytics.q3Join(spark, sf),
+        "q_salted_join" -> SkewJoin.saltedJoin(spark, sf))) {
+      val nodes = physical(df)
+      assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$name lost its broadcast join")
+      assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"$name picked up a sort-merge join at dim scale")
+    }
+  }
+
+  test("decontamination pushes both source filters into the parquet scans") {
+    val plan = Decontam.ngramCollisions(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [Not(In(source"))
+    assert(plan.contains("PushedFilters: [In(source"))
+  }
+
+  test("partitioned sink read-back prunes at the file-listing level") {
+    val plan = graft.sources.Sinks.partitionedRoundTrip(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("NOT (lang"), s"partition pruning missing:\n$plan")
+  }
+}
