@@ -37,6 +37,13 @@ object GraftFunctions {
     registerDgim(spark, "dgim_estimate_floor", DefaultDgimWindowSeconds,
       roundUp = false)
     spark.udf.register("rolling_hash61", Text.rollingHashUdf)
+    // the text-pipeline primitives for pure-SQL users (same single-pass
+    // fast paths the operators use, spec-pinned to the Column semantics)
+    spark.udf.register("graft_normalize", Text.normalizeFastUdf)
+    spark.udf.register("graft_shingles", Text.shinglesFastUdf)
+    spark.udf.register("graft_shingle_hashes", Text.shingleHashesFastUdf)
+    spark.udf.register("graft_minhash_sig", Text.minhashSigUdf)
+    spark.udf.register("graft_simhash64", Text.simhashUdf)
   }
 
   /** Register a DGIM estimate aggregate bound to `windowSeconds`:

@@ -73,6 +73,19 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(sql.format("dgim_estimate_floor")).collect()(0).getLong(0) === 1L)
   }
 
+  test("text primitives are callable from pure SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT graft_normalize('  Hello,  WORLD!! 42 ') AS norm,
+             size(graft_shingles('one two three four')) AS n_sh,
+             graft_simhash64(graft_shingle_hashes('one two three four')) AS sh,
+             size(graft_minhash_sig(graft_shingle_hashes('one two three four'))) AS n_sig
+    """).collect()(0)
+    assert(r.getString(0) === "hello world 42")
+    assert(r.getInt(1) === 2) // "one two three", "two three four"
+    assert(r.getInt(3) === 128)
+  }
+
   test("approx_percentile tracks exact percentile within the sketch bound (q_quantile's scale path)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
