@@ -73,6 +73,16 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(sql.format("dgim_estimate_floor")).collect()(0).getLong(0) === 1L)
   }
 
+  test("GraftExtensions satisfies the spark.sql.extensions deploy contract") {
+    // the config-string path instantiates the class BY NAME with a no-arg
+    // constructor and applies it as SparkSessionExtensions => Unit — the
+    // exact reflective contract spark-submit --conf relies on
+    val ext = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    ext(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+  }
+
   test("text primitives are callable from pure SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql("""
