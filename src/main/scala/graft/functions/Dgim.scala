@@ -36,12 +36,20 @@ object Dgim {
 
     /** `roundUp = true`: oldest bucket contributes ceil(size/2) (Java
       * flagship); `false`: floor(size/2) (PyFlink variant, job.py:37-46).
+      *
+      * Single-live-bucket case: the Java flagship returns that bucket's
+      * FULL size (DGIMAccumulator.java:72-75); the PyFlink variant has no
+      * special case and still floors it (job.py:37-46). Internally built
+      * states always have a newest bucket of size 1, where both forms
+      * coincide — the early return matters for externally constructed /
+      * deserialized states, which must follow the published semantics too.
       */
     def estimate(roundUp: Boolean): Long = {
       // live prefix: buckets are newest-first; stop at the first expired
       var m = 0
       while (m < ts.length && latest - ts(m) < windowSeconds) m += 1
       if (m == 0) 0L
+      else if (m == 1 && roundUp) size(0)
       else {
         var total = 0L
         var i = 0

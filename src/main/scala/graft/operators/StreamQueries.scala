@@ -27,33 +27,23 @@ object StreamQueries {
   /** A streaming aggregation materializes one state-store instance per
     * shuffle partition, each with its own checkpoint files per
     * micro-batch — at the gate's data volume that fixed I/O dominates.
-    * Run the harness streams with a handful of state partitions (results
-    * are partitioning-independent; a real deployment sizes this to the
-    * key cardinality instead).
+    * Each harness stream therefore runs on a DEDICATED cloned session
+    * (`spark.newSession()`: own SQLConf, shared SparkContext/catalog)
+    * with a handful of state partitions, so the setting can never leak
+    * to concurrent users of the shared session (results are
+    * partitioning-independent; a real deployment sizes this to the key
+    * cardinality instead).
     */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  private def runToTable(spark0: SparkSession, mode: String = "complete")(
+      build: SparkSession => DataFrame): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+    val q = build(spark).writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
   }
-
-  private def runToTable(spark: SparkSession, out: DataFrame): DataFrame =
-    withStatePartitions(spark, 8) {
-      val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.table(name)
-    }
-
-  private def runToTableAppend(spark: SparkSession, out: DataFrame): DataFrame =
-    withStatePartitions(spark, 8) {
-      val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.table(name)
-    }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -67,31 +57,31 @@ object StreamQueries {
   /** Tumbling 1 h click count through Structured Streaming; hash-matches
     * the batch `Windows.tumbleCountSql` oracle.
     */
-  def streamTumbleCount(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val agg = eventsStream(spark, dir)
-      .filter($"event_type" === "click")
-      .withWatermark("ts", "1 hour")
-      .groupBy(window($"ts", "1 hour"))
-      .agg(count(lit(1)).as("cnt"))
-      .select($"window.start".as("window_start"), $"window.end".as("window_end"), $"cnt")
-    runToTable(spark, agg)
-  }
+  def streamTumbleCount(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark) { s =>
+      import s.implicits._
+      eventsStream(s, dir)
+        .filter($"event_type" === "click")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select($"window.start".as("window_start"), $"window.end".as("window_end"), $"cnt")
+    }
 
   /** Sliding (hop) 1 h / 15 min click count through Structured Streaming —
     * the streaming twin of the reference's Job 2 (SlidingWindowStreamingJob);
     * hash-matches the batch `Windows.slideCountSql` oracle.
     */
-  def streamSlideCount(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val agg = eventsStream(spark, dir)
-      .filter($"event_type" === "click")
-      .withWatermark("ts", "1 hour")
-      .groupBy(window($"ts", "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("cnt"))
-      .select($"window.start".as("window_start"), $"window.end".as("window_end"), $"cnt")
-    runToTable(spark, agg)
-  }
+  def streamSlideCount(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark) { s =>
+      import s.implicits._
+      eventsStream(s, dir)
+        .filter($"event_type" === "click")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select($"window.start".as("window_start"), $"window.end".as("window_end"), $"cnt")
+    }
 
   /** Streaming stateful deduplication: `dropDuplicates` over the doc
     * text-hash — the streaming twin of `dedup_exact`'s key step, with
@@ -100,19 +90,18 @@ object StreamQueries {
     * equals the batch DISTINCT (deterministic regardless of arrival
     * order). Hash-matches a batch SELECT DISTINCT oracle.
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docsRawSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val docs = spark.readStream.schema(docsRawSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val hashed = docs.select(
-      md5(graft.functions.Text.normalizeFastUdf($"text")).as("text_hash"))
-      .dropDuplicates("text_hash")
-    runToTableAppend(spark, hashed)
-  }
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val docsRawSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(md5(graft.functions.Text.normalizeFastUdf($"text")).as("text_hash"))
+        .dropDuplicates("text_hash")
+    }
 
   val streamDedupSql: String = """
     SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS text_hash
@@ -122,16 +111,16 @@ object StreamQueries {
     * `Windows.sessionWindowSql` oracle — the streaming path of the
     * merge-on-overlap session state machine.
     */
-  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy($"user_id", session_window($"ts", "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
-      .select($"user_id", $"session_window.start".as("session_start"),
-        $"session_window.end".as("session_end"), $"n_events")
-    runToTable(spark, agg)
-  }
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark) { s =>
+      import s.implicits._
+      eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"), $"n_events")
+    }
 
   /** The reference's full pipeline shape end-to-end: events → traffic-JSON
     * messages → lenient TrafficSource decode → streaming tumbling DGIM
@@ -143,21 +132,23 @@ object StreamQueries {
     * driver check; StreamingSpec asserts the hop-window error bound.
     */
   def streamDgimSlide(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = TrafficSource.parse(
-      spark.readStream.format("text").load(messageDump(spark, dir))
-        .withColumnRenamed("value", "raw"))
-    runToTable(spark,
+    val dump = messageDump(spark, dir)
+    runToTable(spark) { s =>
+      val parsed = TrafficSource.parse(
+        s.readStream.format("text").load(dump).withColumnRenamed("value", "raw"))
       TrafficJobs.hopDgim(parsed, size = "1 hour", slide = "15 minutes",
-        windowSeconds = 3600L, watermark = "2 hours"))
+        windowSeconds = 3600L, watermark = "2 hours")
+    }
   }
 
   def streamDgimTumble(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = TrafficSource.parse(
-      spark.readStream.format("text").load(messageDump(spark, dir))
-        .withColumnRenamed("value", "raw"))
-    runToTable(spark,
+    val dump = messageDump(spark, dir)
+    runToTable(spark) { s =>
+      val parsed = TrafficSource.parse(
+        s.readStream.format("text").load(dump).withColumnRenamed("value", "raw"))
       TrafficJobs.tumbleDgim(parsed, size = "1 hour", windowSeconds = 3600L,
-        watermark = "2 hours"))
+        watermark = "2 hours")
+    }
   }
 
   /** Materialize the event table as the traffic-JSON message stream (what
@@ -167,14 +158,13 @@ object StreamQueries {
     */
   private def messageDump(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val msgDir = graft.sources.DumpCache.dirFor("graft_traffic_msgs", dir, "events.parquet")
-    if (!graft.sources.DumpCache.isReady(msgDir)) {
+    graft.sources.DumpCache.ensure(
+      graft.sources.DumpCache.dirFor("graft_traffic_msgs", dir, "events.parquet")) { tmp =>
       graft.sources.Tables.events(spark, dir)
         .select(to_json(struct(
           when($"event_type" === "click", "1").otherwise("0").as("value"),
           date_format($"ts", TrafficSource.IsoMicros).as("timestamp"))).as("raw"))
-        .write.mode("overwrite").text(msgDir)
+        .write.mode("overwrite").text(tmp)
     }
-    msgDir
   }
 }

@@ -11,8 +11,7 @@ package graft.sources
 object DumpCache {
 
   /** Stable cache dir under java.io.tmpdir for a derived artifact of
-    * `sourceFile` inside `dir`. The caller writes the artifact there iff
-    * `_SUCCESS` is absent.
+    * `sourceFile` inside `dir`. Populate it through [[ensure]].
     */
   def dirFor(prefix: String, dir: String, sourceFile: String): String = {
     val f = new java.io.File(dir, sourceFile)
@@ -25,4 +24,37 @@ object DumpCache {
 
   def isReady(path: String): Boolean =
     new java.io.File(s"$path/_SUCCESS").exists()
+
+  /** Populate `path` atomically: the artifact is written to a sibling temp
+    * dir and renamed into place only once complete (`_SUCCESS` present in
+    * the temp dir), so a reader can never observe a half-written dump and
+    * two concurrent writers race only on the final rename — the loser's
+    * temp dir is discarded. Returns `path`.
+    */
+  def ensure(path: String)(write: String => Unit): String = {
+    if (isReady(path)) return path
+    val dest = new java.io.File(path)
+    val tmp = new java.io.File(
+      path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    write(tmp.getPath)
+    if (!isReady(tmp.getPath))
+      throw new java.io.IOException(s"dump writer left no _SUCCESS in $tmp")
+    if (!tmp.renameTo(dest)) {
+      if (!isReady(path)) {
+        // stale half-written destination (e.g. a crashed legacy writer):
+        // clear it and retry once; a concurrent complete winner is kept
+        deleteRecursively(dest)
+        if (!tmp.renameTo(dest) && !isReady(path))
+          throw new java.io.IOException(s"could not publish dump at $path")
+      }
+      deleteRecursively(tmp)
+    }
+    path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
 }

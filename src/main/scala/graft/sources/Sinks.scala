@@ -22,10 +22,10 @@ object Sinks {
     */
   def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = DumpCache.dirFor("graft_docs_by_lang", dir, "documents.parquet")
-    if (!DumpCache.isReady(out)) {
+    val out = DumpCache.ensure(
+      DumpCache.dirFor("graft_docs_by_lang", dir, "documents.parquet")) { tmp =>
       Tables.documents(spark, dir)
-        .write.mode("overwrite").partitionBy("lang").parquet(out)
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
     }
     spark.read.parquet(out)
       .filter($"lang" =!= "zh") // partition-pruned: zh files never open
@@ -46,14 +46,20 @@ object Sinks {
     */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = DumpCache.dirFor("graft_docs_csv", dir, "documents.parquet")
-    if (!DumpCache.isReady(out)) {
+    // explicit null/empty markers on BOTH sides: Spark's CSV default writes
+    // null and "" identically (empty field), which would silently turn an
+    // empty string into null on read-back and break the lossless claim
+    val nullMark = "\\N"
+    val out = DumpCache.ensure(
+      DumpCache.dirFor("graft_docs_csv", dir, "documents.parquet")) { tmp =>
       Tables.documents(spark, dir)
         .select($"doc_id", $"lang", $"source", $"n_chars")
-        .write.mode("overwrite").option("header", "true").csv(out)
+        .write.mode("overwrite").option("header", "true")
+        .option("nullValue", nullMark).option("emptyValue", "\"\"").csv(tmp)
     }
     val schema = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
-    spark.read.schema(schema).option("header", "true").csv(out)
+    spark.read.schema(schema).option("header", "true")
+      .option("nullValue", nullMark).option("emptyValue", "").csv(out)
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
   }

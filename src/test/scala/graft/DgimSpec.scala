@@ -92,6 +92,22 @@ class DgimSpec extends AnyFunSuite {
     assert(b.state.estimate === b.state.estimate(roundUp = true))
   }
 
+  test("single live bucket: flagship returns its FULL size, PyFlink still floors") {
+    // DGIMAccumulator.java:72-75 early-returns the bucket's full size when
+    // only one bucket remains; job.py:37-46 has no special case and always
+    // floors the last bucket. Internally built states only ever reach this
+    // case with size 1 (where both forms coincide with the general rule),
+    // so pin it with an externally constructed state of size 4:
+    val lone = Dgim.State(3600L, 100L, Array(100L), Array(4L))
+    assert(lone.estimate(roundUp = true) === 4L)
+    assert(lone.estimate(roundUp = false) === 2L)
+    // same, with an expired older bucket that must not resurrect the
+    // general path: live prefix is still just the size-4 bucket
+    val withExpired = Dgim.State(60L, 2000L, Array(2000L, 10L), Array(4L, 8L))
+    assert(withExpired.estimate(roundUp = true) === 4L)
+    assert(withExpired.estimate(roundUp = false) === 2L)
+  }
+
   test("added() immutable fast path folds to the identical state as Builder") {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 50) {
