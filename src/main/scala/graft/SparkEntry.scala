@@ -38,10 +38,12 @@ object SparkEntry {
     "q_stream_slide"   -> (StreamQueries.streamSlideCount _),
     "q_stream_session" -> (StreamQueries.streamSessionWindow _),
     "q_stream_dedup"   -> (StreamQueries.streamDedup _),
+    "q_stream_range_join" -> (StreamQueries.streamRangeJoin _),
     "dedup_exact"      -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash"    -> (Dedup.minhashLsh _),
     "dedup_simhash"    -> (Dedup.simhash _),
+    "dedup_clusters"   -> (Clusters.dedupClusters _),
     "dedup_embed"      -> ((s: SparkSession, d: String) => Similarity.embedPairs(s, d)),
     "dedup_embed_lsh"  -> (Similarity.embedPairsLsh _),
     "ann_bruteforce"   -> (Similarity.annBruteforce _),
@@ -56,6 +58,8 @@ object SparkEntry {
     "text_rollhash"    -> (TextAnalysis.rollhash _),
     "text_tfidf"       -> (TextAnalysis.tfidf _),
     "text_chunks"      -> (TextAnalysis.chunks _),
+    "text_repetition"  -> (TextAnalysis.repetition _),
+    "text_pii"         -> (TextAnalysis.pii _),
     "text_decontam"    -> (Decontam.ngramCollisions _),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "sink_csv"         -> (graft.sources.Sinks.csvRoundTrip _),
@@ -95,11 +99,13 @@ object SparkEntry {
     "q_stream_slide"   -> Windows.slideCountSql,  // streaming == batch
     "q_stream_session" -> Windows.sessionWindowSql, // streaming == batch
     "q_stream_dedup"   -> StreamQueries.streamDedupSql,
+    "q_stream_range_join" -> StreamQueries.streamRangeJoinSql,
     // q_stream_dgim_tumble: rows-only; StreamingSpec asserts error bound.
     "dedup_exact"      -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     // dedup_minhash / dedup_simhash: sketch-based, not SQL-expressible →
     // rows-only driver check; SketchSpec asserts recall/precision.
+    "dedup_clusters"   -> Clusters.dedupClustersSql,
     "dedup_embed"      -> Similarity.embedPairsSql,
     // dedup_embed_lsh: LSH candidate recall < 1 by construction → rows-only
     // driver check; SketchSpec asserts precision 1.0 + recall vs exact twin.
@@ -114,6 +120,8 @@ object SparkEntry {
     // text_rollhash: rows-only; SketchSpec pins known hash vectors.
     "text_tfidf"       -> TextAnalysis.tfidfSql,
     "text_chunks"      -> TextAnalysis.chunksSql,
+    "text_repetition"  -> TextAnalysis.repetitionSql,
+    "text_pii"         -> TextAnalysis.piiSql,
     "text_decontam"    -> Decontam.ngramCollisionsSql,
     "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,
     "sink_csv"         -> graft.sources.Sinks.csvRoundTripSql,

@@ -122,6 +122,38 @@ object StreamQueries {
           $"session_window.end".as("session_end"), $"n_events")
     }
 
+  /** Stream-stream interval join: every (error, click) pair by the same
+    * user within ±5 minutes, both sides unbounded streams. This is the
+    * streaming twin of `q_range_join`'s band join: Spark keeps each
+    * side's rows in the state store only within the watermark + the join
+    * time bound (the BETWEEN condition is what lets it evict state — an
+    * unconstrained stream-stream join would buffer forever), and emits a
+    * match exactly once in append mode. Hash-matches the batch inner
+    * interval-join oracle.
+    */
+  def streamRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts".as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      errors.join(clicks,
+        expr("""user_id = c_user AND
+                c_ts BETWEEN e_ts - INTERVAL 5 MINUTES AND e_ts + INTERVAL 5 MINUTES"""))
+        .select($"event_id", $"user_id", $"e_ts", $"c_ts")
+    }
+
+  val streamRangeJoinSql: String = """
+    SELECT e.event_id, e.user_id, e.ts AS e_ts, c.ts AS c_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    JOIN (SELECT user_id AS c_user, ts FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.c_user
+     AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE"""
+
   /** The reference's full pipeline shape end-to-end: events → traffic-JSON
     * messages → lenient TrafficSource decode → streaming tumbling DGIM
     * (1 h windows to fit the events table's timescale). Rows-only driver

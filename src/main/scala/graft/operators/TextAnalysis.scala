@@ -180,6 +180,116 @@ object TextAnalysis {
       Text.rollingHashUdf(Text.normalizeFastUdf($"text")).as("fp_roll"))
   }
 
+  /** Single-pass per-row repetition statistics (see [[repetition]]). */
+  private[graft] def repetitionStats(text: String): (Long, Long, Long, Long) = {
+    val ws = Text.normalizeString(text).split(' ')
+    val wordCounts = new java.util.HashMap[String, Int](ws.length * 2)
+    var top = 0
+    var i = 0
+    while (i < ws.length) {
+      val c = wordCounts.merge(ws(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val nGrams = math.max(ws.length - 2, 0)
+    val distinct = new java.util.HashSet[String](nGrams * 2)
+    i = 0
+    while (i + 3 <= ws.length) {
+      distinct.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+      i += 1
+    }
+    (ws.length.toLong, top.toLong, nGrams.toLong, (nGrams - distinct.size).toLong)
+  }
+
+  private val repetitionUdf = udf { (text: String) => repetitionStats(text) }
+
+  /** Repetition-based quality signals (the Gopher-rules family): the
+    * count of the single most frequent word and the number of DUPLICATED
+    * word 3-grams per document. High values flag boilerplate, keyword
+    * stuffing, and generation loops — the standard repetition filters a
+    * pre-training corpus applies after the per-doc length/punct filters.
+    *
+    * All-integer output (ratios are one trivial division away and floats
+    * would only add hash hazards). One primitive pass per row inside a
+    * UDF — no shuffle, no per-element interpreted lambdas; the word/gram
+    * tallies live in a per-row hash map. Trivially parallel at any scale.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", repetitionUdf($"text").as("r"))
+      .select($"doc_id", $"r._1".as("n_words"), $"r._2".as("top_word_n"),
+        $"r._3".as("n_3grams"), $"r._4".as("dup_3gram_n"))
+  }
+
+  val repetitionSql: String = sqlWords + """,
+    words AS (SELECT doc_id, unnest(w) AS word FROM wd),
+    wcnt AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_n,
+                    CAST(SUM(c) AS BIGINT) AS n_words
+             FROM (SELECT doc_id, word, count(*) c FROM words GROUP BY 1, 2)
+             GROUP BY doc_id),
+    grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM wd, LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i)),
+    gcnt AS (SELECT doc_id, count(*) AS n_3grams,
+                    count(*) - count(DISTINCT g) AS dup_3gram_n
+             FROM grams GROUP BY doc_id)
+    SELECT w.doc_id, w.n_words, w.top_word_n,
+           COALESCE(g.n_3grams, 0) AS n_3grams,
+           COALESCE(g.dup_3gram_n, 0) AS dup_3gram_n
+    FROM wcnt w LEFT JOIN gcnt g ON w.doc_id = g.doc_id"""
+
+  // PII patterns: kept inside the regex subset Java (Spark) and RE2
+  // (DuckDB) interpret identically — char classes, bounded repeats, \b.
+  // No lookaround (RE2 has none), no \d shorthand differences.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val LongNumRe = "\\b[0-9]{9,}\\b"
+
+  /** PII scrubbing: count and redact email addresses, IPv4 addresses and
+    * long (≥9-digit) identifier-like numbers — the minimum hygiene pass a
+    * public-web corpus gets before training. Redaction is three chained
+    * `regexp_replace`es to fixed placeholder tokens, applied email →
+    * ip → number so an address's dotted quads are never double-redacted;
+    * the emitted md5 of the redacted text proves byte-identical redaction
+    * against the oracle. Pure per-row expressions (codegen'd regex), no
+    * shuffle.
+    *
+    * The synthetic corpus is mostly PII-free, so the driver check mainly
+    * pins the zero/non-zero split and redacted hashes; TextFastPathSpec
+    * asserts counts and redaction on planted PII strings.
+    */
+  def pii(spark: SparkSession, dir: String): DataFrame =
+    piiOn(Tables.documents(spark, dir))
+
+  /** The per-row PII expressions over any (doc_id, text) frame —
+    * separated so the spec can drive planted-PII rows.
+    */
+  def piiOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace($"text", EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+    docs.select($"doc_id",
+      regexp_count($"text", lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count($"text", lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count($"text", lit(LongNumRe)).cast("long").as("n_longnum"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  // the Scala pattern strings interpolate verbatim: DuckDB's standard
+  // single-quoted literals pass backslashes through to RE2 untouched
+  val piiSql: String = s"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(text, '$LongNumRe')) AS BIGINT) AS n_longnum,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$LongNumRe', '<NUM>', 'g'))
+        AS redacted_md5
+    FROM documents"""
+
   /** Overlapping word-window chunking — the tokenize-and-window step that
     * turns documents into training sequences: 32-word chunks on a 24-word
     * stride (8-word overlap), each identified by (doc_id, chunk_idx) and

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Clusters, Dedup, TextAnalysis}
+
+/** In-repo oracles for the corpus-hygiene operators added in round 3:
+  * connected-component dedup clustering, repetition statistics, and PII
+  * counting/redaction (the synthetic corpus is mostly PII-free, so the
+  * planted rows here are the operative check of the regex semantics).
+  */
+class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("min-label propagation resolves chains, stars and isolated pairs") {
+    import spark.implicits._
+    // components: chain 1-2-3-4 (diameter 3), star 20-{21,22,23},
+    // isolated pair 10-11, long chain 100..110 (diameter 10 — forces
+    // multiple propagation rounds)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L), (20L, 22L),
+      (20L, 23L), (10L, 11L)) ++ (100L until 110L).map(i => (i, i + 1))
+    val labels = Clusters.propagateMinLabels(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(20L, 21L, 22L, 23L).forall(labels(_) == 20L))
+    assert(Seq(10L, 11L).forall(labels(_) == 10L))
+    assert((100L to 110L).forall(labels(_) == 100L))
+    assert(labels.size === 4 + 4 + 2 + 11)
+  }
+
+  test("propagation handles an empty edge list") {
+    import spark.implicits._
+    val labels = Clusters.propagateMinLabels(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(labels.count() === 0L)
+  }
+
+  test("dedupClusters is consistent with the jaccard pair set on sf0.001") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val clusters = Clusters.dedupClusters(spark, dir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    val pairs = Dedup.ngramJaccard(spark, dir)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty) // planted dups must exist at this sf
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the min member of its component
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+    }
+  }
+
+  test("repetitionStats hand-computed vectors") {
+    // "a a a b": words 4, top 3, 3-grams {"a a a","a a b"} → 2 total 0 dup
+    assert(TextAnalysis.repetitionStats("a a a b") === ((4L, 3L, 2L, 0L)))
+    // "a a a a a": 3 identical 3-grams → 2 duplicated
+    assert(TextAnalysis.repetitionStats("a a a a a") === ((5L, 5L, 3L, 2L)))
+    // normalization applies first: case + punctuation fold together
+    assert(TextAnalysis.repetitionStats("The THE the!") === ((3L, 3L, 1L, 0L)))
+    // empty text normalizes to a single empty word, no 3-grams
+    assert(TextAnalysis.repetitionStats("") === ((1L, 1L, 0L, 0L)))
+    assert(TextAnalysis.repetitionStats("one two") === ((2L, 1L, 0L, 0L)))
+  }
+
+  test("PII counts and redaction on planted rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact john.doe@example.com or admin@sub.example.org today"),
+      (2L, "server 10.0.0.1 and 192.168.255.254 rebooted"),
+      (3L, "account 123456789 card 9876543210123456"),
+      (4L, "clean text with short numbers 123 and 12345678"),
+      (5L, "mixed: a@b.co at 8.8.8.8 ref 999999999"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiOn(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L)._1 === 2L && out(1L)._2 === 0L && out(1L)._3 === 0L)
+    assert(out(2L)._1 === 0L && out(2L)._2 === 2L && out(2L)._3 === 0L)
+    assert(out(3L)._1 === 0L && out(3L)._2 === 0L && out(3L)._3 === 2L)
+    assert(out(4L) === ((0L, 0L, 0L,
+      md5Hex("clean text with short numbers 123 and 12345678"))))
+    assert(out(5L) === ((1L, 1L, 1L, md5Hex("mixed: <EMAIL> at <IP> ref <NUM>"))))
+    assert(out(1L)._4 === md5Hex("contact <EMAIL> or <EMAIL> today"))
+    assert(out(2L)._4 === md5Hex("server <IP> and <IP> rebooted"))
+    assert(out(3L)._4 === md5Hex("account <NUM> card <NUM>"))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+}
