@@ -13,7 +13,15 @@ object Bench {
     // one warm-up action so the first measured query doesn't absorb
     // JVM/codegen/filesystem warm-up
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for targeted local timing; the
+    // driver sets no filter and always measures the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

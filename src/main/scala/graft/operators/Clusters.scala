@@ -55,31 +55,58 @@ object Clusters {
   def propagateMinLabels(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // symmetric edge list: propagation must flow both directions
-    val p = pairs.toDF("a", "b")
-    val edges = p.select($"a".as("src"), $"b".as("dst"))
+    // materialize the (possibly expensive) pair computation BEFORE the
+    // symmetrizing union — the union's two branches would otherwise each
+    // evaluate the pair subtree; rounds then reuse the checkpointed rows
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // cache()+count, NOT localCheckpoint: checkpointing goes through
+    // .rdd, which re-plans the (possibly expensive) pair query without
+    // AQE; caching materializes the AQE-optimized plan once and the
+    // rounds read the in-memory relation
+    val p = timed("pairs cache") {
+      val d = pairs.toDF("a", "b").cache(); d.count(); d
+    }
+    val edges = timed("edges ckpt")(p.select($"a".as("src"), $"b".as("dst"))
       .union(p.select($"b".as("src"), $"a".as("dst")))
-      .localCheckpoint() // pairs are computed once; rounds reuse the result
-    var labels = edges.select($"src".as("node")).distinct()
+      .localCheckpoint())
+    var labels = timed("labels ckpt")(edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label"))
-      .localCheckpoint()
+      .localCheckpoint())
+    // labels only ever DECREASE, so the label sum is a strictly
+    // decreasing potential: fixpoint ⇔ the sum is unchanged. That makes
+    // convergence detection a near-free global agg on the round's own
+    // materialization — no changed-flag column, no extra join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum($"label".cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+        .as[java.math.BigDecimal].head
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(edges("src").as("n2"))
-        .agg(min(labels("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-        .select(labels("node"),
-          least(labels("label"), coalesce($"nbr_label", labels("label"))).as("label"),
-          (labels("label") > coalesce($"nbr_label", labels("label")))
-            .cast("long").as("chg"))
-        .localCheckpoint()
-      converged = next.agg(coalesce(sum($"chg"), lit(0L))).as[Long].head == 0L
-      labels = next.select($"node", $"label")
+      // one round = ONE join + ONE keyed agg: candidate labels are each
+      // node's neighbours' labels plus its own, min-reduced per node
+      val next = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), labels("label"))
+        .union(labels)
+        .groupBy($"node").agg(min($"label").as("label"))
+        .localCheckpoint(eager = false) // materialized by the sum action below
+      val t0 = System.nanoTime()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds")
+    p.unpersist(blocking = false) // rounds are checkpointed; the cache is done
     labels
   }
 
