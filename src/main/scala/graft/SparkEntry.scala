@@ -20,6 +20,7 @@ object SparkEntry {
     "q_rollup"     -> (Analytics.qRollup _),
     "q_approx_distinct" -> (Analytics.qDistinct _),
     "q_quantile"   -> (Analytics.qQuantile _),
+    "q_moving_window" -> (Analytics.qMovingWindow _),
     "q_cube"       -> (Analytics.qCube _),
     "q_semi_join"  -> (Analytics.qSemiJoin _),
     "q_anti_join"  -> (Analytics.qAntiJoin _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "sample_weighted"  -> (Curation.sampleWeighted _),
     "pipeline_curate"  -> (Curation.curate _),
     "pipeline_pack"    -> (Curation.pack _),
+    "pipeline_shuffle" -> (Curation.shuffleOrder _),
   )
 
   /** DuckDB-equivalent SQL per query key (column names must match). */
@@ -83,6 +85,7 @@ object SparkEntry {
     "q_rollup"     -> Analytics.qRollupSql,
     "q_approx_distinct" -> Analytics.qDistinctSql,
     "q_quantile"   -> Analytics.qQuantileSql,
+    "q_moving_window" -> Analytics.qMovingWindowSql,
     "q_cube"       -> Analytics.qCubeSql,
     "q_semi_join"  -> Analytics.qSemiJoinSql,
     "q_anti_join"  -> Analytics.qAntiJoinSql,
@@ -135,5 +138,6 @@ object SparkEntry {
     "sample_weighted"  -> Curation.sampleWeightedSql,
     "pipeline_curate"  -> Curation.curateSql,
     "pipeline_pack"    -> Curation.packSql,
+    "pipeline_shuffle" -> Curation.shuffleOrderSql,
   )
 }

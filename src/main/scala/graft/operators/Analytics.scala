@@ -255,4 +255,39 @@ object Analytics {
            quantile_cont(l_extendedprice, 0.75) AS p75,
            quantile_cont(l_extendedprice, 0.95) AS p95
     FROM lineitem GROUP BY l_returnflag"""
+
+  /** Window-frame analytics over each user's event sequence: previous /
+    * next deltas (`lag`/`lead`) and a 3-row trailing moving sum — the
+    * sequence-feature surface (sessionized deltas, rolling windows) that
+    * rounds out the window-function coverage beyond rank-based top-k.
+    *
+    * ONE shuffle on user_id; the frame functions then run in a single
+    * per-partition sorted pass. Values are converted to exact integer
+    * cents first (`round(value·100)` is bit-identical across engines)
+    * so every emitted column is an integer — no FP association hazards
+    * in frames, and `lag`/`lead` nulls at partition edges are coalesced
+    * to the current row on both sides.
+    */
+  def qMovingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+      .select($"user_id", $"event_id", $"ts", $"cents",
+        ($"cents" - coalesce(lag($"cents", 1).over(w), $"cents")).as("delta_cents"),
+        (coalesce(lead($"cents", 1).over(w), $"cents") - $"cents").as("next_delta_cents"),
+        sum($"cents").over(w.rowsBetween(-2, 0)).as("mov3_cents"))
+  }
+
+  val qMovingWindowSql: String = """
+    WITH e AS (SELECT user_id, event_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT user_id, event_id, ts, cents,
+           cents - coalesce(lag(cents, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), cents) AS delta_cents,
+           coalesce(lead(cents, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), cents) - cents AS next_delta_cents,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents
+    FROM e"""
 }

@@ -209,4 +209,54 @@ object Curation {
       FROM filtered)
     SELECT doc_id, lang, n_words, stop_ratio, text_hash
     FROM deduped WHERE pick = 1"""
+
+  /** Deterministic global training-order shuffle: every doc gets a
+    * seeded pseudo-random sort key (`md5(seed || doc_id)` — RNG-free, so
+    * the order is reproducible across engines, partitionings and
+    * re-runs) and a GLOBAL 1-based position in that order.
+    *
+    * The naive global position (`row_number()` over an unpartitioned
+    * window) collapses the whole corpus onto one task — the canonical
+    * scale-killer. The scalable form is the classic two-pass global
+    * index: range-partition + sort within partitions on the key (a total
+    * order across partitions, the same machinery as a global ORDER BY),
+    * count rows per partition (tiny: P longs to the driver), broadcast
+    * the prefix-sum offsets, and assign `offset(pid) + local index` in
+    * one per-partition pass. No single-task stage anywhere; the only
+    * full-data movement is the one range shuffle any global sort pays.
+    *
+    * The sorted frame is cached between the two passes (count + assign);
+    * at corpus scale use DISK_ONLY or a parquet staging write instead —
+    * the two passes are deterministic either way.
+    */
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(concat(lit("s42:"), $"doc_id".cast("string"))).as("skey"))
+      .repartitionByRange(parts, $"skey", $"doc_id")
+      .sortWithinPartitions($"skey", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val counts = sorted.groupBy($"pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.as[(Long, String, Int)].mapPartitions { it =>
+      var local = 0L
+      it.map { case (docId, skey, pid) =>
+        local += 1
+        (docId, skey, bc.value(pid) + local)
+      }
+    }.toDF("doc_id", "skey", "shuffle_pos")
+  }
+
+  val shuffleOrderSql: String = """
+    SELECT doc_id,
+           md5('s42:' || CAST(doc_id AS VARCHAR)) AS skey,
+           CAST(row_number() OVER (
+             ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS shuffle_pos
+    FROM documents"""
 }
