@@ -48,15 +48,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         "mm_meta" -> Multimodal.meta(spark, sf),
         "mm_resize" -> Multimodal.resize(spark, sf),
         "mm_features" -> Multimodal.features(spark, sf),
-        "text_fingerprint" -> TextAnalysis.fingerprint(spark, sf)))
+        "text_fingerprint" -> TextAnalysis.fingerprint(spark, sf),
+        "text_repetition" -> TextAnalysis.repetition(spark, sf),
+        "text_pii" -> TextAnalysis.pii(spark, sf)))
       assert(shuffles(df) === 0, s"$name grew a shuffle")
   }
 
   test("single-shuffle operators stay single-shuffle") {
     for ((name, df, n) <- Seq(
         ("dedup_exact", Dedup.exact(spark, sf), 1),
-        ("pipeline_pack", Curation.pack(spark, sf), 1)))
+        ("pipeline_pack", Curation.pack(spark, sf), 1),
+        ("q_moving_window", Analytics.qMovingWindow(spark, sf), 1)))
       assert(shuffles(df) === n, s"$name shuffle count changed")
+  }
+
+  test("global shuffle-order assignment never concentrates on one task") {
+    // the range exchange must be the ONLY shuffle, and no unpartitioned
+    // window (single-task row_number) may appear anywhere in the plan
+    val df = Curation.shuffleOrder(spark, sf)
+    val nodes = physical(df)
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) === 0,
+      "index assignment added a post-sort shuffle") // range shuffle sits below the cache
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "global index must not use a window")
   }
 
   test("dimension joins broadcast (q3, salted join); no sort-merge join appears") {
