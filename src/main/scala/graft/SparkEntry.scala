@@ -64,6 +64,7 @@ object SparkEntry {
     "text_decontam"    -> (Decontam.ngramCollisions _),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "sink_csv"         -> (graft.sources.Sinks.csvRoundTrip _),
+    "sink_bucketed"    -> (graft.sources.Sinks.bucketedJoin _),
     "mm_meta"          -> (Multimodal.meta _),
     "mm_framesample"   -> (Multimodal.frameSample _),
     "mm_resize"        -> (Multimodal.resize _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "text_decontam"    -> Decontam.ngramCollisionsSql,
     "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,
     "sink_csv"         -> graft.sources.Sinks.csvRoundTripSql,
+    "sink_bucketed"    -> graft.sources.Sinks.bucketedJoinSql,
     "mm_meta"          -> Multimodal.metaSql,
     "mm_framesample"   -> Multimodal.frameSampleSql,
     "mm_resize"        -> Multimodal.resizeSql,

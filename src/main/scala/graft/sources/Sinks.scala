@@ -68,4 +68,47 @@ object Sinks {
     SELECT lang, source, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1, 2"""
+
+  /** Bucketed tables + co-located join: the shuffle is PRE-PAID once at
+    * write time. Both tables are written `bucketBy(8, doc_id)` +
+    * `sortBy(doc_id)`, so the doc_id equi-join between them needs NO
+    * exchange and NO sort — at 100 TB this turns every recurring join or
+    * aggregation on the bucket key (the fact-fact join case broadcast
+    * can't cover) from a full-corpus shuffle into a local zip of
+    * pre-sorted buckets. PlanShapeSpec pins the no-exchange property.
+    *
+    * The bucket metadata lives in the session catalog (in-memory here),
+    * so each run re-registers the external tables; files land under the
+    * fingerprint-keyed cache path. The final per-lang aggregate
+    * hash-matches the same join computed directly by the oracle.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = DumpCache.dirFor("graft_bucketed", dir, "documents.parquet")
+    val docs = Tables.documents(spark, dir)
+    docs.select($"doc_id", $"lang", $"n_chars")
+      .write.mode("overwrite").option("path", s"$base/docs")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("graft_docs_bucketed")
+    docs.select($"doc_id",
+        size(graft.functions.Text.wordsFast($"text")).cast("long").as("n_words"))
+      .write.mode("overwrite").option("path", s"$base/stats")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("graft_docstats_bucketed")
+    spark.table("graft_docs_bucketed")
+      .join(spark.table("graft_docstats_bucketed"), "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("total_words"),
+        sum($"n_chars").as("total_chars"))
+  }
+
+  val bucketedJoinSql: String = """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' ')) AS n_words
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM d GROUP BY lang"""
 }

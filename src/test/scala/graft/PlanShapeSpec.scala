@@ -73,6 +73,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "global index must not use a window")
   }
 
+  test("bucketed tables join without any exchange on the bucket key") {
+    // disable auto-broadcast so the join actually exercises the bucketed
+    // sort-merge path (with it on, tiny test tables would broadcast and
+    // trivially satisfy the no-shuffle assertion)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.sources.Sinks.bucketedJoin(spark, sf)
+      val nodes = physical(df)
+      val joinShuffles = {
+        // shuffles BELOW the join (the groupBy above it legitimately has one)
+        val joins = nodes.collect { case j: SortMergeJoinExec => j }
+        assert(joins.nonEmpty, "bucketed join no longer sort-merge")
+        joins.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+      }
+      assert(joinShuffles.isEmpty, "bucketed join re-grew an exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dimension joins broadcast (q3, salted join); no sort-merge join appears") {
     for ((name, df) <- Seq(
         "q3_join" -> Analytics.q3Join(spark, sf),
