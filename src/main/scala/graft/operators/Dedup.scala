@@ -97,6 +97,10 @@ object Dedup {
       .select($"ida".as("doc_id_a"), $"idb".as("doc_id_b"),
         ($"inter" * lit(1.0) / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= t)
+      // the pair set is tiny (near-dup density × corpus) and consumed by
+      // BOTH this query and the clustering pass over it — cache so the
+      // candidate pipeline runs once per session, not once per consumer
+      .cache()
   }
 
   val ngramJaccardSql: String = """
