@@ -60,11 +60,13 @@ object SparkEntry {
     "text_tfidf"       -> (TextAnalysis.tfidf _),
     "text_chunks"      -> (TextAnalysis.chunks _),
     "text_repetition"  -> (TextAnalysis.repetition _),
+    "text_heavyhitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_pii"         -> (TextAnalysis.pii _),
     "text_decontam"    -> (Decontam.ngramCollisions _),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "sink_csv"         -> (graft.sources.Sinks.csvRoundTrip _),
     "sink_bucketed"    -> (graft.sources.Sinks.bucketedJoin _),
+    "sink_zorder"      -> (graft.sources.Sinks.zorderRoundTrip _),
     "mm_meta"          -> (Multimodal.meta _),
     "mm_framesample"   -> (Multimodal.frameSample _),
     "mm_resize"        -> (Multimodal.resize _),
@@ -125,11 +127,13 @@ object SparkEntry {
     "text_tfidf"       -> TextAnalysis.tfidfSql,
     "text_chunks"      -> TextAnalysis.chunksSql,
     "text_repetition"  -> TextAnalysis.repetitionSql,
+    "text_heavyhitters" -> TextAnalysis.heavyHittersSql,
     "text_pii"         -> TextAnalysis.piiSql,
     "text_decontam"    -> Decontam.ngramCollisionsSql,
     "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,
     "sink_csv"         -> graft.sources.Sinks.csvRoundTripSql,
     "sink_bucketed"    -> graft.sources.Sinks.bucketedJoinSql,
+    "sink_zorder"      -> graft.sources.Sinks.zorderRoundTripSql,
     "mm_meta"          -> Multimodal.metaSql,
     "mm_framesample"   -> Multimodal.frameSampleSql,
     "mm_resize"        -> Multimodal.resizeSql,

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -155,6 +157,59 @@ object TextAnalysis {
       FROM tf t JOIN df USING (word))
     SELECT doc_id, word, CAST(rk AS INT) AS rk, tf, df
     FROM ranked WHERE rk <= 3"""
+
+  /** Corpus heavy hitters (top-10 words) WITHOUT a full-vocabulary
+    * groupBy: the two-pass sketch-then-verify pattern.
+    *
+    * Pass 1 runs a Misra–Gries summary (k counters, decrement-on-full)
+    * per partition inside `mapPartitions` — O(k) memory per task, no
+    * shuffle — and emits each partition's surviving candidate words.
+    * MG guarantees any word with frequency > n_p/k in a partition
+    * survives that partition's summary, so every global heavy hitter
+    * survives in at least one partition (its global rate is at least its
+    * best per-partition rate). Pass 2 exact-counts ONLY the candidate
+    * words (a broadcast semi-join filter feeding one small groupBy) and
+    * keeps the top-10 by (count desc, word asc).
+    *
+    * With k=512 a word needs ≥ 1/512 of some partition's words to be a
+    * candidate — far below any realistic top-10 rate, so the result
+    * equals the exact top-10 and hash-matches the plain SQL oracle. At
+    * 100 TB this replaces a words-cardinality shuffle with a k-sized
+    * one; the same summary is the classic first stage for vocab builds
+    * and stopword mining.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 512): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(Text.wordsFast($"text")).as("word"))
+      .filter(length($"word") >= 3)
+    val candidates = words.as[String].mapPartitions { it =>
+      val counters = new java.util.HashMap[String, Long](k * 2)
+      it.foreach { w =>
+        if (counters.containsKey(w) || counters.size < k)
+          counters.merge(w, 1L, (a, b) => a + b)
+        else {
+          // decrement every counter; evict zeros (the MG step)
+          val e = counters.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+          }
+        }
+      }
+      counters.keySet().iterator().asScala
+    }.toDF("word").distinct()
+    words.join(broadcast(candidates), "word")
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word".asc)
+      .limit(10)
+  }
+
+  val heavyHittersSql: String = sqlWords + """,
+    words AS (SELECT unnest(w) AS word FROM wd),
+    f AS (SELECT word FROM words WHERE length(word) >= 3)
+    SELECT word, count(*) AS n FROM f GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 10"""
 
   /** Content fingerprint: md5 of the normalized text (SQL-oracled). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink-side demonstration: hive-style partitioned parquet write +
@@ -100,6 +100,61 @@ object Sinks {
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("total_words"),
         sum($"n_chars").as("total_chars"))
+  }
+
+  // ---- Z-order layout ---------------------------------------------------
+
+  /** Interleave-spread a 16-bit value to even bit positions (the classic
+    * mask ladder); decimal mask literals so the identical arithmetic is
+    * emitted in the DuckDB oracle.
+    */
+  private def spread16(c: Column): Column = {
+    val m = Seq(16711935L, 252645135L, 858993459L, 1431655765L) // 0x00FF00FF ...
+    Seq(8, 4, 2, 1).zip(m).foldLeft(c) { case (x, (s, mask)) =>
+      (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(mask))
+    }
+  }
+
+  private def spread16Sql(x: String): String = {
+    val m = Seq(16711935L, 252645135L, 858993459L, 1431655765L)
+    Seq(8, 4, 2, 1).zip(m).foldLeft(x) { case (e, (s, mask)) =>
+      s"((($e) | (($e) << $s)) & $mask)"
+    }
+  }
+
+  /** Z-order (Morton) layout: interleave the bits of two 16-bit
+    * dimensions — (user_id mod 2^16, integer-cents mod 2^16) — into one
+    * sort key, range-partition + sort the write on it, and read back.
+    *
+    * Why it matters at 100 TB: a single-column sort clusters ONE
+    * predicate dimension; the Z-curve keeps BOTH dimensions locally
+    * clustered, so per-file min/max statistics prune scans for filters
+    * on either column (the technique behind Delta/Iceberg Z-ORDER
+    * optimization). The oracle hash-matches the interleave arithmetic
+    * per row (pure bit ops, engine-identical); SinkLayoutSpec asserts
+    * the written files cover DISJOINT z ranges — the property pruning
+    * depends on.
+    */
+  def zorderRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = DumpCache.ensure(
+      DumpCache.dirFor("graft_events_zorder", dir, "events.parquet")) { tmp =>
+      val cents = round($"value" * 100).cast("long")
+      val z = spread16(cents.bitwiseAND(lit(65535L)))
+        .bitwiseOR(shiftleft(spread16($"user_id".bitwiseAND(lit(65535L))), 1))
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"value", z.as("zval"))
+        .repartitionByRange(8, $"zval", $"event_id")
+        .sortWithinPartitions($"zval", $"event_id")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(out).select($"event_id", $"zval")
+  }
+
+  val zorderRoundTripSql: String = {
+    val a = spread16Sql("(CAST(round(value * 100) AS BIGINT) & 65535)")
+    val b = spread16Sql("(user_id & 65535)")
+    s"""SELECT event_id, ($a | ($b << 1)) AS zval FROM events"""
   }
 
   val bucketedJoinSql: String = """

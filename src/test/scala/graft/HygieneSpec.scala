@@ -97,6 +97,44 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L)._4 === md5Hex("account <NUM> card <NUM>"))
   }
 
+  test("z-order write produces files with disjoint z ranges") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Sinks.zorderRoundTrip(spark, dir).count()
+    val out = graft.sources.DumpCache.dirFor(
+      "graft_events_zorder", dir, "events.parquet")
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1, "expected a multi-file z-ordered layout")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min($"zval"),
+          org.apache.spark.sql.functions.max($"zval"))
+        .as[(Long, Long)].head
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping z ranges: $hi > $lo2")
+      case _ =>
+    }
+  }
+
+  test("Misra-Gries heavy hitters equal the exact top-10 on sf0.001") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val sketched = TextAnalysis.heavyHitters(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    val exact = graft.sources.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.Text.wordsFast($"text")).as("word"))
+      .filter(org.apache.spark.sql.functions.length($"word") >= 3)
+      .groupBy($"word").count()
+      .orderBy($"count".desc, $"word".asc).limit(10)
+      .as[(String, Long)].collect().toSeq
+    assert(sketched === exact)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
