@@ -256,7 +256,9 @@ object TextAnalysis {
     (ws.length.toLong, top.toLong, nGrams.toLong, (nGrams - distinct.size).toLong)
   }
 
-  private val repetitionUdf = udf { (text: String) => repetitionStats(text) }
+  private val repetitionUdf = udf { (text: String) =>
+    if (text == null) null else repetitionStats(text) // null in → null struct out
+  }
 
   /** Repetition-based quality signals (the Gopher-rules family): the
     * count of the single most frequent word and the number of DUPLICATED
