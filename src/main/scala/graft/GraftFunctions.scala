@@ -44,6 +44,25 @@ object GraftFunctions {
     spark.udf.register("graft_shingle_hashes", Text.shingleHashesFastUdf)
     spark.udf.register("graft_minhash_sig", Text.minhashSigUdf)
     spark.udf.register("graft_simhash64", Text.simhashUdf)
+    // the Z-order layout key (sink_zorder's interleave, SQL-callable so
+    // pure-SQL writers can ORDER BY the same curve)
+    spark.udf.register("graft_zvalue32", (a: Long, b: Long) => zvalue32(a, b))
+  }
+
+  /** Morton interleave of two 16-bit dimensions (low 16 bits of each
+    * input): a's bits land on even positions, b's on odd — bit-identical
+    * to the Column-expression ladder in `sources.Sinks.spread16`
+    * (ExtensionsSpec pins the equivalence).
+    */
+  def zvalue32(a: Long, b: Long): Long = spreadBits16(a) | (spreadBits16(b) << 1)
+
+  private def spreadBits16(v: Long): Long = {
+    var x = v & 0xFFFFL
+    x = (x | (x << 8)) & 0x00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0FL
+    x = (x | (x << 2)) & 0x33333333L
+    x = (x | (x << 1)) & 0x55555555L
+    x
   }
 
   /** Register a DGIM estimate aggregate bound to `windowSeconds`:

@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_minhash"    -> (Dedup.minhashLsh _),
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_clusters"   -> (Clusters.dedupClusters _),
+    "dedup_apply"      -> (Clusters.dedupApply _),
     "dedup_embed"      -> ((s: SparkSession, d: String) => Similarity.embedPairs(s, d)),
     "dedup_embed_lsh"  -> (Similarity.embedPairsLsh _),
     "ann_bruteforce"   -> (Similarity.annBruteforce _),
@@ -112,6 +113,7 @@ object SparkEntry {
     // dedup_minhash / dedup_simhash: sketch-based, not SQL-expressible →
     // rows-only driver check; SketchSpec asserts recall/precision.
     "dedup_clusters"   -> Clusters.dedupClustersSql,
+    "dedup_apply"      -> Clusters.dedupApplySql,
     "dedup_embed"      -> Similarity.embedPairsSql,
     // dedup_embed_lsh: LSH candidate recall < 1 by construction → rows-only
     // driver check; SketchSpec asserts precision 1.0 + recall vs exact twin.

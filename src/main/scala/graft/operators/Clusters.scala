@@ -110,11 +110,30 @@ object Clusters {
     labels
   }
 
+  /** The applied artifact a dedup pipeline actually ships: the WHOLE
+    * corpus with each doc's cluster id (its own id when unclustered) and
+    * an `is_canonical` flag — keep the minimum doc_id of every
+    * component, drop the rest. The cluster table is near-dup-density
+    * sized (tiny next to the corpus), so the left join broadcasts; the
+    * expensive pair set is shared with `dedup_ngram_jaccard` /
+    * `dedup_clusters` through the cached pair plan.
+    */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = dedupClusters(spark, dir).select($"doc_id", $"cluster_id")
+    graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", $"source",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+        (coalesce($"cluster_id", $"doc_id") === $"doc_id").cast("int").as("is_canonical"))
+  }
+
   /** Reachability-label recursive CTE over the verified Jaccard pair set:
     * node n gets every label reachable from it; MIN per node == component
     * min because the edge list is made symmetric first.
     */
-  val dedupClustersSql: String = s"""
+  private val componentsCte: String = s"""
     WITH RECURSIVE pairs AS (
       ${Dedup.ngramJaccardSql}
     ),
@@ -128,8 +147,16 @@ object Clusters {
       UNION
       SELECT e.s, r.label FROM edges e JOIN reach r ON r.node = e.d
     ),
-    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)"""
+
+  val dedupClustersSql: String = componentsCte + """
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
     FROM comp"""
+
+  val dedupApplySql: String = componentsCte + """
+    SELECT d.doc_id, d.lang, d.source,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CAST(COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS INT) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""
 }

@@ -96,6 +96,29 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(3) === 128)
   }
 
+  test("graft_zvalue32 interleaves bits (SQL call == bit-by-bit reference)") {
+    GraftFunctions.register(spark)
+    // independent bit-by-bit oracle
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (1L, 2L), (70000L, 131071L)) ++ // masking of >16-bit inputs
+      Seq.fill(20)((rnd.nextLong(1 << 17), rnd.nextLong(1 << 17)))
+    cases.foreach { case (a, b) =>
+      assert(GraftFunctions.zvalue32(a, b) === ref(a & 0xFFFFL, b & 0xFFFFL),
+        s"($a,$b)")
+      val viaSql = spark.sql(s"SELECT graft_zvalue32($a, $b)").collect()(0).getLong(0)
+      assert(viaSql === ref(a & 0xFFFFL, b & 0xFFFFL), s"SQL ($a,$b)")
+    }
+  }
+
   test("approx_percentile tracks exact percentile within the sketch bound (q_quantile's scale path)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
