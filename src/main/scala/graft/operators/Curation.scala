@@ -225,9 +225,11 @@ object Curation {
     * one per-partition pass. No single-task stage anywhere; the only
     * full-data movement is the one range shuffle any global sort pays.
     *
-    * The sorted frame is cached between the two passes (count + assign);
-    * at corpus scale use DISK_ONLY or a parquet staging write instead —
-    * the two passes are deterministic either way.
+    * The sorted frame is cached between the two passes (count + assign)
+    * and UNPERSISTED before returning — the returned frame is an eager
+    * local checkpoint of the final assignment, so no corpus-wide cache
+    * outlives the operator. At corpus scale use DISK_ONLY or a parquet
+    * staging write instead — the two passes are deterministic either way.
     */
   def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -243,13 +245,18 @@ object Curation {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
     val bc = spark.sparkContext.broadcast(offsets)
-    sorted.as[(Long, String, Int)].mapPartitions { it =>
+    val out = sorted.as[(Long, String, Int)].mapPartitions { it =>
       var local = 0L
       it.map { case (docId, skey, pid) =>
         local += 1
         (docId, skey, bc.value(pid) + local)
       }
     }.toDF("doc_id", "skey", "shuffle_pos")
+      // materialize the (slim, 3-column) assignment so the corpus-wide
+      // sorted cache can be released before the operator returns
+      .localCheckpoint()
+    sorted.unpersist(blocking = false)
+    out
   }
 
   val shuffleOrderSql: String = """

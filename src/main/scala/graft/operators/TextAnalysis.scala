@@ -164,21 +164,26 @@ object TextAnalysis {
     * Pass 1 runs a Misra–Gries summary (k counters, decrement-on-full)
     * per partition inside `mapPartitions` — O(k) memory per task, no
     * shuffle — and emits each partition's surviving candidate words.
-    * MG guarantees any word with frequency > n_p/k in a partition
-    * survives that partition's summary, so every global heavy hitter
-    * survives in at least one partition (its global rate is at least its
-    * best per-partition rate). Pass 2 exact-counts ONLY the candidate
-    * words (a broadcast semi-join filter feeding one small groupBy) and
-    * keeps the top-10 by (count desc, word asc).
+    * MG guarantees any word with frequency > n_p/(k+1) within a
+    * partition survives that partition's summary; a global heavy hitter
+    * is guaranteed a candidate slot only if it clears that rate in AT
+    * LEAST ONE partition (true whenever its global rate exceeds
+    * 1/(k+1), since its best per-partition rate is ≥ its global rate).
+    * Pass 2 exact-counts ONLY the candidate words (a broadcast
+    * semi-join filter feeding one small groupBy) and keeps the top-10
+    * by (count desc, word asc).
     *
-    * With k=512 a word needs ≥ 1/512 of some partition's words to be a
-    * candidate — far below any realistic top-10 rate, so the result
-    * equals the exact top-10 and hash-matches the plain SQL oracle. At
-    * 100 TB this replaces a words-cardinality shuffle with a k-sized
-    * one; the same summary is the classic first stage for vocab builds
-    * and stopword mining.
+    * With k=2048 a word needs ≥ 1/2049 of some partition's words to be
+    * a candidate — orders of magnitude below any Zipf-like corpus's
+    * top-10 rate, so the result equals the exact top-10 and the driver
+    * gate hash-matches it against the plain SQL oracle at both SFs. A
+    * pathologically flat distribution (10th word under 1/2049
+    * everywhere) would need a larger k — size k to ~10× the inverse of
+    * the lowest rate you must capture. At 100 TB this replaces a
+    * words-cardinality shuffle with a k-sized one; the same summary is
+    * the classic first stage for vocab builds and stopword mining.
     */
-  def heavyHitters(spark: SparkSession, dir: String, k: Int = 512): DataFrame = {
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 2048): DataFrame = {
     import spark.implicits._
     val words = Tables.documents(spark, dir)
       .select(explode(Text.wordsFast($"text")).as("word"))

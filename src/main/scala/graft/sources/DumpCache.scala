@@ -36,20 +36,23 @@ object DumpCache {
     val dest = new java.io.File(path)
     val tmp = new java.io.File(
       path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    write(tmp.getPath)
-    if (!isReady(tmp.getPath))
-      throw new java.io.IOException(s"dump writer left no _SUCCESS in $tmp")
-    if (!tmp.renameTo(dest)) {
-      if (!isReady(path)) {
+    try {
+      write(tmp.getPath)
+      if (!isReady(tmp.getPath))
+        throw new java.io.IOException(s"dump writer left no _SUCCESS in $tmp")
+      if (!tmp.renameTo(dest) && !isReady(path)) {
         // stale half-written destination (e.g. a crashed legacy writer):
         // clear it and retry once; a concurrent complete winner is kept
         deleteRecursively(dest)
         if (!tmp.renameTo(dest) && !isReady(path))
           throw new java.io.IOException(s"could not publish dump at $path")
       }
-      deleteRecursively(tmp)
+      path
+    } finally {
+      // rename success leaves nothing at tmp; every other exit (lost
+      // race, failed write, thrown error) must not leak the dump copy
+      if (tmp.exists()) deleteRecursively(tmp)
     }
-    path
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

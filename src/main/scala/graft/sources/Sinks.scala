@@ -72,10 +72,14 @@ object Sinks {
   /** Bucketed tables + co-located join: the shuffle is PRE-PAID once at
     * write time. Both tables are written `bucketBy(8, doc_id)` +
     * `sortBy(doc_id)`, so the doc_id equi-join between them needs NO
-    * exchange and NO sort — at 100 TB this turns every recurring join or
+    * exchange — at 100 TB this turns every recurring join or
     * aggregation on the bucket key (the fact-fact join case broadcast
-    * can't cover) from a full-corpus shuffle into a local zip of
-    * pre-sorted buckets. PlanShapeSpec pins the no-exchange property.
+    * can't cover) from a full-corpus shuffle into a local merge of
+    * co-located buckets. The join-side sorts are additionally elided
+    * when each bucket is a single file (Spark only trusts the sortBy
+    * order then; a multi-task write leaves a local per-bucket sort —
+    * still never an exchange). PlanShapeSpec pins the no-exchange
+    * property.
     *
     * The bucket metadata lives in the session catalog (in-memory here),
     * so each run re-registers the external tables; files land under the
