@@ -246,6 +246,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(second === Map(base -> 60L, (base + 60) -> 15L))
   }
 
+  test("stream-stream interval join emits cross-batch pairs exactly once") {
+    import spark.implicits._
+    // three files → three micro-batches (maxFilesPerTrigger=1): the
+    // (error 5, click 1) pair SPANS batches — the click must be held in
+    // join state until its error arrives — while (error 6, click 4) is
+    // outside the ±5 min bound and must never emit
+    val dir = Files.createTempDirectory("graft_ssj").toFile
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_ssj_w").toFile
+      rows.toDF("event_id", "sec", "user_id", "event_type")
+        .select($"event_id", timestamp_seconds($"sec").as("ts"),
+          $"user_id", $"event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, name).toPath)
+    }
+    writeBatch("b0.parquet", Seq((1L, 100L, 1L, "click"),
+      (2L, 100L, 2L, "error"), (3L, 90L, 2L, "click"), (4L, 0L, 3L, "click")))
+    writeBatch("b1.parquet", Seq((5L, 200L, 1L, "error")))
+    writeBatch("b2.parquet", Seq((6L, 400L, 3L, "error"), (7L, 10000L, 1L, "click")))
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getPath)
+    val errors = stream.filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"user_id", $"ts".as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val clicks = stream.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = errors.join(clicks,
+      expr("""user_id = c_user AND
+              c_ts BETWEEN e_ts - INTERVAL 5 MINUTES AND e_ts + INTERVAL 5 MINUTES"""))
+    val name = "ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name)
+      .select($"e_id", $"c_id").as[(Long, Long)].collect()
+    assert(got.toSet === Set((5L, 1L), (2L, 3L)))
+    assert(got.length === 2, "a pair emitted more than once")
+  }
+
   test("TrafficGen produces parseable messages with both bit values") {
     import spark.implicits._
     // drive the deterministic jsonify on a batch frame shaped like the rate source
