@@ -10,9 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up action so the first measured query doesn't absorb
-    // JVM/codegen/filesystem warm-up
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warm-up actions so the first measured query per table doesn't
+    // absorb JVM/codegen/filesystem first-touch costs (typed loaders:
+    // events needs the nanos-timestamp session conf they set)
+    Seq[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      graft.sources.Tables.lineitem, graft.sources.Tables.documents,
+      graft.sources.Tables.events, graft.sources.Tables.embeddings,
+      graft.sources.Tables.orders)
+      .foreach(load => load(spark, sfDir).count())
     // optional comma-separated subset for targeted local timing; the
     // driver sets no filter and always measures the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
