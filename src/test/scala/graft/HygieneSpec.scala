@@ -38,6 +38,31 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.size === 4 + 4 + 2 + 11)
   }
 
+  test("propagation matches a union-find reference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 3) {
+      val edges = Seq.fill(50)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(p => p._1 != p._2)
+      // union-find with min-root union: the root of every set is its
+      // minimum element, i.e. exactly the propagation's cluster id
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val labels = Clusters.propagateMinLabels(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(labels === expected)
+    }
+  }
+
   test("propagation handles an empty edge list") {
     import spark.implicits._
     val labels = Clusters.propagateMinLabels(
