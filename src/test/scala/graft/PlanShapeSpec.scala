@@ -104,6 +104,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("heavy hitters: broadcast candidate join and top-k without a global sort") {
+    val nodes = physical(TextAnalysis.heavyHitters(spark, sf))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "candidate filter lost its broadcast join")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-10 must be TakeOrdered (per-partition partials), not a global sort")
+  }
+
+  test("dedup_apply broadcasts the cluster table into the corpus join") {
+    val nodes = physical(Clusters.dedupApply(spark, sf))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "cluster attach lost its broadcast join")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "corpus-side sort-merge join appeared")
+  }
+
   test("decontamination pushes both source filters into the parquet scans") {
     val plan = Decontam.ngramCollisions(spark, sf)
       .queryExecution.executedPlan.toString
