@@ -110,6 +110,74 @@ object Clusters {
     labels
   }
 
+  /** The O(log n)-rounds alternative to [[propagateMinLabels]]:
+    * alternating large-star / small-star rewiring (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"). Each round is the
+    * same join+agg shape as a propagation round, but the rewiring
+    * CONTRACTS long chains instead of walking them, so convergence is
+    * logarithmic in component size rather than linear in diameter —
+    * the variant to reach for when components can be adversarially
+    * long (propagation remains the default: near-dup components are
+    * tiny-diameter and its per-round constant is smaller).
+    *
+    *  - large-star: every node attaches its STRICTLY GREATER neighbours
+    *    to min(Γ(u) ∪ u)
+    *  - small-star: every node attaches its ≤ neighbours and itself to
+    *    min(Γ≤(u) ∪ u)
+    *
+    * Both preserve connectivity and only ever decrease the attachment
+    * targets; the fixpoint is a star per component centred on its min
+    * node. Returns (node, label) like propagateMinLabels; HygieneSpec
+    * pins equality with it on random graphs and verifies the round
+    * count stays logarithmic on a long path.
+    */
+  def alternatingStars(pairs: DataFrame, maxRounds: Int = 60): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def canon(df: DataFrame): DataFrame =
+      df.select(least($"u", $"v").as("lo"), greatest($"u", $"v").as("hi"))
+        .filter($"lo" =!= $"hi").distinct()
+    val p = pairs.toDF("a", "b").cache()
+    p.count()
+    val nodes = p.select($"a".as("node")).union(p.select($"b".as("node")))
+      .distinct().localCheckpoint()
+    var edges = canon(p.select($"a".as("u"), $"b".as("v"))).localCheckpoint()
+    def sym(e: DataFrame): DataFrame =
+      e.select($"lo".as("u"), $"hi".as("v"))
+        .union(e.select($"hi".as("u"), $"lo".as("v")))
+    // one star step: attach `pick`ed neighbours of u to min(Γ(u)∪u),
+    // computed over the SAME symmetric view
+    def star(e: DataFrame, largeStar: Boolean): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy($"u".as("mu")).agg(min(least($"v", $"u")).as("m"))
+      val attach = s.join(m, $"u" === $"mu")
+        .filter(if (largeStar) $"v" > $"u" else $"v" <= $"u")
+        .select($"v".as("u"), $"m".as("v"))
+      val self = if (largeStar) attach
+        else attach.union(m.select($"mu".as("u"), $"m".as("v")))
+      canon(self)
+    }
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = star(star(edges, largeStar = true), largeStar = false)
+        .localCheckpoint()
+      // fixpoint: identical edge multiset (both are distinct canonical
+      // sets, so count + anti-join emptiness decides equality)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("lo", "hi"), "left_anti").isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged, s"alternating stars did not converge in $maxRounds rounds")
+    p.unpersist(blocking = false)
+    // at the fixpoint every component is a star centred on its min node
+    val labels = nodes.join(edges.select($"hi".as("node"), $"lo".as("label")),
+        Seq("node"), "left")
+      .select($"node", coalesce($"label", $"node").as("label"))
+    (labels, round)
+  }
+
   /** The applied artifact a dedup pipeline actually ships: the WHOLE
     * corpus with each doc's cluster id (its own id when unclustered) and
     * an `is_canonical` flag — keep the minimum doc_id of every

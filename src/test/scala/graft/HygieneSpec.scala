@@ -63,6 +63,26 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("alternating stars equals propagation on random graphs, log rounds on a path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 2) {
+      val edges = Seq.fill(40)(
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)).filter(p => p._1 != p._2)
+      val viaProp = Clusters.propagateMinLabels(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val (starLabels, _) = Clusters.alternatingStars(edges.toDF("a", "b"))
+      assert(starLabels.as[(Long, Long)].collect().toMap === viaProp)
+    }
+    // 200-node path: diameter 199 would cost propagation ~200 rounds;
+    // star contraction must stay logarithmic
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val (labels, rounds) = Clusters.alternatingStars(path.toDF("a", "b"))
+    assert(rounds <= 15, s"expected O(log n) rounds, took $rounds")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length === 200 && got.forall(_._2 == 0L))
+  }
+
   test("propagation handles an empty edge list") {
     import spark.implicits._
     val labels = Clusters.propagateMinLabels(
