@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   * tiny and star-or-chain shaped (diameter ≤ ~3), so this converges in a
   * handful of rounds of edge-cardinality shuffles — the right trade at
   * 100 TB, where per-round cost dominates. For adversarially long chains
-  * the literature's large-star/small-star variant (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond") reduces rounds to
-  * O(log n) with the same per-round join shape; the propagation loop
-  * below is the same harness with a different per-round rewrite.
+  * [[alternatingStars]] ships the large-star/small-star variant
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+  * which contracts components in O(log n) rounds with the same
+  * per-round join shape.
   *
   * Oracle: DuckDB recursive CTE computing reachability labels over the
   * SAME pair set (min reachable id == component min on a symmetric edge
@@ -55,9 +55,6 @@ object Clusters {
   def propagateMinLabels(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // materialize the (possibly expensive) pair computation BEFORE the
-    // symmetrizing union — the union's two branches would otherwise each
-    // evaluate the pair subtree; rounds then reuse the checkpointed rows
     def timed[T](what: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -65,10 +62,11 @@ object Clusters {
         System.err.println(f"[cc] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    // cache()+count, NOT localCheckpoint: checkpointing goes through
-    // .rdd, which re-plans the (possibly expensive) pair query without
-    // AQE; caching materializes the AQE-optimized plan once and the
-    // rounds read the in-memory relation
+    // materialize the (possibly expensive) pair computation BEFORE the
+    // symmetrizing union, via cache()+count rather than localCheckpoint:
+    // checkpointing goes through .rdd, which re-plans the pair query
+    // without AQE; caching materializes the AQE-optimized plan once and
+    // the union's two branches + every round read the in-memory relation
     val p = timed("pairs cache") {
       val d = pairs.toDF("a", "b").cache(); d.count(); d
     }
@@ -145,8 +143,8 @@ object Clusters {
     def sym(e: DataFrame): DataFrame =
       e.select($"lo".as("u"), $"hi".as("v"))
         .union(e.select($"hi".as("u"), $"lo".as("v")))
-    // one star step: attach `pick`ed neighbours of u to min(Γ(u)∪u),
-    // computed over the SAME symmetric view
+    // one star step: attach the selected side of every node's
+    // neighbourhood to min(Γ(u)∪u), computed over the symmetric view
     def star(e: DataFrame, largeStar: Boolean): DataFrame = {
       val s = sym(e)
       val m = s.groupBy($"u".as("mu")).agg(min(least($"v", $"u")).as("m"))
