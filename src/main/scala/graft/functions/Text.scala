@@ -20,12 +20,20 @@ object Text {
 
   def words(c: Column): Column = split(normalize(c), " ")
 
-  /** Fast form of [[words]]: identical output (normalizeFastUdf is pinned
-    * bit-equal to the triple-regex normalize; the split is the same) at
-    * ~µs/row instead of ~ms/row. Use for per-document tokenization in
-    * queries; [[words]] remains the declarative semantics statement.
+  /** Native codegen'd form of [[normalize]] — identical output
+    * (TextFastPathSpec pins bit-equality), evaluated byte-level inside
+    * whole-stage codegen (see [[NormalizeText]]). The preferred form in
+    * every operator; [[normalize]] remains the declarative semantics
+    * statement and [[normalizeFastUdf]] the UDF twin registered for the
+    * pure-SQL surface.
     */
-  def wordsFast(c: Column): Column = split(normalizeFastUdf(c), " ")
+  def normalizeFast(c: Column): Column = NormalizeText(c)
+
+  /** Fast form of [[words]]: identical output at ~µs/row instead of
+    * ~ms/row. Use for per-document tokenization in queries; [[words]]
+    * remains the declarative semantics statement.
+    */
+  def wordsFast(c: Column): Column = split(normalizeFast(c), " ")
 
   /** Word n-grams as an array column (empty when the doc is shorter than n).
     *

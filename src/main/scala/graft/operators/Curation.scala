@@ -139,7 +139,7 @@ object Curation {
     val SeqLen = 512
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"lang",
-        size(split(Text.normalizeFastUdf($"text"), " ")).as("n_words"))
+        size(split(Text.normalizeFast($"text"), " ")).as("n_words"))
     docs
       .withColumn("cum_before", coalesce(sum($"n_words").over(
         Window.partitionBy($"lang").orderBy($"doc_id")
@@ -182,7 +182,7 @@ object Curation {
     val filtered = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"text", nWords.as("n_words"),
         (stopHits.cast("double") / nWords).as("stop_ratio"),
-        md5(Text.normalizeFastUdf($"text")).as("text_hash"))
+        md5(Text.normalizeFast($"text")).as("text_hash"))
       .filter($"lang" === "en" && $"n_words" >= 30 && $"stop_ratio" > 0)
     filtered
       .withColumn("pick", row_number().over(

@@ -34,7 +34,7 @@ object Dedup {
   def exact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", md5(Text.normalizeFastUdf($"text")).as("text_hash"))
+      .select($"doc_id", md5(Text.normalizeFast($"text")).as("text_hash"))
       .groupBy($"text_hash")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }

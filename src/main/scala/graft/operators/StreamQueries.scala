@@ -99,7 +99,7 @@ object StreamQueries {
         StructField("n_chars", LongType)))
       s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .select(md5(graft.functions.Text.normalizeFastUdf($"text")).as("text_hash"))
+        .select(md5(graft.functions.Text.normalizeFast($"text")).as("text_hash"))
         .dropDuplicates("text_hash")
     }
 

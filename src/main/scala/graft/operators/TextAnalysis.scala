@@ -82,7 +82,7 @@ object TextAnalysis {
     val stopRatio = hitRatio(w, stopwords("en"))
     Tables.documents(spark, dir).select($"doc_id",
       nChars.as("n_chars"), nWords.as("n_words"),
-      ((length(Text.normalizeFastUdf($"text")) - nWords + 1).cast("double") / nWords).as("avg_word_len"),
+      ((length(Text.normalizeFast($"text")) - nWords + 1).cast("double") / nWords).as("avg_word_len"),
       (nPunct.cast("double") / nChars).as("punct_ratio"),
       stopRatio.as("stopword_ratio"),
       (least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5 + stopRatio * 0.5).as("quality_score"))
@@ -220,8 +220,8 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select($"doc_id",
-      md5(Text.normalizeFastUdf($"text")).as("fp_md5"),
-      length(Text.normalizeFastUdf($"text")).as("norm_len"))
+      md5(Text.normalizeFast($"text")).as("fp_md5"),
+      length(Text.normalizeFast($"text")).as("norm_len"))
   }
 
   val fingerprintSql: String = """
@@ -237,7 +237,7 @@ object TextAnalysis {
   def rollhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select($"doc_id",
-      Text.rollingHashUdf(Text.normalizeFastUdf($"text")).as("fp_roll"))
+      Text.rollingHashUdf(Text.normalizeFast($"text")).as("fp_roll"))
   }
 
   /** Single-pass per-row repetition statistics (see [[repetition]]). */

@@ -53,6 +53,22 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native NormalizeText expression is bit-equal to the Column normalize") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").as[String].collect().toSeq ++ edgeCases
+    val both = docs.toDF("text")
+      .select(Text.normalize($"text").as("col"), Text.normalizeFast($"text").as("nat"))
+      .as[(String, String)].collect()
+    docs.zip(both).foreach { case (in, (col, nat)) =>
+      assert(nat === col, s"input=<$in>")
+    }
+    // null propagates
+    val n = Seq((1, null: String)).toDF("i", "text")
+      .select(Text.normalizeFast($"text")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("xx64 matches the Column xxhash64 (seed 42) exactly") {
     import spark.implicits._
     val strings = edgeCases ++ Seq("the quick brown fox", "a", "0") ++
