@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatDotProduct
+import graft.functions.{FloatDotProduct, NormalizeText}
 
 /** graft's `SparkSessionExtensions` entry point — makes the native
   * expressions available to pure-SQL users:
@@ -19,6 +19,10 @@ import graft.functions.FloatDotProduct
   * Registered functions:
   *  - `float_dot(array<float>, array<float>) -> double` — codegen'd
   *    sequential-fold dot product ([[graft.functions.FloatDotProduct]]).
+  *  - `graft_normalize(string) -> string` — codegen'd canonical text
+  *    normalize ([[graft.functions.NormalizeText]]); sessions that only
+  *    call `GraftFunctions.register` get the UDF twin under the same
+  *    name with identical semantics.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -29,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"float_dot takes 2 arguments, got ${args.length}")
         FloatDotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_normalize takes 1 argument, got ${args.length}")
+        NormalizeText(args.head)
       }))
   }
 }

@@ -96,6 +96,17 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(3) === 128)
   }
 
+  test("graft_normalize resolves to the NATIVE expression in an extensions-only session") {
+    // fresh session state: no GraftFunctions.register UDF shadowing the
+    // injected function — SQL must hit NormalizeText directly
+    val s = spark.newSession()
+    val r = s.sql("SELECT graft_normalize('  Hello,  WORLD!! 42 ') AS n").collect()(0)
+    assert(r.getString(0) === "hello world 42")
+    val plan = s.sql("SELECT graft_normalize('x')").queryExecution.analyzed.toString
+    assert(plan.contains("graft_normalize"), plan)
+    assert(!plan.toLowerCase.contains("udf"), s"expected native expression, got:\n$plan")
+  }
+
   test("graft_zvalue32 interleaves bits (SQL call == bit-by-bit reference)") {
     GraftFunctions.register(spark)
     // independent bit-by-bit oracle
