@@ -126,7 +126,11 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "server 10.0.0.1 and 192.168.255.254 rebooted"),
       (3L, "account 123456789 card 9876543210123456"),
       (4L, "clean text with short numbers 123 and 12345678"),
-      (5L, "mixed: a@b.co at 8.8.8.8 ref 999999999"))
+      (5L, "mixed: a@b.co at 8.8.8.8 ref 999999999"),
+      // the 9-digit run inside the local part is not \b-delimited (v1 is
+      // word-word), and the email is redacted first anyway — no <NUM>
+      (6L, "v123456789@example.com wrote"),
+      (7L, "reach foo.bar@x.io,10.0.0.1 now"))
       .toDF("doc_id", "text")
     val out = TextAnalysis.piiOn(docs)
       .as[(Long, Long, Long, Long, String)].collect()
@@ -140,6 +144,8 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L)._4 === md5Hex("contact <EMAIL> or <EMAIL> today"))
     assert(out(2L)._4 === md5Hex("server <IP> and <IP> rebooted"))
     assert(out(3L)._4 === md5Hex("account <NUM> card <NUM>"))
+    assert(out(6L) === ((1L, 0L, 0L, md5Hex("<EMAIL> wrote"))))
+    assert(out(7L) === ((1L, 1L, 0L, md5Hex("reach <EMAIL>,<IP> now"))))
   }
 
   test("z-order write produces files with disjoint z ranges") {
