@@ -1,5 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry at the given SF
+  * and prints ONE JSON line.
+  *
+  * Measurement discipline (BENCH_r03 showed why it matters):
+  *  - Run order is PINNED (alphabetical, with `dedup_ngram_jaccard`
+  *    force-ordered before the other consumers of its pair dump), so
+  *    first-touch costs land on the same query every round instead of
+  *    shuffling with Map iteration order — the r02→r03 "regressions" of
+  *    text_tfidf / q_salted_join / mm_meta were exactly such attribution
+  *    moves.
+  *  - Tables are warmed with FULL-COLUMN scans (count() reads only
+  *    parquet footers, so the old warmup left all data-column IO on the
+  *    first query touching each table — mm_meta's 4× r03 "regression"
+  *    was the documents `payload` binary column's first read).
+  *  - The shared Jaccard pair dump is NOT pre-warmed: its one-time
+  *    derivation is real operator work and is deliberately billed to
+  *    dedup_ngram_jaccard (the pair-derivation query) by the run order.
+  *  - SPARK_GRAFT_PASSES=n (default 1) re-runs the suite n times and
+  *    reports the LAST pass — local warm-vs-cold attribution; the driver
+  *    sets nothing and always measures the default cold pass.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,14 +32,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up actions so the first measured query per table doesn't
-    // absorb JVM/codegen/filesystem first-touch costs (typed loaders:
-    // events needs the nanos-timestamp session conf they set)
+    // full-column warm-up scans (noop sink: decode every column, write
+    // nothing) so per-query timings measure the operator, not whichever
+    // query first faults each table's pages in; also primes the typed
+    // loaders' session confs (events needs the nanos-timestamp conf)
     Seq[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
       graft.sources.Tables.lineitem, graft.sources.Tables.documents,
       graft.sources.Tables.events, graft.sources.Tables.embeddings,
-      graft.sources.Tables.orders)
-      .foreach(load => load(spark, sfDir).count())
+      graft.sources.Tables.orders, graft.sources.Tables.customer)
+      .foreach(load => load(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
     // optional comma-separated subset for targeted local timing; the
     // driver sets no filter and always measures the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -26,20 +50,29 @@ object Bench {
       case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          // keep the row (visible -1 sentinel) but make the failure loud
-          System.err.println(
-            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          false
+    // pinned order: alphabetical, except the pair-dump derivation query
+    // sorts before its dump's other consumers (dedup_apply/dedup_clusters)
+    val ordered = selected.toSeq.sortBy {
+      case (k, _) => if (k == "dedup_ngram_jaccard") "dedup_a0" else k
+    }
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(1)
+    var results = Seq.empty[(String, Double)]
+    for (_ <- 1 to passes) {
+      results = ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            // keep the row (visible -1 sentinel) but make the failure loud
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash"    -> (Dedup.minhashLsh _),
     "dedup_simhash"    -> (Dedup.simhash _),
+    "dedup_chunks"     -> (Dedup.chunkDups _),
     "dedup_clusters"   -> (Clusters.dedupClusters _),
     "dedup_apply"      -> (Clusters.dedupApply _),
     "dedup_embed"      -> ((s: SparkSession, d: String) => Similarity.embedPairs(s, d)),
@@ -56,6 +57,7 @@ object SparkEntry {
     "text_langid"      -> (TextAnalysis.langid _),
     "text_quality"     -> (TextAnalysis.quality _),
     "text_tokens"      -> (TextAnalysis.tokens _),
+    "text_tokens_bpe"  -> (TextAnalysis.tokensBpe _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rollhash"    -> (TextAnalysis.rollhash _),
     "text_tfidf"       -> (TextAnalysis.tfidf _),
@@ -112,6 +114,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     // dedup_minhash / dedup_simhash: sketch-based, not SQL-expressible →
     // rows-only driver check; SketchSpec asserts recall/precision.
+    "dedup_chunks"     -> Dedup.chunkDupsSql,
     "dedup_clusters"   -> Clusters.dedupClustersSql,
     "dedup_apply"      -> Clusters.dedupApplySql,
     "dedup_embed"      -> Similarity.embedPairsSql,
@@ -124,6 +127,7 @@ object SparkEntry {
     "text_langid"      -> TextAnalysis.langidSql,
     "text_quality"     -> TextAnalysis.qualitySql,
     "text_tokens"      -> TextAnalysis.tokensSql,
+    "text_tokens_bpe"  -> TextAnalysis.tokensBpeSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     // text_rollhash: rows-only; SketchSpec pins known hash vectors.
     "text_tfidf"       -> TextAnalysis.tfidfSql,

@@ -52,7 +52,8 @@ object Clusters {
     * Separated from [[dedupClusters]] so specs can drive synthetic
     * graphs directly.
     */
-  def propagateMinLabels(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def propagateMinLabels(pairs: DataFrame, maxRounds: Int = 50,
+      checkpointEvery: Int = 3): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     def timed[T](what: String)(f: => T): T = {
@@ -89,11 +90,19 @@ object Clusters {
     while (!converged && round < maxRounds) {
       // one round = ONE join + ONE keyed agg: candidate labels are each
       // node's neighbours' labels plus its own, min-reduced per node
-      val next = edges.join(labels, edges("dst") === labels("node"))
+      val joined = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), labels("label"))
         .union(labels)
         .groupBy($"node").agg(min($"label").as("label"))
-        .localCheckpoint(eager = false) // materialized by the sum action below
+      // lineage cut every `checkpointEvery` rounds rather than every
+      // round: a checkpoint is a full materialization of the label set,
+      // and on deep graphs (many rounds) those dominate the round cost.
+      // Between cuts the ≤ k-round lineage replays on top of the last
+      // checkpoint — k·(join+agg) of node-cardinality data, cheaper than
+      // k materializations. k=1 restores the old checkpoint-per-round.
+      val next = if (round % checkpointEvery == checkpointEvery - 1)
+        joined.localCheckpoint(eager = false) // materialized by the sum action below
+      else joined
       val t0 = System.nanoTime()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
@@ -179,17 +188,21 @@ object Clusters {
   /** The applied artifact a dedup pipeline actually ships: the WHOLE
     * corpus with each doc's cluster id (its own id when unclustered) and
     * an `is_canonical` flag — keep the minimum doc_id of every
-    * component, drop the rest. The cluster table is near-dup-density
-    * sized (tiny next to the corpus), so the left join broadcasts; the
-    * expensive pair set is shared with `dedup_ngram_jaccard` /
-    * `dedup_clusters` through the cached pair plan.
+    * component, drop the rest. The left join carries NO broadcast hint:
+    * the cluster table is near-dup-density sized, usually tiny next to
+    * the corpus, but at 100 TB with heavy duplication it can be
+    * corpus-order — let the planner/AQE pick broadcast when the runtime
+    * size clears the threshold and fall back to a clean doc_id shuffle
+    * join otherwise (both shapes pinned in PlanShapeSpec). The expensive
+    * pair set is shared with `dedup_ngram_jaccard` / `dedup_clusters`
+    * through the fingerprint-keyed pair dump.
     */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val clusters = dedupClusters(spark, dir).select($"doc_id", $"cluster_id")
     graft.sources.Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"source")
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .select($"doc_id", $"lang", $"source",
         coalesce($"cluster_id", $"doc_id").as("cluster_id"),
         (coalesce($"cluster_id", $"doc_id") === $"doc_id").cast("int").as("is_canonical"))

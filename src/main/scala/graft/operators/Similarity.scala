@@ -156,13 +156,16 @@ object Similarity {
       .select($"vec_id_a", $"vec_id_b")
     val a = emb.select($"vec_id".as("vec_id_a"), $"embedding".as("ea"), $"nrm".as("na"))
     val b = emb.select($"vec_id".as("vec_id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
-    // dedupe AFTER the rescore+threshold: with the embedding side
-    // broadcastable the attach joins are map-side, the codegen'd dot is
-    // ~ns/pair, and only the tiny surviving pair set hits the dedup
-    // shuffle (vs shuffling the full multi-table candidate set up front).
-    // When the embedding side is too big to broadcast — shuffle-join
-    // attach — flip to candidate-first distinct so id pairs shuffle once.
-    cand.join(broadcast(a), Seq("vec_id_a")).join(broadcast(b), Seq("vec_id_b"))
+    // dedupe AFTER the rescore+threshold: when the embedding side is
+    // small the planner broadcasts the attach joins (map-side, codegen'd
+    // dot ~ns/pair) and only the tiny surviving pair set hits the dedup
+    // shuffle. NO broadcast hint here: the attach side is the FULL
+    // embedding table — corpus-sized at scale — so a hard-coded hint
+    // would OOM a 100 TB run. Catalyst broadcasts it while its estimate
+    // clears spark.sql.autoBroadcastJoinThreshold and AQE re-plans on
+    // runtime sizes; above that it degrades to ordinary vec_id shuffle
+    // joins. Both shapes are pinned in PlanShapeSpec.
+    cand.join(a, Seq("vec_id_a")).join(b, Seq("vec_id_b"))
       .select($"vec_id_a", $"vec_id_b",
         (Vectors.dot($"ea", $"eb") / ($"na" * $"nb")).as("cos"))
       .filter($"cos" >= 0.4)
@@ -240,45 +243,143 @@ object Similarity {
         ($"s".cast("double") / 1e9 / $"n").as("centroid"), $"n")
   }
 
-  /** IVF-style ANN: the corpus is partitioned into cells (here the
-    * `label` column stands in for a k-means coarse quantizer; see
-    * [[embedCentroids]] — its output IS the cell codebook), each query
-    * probes its `nprobe` nearest cell centroids, and exact cosine runs
-    * only inside probed cells.
-    *
-    * Scale: the codebook is #cells × dim (always broadcastable); the
-    * probe join semi-filters the corpus scan to nprobe/#cells of the
-    * data — the classic IVF read reduction — and the final top-k is the
-    * same map-side-limited window as brute force. No corpus self-join,
-    * no full scan per query. Rows-only driver check; SketchSpec asserts
-    * internal consistency + recall vs brute force.
+  /** Index of the L2-nearest codebook centroid (ties → lowest cell id)
+    * and that squared distance. Primitive loops, fully deterministic.
     */
-  def annIvf(spark: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
+  private[graft] def nearestCell(v: Array[Float],
+      cs: Array[Array[Double]]): (Int, Double) = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      var d = 0.0
+      var i = 0
+      while (i < ctr.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  /** Deterministic Lloyd's k-means over the embedding corpus — the
+    * LEARNED coarse quantizer behind [[annIvf]]. Returns the final
+    * codebook (k × dim doubles) and the per-iteration objective (total
+    * within-cluster squared distance, measured against the iteration's
+    * INPUT centroids — the classic monotone sequence Lloyd guarantees).
+    *
+    * Determinism, the property a reproducible index build needs:
+    *  - seeds are the first k vectors in md5(vec_id) order — RNG-free,
+    *    engine-independent;
+    *  - assignment breaks distance ties toward the lowest cell id;
+    *  - per-cell sums run in scaled-integer arithmetic (round(v·1e9)
+    *    longs), so centroids are identical under ANY partitioning;
+    *  - empty cells keep their previous centroid.
+    *
+    * Scale: each iteration is ONE pass over the corpus producing
+    * per-partition partials of size k×(dim+2) — a map-side-combined
+    * aggregation whose driver-side merge is P×k tiny rows (the same
+    * two-pass pattern as `pipeline_shuffle`'s partition counts). The
+    * codebook (k×dim) is broadcast; nothing corpus-sized ever
+    * concentrates. k and iters are fixed small constants, so training
+    * cost is iters × (one scan).
+    */
+  def kmeansCodebook(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 4): (Array[Array[Double]], Array[Double]) = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    // cell codebook: label -> dense centroid array (ordered by dim)
-    val cells = embedCentroids(spark, dir)
-      .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"dim", $"centroid"))).as("cs"))
-      .select($"label", $"cs.centroid".as("centroid"))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].cache()
+    var centroids = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", md5($"vec_id".cast("string")).as("h"))
+      .orderBy($"h", $"vec_id").limit(k)
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val objectives = Array.ofDim[Double](iters)
+    for (it <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val partials = emb.mapPartitions { rows =>
+        val cs = bc.value
+        val dim = if (cs.nonEmpty) cs(0).length else 0
+        val cnt = Array.ofDim[Long](cs.length)
+        val sums = Array.ofDim[Long](cs.length, dim)
+        val sq = Array.ofDim[Double](cs.length)
+        rows.foreach { case (_, v) =>
+          val (cell, d) = nearestCell(v, cs)
+          cnt(cell) += 1
+          sq(cell) += d
+          var i = 0
+          val s = sums(cell)
+          while (i < dim) { s(i) += math.round(v(i).toDouble * 1e9); i += 1 }
+        }
+        (0 until cs.length).iterator.filter(cnt(_) > 0)
+          .map(c => (c, cnt(c), sums(c), sq(c)))
+      }.collect() // ≤ partitions × k rows of k-means partials
+      val dim = centroids(0).length
+      val cnt = Array.ofDim[Long](k)
+      val sums = Array.ofDim[Long](k, dim)
+      partials.foreach { case (c, n, s, d) =>
+        cnt(c) += n
+        objectives(it) += d
+        var i = 0
+        while (i < dim) { sums(c)(i) += s(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (cnt(c) == 0) centroids(c) // empty cell: keep previous centroid
+        else Array.tabulate(dim)(i => sums(c)(i).toDouble / 1e9 / cnt(c))
+      }
+    }
+    emb.unpersist(blocking = false)
+    (centroids, objectives)
+  }
+
+  /** IVF-style ANN over a LEARNED coarse quantizer: [[kmeansCodebook]]
+    * trains the cell centroids, every corpus vector is assigned to its
+    * L2-nearest cell, each query probes its `nprobe` nearest cells (same
+    * L2 metric as assignment), and exact cosine runs only inside probed
+    * cells.
+    *
+    * Scale: the codebook is k × dim (always broadcastable — it rides the
+    * task closure / a broadcast variable); cell assignment is a per-row
+    * map in the corpus scan; the probe join semi-filters the scan to
+    * nprobe/k of the data — the classic IVF read reduction — and the
+    * final top-k is the same map-side-limited window as brute force. The
+    * `broadcast(probes)` hint is size-safe by construction: probes is
+    * (#queries × nprobe) rows, never corpus-sized. Rows-only driver
+    * check; SketchSpec asserts internal consistency, monotone training
+    * objective, and recall vs brute force.
+    */
+  def annIvf(spark: SparkSession, dir: String, nprobe: Int = 3, k: Int = 10,
+      iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    val (codebook, _) = kmeansCodebook(spark, dir, k, iters)
+    val bc = spark.sparkContext.broadcast(codebook)
+    val cellUdf = udf((v: Seq[Float]) => nearestCell(v.toArray, bc.value)._1)
+    // top-nprobe cells by the assignment metric (ascending L2, ties →
+    // lower cell id) — probing with the metric the index was built with
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      bc.value.indices
+        .map { c =>
+          val ctr = bc.value(c)
+          var d = 0.0
+          var i = 0
+          while (i < ctr.length) { val t = a(i) - ctr(i); d += t * t; i += 1 }
+          (d, c)
+        }
+        .sorted.take(nprobe).map(_._2)
+    }
+    val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"),
         Vectors.norm2($"embedding").as("qn"))
-    // score each query against every cell centroid (tiny cross: Q × cells)
-    val qDotCell = queries.crossJoin(broadcast(cells))
-      .select($"query_id", $"qe", $"qn", $"label",
-        Vectors.dot($"qe", $"centroid".cast("array<float>")).as("score"))
-    val probes = qDotCell
-      .withColumn("cell_rank", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"score".desc, $"label".asc)))
-      .filter($"cell_rank" <= nprobe)
-      .select($"query_id", $"qe", $"qn", $"label")
+    val probes = queries
+      .select($"query_id", $"qe", $"qn", explode(probeUdf($"qe")).as("cell"))
     // exact cosine only inside probed cells
-    val corpus = emb.select($"vec_id", $"label", $"embedding",
-      Vectors.norm2($"embedding").as("nrm"))
-    val scored = corpus.join(broadcast(probes), Seq("label"))
+    val corpus = emb.select($"vec_id", cellUdf($"embedding").as("cell"),
+      $"embedding", Vectors.norm2($"embedding").as("nrm"))
+    val scored = corpus.join(broadcast(probes), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"label",
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cell",
         (Vectors.dot($"qe", $"embedding") / ($"qn" * $"nrm")).as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)

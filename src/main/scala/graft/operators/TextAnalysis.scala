@@ -118,6 +118,103 @@ object TextAnalysis {
       length(text) * 1.0 / greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1) AS chars_per_token
     FROM wd"""
 
+  /** The wordpiece vocabulary for [[tokensBpe]]: common English merges
+    * plus every single character of the normalized alphabet ([a-z0-9]),
+    * so greedy matching always progresses and no word is untokenizable.
+    * A production vocab is ~32k entries learned by BPE/WordPiece; the
+    * mechanism (greedy longest-match against an in-memory vocab) is
+    * identical and the whole vocab always fits an executor.
+    */
+  private[graft] val BpeVocab: Seq[String] = Seq(
+    "the", "ing", "tion", "ment", "able", "ent", "ion", "ver", "pro",
+    "con", "com", "ter", "for", "and", "ed", "er", "es", "re", "ti",
+    "in", "on", "en", "at", "or", "an", "te", "is", "it", "ar", "st",
+    "al", "nt", "nd", "se", "le", "of", "to", "ou", "ic", "as", "th",
+    "he", "ll", "ce", "me", "de", "ly", "un", "ro", "ra") ++
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+
+  private val bpeSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    BpeVocab.foreach(s.add)
+    s
+  }
+  private val bpeMaxLen: Int = BpeVocab.map(_.length).max
+
+  /** Greedy longest-match token count of one normalized word — the
+    * WordPiece/BPE inference step. At each position take the LONGEST
+    * vocab entry that prefixes the remainder (ties impossible: same
+    * length + same start ⇒ same string); single-char coverage of the
+    * normalized alphabet guarantees progress.
+    */
+  private[graft] def bpeGreedyCount(w: String): Long = {
+    var i = 0
+    var n = 0L
+    while (i < w.length) {
+      var l = math.min(bpeMaxLen, w.length - i)
+      while (l > 1 && !bpeSet.contains(w.substring(i, i + l))) l -= 1
+      i += l
+      n += 1
+    }
+    n
+  }
+
+  private val bpeUdf = udf { (words: Seq[String]) =>
+    if (words == null) null
+    else {
+      var nw = 0L
+      var nt = 0L
+      words.foreach { w =>
+        if (w != null && w.nonEmpty) { nw += 1; nt += bpeGreedyCount(w) }
+      }
+      (nw, nt)
+    }
+  }
+
+  /** Vocab-driven subword tokenization: greedy longest-match WordPiece
+    * counting against [[BpeVocab]] — the token-budget measure an LLM
+    * data pipeline actually bills by (regex token counts systematically
+    * under-count morphology-rich text). Deterministic: the greedy match
+    * is a pure function of (word, vocab), so counts reproduce across
+    * engines, partitionings and runs.
+    *
+    * Plan: one per-row UDF pass over the words array (the vocab rides
+    * the task closure — a production 32k vocab would be a broadcast
+    * variable, same execution shape). No shuffle; trivially parallel.
+    * Oracle: the SAME greedy loop in DuckDB as a recursive CTE
+    * (longest-prefix step per iteration) — an exact SQL hash match, plus
+    * pinned-vector + property tests in TextFastPathSpec.
+    */
+  def tokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", bpeUdf(Text.wordsFast($"text")).as("r"))
+      .select($"doc_id", $"r._1".as("n_words"), $"r._2".as("n_bpe_tokens"))
+  }
+
+  val tokensBpeSql: String = {
+    val inList = BpeVocab.map(v => s"'$v'").mkString(",")
+    s"""WITH RECURSIVE
+    d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    wd AS (SELECT doc_id, string_split(t, ' ') w FROM d),
+    words AS (SELECT doc_id, CAST(i AS INT) AS widx, w[i] AS word
+              FROM wd, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+              WHERE w[i] <> ''),
+    vocab(v) AS (SELECT unnest([$inList])),
+    step(doc_id, widx, rem, n) AS (
+      SELECT doc_id, widx, word, 0 FROM words
+      UNION ALL
+      SELECT s.doc_id, s.widx, substr(s.rem, m.l + 1), s.n + 1
+      FROM step s, LATERAL (SELECT max(length(v)) AS l FROM vocab
+                            WHERE starts_with(s.rem, v)) m
+      WHERE s.rem <> '' AND m.l IS NOT NULL),
+    agg AS (SELECT doc_id, count(*) AS nw, sum(n) AS nt
+            FROM step WHERE rem = '' GROUP BY doc_id)
+    SELECT doc.doc_id,
+           CAST(COALESCE(a.nw, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(a.nt, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id"""
+  }
+
   /** TF-IDF-style salient terms: top-3 words per document ranked by
     * tf/df (term frequency over corpus document frequency). The ratio
     * needs no transcendentals, so the ordering is bit-deterministic

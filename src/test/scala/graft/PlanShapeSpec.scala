@@ -113,12 +113,50 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "top-10 must be TakeOrdered (per-partition partials), not a global sort")
   }
 
-  test("dedup_apply broadcasts the cluster table into the corpus join") {
-    val nodes = physical(Clusters.dedupApply(spark, sf))
-    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
-      "cluster attach lost its broadcast join")
-    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
-      "corpus-side sort-merge join appeared")
+  /** The AQE-final plan string after actually running `df` — un-hinted
+    * joins are planned from runtime statistics, so only the executed
+    * adaptive plan shows their true shape.
+    */
+  private def executedPlanString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def withoutAutoBroadcast[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dedup_apply: un-hinted cluster attach broadcasts small, shuffles large") {
+    // small side (sf0.001 cluster table): the planner/AQE must still pick
+    // a broadcast join without any hint in the code
+    val plan = executedPlanString(Clusters.dedupApply(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny cluster attach should broadcast:\n$plan")
+    // corpus-scale side (threshold off simulates a cluster table too big
+    // to broadcast): the join must degrade to a shuffle join, proving no
+    // hard-coded broadcast can OOM a 100 TB run
+    withoutAutoBroadcast {
+      val big = executedPlanString(Clusters.dedupApply(spark, sf))
+      assert(!big.contains("BroadcastHashJoin"),
+        s"hard-coded broadcast reappeared in dedup_apply:\n$big")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        s"cluster attach lost its shuffle-join fallback:\n$big")
+    }
+  }
+
+  test("dedup_embed_lsh: un-hinted attach joins broadcast small, shuffle large") {
+    val plan = executedPlanString(Similarity.embedPairsLsh(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small embedding attach should broadcast:\n$plan")
+    withoutAutoBroadcast {
+      val big = executedPlanString(Similarity.embedPairsLsh(spark, sf))
+      assert(!big.contains("BroadcastHashJoin"),
+        s"hard-coded broadcast reappeared in embedPairsLsh:\n$big")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        s"embedding attach lost its shuffle-join fallback:\n$big")
+    }
   }
 
   test("decontamination pushes both source filters into the parquet scans") {
