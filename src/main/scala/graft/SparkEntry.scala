@@ -64,6 +64,9 @@ object SparkEntry {
     "text_chunks"      -> (TextAnalysis.chunks _),
     "text_repetition"  -> (TextAnalysis.repetition _),
     "text_heavyhitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
+    "text_search"      -> (TextAnalysis.search _),
+    "stats_profile"    -> (Profile.statsProfile _),
+    "embed_pca"        -> (Similarity.embedPca _),
     "text_pii"         -> (TextAnalysis.pii _),
     "text_decontam"    -> (Decontam.ngramCollisions _),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
@@ -134,6 +137,11 @@ object SparkEntry {
     "text_chunks"      -> TextAnalysis.chunksSql,
     "text_repetition"  -> TextAnalysis.repetitionSql,
     "text_heavyhitters" -> TextAnalysis.heavyHittersSql,
+    "text_search"      -> TextAnalysis.searchSql,
+    "stats_profile"    -> Profile.statsProfileSql,
+    // embed_pca: eigenvector extraction is not SQL-expressible →
+    // rows-only driver check; SketchSpec asserts the eigenpair residual,
+    // variance capture vs per-axis variance, and bit-identical retrain.
     "text_pii"         -> TextAnalysis.piiSql,
     "text_decontam"    -> Decontam.ngramCollisionsSql,
     "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,

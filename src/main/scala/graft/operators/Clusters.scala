@@ -97,9 +97,12 @@ object Clusters {
       // lineage cut every `checkpointEvery` rounds rather than every
       // round: a checkpoint is a full materialization of the label set,
       // and on deep graphs (many rounds) those dominate the round cost.
-      // Between cuts the ≤ k-round lineage replays on top of the last
-      // checkpoint — k·(join+agg) of node-cardinality data, cheaper than
-      // k materializations. k=1 restores the old checkpoint-per-round.
+      // Between cuts the lineage replays on top of the last checkpoint —
+      // and since each round references the previous labels TWICE (join
+      // branch + union branch), the replayed plan grows 2^k between
+      // cuts. k must stay small (default 3 ⇒ ≤8 replayed joins of
+      // node-cardinality data — cheaper than 3 materializations);
+      // k=1 restores the old checkpoint-per-round.
       val next = if (round % checkpointEvery == checkpointEvery - 1)
         joined.localCheckpoint(eager = false) // materialized by the sum action below
       else joined

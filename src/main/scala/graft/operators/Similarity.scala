@@ -428,6 +428,140 @@ object Similarity {
            CAST(len(list_filter(qv, x -> x = 0)) AS INT) AS n_zero
     FROM q"""
 
+  /** Top principal component of the embedding corpus — the dimension-
+    * reduction / whitening primitive a 100 TB vector pipeline runs
+    * before quantization or indexing. Returns (mean, pc1, eigenvalue).
+    *
+    * Shape: ONE corpus pass computes per-partition moment partials —
+    * count, scaled-integer sum vector, and the scaled-integer upper
+    * triangle of the second-moment (Gram) matrix, dim(dim+1)/2 longs —
+    * merged driver-side (P × ~2k longs; the same partial-aggregate
+    * pattern as [[kmeansCodebook]]). The covariance eigenvector then
+    * comes from deterministic power iteration on the 64×64 driver-side
+    * matrix: fixed start (the axis of max variance), fixed iteration
+    * count, sign fixed by the largest-|component| coordinate — RNG-free
+    * and bit-reproducible. Scaled-integer moments (round(v·1e4)) make
+    * the accumulation order-independent, so the SAME matrix — and the
+    * same component — comes out under any partitioning.
+    */
+  def pcaTop(spark: SparkSession, dir: String, iters: Int = 100)
+      : (Array[Double], Array[Double], Double) = {
+    import spark.implicits._
+    val S = 1e4 // moment scale: products stay ≪ Long.Max at bench SFs
+    val rows = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    val partials = rows.mapPartitions { it =>
+      var n = 0L
+      var sum: Array[Long] = null
+      var gram: Array[Long] = null
+      it.foreach { case (_, v) =>
+        val d = v.length
+        if (sum == null) {
+          sum = Array.ofDim[Long](d)
+          gram = Array.ofDim[Long](d * (d + 1) / 2)
+        }
+        n += 1
+        val s = Array.ofDim[Long](d)
+        var i = 0
+        while (i < d) {
+          s(i) = math.round(v(i).toDouble * S)
+          sum(i) += s(i)
+          i += 1
+        }
+        var k = 0
+        i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) { gram(k) += s(i) * s(j); j += 1; k += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty else Iterator.single((n, sum, gram))
+    }.collect() // P rows of (count, dim, dim²/2) moment partials
+    require(partials.nonEmpty, "empty embedding corpus")
+    val dim = partials.head._2.length
+    var n = 0L
+    val sum = Array.ofDim[Long](dim)
+    val gram = Array.ofDim[Long](dim * (dim + 1) / 2)
+    partials.foreach { case (pn, ps, pg) =>
+      n += pn
+      var i = 0
+      while (i < dim) { sum(i) += ps(i); i += 1 }
+      i = 0
+      while (i < gram.length) { gram(i) += pg(i); i += 1 }
+    }
+    val mean = sum.map(_.toDouble / S / n)
+    // covariance C = E[xxᵀ] − μμᵀ from the exact integer moments
+    val cov = Array.ofDim[Double](dim, dim)
+    var k = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val e2 = gram(k).toDouble / (S * S) / n
+        val c = e2 - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        j += 1
+        k += 1
+      }
+      i += 1
+    }
+    // deterministic power iteration: start on the max-variance axis
+    // (ties → lowest index), fixed iteration count, L2-normalized
+    var start = 0
+    i = 1
+    while (i < dim) { if (cov(i)(i) > cov(start)(start)) start = i; i += 1 }
+    var v = Array.tabulate(dim)(d => if (d == start) 1.0 else 0.0)
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = Array.ofDim[Double](dim)
+      i = 0
+      while (i < dim) {
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += cov(i)(j) * v(j); j += 1 }
+        w(i) = s
+        i += 1
+      }
+      var nrm = 0.0
+      i = 0
+      while (i < dim) { nrm += w(i) * w(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      i = 0
+      while (i < dim) { w(i) /= nrm; i += 1 }
+      lambda = nrm // ‖Cv‖ of a unit v → the eigenvalue at convergence
+      v = w
+      it += 1
+    }
+    // canonical sign: the largest-|component| coordinate is positive
+    var big = 0
+    i = 1
+    while (i < dim) { if (math.abs(v(i)) > math.abs(v(big))) big = i; i += 1 }
+    if (v(big) < 0) { i = 0; while (i < dim) { v(i) = -v(i); i += 1 } }
+    (mean, v, lambda)
+  }
+
+  /** Per-vector projection onto the learned first principal component —
+    * the applied artifact of [[pcaTop]]. (mean, pc1) ride the task
+    * closure (2×dim doubles); the projection is a per-row primitive
+    * loop, no shuffle. Rows-only driver check; SketchSpec asserts the
+    * eigenpair residual, variance capture, and bit-identical retrain.
+    */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (mean, pc1, _) = pcaTop(spark, dir)
+    val projUdf = udf { (v: Seq[Float]) =>
+      var s = 0.0
+      var i = 0
+      while (i < pc1.length) { s += (v(i) - mean(i)) * pc1(i); i += 1 }
+      s
+    }
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", projUdf($"embedding").as("pc1_proj"))
+  }
+
   val embedCentroidsSql: String = """
     WITH x AS (
       SELECT label, CAST(i AS INT) - 1 AS dim,

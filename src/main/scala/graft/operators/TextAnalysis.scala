@@ -255,6 +255,72 @@ object TextAnalysis {
     SELECT doc_id, word, CAST(rk AS INT) AS rk, tf, df
     FROM ranked WHERE rk <= 3"""
 
+  /** Keyword search over the corpus: top-10 documents for a fixed
+    * 3-term query, scored by Σ tf/df (tf-idf with the ratio idf — no
+    * transcendentals, so scores are bit-deterministic across engines).
+    * The inverted-index shape every corpus-search / example-retrieval
+    * step uses, expressed declaratively:
+    *
+    *  - the term filter runs in the SCAN stage (explode + isin — only
+    *    query-term hits survive, a vanishing fraction of the corpus);
+    *  - per-doc term frequencies pivot to fixed columns via conditional
+    *    aggregation (ONE doc_id shuffle of hit rows only), which also
+    *    makes the score a per-row expression with a FIXED left-to-right
+    *    addition order — deterministic, unlike a float SUM aggregate;
+    *  - document frequencies reduce the tf table to one tiny row,
+    *    broadcast back (never a scalar-subquery per row);
+    *  - top-10 is `TakeOrderedAndProject` (per-partition partial top-k),
+    *    never a global sort.
+    */
+  def search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Seq(t1, t2, t3) = SearchTerms
+    val hits = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Text.wordsFast($"text")).as("word"))
+      .filter($"word".isin(SearchTerms: _*))
+    val tf = hits.groupBy($"doc_id").agg(
+      sum(when($"word" === t1, 1L).otherwise(0L)).as("tf1"),
+      sum(when($"word" === t2, 1L).otherwise(0L)).as("tf2"),
+      sum(when($"word" === t3, 1L).otherwise(0L)).as("tf3"))
+    val dfs = tf.agg(
+      sum(($"tf1" > 0).cast("long")).as("df1"),
+      sum(($"tf2" > 0).cast("long")).as("df2"),
+      sum(($"tf3" > 0).cast("long")).as("df3"))
+    tf.crossJoin(broadcast(dfs))
+      .select($"doc_id", $"tf1", $"tf2", $"tf3",
+        (($"tf1".cast("double") / greatest($"df1", lit(1L))) +
+          ($"tf2".cast("double") / greatest($"df2", lit(1L))) +
+          ($"tf3".cast("double") / greatest($"df3", lit(1L)))).as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
+  private[graft] val SearchTerms = Seq("spark", "window", "merge")
+
+  val searchSql: String = {
+    val Seq(t1, t2, t3) = SearchTerms
+    sqlWords + s""",
+    words AS (SELECT doc_id, unnest(w) AS word FROM wd),
+    hits AS (SELECT doc_id, word FROM words
+             WHERE word IN ('$t1', '$t2', '$t3')),
+    tf AS (SELECT doc_id,
+             CAST(sum(CASE WHEN word = '$t1' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+             CAST(sum(CASE WHEN word = '$t2' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+             CAST(sum(CASE WHEN word = '$t3' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+           FROM hits GROUP BY doc_id),
+    dfs AS (SELECT
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+           FROM tf)
+    SELECT doc_id, tf1, tf2, tf3,
+           CAST(tf1 AS DOUBLE) / greatest(df1, 1)
+             + CAST(tf2 AS DOUBLE) / greatest(df2, 1)
+             + CAST(tf3 AS DOUBLE) / greatest(df3, 1) AS score
+    FROM tf, dfs
+    ORDER BY score DESC, doc_id ASC LIMIT 10"""
+  }
+
   /** Corpus heavy hitters (top-10 words) WITHOUT a full-vocabulary
     * groupBy: the two-pass sketch-then-verify pattern.
     *

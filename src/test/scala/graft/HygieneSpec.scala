@@ -63,6 +63,22 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("propagation result is invariant to the checkpoint cadence") {
+    import spark.implicits._
+    // a 25-node path needs many rounds, so every cadence exercises both
+    // the cut and the replayed-lineage paths (k stays small because each
+    // uncut round references the previous labels twice — lineage is 2^k
+    // between cuts, the reason the production default is 3)
+    val path = (0L until 24L).map(i => (i, i + 1))
+    val expected = (0L to 24L).map(_ -> 0L).toMap
+    for (k <- Seq(1, 3, 5)) {
+      val labels = Clusters.propagateMinLabels(
+          path.toDF("a", "b"), checkpointEvery = k)
+        .as[(Long, Long)].collect().toMap
+      assert(labels === expected, s"checkpointEvery=$k diverged")
+    }
+  }
+
   test("alternating stars equals propagation on random graphs, log rounds on a path") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

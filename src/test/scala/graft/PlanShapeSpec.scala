@@ -50,6 +50,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         "mm_features" -> Multimodal.features(spark, sf),
         "text_fingerprint" -> TextAnalysis.fingerprint(spark, sf),
         "text_repetition" -> TextAnalysis.repetition(spark, sf),
+        "text_tokens_bpe" -> TextAnalysis.tokensBpe(spark, sf),
         "text_pii" -> TextAnalysis.pii(spark, sf)))
       assert(shuffles(df) === 0, s"$name grew a shuffle")
   }

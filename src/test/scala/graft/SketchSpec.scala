@@ -93,6 +93,40 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.15, s"recall@5 = $recall")
   }
 
+  test("PCA top component: eigenpair residual, variance capture, determinism") {
+    val (mean, pc1, lambda) = Similarity.pcaTop(spark, sf)
+    assert(pc1.length === 64 && mean.length === 64)
+    // unit norm
+    val nrm = math.sqrt(pc1.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-9)
+    // rebuild the covariance locally and check Cv ≈ λv (a true eigenpair)
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val n = rows.length
+    val cov = Array.ofDim[Double](64, 64)
+    for (i <- 0 until 64; j <- 0 until 64)
+      cov(i)(j) = rows.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+    val cv = Array.tabulate(64)(i => (0 until 64).map(j => cov(i)(j) * pc1(j)).sum)
+    val residual = math.sqrt(cv.zip(pc1).map { case (a, b) => (a - lambda * b) * (a - lambda * b) }.sum)
+    // the exact covariance differs from the scaled-integer one by the
+    // 1e-4 moment quantization; the residual bound reflects both that
+    // and power-iteration convergence
+    assert(residual / lambda < 1e-3, s"residual=$residual lambda=$lambda")
+    // PC1 variance dominates every coordinate axis
+    val maxAxisVar = (0 until 64).map(i => cov(i)(i)).max
+    assert(lambda >= maxAxisVar * (1 - 1e-6),
+      s"lambda=$lambda < max axis variance $maxAxisVar")
+    // projection variance equals the eigenvalue (the definition of PC1)
+    val projs = Similarity.embedPca(spark, sf).collect().map(_.getDouble(1))
+    val pm = projs.sum / projs.length
+    val pv = projs.map(p => (p - pm) * (p - pm)).sum / projs.length
+    assert(math.abs(pv - lambda) / lambda < 1e-2, s"projVar=$pv lambda=$lambda")
+    // bit-identical retrain
+    val (m2, v2, l2) = Similarity.pcaTop(spark, sf)
+    assert(mean.sameElements(m2) && pc1.sameElements(v2) && lambda === l2)
+  }
+
   test("k-means codebook training is deterministic with a monotone objective") {
     val (codebook, obj) = Similarity.kmeansCodebook(spark, sf)
     assert(codebook.length === 10)
