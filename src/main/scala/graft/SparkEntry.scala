@@ -31,6 +31,7 @@ object SparkEntry {
     "q_slide_count"    -> (Windows.slideCount _),
     "q_session_window" -> (Windows.sessionWindow _),
     "q_events_parse"   -> (Windows.eventsParse _),
+    "q_resample"       -> (Windows.resample _),
     "q_dgim_tumble"    -> (DgimQueries.dgimTumble _),
     "q_dgim_slide"     -> (DgimQueries.dgimSlide _),
     "q_stream_tumble"  -> (StreamQueries.streamTumbleCount _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "sink_csv"         -> (graft.sources.Sinks.csvRoundTrip _),
     "sink_bucketed"    -> (graft.sources.Sinks.bucketedJoin _),
     "sink_zorder"      -> (graft.sources.Sinks.zorderRoundTrip _),
+    "sink_merge"       -> (graft.sources.Sinks.mergeUpsert _),
     "mm_meta"          -> (Multimodal.meta _),
     "mm_framesample"   -> (Multimodal.frameSample _),
     "mm_resize"        -> (Multimodal.resize _),
@@ -105,6 +107,7 @@ object SparkEntry {
     "q_slide_count"    -> Windows.slideCountSql,
     "q_session_window" -> Windows.sessionWindowSql,
     "q_events_parse"   -> Windows.eventsParseSql,
+    "q_resample"       -> Windows.resampleSql,
     // q_dgim_tumble / q_dgim_slide: DGIM is not SQL-expressible → rows-only
     // driver check; ScalaTest DgimSpec is the in-repo oracle.
     "q_stream_tumble"  -> Windows.tumbleCountSql, // streaming == batch
@@ -148,6 +151,7 @@ object SparkEntry {
     "sink_csv"         -> graft.sources.Sinks.csvRoundTripSql,
     "sink_bucketed"    -> graft.sources.Sinks.bucketedJoinSql,
     "sink_zorder"      -> graft.sources.Sinks.zorderRoundTripSql,
+    "sink_merge"       -> graft.sources.Sinks.mergeUpsertSql,
     "mm_meta"          -> Multimodal.metaSql,
     "mm_framesample"   -> Multimodal.frameSampleSql,
     "mm_resize"        -> Multimodal.resizeSql,

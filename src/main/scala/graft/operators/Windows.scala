@@ -113,4 +113,42 @@ object Windows {
             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events)
     GROUP BY event_type"""
+
+  /** Time-series resampling with gap filling: per-user DAILY event
+    * counts over each user's [first, last] active span, emitting an
+    * explicit zero row for silent days — the regularization step every
+    * downstream time-series model (and windowed feature pipeline)
+    * needs, since raw event streams have holes.
+    *
+    * Plan shape: one (user, day) aggregation shuffle; spans reuse the
+    * SAME aggregate (a second tiny agg over it, not a rescan); the
+    * calendar densification is `sequence` + `explode` — bounded fan-out
+    * of span/1-day rows per user, generated in the scan stage, never a
+    * cross join against a calendar table; the left join back is keyed
+    * on (user, day). All counts integer.
+    */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.events(spark, dir)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = per.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    days.join(per, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day", coalesce($"n", lit(0L)).as("n_events"))
+  }
+
+  val resampleSql: String = """
+    WITH per AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             FROM per GROUP BY 1),
+    days AS (SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             FROM span)
+    SELECT d.user_id, d.day, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_events
+    FROM days d LEFT JOIN per p ON d.user_id = p.user_id AND d.day = p.day"""
 }

@@ -170,4 +170,56 @@ object Sinks {
            CAST(SUM(n_words) AS BIGINT) AS total_words,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM d GROUP BY lang"""
+
+  /** MERGE INTO (lakehouse upsert): apply a changelog of updates and
+    * deletes to a base snapshot and emit the next snapshot — the table-
+    * maintenance primitive behind every CDC-fed / incrementally-refined
+    * corpus (Delta/Iceberg MERGE, Hudi upsert). The changelog here is
+    * derived deterministically from the base table (doc_id % 7 → update
+    * that patches `source` and bumps n_chars, doc_id % 13 → delete) so
+    * the oracle sees the identical input.
+    *
+    * Semantics: last-write-wins per key by changelog sequence number,
+    * then drop deletes — exactly a keyed window over base ∪ changelog.
+    * Plan: ONE doc_id shuffle (the window), no join at all; at lakehouse
+    * scale the changelog is usually ≪ base, and partition-pruned
+    * copy-on-write rewrites only touched files — the declarative
+    * union+window form is what those engines compile to per file group.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        lit(0L).as("seq"), lit("I").as("op"))
+    val changes = Tables.documents(spark, dir)
+      .filter($"doc_id" % 7 === 0 || $"doc_id" % 13 === 0)
+      .select($"doc_id", $"lang",
+        when($"doc_id" % 13 === 0, $"source").otherwise(lit("patched")).as("source"),
+        when($"doc_id" % 13 === 0, $"n_chars").otherwise($"n_chars" + 1000).as("n_chars"),
+        lit(1L).as("seq"),
+        when($"doc_id" % 13 === 0, "D").otherwise("U").as("op"))
+    val w = Window.partitionBy($"doc_id").orderBy($"seq".desc)
+    base.union(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  val mergeUpsertSql: String = """
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars, 0 AS seq, 'I' AS op
+      FROM documents),
+    changes AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 13 = 0 THEN source ELSE 'patched' END AS source,
+             CASE WHEN doc_id % 13 = 0 THEN n_chars ELSE n_chars + 1000 END AS n_chars,
+             1 AS seq,
+             CASE WHEN doc_id % 13 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 = 0),
+    merged AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
+    SELECT doc_id, lang, source, n_chars
+    FROM merged WHERE rn = 1 AND op <> 'D'"""
 }
