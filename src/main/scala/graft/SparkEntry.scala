@@ -34,6 +34,8 @@ object SparkEntry {
     "q_resample"       -> (Windows.resample _),
     "q_dgim_tumble"    -> (DgimQueries.dgimTumble _),
     "q_dgim_slide"     -> (DgimQueries.dgimSlide _),
+    "q_dgim_sql"       -> (DgimQueries.sqlDgimTumble _),
+    "q_pivot"          -> (Analytics.qPivot _),
     "q_stream_tumble"  -> (StreamQueries.streamTumbleCount _),
     "q_stream_dgim_tumble" -> (StreamQueries.streamDgimTumble _),
     "q_stream_dgim_slide"  -> (StreamQueries.streamDgimSlide _),
@@ -108,8 +110,11 @@ object SparkEntry {
     "q_session_window" -> Windows.sessionWindowSql,
     "q_events_parse"   -> Windows.eventsParseSql,
     "q_resample"       -> Windows.resampleSql,
-    // q_dgim_tumble / q_dgim_slide: DGIM is not SQL-expressible → rows-only
-    // driver check; ScalaTest DgimSpec is the in-repo oracle.
+    // q_dgim_tumble / q_dgim_slide / q_dgim_sql: DGIM is not DuckDB-
+    // expressible → rows-only driver check; DgimSpec/DgimPlanSpec are the
+    // in-repo oracles (q_dgim_sql is additionally pinned to q_dgim_tumble:
+    // same windows, same exact counts, estimates within the DGIM bound).
+    "q_pivot"          -> Analytics.qPivotSql,
     "q_stream_tumble"  -> Windows.tumbleCountSql, // streaming == batch
     "q_stream_slide"   -> Windows.slideCountSql,  // streaming == batch
     "q_stream_session" -> Windows.sessionWindowSql, // streaming == batch

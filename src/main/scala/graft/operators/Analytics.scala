@@ -290,4 +290,30 @@ object Analytics {
            CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents
     FROM e"""
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot (long→wide reshaping): daily event counts spread into one
+    * column per event type, via `RelationalGroupedDataset.pivot` WITH
+    * EXPLICIT values — the values list is what keeps the plan one pass
+    * (without it Spark first runs a distinct scan to discover columns,
+    * and the schema becomes data-dependent — a 100 TB anti-pattern).
+    * Compiles to the same single-shuffle conditional aggregation the
+    * oracle states; absent cells canonicalized to 0.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    wide.select($"day" +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  val qPivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+    s"""SELECT date_trunc('day', ts) AS day, ${cols.mkString(", ")}
+    FROM events GROUP BY 1"""
+  }
 }

@@ -51,4 +51,34 @@ object DgimQueries {
     */
   def dgimSlide(spark: SparkSession, dir: String): DataFrame =
     dgimOverWindows(spark, dir, "1 hour", Some("15 minutes"))
+
+  /** The reference's literal USAGE pattern, end-to-end through graft's
+    * SQL surface: `DGIM_ESTIMATE` called from SQL text over a windowed
+    * GROUP BY (StreamingJob.java:57-58 registers the aggregate;
+    * :85-99 is the SQL shape mirrored here). Exercises the registered
+    * UDAF path ([[graft.GraftFunctions]], mergeable partial aggregation
+    * — the canonical DGIM bucket merge across partitions) rather than
+    * the deterministic sort-then-fold custom operator, proving a
+    * pure-SQL user gets the full pipeline without touching the
+    * DataFrame API.
+    *
+    * Rows-only driver check; DgimPlanSpec pins it against
+    * [[dgimTumble]]: identical window set, identical exact counts, and
+    * both estimates within the DGIM error bound of the exact count
+    * (merge order may legally shift bucket boundaries, so estimate
+    * EQUALITY across the two execution strategies is not the contract —
+    * the published approximation bound is).
+    */
+  def sqlDgimTumble(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("events_sql")
+    spark.sql("""
+      SELECT window.start AS window_start, window.end AS window_end,
+             dgim_estimate(value, ts_sec) AS count_estimate,
+             COUNT(*) AS exact_count
+      FROM (SELECT ts, '1' AS value, unix_timestamp(ts) AS ts_sec
+            FROM events_sql
+            WHERE event_type = 'click' AND ts IS NOT NULL)
+      GROUP BY window(ts, '1 hour')""")
+  }
 }

@@ -65,6 +65,27 @@ class DgimPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SQL-surface dgim_estimate agrees with the custom operator per window") {
+    import spark.implicits._
+    def byWindow(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.select($"window_start".cast("long"), $"count_estimate", $"exact_count")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaExec = byWindow(DgimQueries.dgimTumble(spark, sf))
+    val viaSql = byWindow(DgimQueries.sqlDgimTumble(spark, sf))
+    assert(viaSql.keySet === viaExec.keySet, "window sets differ")
+    viaExec.foreach { case (ws, (estExec, exact)) =>
+      val (estSql, exactSql) = viaSql(ws)
+      // exact counts are deterministic on both strategies
+      assert(exactSql === exact, s"exact count differs in window $ws")
+      // estimates come from different (both canonical) merge orders, so
+      // the contract is the published DGIM bound, not equality: the only
+      // uncertainty is half the oldest bucket, ≤ 50% of the true count
+      for (est <- Seq(estExec, estSql))
+        assert(math.abs(est - exact) <= math.max(1L, exact / 2),
+          s"window $ws: estimate $est vs exact $exact breaks the DGIM bound")
+    }
+  }
+
   test("exec enforces its non-null child contract instead of silently reading 0") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
