@@ -298,8 +298,11 @@ object Analytics {
     * EXPLICIT values — the values list is what keeps the plan one pass
     * (without it Spark first runs a distinct scan to discover columns,
     * and the schema becomes data-dependent — a 100 TB anti-pattern).
-    * Compiles to the same single-shuffle conditional aggregation the
-    * oracle states; absent cells canonicalized to 0.
+    * Spark compiles it to the standard two-level rewrite: an aggregate
+    * on (day, event_type) then the pivot aggregate on day — two KEYED
+    * shuffles, the second over already-reduced per-(day, type) rows, so
+    * both stages partial-aggregate map-side. Absent cells canonicalized
+    * to 0; the oracle states the equivalent conditional aggregation.
     */
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

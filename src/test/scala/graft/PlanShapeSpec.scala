@@ -59,8 +59,31 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((name, df, n) <- Seq(
         ("dedup_exact", Dedup.exact(spark, sf), 1),
         ("pipeline_pack", Curation.pack(spark, sf), 1),
+        // pivot is Spark's standard two-level rewrite: agg on (day, type)
+        // then pivot-agg on day — two KEYED shuffles, the second over the
+        // already-reduced per-(day,type) rows
+        ("q_pivot", Analytics.qPivot(spark, sf), 2),
+        ("sink_merge", graft.sources.Sinks.mergeUpsert(spark, sf), 1),
         ("q_moving_window", Analytics.qMovingWindow(spark, sf), 1)))
       assert(shuffles(df) === n, s"$name shuffle count changed")
+  }
+
+  test("text_search: top-k is TakeOrdered, no cartesian anywhere") {
+    val nodes = physical(TextAnalysis.search(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-10 must be TakeOrdered (per-partition partials), not a global sort")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "df attach must broadcast, never a cartesian product")
+  }
+
+  test("q_resample: calendar densification never becomes a cross join") {
+    val nodes = physical(Windows.resample(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
   }
 
   test("global shuffle-order assignment never concentrates on one task") {
