@@ -77,6 +77,8 @@ object SparkEntry {
     "sink_bucketed"    -> (graft.sources.Sinks.bucketedJoin _),
     "sink_zorder"      -> (graft.sources.Sinks.zorderRoundTrip _),
     "sink_merge"       -> (graft.sources.Sinks.mergeUpsert _),
+    "sink_compact"     -> (graft.sources.Sinks.compactRoundTrip _),
+    "sink_evolve"      -> (graft.sources.Sinks.evolveRoundTrip _),
     "mm_meta"          -> (Multimodal.meta _),
     "mm_framesample"   -> (Multimodal.frameSample _),
     "mm_resize"        -> (Multimodal.resize _),
@@ -157,6 +159,8 @@ object SparkEntry {
     "sink_bucketed"    -> graft.sources.Sinks.bucketedJoinSql,
     "sink_zorder"      -> graft.sources.Sinks.zorderRoundTripSql,
     "sink_merge"       -> graft.sources.Sinks.mergeUpsertSql,
+    "sink_compact"     -> graft.sources.Sinks.compactRoundTripSql,
+    "sink_evolve"      -> graft.sources.Sinks.evolveRoundTripSql,
     "mm_meta"          -> Multimodal.metaSql,
     "mm_framesample"   -> Multimodal.frameSampleSql,
     "mm_resize"        -> Multimodal.resizeSql,

@@ -171,6 +171,93 @@ object Sinks {
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM d GROUP BY lang"""
 
+  /** Small-file compaction (lakehouse OPTIMIZE): rewrite a
+    * pathologically fragmented table (64 shards of a few KB each — the
+    * classic output of an over-parallel or incremental writer) into
+    * right-sized files, and prove the rewrite is LOSSLESS by aggregating
+    * the compacted read-back against the original-table oracle.
+    *
+    * Why it's a first-class 100 TB operation: every downstream scan pays
+    * per-file open/footer/listing costs, so millions of tiny files
+    * throttle a cluster at the metadata layer long before IO — which is
+    * why every table format ships OPTIMIZE/compaction as a maintenance
+    * primitive. The rewrite here targets file count = ceil(rows /
+    * rowsPerFile) via `repartitionByRange` on the layout key, so
+    * compacted files also carry tight min/max stats on that key (the
+    * same pruning benefit as sink_zorder's curve, for the 1-D case).
+    */
+  def compactRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frag = DumpCache.ensure(
+      DumpCache.dirFor("graft_events_frag", dir, "events.parquet")) { tmp =>
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"ts")
+        .repartition(64) // the fragmented state under repair
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val compacted = DumpCache.ensure(
+      DumpCache.dirFor("graft_events_compact", dir, "events.parquet")) { tmp =>
+      val rows = spark.read.parquet(frag)
+      val nFiles = math.max(1,
+        math.ceil(rows.count().toDouble / 50000).toInt)
+      rows.repartitionByRange(nFiles, $"event_id")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val nCompacted = new java.io.File(compacted).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    require(nCompacted <= 8,
+      s"compaction left $nCompacted files for a <=8-file target")
+    spark.read.parquet(compacted)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+  }
+
+  val compactRoundTripSql: String = """
+    SELECT event_type, COUNT(*) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type"""
+
+  /** Schema evolution across file generations: an early write without a
+    * column, a later write with it, one `mergeSchema` read spanning both
+    * — the drift every long-lived corpus accumulates (new annotations,
+    * new quality scores) without ever rewriting old files. Old-file rows
+    * surface the new column as NULL; the aggregate proves the merged
+    * read is lossless and the null accounting exact. At scale the same
+    * mechanism is what lets a 100 TB table gain a column for free
+    * (metadata-only evolution), with per-file schemas reconciled at scan
+    * planning, not by a backfill job.
+    */
+  def evolveRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = DumpCache.ensure(
+      DumpCache.dirFor("graft_docs_evolve", dir, "documents.parquet")) { tmp =>
+      val docs = Tables.documents(spark, dir)
+      // generation 1: metadata only (written before scoring existed)
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"lang", $"n_chars")
+        .write.mode("overwrite").parquet(tmp + "/gen=1")
+      // generation 2: same table, now carrying a quality score column
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang", $"n_chars",
+          ($"n_chars" % 100).as("quality"))
+        .write.mode("overwrite").parquet(tmp + "/gen=2")
+      // mark the composite dump complete for DumpCache.isReady
+      new java.io.File(tmp, "_SUCCESS").createNewFile()
+    }
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"quality".isNull.cast("long")).as("n_unscored"),
+        sum(coalesce($"quality", lit(0L))).as("sum_quality"))
+  }
+
+  val evolveRoundTripSql: String = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unscored,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 ELSE 0 END) AS BIGINT) AS sum_quality
+    FROM documents GROUP BY lang"""
+
   /** MERGE INTO (lakehouse upsert): apply a changelog of updates and
     * deletes to a base snapshot and emit the next snapshot — the table-
     * maintenance primitive behind every CDC-fed / incrementally-refined
