@@ -3,8 +3,25 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.functions.{FloatDotProduct, NormalizeText}
+
+/** Optimizer rule: `graft_normalize` is idempotent (its output alphabet
+  * [a-z0-9 ], single-spaced, trimmed, is a fixpoint of the transform),
+  * so nested applications collapse to one. Pipelines compose freely
+  * (every documents-suite operator normalizes defensively at its own
+  * boundary), and composed stages would otherwise pay the byte-scan
+  * twice; the algebra, not the caller, removes the redundancy — the same
+  * style of rewrite Catalyst applies to e.g. double-trim or cast chains.
+  */
+object CollapseNormalize extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case NormalizeText(inner: NormalizeText) => inner
+    }
+}
 
 /** graft's `SparkSessionExtensions` entry point — makes the native
   * expressions available to pure-SQL users:
@@ -23,10 +40,16 @@ import graft.functions.{FloatDotProduct, NormalizeText}
   *    normalize ([[graft.functions.NormalizeText]]); sessions that only
   *    call `GraftFunctions.register` get the UDF twin under the same
   *    name with identical semantics.
+  *
+  * Also injected: [[graft.plans.DgimStrategy]] (the custom DGIM window
+  * aggregation physical strategy) and [[CollapseNormalize]] (optimizer
+  * rule folding nested normalizes), so one extensions line equips a
+  * session with graft's full planner/optimizer/function surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.DgimStrategy)
+    ext.injectOptimizerRule(_ => CollapseNormalize)
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),

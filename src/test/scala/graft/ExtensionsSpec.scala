@@ -107,6 +107,31 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("udf"), s"expected native expression, got:\n$plan")
   }
 
+  test("CollapseNormalize optimizer rule folds nested normalizes to one") {
+    import graft.functions.NormalizeText
+    val s = spark.newSession()
+    val df = s.sql(
+      "SELECT graft_normalize(graft_normalize(graft_normalize('  A  b!C '))) AS n")
+    val normalizes = df.queryExecution.optimizedPlan
+      .expressions.flatMap(_.collect { case n: NormalizeText => n })
+    // constant-folding may evaluate the (collapsed) expression away
+    // entirely; what must NEVER survive is a nested NormalizeText
+    assert(normalizes.length <= 1,
+      s"nested normalize survived optimization:\n${df.queryExecution.optimizedPlan}")
+    assert(df.collect()(0).getString(0) === "a b c")
+    // semantics unchanged on a real column (rule fires through Project)
+    s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_opt")
+    val twice = s.sql("SELECT graft_normalize(graft_normalize(text)) AS n FROM docs_opt")
+    val once = s.sql("SELECT graft_normalize(text) AS n FROM docs_opt")
+    val colTwice = twice.queryExecution.optimizedPlan
+      .expressions.flatMap(_.collect { case n: NormalizeText => n })
+    assert(colTwice.length === 1,
+      s"column double-normalize not collapsed:\n${twice.queryExecution.optimizedPlan}")
+    assert(twice.collect().map(_.getString(0)).toSeq ===
+      once.collect().map(_.getString(0)).toSeq)
+  }
+
   test("graft_zvalue32 interleaves bits (SQL call == bit-by-bit reference)") {
     GraftFunctions.register(spark)
     // independent bit-by-bit oracle
