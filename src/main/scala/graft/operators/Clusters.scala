@@ -33,17 +33,37 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** The propagated (doc_id → cluster_id) label set over the verified
+    * Jaccard pair graph, staged through the fingerprint-keyed dump like
+    * the pair set itself: clusters are the OUTPUT of a pipeline stage
+    * consumed by two queries (`dedup_clusters`, `dedup_apply`), so the
+    * propagation runs once per (source file, mtime) key and every
+    * consumer — same session or a later driver run — reads one tiny
+    * parquet. Deterministic by construction (min-label fixpoint), so
+    * the dump is a pure cache, never a semantic change.
+    */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dump = graft.sources.DumpCache.dirFor(
+      "graft_cc_labels", dir, "documents.parquet")
+    graft.sources.DumpCache.ensure(dump) { tmp =>
+      val pairs = Dedup.ngramJaccard(spark, dir)
+        .select($"doc_id_a".as("a"), $"doc_id_b".as("b"))
+      propagateMinLabels(pairs)
+        .select($"node".as("doc_id"), $"label".as("cluster_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(dump)
+  }
+
   /** Clusters of the exact 3-gram Jaccard ≥ 0.8 near-dup graph
     * ([[Dedup.ngramJaccard]]'s verified pair set). One row per clustered
     * doc: (doc_id, cluster_id = min doc_id in component, n_members).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.ngramJaccard(spark, dir)
-      .select($"doc_id_a".as("a"), $"doc_id_b".as("b"))
-    val labels = propagateMinLabels(pairs)
-    labels.select($"node".as("doc_id"), $"label".as("cluster_id"),
-      count(lit(1)).over(Window.partitionBy($"label")).as("n_members"))
+    clusterLabels(spark, dir).select($"doc_id", $"cluster_id",
+      count(lit(1)).over(Window.partitionBy($"cluster_id")).as("n_members"))
   }
 
   /** Min-label propagation to the fixpoint over an undirected edge list
@@ -202,7 +222,7 @@ object Clusters {
     */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val clusters = dedupClusters(spark, dir).select($"doc_id", $"cluster_id")
+    val clusters = clusterLabels(spark, dir)
     graft.sources.Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"source")
       .join(clusters, Seq("doc_id"), "left")
