@@ -78,6 +78,7 @@ object SparkEntry {
     "sink_zorder"      -> (graft.sources.Sinks.zorderRoundTrip _),
     "sink_merge"       -> (graft.sources.Sinks.mergeUpsert _),
     "sink_compact"     -> (graft.sources.Sinks.compactRoundTrip _),
+    "sink_dpp"         -> (graft.sources.Sinks.dppJoin _),
     "sink_evolve"      -> (graft.sources.Sinks.evolveRoundTrip _),
     "mm_meta"          -> (Multimodal.meta _),
     "mm_framesample"   -> (Multimodal.frameSample _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "sink_zorder"      -> graft.sources.Sinks.zorderRoundTripSql,
     "sink_merge"       -> graft.sources.Sinks.mergeUpsertSql,
     "sink_compact"     -> graft.sources.Sinks.compactRoundTripSql,
+    "sink_dpp"         -> graft.sources.Sinks.dppJoinSql,
     "sink_evolve"      -> graft.sources.Sinks.evolveRoundTripSql,
     "mm_meta"          -> Multimodal.metaSql,
     "mm_framesample"   -> Multimodal.frameSampleSql,

@@ -171,6 +171,47 @@ object Sinks {
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM d GROUP BY lang"""
 
+  /** Dynamic partition pruning: join the lang-PARTITIONED table against
+    * a runtime-derived dimension (languages holding >15% of corpus
+    * chars — not knowable at plan time), and let Spark prune the fact
+    * scan's partitions AT RUNTIME from the broadcast dim's build side.
+    * This is the scan-elimination mechanism star-schema queries live on
+    * at 100 TB: the fact side never lists, opens, or reads the pruned
+    * partitions, even though no static filter mentions them. The spec
+    * pins the `dynamicpruning` subquery in the scan's PartitionFilters;
+    * the driver gate hash-matches the join result.
+    */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = DumpCache.ensure(
+      DumpCache.dirFor("graft_docs_by_lang", dir, "documents.parquet")) { tmp =>
+      Tables.documents(spark, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    }
+    val fact = spark.read.parquet(out)
+    val docs = Tables.documents(spark, dir)
+    // one-scalar driver action: the 15%-of-corpus threshold. The dim
+    // REMAINS runtime-derived (an aggregate over the table), so no
+    // static partition filter exists at plan time — DPP must do it.
+    val threshold = docs.agg(sum($"n_chars")).as[Long].head * 0.15
+    val dim = docs.groupBy($"lang")
+      .agg(sum($"n_chars").as("total"))
+      .filter($"total" > threshold)
+      .select($"lang")
+    fact.join(broadcast(dim), "lang")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
+  val dppJoinSql: String = """
+    WITH keep AS (
+      SELECT lang FROM documents GROUP BY lang
+      HAVING SUM(n_chars) > (SELECT SUM(n_chars) * 0.15 FROM documents))
+    SELECT d.lang, COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN keep USING (lang)
+    GROUP BY d.lang"""
+
   /** Small-file compaction (lakehouse OPTIMIZE): rewrite a
     * pathologically fragmented table (64 shards of a few KB each — the
     * classic output of an over-parallel or incremental writer) into

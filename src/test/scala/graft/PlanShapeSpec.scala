@@ -183,6 +183,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sink_dpp: runtime-derived dim join prunes fact partitions dynamically") {
+    val plan = executedPlanString(graft.sources.Sinks.dppJoin(spark, sf))
+    assert(plan.contains("dynamicpruning"),
+      s"dynamic partition pruning missing from the fact scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "dim side must broadcast (DPP reuses the broadcast build side)")
+  }
+
   test("decontamination pushes both source filters into the parquet scans") {
     val plan = Decontam.ngramCollisions(spark, sf)
       .queryExecution.executedPlan.toString
