@@ -314,9 +314,29 @@ object Sinks {
     * copy-on-write rewrites only touched files — the declarative
     * union+window form is what those engines compile to per file group.
     */
+  /** The reusable MERGE core: apply a (key, …, seq, op) changelog over a
+    * base snapshot — keep each key's highest-seq row, drop it if that
+    * row is a delete. Both inputs must share the schema (base rows carry
+    * seq 0, op 'I'); a key may appear at MANY sequence numbers (ordinary
+    * CDC), including delete-then-reinsert histories — last write wins by
+    * (seq, op-insert-over-delete never arises: seqs are unique per key
+    * by contract, ties broken deterministically by op desc so a
+    * malformed equal-seq pair still resolves reproducibly). ONE keyed
+    * window shuffle, no join.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+      key: String = "doc_id"): DataFrame = {
+    import base.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy($"seq".desc, $"op".desc)
+    base.union(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .drop("rn", "seq", "op")
+  }
+
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"source", $"n_chars",
         lit(0L).as("seq"), lit("I").as("op"))
@@ -327,11 +347,7 @@ object Sinks {
         when($"doc_id" % 13 === 0, $"n_chars").otherwise($"n_chars" + 1000).as("n_chars"),
         lit(1L).as("seq"),
         when($"doc_id" % 13 === 0, "D").otherwise("U").as("op"))
-    val w = Window.partitionBy($"doc_id").orderBy($"seq".desc)
-    base.union(changes)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1 && $"op" =!= "D")
-      .select($"doc_id", $"lang", $"source", $"n_chars")
+    applyChangelog(base, changes)
   }
 
   val mergeUpsertSql: String = """

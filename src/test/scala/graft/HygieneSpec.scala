@@ -123,6 +123,21 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("applyChangelog: multi-version CDC histories resolve last-write-wins") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 0L, "I"), (2L, "b", 0L, "I"), (3L, "c", 0L, "I"))
+      .toDF("k", "v", "seq", "op")
+    val changes = Seq(
+      (1L, "a1", 1L, "U"), (1L, "a2", 2L, "U"), // two updates → latest wins
+      (2L, "b", 1L, "D"), // plain delete
+      (3L, "c", 1L, "D"), (3L, "c2", 2L, "U"), // delete then re-insert
+      (4L, "d", 1L, "U")) // upsert of a key absent from the base
+      .toDF("k", "v", "seq", "op")
+    val out = graft.sources.Sinks.applyChangelog(base, changes, key = "k")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a2", 3L -> "c2", 4L -> "d"))
+  }
+
   test("repetitionStats hand-computed vectors") {
     // "a a a b": words 4, top 3, 3-grams {"a a a","a a b"} → 2 total 0 dup
     assert(TextAnalysis.repetitionStats("a a a b") === ((4L, 3L, 2L, 0L)))
