@@ -27,6 +27,12 @@ object SparkEntry {
     "q_asof_join"  -> (AsofJoin.clicksLastPurchase _),
     "q_range_join" -> (RangeJoin.errorClicksWithin5Min _),
     "q_salted_join" -> ((s: SparkSession, d: String) => SkewJoin.saltedJoin(s, d)),
+    "q_setops"     -> (Behavior.qSetops _),
+    "q_ntile"      -> (Behavior.qNtile _),
+    "q_funnel"     -> (Behavior.qFunnel _),
+    "q_retention"  -> (Behavior.qRetention _),
+    "q_histogram"  -> (Behavior.qHistogram _),
+    "stats_corr"   -> (Profile.statsCorr _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_session_window" -> (Windows.sessionWindow _),
@@ -70,6 +76,10 @@ object SparkEntry {
     "text_search"      -> (TextAnalysis.search _),
     "stats_profile"    -> (Profile.statsProfile _),
     "embed_pca"        -> (Similarity.embedPca _),
+    "embed_knn_graph"  -> ((s: SparkSession, d: String) => Similarity.embedKnnGraph(s, d)),
+    "ann_pq"           -> ((s: SparkSession, d: String) => Pq.query(s, d)),
+    "dedup_semdedup"   -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
+    "text_lm_score"    -> (TextAnalysis.lmScore _),
     "text_pii"         -> (TextAnalysis.pii _),
     "text_decontam"    -> (Decontam.ngramCollisions _),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
@@ -108,6 +118,12 @@ object SparkEntry {
     "q_asof_join"  -> AsofJoin.clicksLastPurchaseSql,
     "q_range_join" -> RangeJoin.errorClicksWithin5MinSql,
     "q_salted_join" -> SkewJoin.saltedJoinSql,
+    "q_setops"     -> Behavior.qSetopsSql,
+    "q_ntile"      -> Behavior.qNtileSql,
+    "q_funnel"     -> Behavior.qFunnelSql,
+    "q_retention"  -> Behavior.qRetentionSql,
+    "q_histogram"  -> Behavior.qHistogramSql,
+    "stats_corr"   -> Profile.statsCorrSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_session_window" -> Windows.sessionWindowSql,
@@ -154,6 +170,14 @@ object SparkEntry {
     // rows-only driver check; SketchSpec asserts the eigenpair residual,
     // variance capture vs per-axis variance, and bit-identical retrain.
     "text_pii"         -> TextAnalysis.piiSql,
+    "embed_knn_graph"  -> Similarity.embedKnnGraphSql,
+    // ann_pq: learned PQ codebook + ADC ranking is not SQL-expressible →
+    // rows-only driver check; SketchSpec asserts retrain determinism,
+    // monotone objectives, recall vs brute force, reconstruction MSE.
+    // dedup_semdedup: k-means cells are not SQL-expressible → rows-only;
+    // HygieneSpec pins exact-witness precision + co-celled-pair recall
+    // against the exact embedPairs contract.
+    "text_lm_score"    -> TextAnalysis.lmScoreSql,
     "text_decontam"    -> Decontam.ngramCollisionsSql,
     "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,
     "sink_csv"         -> graft.sources.Sinks.csvRoundTripSql,

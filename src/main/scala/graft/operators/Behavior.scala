@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral / product analytics the reference's traffic pipeline feeds
+  * into downstream (funnels, cohorts, distribution profiling) plus the SQL
+  * set-operation surface — each shaped for 100 TB:
+  *
+  *  - set ops compile to partial-agg'd HashAggregate + shuffle on the row
+  *    key (INTERSECT/EXCEPT are keyed joins, never materialized sets);
+  *  - ntile is PARTITIONED (per-nation) — a global ORDER BY ntile would
+  *    serialize the corpus through one task, the classic window anti-
+  *    pattern, so the partition key is part of the contract;
+  *  - the funnel is a cascade of keyed aggregations where every stage's
+  *    input is the (shrinking) survivor set of the previous stage — each
+  *    arrow is one user_id-keyed join against an aggregate, all
+  *    broadcastable when the funnel narrows, shuffle-joins otherwise;
+  *  - retention is two keyed shuffles (first-touch agg, then cohort/offset
+  *    agg) — the cohort table is user-cardinality, joined on its key;
+  *  - the histogram is a single map-side-combined agg on a computed
+  *    integer bucket key (cardinality = value range / width, tiny).
+  */
+object Behavior {
+
+  /** SQL set operations: customers ordering URGENT ∩/∖ customers ordering
+    * HIGH, tagged. Spark INTERSECT/EXCEPT lower to distinct-aggregated
+    * semi/anti hash joins (partial agg on both sides — no full-set
+    * materialization), exactly the 100 TB plan a hand-written
+    * dedup+join would pick.
+    */
+  def qSetops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val urgent = orders.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_key"))
+    val high = orders.filter($"o_orderpriority" === "2-HIGH")
+      .select($"o_custkey".as("c_key"))
+    urgent.intersect(high).withColumn("tag", lit("both"))
+      .unionByName(urgent.except(high).withColumn("tag", lit("urgent_only")))
+      .unionByName(high.except(urgent).withColumn("tag", lit("high_only")))
+  }
+
+  val qSetopsSql: String = """
+    WITH u AS (SELECT o_custkey AS c_key FROM orders WHERE o_orderpriority = '1-URGENT'),
+         h AS (SELECT o_custkey AS c_key FROM orders WHERE o_orderpriority = '2-HIGH')
+    SELECT c_key, 'both' AS tag FROM (SELECT c_key FROM u INTERSECT SELECT c_key FROM h)
+    UNION ALL
+    SELECT c_key, 'urgent_only' AS tag FROM (SELECT c_key FROM u EXCEPT SELECT c_key FROM h)
+    UNION ALL
+    SELECT c_key, 'high_only' AS tag FROM (SELECT c_key FROM h EXCEPT SELECT c_key FROM u)"""
+
+  /** Partitioned quantile bucketing: acctbal quartile per nation via
+    * ntile(4) over a TOTAL order (balance desc, key asc — dup balances
+    * can't flip buckets between engines). Partitioning by nation keeps
+    * every window task bounded; a global ntile would be the
+    * one-task-sorts-everything anti-pattern, so the partitioned form IS
+    * the scalable contract (a global variant belongs to the two-pass
+    * range-partitioned index pattern of `pipeline_shuffle`).
+    */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        ntile(4).over(w).as("bal_quartile"))
+  }
+
+  val qNtileSql: String = """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_quartile
+    FROM customer"""
+
+  /** Conversion funnel view → click → purchase with STRICT event-time
+    * ordering between stages (a click counts only after the user's first
+    * view; a purchase only after that first qualifying click). One row:
+    * users at each stage. Each stage is a keyed agg over the previous
+    * stage's survivors joined back to the event scan — the stage tables
+    * shrink monotonically, and every join is keyed on user_id.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, "user_id").filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, "user_id").filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n_view")).withColumn("j", lit(1))
+    val n2 = s2.agg(count(lit(1)).as("n_click_after")).withColumn("j", lit(1))
+    val n3 = s3.agg(count(lit(1)).as("n_purchase_after")).withColumn("j", lit(1))
+    n1.join(n2, "j").join(n3, "j").select($"n_view", $"n_click_after", $"n_purchase_after")
+  }
+
+  val qFunnelSql: String = """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_click_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_after"""
+
+  /** Cohort retention: users grouped by first-seen day, counted once per
+    * (cohort_day, day_offset) they were active. Two keyed shuffles: the
+    * first-touch aggregate (user-cardinality), then the distinct+count on
+    * (cohort, offset); the events⋈cohort join is keyed on user_id and
+    * the cohort side is the smaller aggregate.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+    val cohort = ev.groupBy($"user_id").agg(min($"d").as("d0"))
+    ev.join(cohort, "user_id")
+      .select($"d0".as("cohort_day"), datediff($"d", $"d0").as("day_offset"), $"user_id")
+      .distinct()
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val qRetentionSql: String = """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id)
+    SELECT d0 AS cohort_day,
+           CAST(datediff('day', d0, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2"""
+
+  /** Fixed-width value histogram of order totals: bucket = ⌊price/25k⌋.
+    * ONE map-side-combined aggregation on a computed integer key whose
+    * cardinality is (range/width) — constant-size output at any corpus
+    * size, the profiling primitive behind every range-partitioning /
+    * skew decision. Min/max per bucket double as exact bucket-edge
+    * evidence.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(floor($"o_totalprice" / 25000.0).as("bucket"), $"o_totalprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"))
+  }
+
+  val qHistogramSql: String = """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1"""
+}

@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product quantization (PQ) — the vector-compression workhorse of
+  * billion-scale ANN (FAISS IVFPQ, ScaNN): split each d-dim vector into
+  * `m` subspaces, k-means each subspace independently, and store a vector
+  * as m small codes (here 8 codes × 16 cells = 8 bytes vs 256 bytes of
+  * float32 — 32×). Queries score compressed vectors WITHOUT
+  * decompression via ADC (asymmetric distance computation): per query,
+  * one m×k lookup table of exact sub-inner-products, then each corpus
+  * vector's approximate inner product is m table adds.
+  *
+  * What PQ buys at 100 TB is BANDWIDTH/STORAGE (the corpus scan reads 8
+  * bytes/vector, not 256) — not compare-count; pair it with the IVF cell
+  * filter ([[Similarity.annIvf]]) for scan reduction. Everything
+  * broadcast here is model-sized by construction: the codebook is
+  * m×k×(d/m) = d×k doubles (~8 KB), a query's LUT is m×k doubles.
+  *
+  * Determinism (reproducible index build, same discipline as
+  * [[Similarity.kmeansCodebook]]): md5-ordered seeds shared by all
+  * subspaces, scaled-integer centroid sums (partition-invariant), ties
+  * toward the lower cell id, empty cells keep their centroid. Training
+  * makes ONE corpus pass per iteration for ALL subspaces (each partition
+  * emits m×k×(subDim+2) partials), not m separate k-means runs.
+  *
+  * Spec-oracled (SketchSpec): bit-identical retrain, per-subspace
+  * monotone objectives, ADC top-5 recall vs exact brute force, and
+  * code-reconstruction MSE sanity.
+  */
+object Pq {
+
+  final case class Codebook(m: Int, k: Int, subDim: Int,
+      centroids: Array[Array[Array[Double]]], objectives: Array[Double])
+
+  /** Nearest sub-centroid of `v[s*subDim ..< (s+1)*subDim]` among
+    * `cs(s)`: ascending L2, ties toward the lower cell id.
+    */
+  private[graft] def nearestSubCell(v: Array[Float], s: Int, subDim: Int,
+      cs: Array[Array[Double]]): Int = {
+    val off = s * subDim
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      var d = 0.0
+      var i = 0
+      while (i < subDim) { val t = v(off + i) - ctr(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train the PQ codebook: deterministic per-subspace Lloyd's, one
+    * corpus pass per iteration covering all m subspaces at once.
+    * `objectives(it)` = total squared distance summed over subspaces
+    * against the iteration's INPUT centroids (monotone non-increasing).
+    */
+  def train(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+      iters: Int = 4): Codebook = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].cache()
+    val dim = emb.head()._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    // seeds: the first k vectors in md5(vec_id) order seed EVERY
+    // subspace with their corresponding slice — RNG-free, engine-free
+    val seeds = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", md5($"vec_id".cast("string")).as("h"))
+      .orderBy($"h", $"vec_id").limit(k)
+      .select($"embedding").as[Array[Float]].collect()
+    var centroids = Array.tabulate(m, k) { (s, c) =>
+      Array.tabulate(subDim)(i => seeds(c)(s * subDim + i).toDouble)
+    }
+    val objectives = Array.ofDim[Double](iters)
+    for (it <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val partials = emb.mapPartitions { rows =>
+        val cs = bc.value
+        val cnt = Array.ofDim[Long](m, k)
+        val sums = Array.ofDim[Long](m, k, subDim)
+        var sq = 0.0
+        rows.foreach { case (_, v) =>
+          var s = 0
+          while (s < m) {
+            val cell = nearestSubCell(v, s, subDim, cs(s))
+            cnt(s)(cell) += 1
+            val ctr = cs(s)(cell)
+            val acc = sums(s)(cell)
+            var i = 0
+            while (i < subDim) {
+              val x = v(s * subDim + i).toDouble
+              val t = x - ctr(i)
+              sq += t * t
+              acc(i) += math.round(x * 1e9)
+              i += 1
+            }
+            s += 1
+          }
+        }
+        // flat emission (encoder-friendly): one row per non-empty
+        // (subspace, cell) + one sq-objective row per partition
+        val cells = for {
+          s <- (0 until m).iterator
+          c <- (0 until k).iterator
+          if cnt(s)(c) > 0
+        } yield (s, c, cnt(s)(c), sums(s)(c), 0.0)
+        cells ++ Iterator.single((-1, -1, 0L, Array.empty[Long], sq))
+      }.collect() // ≤ P × (m×k + 1) partial rows
+      val cnt = Array.ofDim[Long](m, k)
+      val sums = Array.ofDim[Long](m, k, subDim)
+      partials.foreach {
+        case (-1, _, _, _, psq) => objectives(it) += psq
+        case (s, c, n, ps, _) =>
+          cnt(s)(c) += n
+          var i = 0
+          while (i < subDim) { sums(s)(c)(i) += ps(i); i += 1 }
+      }
+      centroids = Array.tabulate(m, k) { (s, c) =>
+        if (cnt(s)(c) == 0) centroids(s)(c)
+        else Array.tabulate(subDim)(i => sums(s)(c)(i).toDouble / 1e9 / cnt(s)(c))
+      }
+    }
+    emb.unpersist(blocking = false)
+    Codebook(m, k, subDim, centroids, objectives)
+  }
+
+  /** PQ-encode every corpus vector: m codes + the true norm (kept so ADC
+    * scores can be normalized like cosine). Per-row map over a broadcast
+    * codebook; this projection IS the compressed store a production
+    * pipeline writes (8 bytes of codes per vector).
+    */
+  def encode(spark: SparkSession, dir: String, cb: Codebook): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    val codeUdf = udf { (v: Seq[Float]) =>
+      val c = bc.value
+      val a = v.toArray
+      Array.tabulate(c.m)(s => nearestSubCell(a, s, c.subDim, c.centroids(s)))
+    }
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        graft.functions.Vectors.norm2($"embedding").as("nrm"))
+      .withColumn("codes", codeUdf($"embedding"))
+  }
+
+  /** PQ search for the 10 query vectors, the production two-stage shape
+    * (FAISS's IVFPQ + refine):
+    *
+    *  1. **ADC scan** — per query one exact m×k LUT of sub-inner-
+    *     products against the codebook; each corpus vector's approximate
+    *     inner product is m table adds over ONLY (vec_id, codes, nrm) —
+    *     the compressed store. Per-query top-`shortlist` by approx
+    *     score (map-side-limited window, like brute force's top-k).
+    *  2. **Exact re-rank** — the shortlist (#queries × shortlist rows,
+    *     always tiny) joins back to the full vectors by id, exact cosine
+    *     re-scores it, top-5 emitted. Full-precision vectors are read
+    *     for shortlist rows only — this is why PQ stores can keep the
+    *     float vectors in cold storage.
+    *
+    * Recall is governed by the shortlist depth (ADC error just has to
+    * keep a true neighbour inside the top-`shortlist`, not the top-5) —
+    * the knob production systems actually tune.
+    */
+  def annPq(spark: SparkSession, dir: String, cb: Codebook,
+      shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    val encoded = encode(spark, dir, cb)
+    val corpus = encoded.select($"vec_id", $"codes", $"nrm")
+    val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"),
+        luts(bc)($"embedding").as("lut"),
+        graft.functions.Vectors.norm2($"embedding").as("qn"))
+    val adc = udf { (lut: Seq[Seq[Double]], codes: Seq[Int]) =>
+      var s = 0
+      var acc = 0.0
+      while (s < codes.length) { acc += lut(s)(codes(s)); s += 1 }
+      acc
+    }
+    val scored = corpus.join(broadcast(queries.select($"query_id", $"lut", $"qn")),
+        $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (adc($"lut", $"codes") / ($"qn" * $"nrm")).as("approx_cos"))
+    val wa = Window.partitionBy($"query_id").orderBy($"approx_cos".desc, $"neighbor_id".asc)
+    val short = scored.withColumn("arank", row_number().over(wa))
+      .filter($"arank" <= shortlist)
+      .select($"query_id", $"neighbor_id")
+    // exact re-rank: attach full vectors to the tiny shortlist by id
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", graft.functions.Vectors.norm2($"embedding").as("vnrm"))
+    val qemb = Tables.embeddings(spark, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        graft.functions.Vectors.norm2($"embedding").as("qn2"))
+    val exact = short
+      .join(emb, short("neighbor_id") === emb("vec_id"))
+      .join(broadcast(qemb), "query_id")
+      .select($"query_id", $"neighbor_id",
+        (graft.functions.Vectors.dot($"qe", $"embedding") / ($"qn2" * $"vnrm")).as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    exact.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+  }
+
+  private def luts(bc: org.apache.spark.broadcast.Broadcast[Codebook]) =
+    udf { (q: Seq[Float]) =>
+      val c = bc.value
+      Array.tabulate(c.m) { s =>
+        Array.tabulate(c.k) { cell =>
+          val ctr = c.centroids(s)(cell)
+          var d = 0.0
+          var i = 0
+          while (i < c.subDim) { d += q(s * c.subDim + i).toDouble * ctr(i); i += 1 }
+          d
+        }
+      }
+    }
+
+  /** The driver-facing query: train → encode → ADC scan → exact re-rank. */
+  def query(spark: SparkSession, dir: String, shortlist: Int = 50): DataFrame =
+    annPq(spark, dir, train(spark, dir), shortlist)
+
+  /** Mean squared reconstruction error of the PQ codes — the compression
+    * quality metric an index build monitors (spec asserts it shrinks
+    * with more training and beats the 1-centroid degenerate codebook).
+    */
+  def reconstructionMse(spark: SparkSession, dir: String, cb: Codebook): Double = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    val errs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (_, v) =>
+        val c = bc.value
+        var s = 0
+        var e = 0.0
+        while (s < c.m) {
+          val cell = nearestSubCell(v, s, c.subDim, c.centroids(s))
+          val ctr = c.centroids(s)(cell)
+          var i = 0
+          while (i < c.subDim) {
+            val t = v(s * c.subDim + i) - ctr(i)
+            e += t * t
+            i += 1
+          }
+          s += 1
+        }
+        e
+      }
+    errs.agg(avg($"value")).as[Double].head()
+  }
+}

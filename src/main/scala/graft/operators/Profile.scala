@@ -49,4 +49,66 @@ object Profile {
            CAST(MAX(length(text)) AS BIGINT) AS max_len
     FROM documents
     GROUP BY lang"""
+
+  /** Pearson correlation of (l_quantity, l_extendedprice) from EXACT
+    * integer moments: quantities are integral and prices round to whole
+    * dollars, so every sufficient statistic (n, Σx, Σy, Σx², Σy², Σxy)
+    * is an order-independent BIGINT — one map-side-combined aggregation,
+    * hash-identical under any partitioning/engine. The correlation
+    * itself is derived from those integers by one FIXED double
+    * expression (cast-then-arithmetic, same tree both engines), not by
+    * a float aggregate — the trick that makes a statistically
+    * meaningful float column safely hash-comparable.
+    *
+    * The dollar scale is deliberate: it keeps every moment below 2^53,
+    * so the int→double casts in the derivation are EXACT on both
+    * engines (a cents-scaled Σy² crossed 2^53 and the two engines'
+    * decimal→double rounding disagreed by 1 ulp — measured at sf0.1).
+    * At corpus scales where a moment would cross 2^53, the play is
+    * decimal moments + emitting the ratio at reduced precision, or
+    * centering by a first-pass mean; the sub-2^53 contract keeps this
+    * operator bit-exact.
+    *
+    * Scale: a single scan + one 1-row aggregate; this is how a 100 TB
+    * profiler computes correlation matrices (k² integer columns in one
+    * pass), not via per-pair `corr()` floats whose merge order varies.
+    */
+  def statsCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select(round($"l_quantity").cast("long").as("x"),
+        round($"l_extendedprice").cast("long").as("y"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sum_x"), sum($"y").as("sum_y"),
+      sum($"x" * $"x").as("sum_xx"),
+      sum($"y" * $"y").as("sum_yy"),
+      sum($"x" * $"y").as("sum_xy"))
+    m.select($"n", $"sum_x", $"sum_y", $"sum_xx", $"sum_yy", $"sum_xy",
+      (($"n".cast("double") * $"sum_xy".cast("double") -
+        $"sum_x".cast("double") * $"sum_y".cast("double")) /
+        (sqrt($"n".cast("double") * $"sum_xx".cast("double") -
+          $"sum_x".cast("double") * $"sum_x".cast("double")) *
+         sqrt($"n".cast("double") * $"sum_yy".cast("double") -
+           $"sum_y".cast("double") * $"sum_y".cast("double")))).as("corr"))
+  }
+
+  val statsCorrSql: String = """
+    WITH s AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                      CAST(round(l_extendedprice) AS BIGINT) AS y
+               FROM lineitem),
+    m AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+                 CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+                 CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+                 CAST(SUM(x * y) AS BIGINT) AS sum_xy
+          FROM s)
+    SELECT n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+           (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE) -
+            CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE)) /
+           (sqrt(CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE) -
+                 CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) *
+            sqrt(CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE) -
+                 CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))) AS corr
+    FROM m"""
 }

@@ -124,6 +124,102 @@ object Similarity {
     }.toDF("vec_id_a", "vec_id_b", "cos")
   }
 
+  /** Exact cosine k-NN GRAPH: the top-`k` neighbours of EVERY corpus
+    * vector — the primitive under graph-based curation (SemDeDup cluster
+    * pruning, density/outlier filtering, label propagation over
+    * neighbour graphs). Same block triangle self-join as [[embedPairs]]
+    * (each unordered block pair = one reduce group, O(n·B) replication,
+    * O(n/B) task memory), but instead of thresholded pairs each group
+    * emits AT MOST k candidates per member vector via a bounded
+    * insertion (a fixed k-slot array per vector — group output is
+    * O(group members × k), never the group's Θ((n/B)²) compare count).
+    * Every pair lives in exactly one group, so per-vector candidates are
+    * partitioned across groups and top-k of the per-group top-k unions
+    * is EXACT; the final window pass reduces n·B·k candidate rows to
+    * n·k.
+    *
+    * Θ(n²) compares is inherent to the exact contract (same split as
+    * [[embedPairs]] vs [[embedPairsLsh]]); at 100 TB the approximate
+    * graph comes from [[annLsh]]/[[annIvf]] over all vectors instead of
+    * 10 queries — this operator is their exact-contract twin.
+    */
+  def embedKnnGraph(spark: SparkSession, dir: String, blocks: Int = 8,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    val replicated = rows.flatMap { case (id, v) =>
+      val blk = (java.lang.Long.hashCode(id) & Int.MaxValue) % blocks
+      val nrm = math.sqrt(selfDot(v))
+      (0 until blocks).iterator.map { o =>
+        val (i, j) = if (o <= blk) (o, blk) else (blk, o)
+        (i * blocks + j, blk, id, v, nrm)
+      }
+    }
+    val candidates = replicated.groupByKey(_._1).flatMapGroups { (rkey, it) =>
+      val (gi, gj) = (rkey / blocks, rkey % blocks)
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      it.foreach { case (_, blk, id, v, nrm) =>
+        if (blk == gi) left += ((id, v, nrm)) else right += ((id, v, nrm))
+      }
+      // fixed k-slot top lists, keyed per member vector; ordering is
+      // (cos desc, neighbor_id asc) — EXACTLY the final window's order,
+      // so dropping a slot can never drop a global top-k row
+      val tops = scala.collection.mutable.LongMap.empty[Array[(Double, Long)]]
+      def offer(id: Long, nid: Long, c: Double): Unit = {
+        val arr = tops.getOrElseUpdate(id, Array.fill(k)((Double.NegativeInfinity, Long.MaxValue)))
+        // find the worst slot; replace it when the candidate beats it
+        var worst = 0
+        var s = 1
+        while (s < k) {
+          val (wc, wi) = arr(worst)
+          val (sc, si) = arr(s)
+          if (sc < wc || (sc == wc && si > wi)) worst = s
+          s += 1
+        }
+        val (wc, wi) = arr(worst)
+        if (c > wc || (c == wc && nid < wi)) arr(worst) = (c, nid)
+      }
+      def compare(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)): Unit = {
+        val (ida, va, na) = a
+        val (idb, vb, nb) = b
+        val c = dotD(va, vb) / (na * nb)
+        offer(ida, idb, c)
+        offer(idb, ida, c)
+      }
+      if (gi == gj) {
+        var x = 0
+        while (x < left.length) {
+          var y = x + 1
+          while (y < left.length) { compare(left(x), left(y)); y += 1 }
+          x += 1
+        }
+      } else {
+        var x = 0
+        while (x < left.length) {
+          var y = 0
+          while (y < right.length) { compare(left(x), right(y)); y += 1 }
+          x += 1
+        }
+      }
+      tops.iterator.flatMap { case (id, arr) =>
+        arr.iterator.filter(_._2 != Long.MaxValue)
+          .map { case (c, nid) => (id, nid, c) }
+      }
+    }.toDF("vec_id", "neighbor_id", "cos")
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    candidates.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+  }
+
+  val embedKnnGraphSql: String = duckEmb + """,
+    s AS (SELECT a.vec_id vid, b.vec_id nid,
+            list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1]*x[2])) / (a.nrm * b.nrm) c
+          FROM n a JOIN n b ON a.vec_id != b.vec_id)
+    SELECT vid AS vec_id, nid AS neighbor_id, c AS cos,
+           CAST(row_number() OVER (PARTITION BY vid ORDER BY c DESC, nid) AS INT) AS rank
+    FROM s QUALIFY rank <= 3"""
+
   /** The sublinear scale path for embedding near-dup: hyperplane-LSH
     * bucketed candidate generation (reusing [[Vectors.lshKeys]], the same
     * machinery as [[annLsh]]) + exact [[Vectors.dot]] rescore of
@@ -383,6 +479,60 @@ object Similarity {
         (Vectors.dot($"qe", $"embedding") / ($"qn" * $"nrm")).as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    * the embedding space with k-means and pruning near-duplicates ONLY
+    * within each cluster — the trick that turns Θ(n²) semantic dedup
+    * into k × Θ((n/k)²), the way web-scale corpora (e.g. LAION-scale)
+    * actually run it. Reuses [[kmeansCodebook]] (deterministic Lloyd's)
+    * for the cells; within a cell, vector i is DROPPED iff some j < i in
+    * the same cell has cos(i,j) ≥ τ — the deterministic keep-first rule,
+    * so the kept set is unique regardless of partitioning.
+    *
+    * Scale: assignment is a per-row map against the broadcast codebook;
+    * the only shuffle is the groupByKey on cell id; each cell's compare
+    * loop is (cell size)² primitive ops with O(cell) task memory. A
+    * production run sizes k so cells fit a task (k ≈ n/target), and
+    * sub-blocks any skewed cell with the [[trianglePairs]] pattern —
+    * noted, not needed at gate scale. Approximate by construction:
+    * a near-dup pair straddling two cells is missed (the SemDeDup
+    * trade); HygieneSpec pins the exact-witness property (every drop
+    * has a smaller-id co-celled near-dup confirmed by [[embedPairs]])
+    * and the converse (every co-celled exact pair forces a drop).
+    */
+  def semDedup(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 4, threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val (codebook, _) = kmeansCodebook(spark, dir, k, iters)
+    val bc = spark.sparkContext.broadcast(codebook)
+    val assigned = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (nearestCell(v, bc.value)._1, id, v, math.sqrt(selfDot(v)))
+      }
+    assigned.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val members = it.toArray.sortBy(_._2) // ascending vec_id: keep-first
+      val dropped = Array.ofDim[Boolean](members.length)
+      var i = 1
+      while (i < members.length) {
+        val (_, _, vi, ni) = members(i)
+        var j = 0
+        var hit = false
+        while (j < i && !hit) {
+          // a dropped j still witnesses i's drop (SemDeDup drops
+          // everything within τ of the cluster's earlier members)
+          val (_, _, vj, nj) = members(j)
+          if (dotD(vi, vj) / (ni * nj) >= threshold) hit = true
+          j += 1
+        }
+        dropped(i) = hit
+        i += 1
+      }
+      members.iterator.zipWithIndex.map { case ((_, id, _, _), ix) =>
+        (id, cell, if (dropped(ix)) 0 else 1)
+      }
+    }.toDF("vec_id", "cell", "is_kept")
   }
 
   /** Symmetric int8 scalar quantization of each embedding — the storage

@@ -551,4 +551,51 @@ object TextAnalysis {
            CAST(len(chunk) AS INT) AS n_chunk_words,
            md5(array_to_string(chunk, ' ')) AS chunk_md5
     FROM c"""
+
+  /** Count-based language-model quality score — the cheap perplexity
+    * proxy (à la KenLM gating) a curation pipeline runs when a real LM
+    * is too expensive for 100 TB: how much of each document's word-
+    * bigram mass falls inside the corpus's top-1000 bigram vocabulary.
+    * Natural text scores high; boilerplate/keyword-stuffed/shuffled text
+    * scores low. All-integer output (n_bigrams, n_top_hits) — ratio-free
+    * and hash-stable.
+    *
+    * Two-pass shape, both passes scalable:
+    *  1. corpus bigram counts = one explode + one map-side-combined
+    *     shuffle on the bigram key; top-1000 by (count desc, bigram) is
+    *     TakeOrderedAndProject (per-partition heaps + driver merge of
+    *     P×1000), never a global sort;
+    *  2. the top set is a MODEL ARTIFACT of fixed size (1000 rows) —
+    *     broadcast by construction, like the BPE vocab — so the per-doc
+    *     hit count is a map-side semi-join + one doc_id-keyed agg, and
+    *     the left join back attaches zero-hit docs.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", Text.wordsFast($"text").as("w"))
+      .select($"doc_id", Text.shingles($"w", 2).as("bg"))
+    val exploded = docs.select($"doc_id", explode($"bg").as("b"))
+    val top = exploded.groupBy($"b").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"b".asc).limit(1000).select($"b")
+    val hits = exploded.join(broadcast(top), "b")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_top_hits"))
+    docs.select($"doc_id", size($"bg").as("n_bigrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_bigrams",
+        coalesce($"n_top_hits", lit(0L)).as("n_top_hits"))
+  }
+
+  val lmScoreSql: String = sqlWords + """,
+    bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+           FROM wd, LATERAL (SELECT unnest(range(1, greatest(len(w), 1))) AS i)),
+    top AS (SELECT b FROM (
+              SELECT b, row_number() OVER (ORDER BY COUNT(*) DESC, b) AS rn
+              FROM bg GROUP BY b) WHERE rn <= 1000),
+    hits AS (SELECT doc_id, COUNT(*) AS n_top_hits
+             FROM bg JOIN top USING (b) GROUP BY doc_id)
+    SELECT wd.doc_id,
+           CAST(greatest(len(w) - 1, 0) AS INT) AS n_bigrams,
+           CAST(coalesce(hits.n_top_hits, 0) AS BIGINT) AS n_top_hits
+    FROM wd LEFT JOIN hits ON wd.doc_id = hits.doc_id"""
 }

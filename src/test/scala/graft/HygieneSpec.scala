@@ -217,6 +217,51 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sketched === exact)
   }
 
+  test("SemDeDup: every drop has a smaller-id co-celled exact witness; " +
+      "every co-celled exact pair forces a drop") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.Similarity.semDedup(spark, dir)
+      .as[(Long, Int, Int)].collect()
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(rows.length.toLong === n, "one verdict row per corpus vector")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    val cell = rows.map(r => r._1 -> r._2).toMap
+    val kept = rows.filter(_._3 == 1).map(_._1).toSet
+    val dropped = rows.filter(_._3 == 0).map(_._1).toSet
+    // ground truth: the EXACT near-dup pair list at the same threshold
+    val exact = graft.operators.Similarity.embedPairs(spark, dir)
+      .select("vec_id_a", "vec_id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain exact near-dup pairs")
+    // precision: a dropped vector always has a smaller-id near-dup in
+    // its own cell (the drop's witness is itself an exact pair)
+    dropped.foreach { d =>
+      assert(exact.exists { case (a, b) =>
+        b == d && a < d && cell(a) == cell(d) },
+        s"vec $d dropped without a co-celled exact witness")
+    }
+    // forced drops: a co-celled exact pair's larger endpoint cannot
+    // survive (the smaller endpoint witnesses it directly)
+    exact.foreach { case (a, b) =>
+      if (cell(a) == cell(b))
+        assert(dropped.contains(math.max(a, b)),
+          s"co-celled exact pair ($a,$b) left ${math.max(a, b)} kept")
+    }
+    // and something must actually be kept
+    assert(kept.nonEmpty)
+  }
+
+  test("SemDeDup verdicts are deterministic across runs") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val r1 = graft.operators.Similarity.semDedup(spark, dir)
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    val r2 = graft.operators.Similarity.semDedup(spark, dir)
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(r1 === r2)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
