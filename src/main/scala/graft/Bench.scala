@@ -56,6 +56,25 @@ object Bench {
       r.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).count()
       r.join(broadcast(spark.range(97).select(col("id").as("k"))), "k").count()
       r.orderBy(col("id").desc).limit(5).count()
+      // typed-Dataset machinery on synthetic rows: product-encoder
+      // codegen, closure-cleaned mapPartitions, broadcast variables,
+      // groupByKey shuffle — the cold path every Dataset[T] operator
+      // (k-means training, triangle joins, moment sketches) pays on
+      // first touch (~1 s measured on ann_ivf when unwarmed)
+      import spark.implicits._
+      val ds = spark.range(4096)
+        .map(i => (i, Array.tabulate(8)(j => (i + j).toFloat)))
+      val bcv = spark.sparkContext.broadcast(Array.fill(8)(0.5f))
+      ds.mapPartitions { it =>
+        val b = bcv.value
+        it.map { case (i, v) =>
+          var s = 0.0; var j = 0
+          while (j < v.length) { s += v(j) * b(j); j += 1 }
+          (i, s)
+        }
+      }.collect()
+      ds.groupByKey(_._1 % 7)
+        .flatMapGroups((k, it) => Iterator.single((k, it.size))).count()
     }
     // optional comma-separated subset for targeted local timing; the
     // driver sets no filter and always measures the full suite

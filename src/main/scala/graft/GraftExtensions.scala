@@ -64,5 +64,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, s"graft_normalize takes 1 argument, got ${args.length}")
         NormalizeText(args.head)
       }))
+    // Spark's internal Bloom pair (what its runtime-filter rewrite
+    // injects for shuffle-join pruning), surfaced to SQL users for
+    // explicit sketch-side pre-filters (see Decontam.bloomDecontam):
+    //   graft_bloom_agg(xxhash64(x) [, estItems [, numBits]]) -> binary
+    //   graft_might_contain(bloomBinary, xxhash64(x)) -> boolean
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) => {
+        // size args must be foldable BIGINTs; SQL integer literals
+        // arrive as INT, so coerce (Cast of a literal stays foldable)
+        def toLong(e: Expression): Expression =
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            e, org.apache.spark.sql.types.LongType)
+        args match {
+          case Seq(c) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              c, org.apache.spark.sql.catalyst.expressions.Literal(1000000L),
+              org.apache.spark.sql.catalyst.expressions.Literal(8388608L))
+          case Seq(c, est) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              c, toLong(est))
+          case Seq(c, est, bits) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              c, toLong(est), toLong(bits))
+          case _ => throw new IllegalArgumentException(
+            s"graft_bloom_agg takes 1-3 arguments, got ${args.length}")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_might_contain takes 2 arguments, got ${args.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args.head, args(1))
+      }))
   }
 }

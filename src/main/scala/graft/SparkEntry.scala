@@ -35,6 +35,7 @@ object SparkEntry {
     "stats_corr"   -> (Profile.statsCorr _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
+    "q_slide_distinct" -> (Windows.slideDistinct _),
     "q_session_window" -> (Windows.sessionWindow _),
     "q_events_parse"   -> (Windows.eventsParse _),
     "q_resample"       -> (Windows.resample _),
@@ -82,8 +83,10 @@ object SparkEntry {
     "text_lm_score"    -> (TextAnalysis.lmScore _),
     "text_pii"         -> (TextAnalysis.pii _),
     "text_decontam"    -> (Decontam.ngramCollisions _),
+    "text_decontam_bloom" -> ((s: SparkSession, d: String) => Decontam.bloomDecontam(s, d)),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "sink_csv"         -> (graft.sources.Sinks.csvRoundTrip _),
+    "sink_jsonl"       -> (graft.sources.Sinks.jsonlRoundTrip _),
     "sink_bucketed"    -> (graft.sources.Sinks.bucketedJoin _),
     "sink_zorder"      -> (graft.sources.Sinks.zorderRoundTrip _),
     "sink_merge"       -> (graft.sources.Sinks.mergeUpsert _),
@@ -126,6 +129,7 @@ object SparkEntry {
     "stats_corr"   -> Profile.statsCorrSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
+    "q_slide_distinct" -> Windows.slideDistinctSql,
     "q_session_window" -> Windows.sessionWindowSql,
     "q_events_parse"   -> Windows.eventsParseSql,
     "q_resample"       -> Windows.resampleSql,
@@ -179,8 +183,12 @@ object SparkEntry {
     // against the exact embedPairs contract.
     "text_lm_score"    -> TextAnalysis.lmScoreSql,
     "text_decontam"    -> Decontam.ngramCollisionsSql,
+    // identical output contract via the Bloom pre-filter path (exact
+    // verify behind the sketch) — same oracle as text_decontam
+    "text_decontam_bloom" -> Decontam.ngramCollisionsSql,
     "sink_partitioned" -> graft.sources.Sinks.partitionedRoundTripSql,
     "sink_csv"         -> graft.sources.Sinks.csvRoundTripSql,
+    "sink_jsonl"       -> graft.sources.Sinks.jsonlRoundTripSql,
     "sink_bucketed"    -> graft.sources.Sinks.bucketedJoinSql,
     "sink_zorder"      -> graft.sources.Sinks.zorderRoundTripSql,
     "sink_merge"       -> graft.sources.Sinks.mergeUpsertSql,

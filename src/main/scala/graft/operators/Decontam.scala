@@ -43,6 +43,53 @@ object Decontam {
       .agg(count(lit(1)).as("n_collisions"))
   }
 
+  /** The same decontamination contract executed through a BLOOM-FILTER
+    * runtime pre-filter — the shape that matters when the eval-gram set
+    * is too big to broadcast as rows (many benchmark suites × many
+    * paraphrase expansions) but its SKETCH is not: a Bloom filter over
+    * the eval grams costs numBits/8 bytes regardless of corpus size.
+    *
+    *  1. one aggregation compresses the eval grams into a Bloom filter
+    *     (Spark's own `BloomFilterAggregate` — the expression its
+    *     runtime-filter rewrite injects for shuffle-join pruning —
+    *     reached through graft's `ColumnBridge`, and exposed to SQL as
+    *     `graft_bloom_agg`/`graft_might_contain` via GraftExtensions);
+    *  2. the corpus scan drops every n-gram the filter rejects MAP-SIDE
+    *     (`might_contain` on a literal sketch — a codegen'd expression,
+    *     no join, no shuffle: this is the scan-reduction step);
+    *  3. the surviving sliver (true hits + Bloom false positives) is
+    *     verified EXACTLY against the eval grams, so the output is
+    *     bit-identical to [[ngramCollisions]] — false positives cost
+    *     only wasted verify work, never wrong rows. Same SQL oracle.
+    */
+  def bloomDecontam(spark: SparkSession, dir: String,
+      numBits: Long = 1L << 22): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val docs = Tables.documents(spark, dir)
+    val shingled = docs.select($"doc_id", $"source",
+      explode(Text.shinglesNFastUdf(N)($"text")).as("s"))
+    val evalGrams = shingled
+      .filter($"source".isInCollection(EvalSources))
+      .select($"s").distinct()
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64($"s")),
+        Literal(1000000L), Literal(numBits)).toAggregateExpression())
+    val bloom = evalGrams.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64($"s"))))
+    shingled
+      .filter(!$"source".isInCollection(EvalSources))
+      .filter(mightContain) // map-side sketch rejection: no join yet
+      .join(broadcast(evalGrams), "s") // exact verify of the sliver
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_collisions"))
+  }
+
   val ngramCollisionsSql: String = """
     WITH docs AS (SELECT doc_id, source, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
     wrds AS (SELECT doc_id, source, string_split(t,' ') w FROM docs),

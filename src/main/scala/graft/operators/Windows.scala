@@ -60,6 +60,31 @@ object Windows {
     WHERE event_type = 'click'
     GROUP BY 1, 2"""
 
+  /** Distinct users per hop window — the "unique visitors per sliding
+    * hour" shape every traffic dashboard runs on the reference's stream.
+    * Exact `countDistinct` rewrites to the two-phase expand + aggregate
+    * (distinct-key partial agg, then the window rollup) — one logical
+    * shuffle on (window, user). The 100 TB swap for an unbounded key
+    * space is `approx_count_distinct` (fixed-size HLL state, mergeable
+    * across hops), the same trade `q_approx_distinct` oracle-bounds.
+    */
+  def slideDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"))
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .select($"window.start".as("window_start"), $"window.end".as("window_end"),
+        $"n_users", $"n_events")
+  }
+
+  val slideDistinctSql: String = """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' + INTERVAL '1 hour' AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
+    GROUP BY 1, 2"""
+
   /** Session windows per user, 30 min inactivity gap: Spark's native
     * `session_window` (merge-on-overlap, end = last event + gap).
     */

@@ -69,6 +69,44 @@ object Sinks {
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1, 2"""
 
+  /** JSONL round trip — the interchange format LLM corpora actually move
+    * in (one JSON object per line: The Pile, C4, RedPajama, FineWeb all
+    * ship this way). Write the FULL document rows (text included) as
+    * JSON lines, read back with an EXPLICIT schema (inferSchema at scale
+    * double-scans), and prove losslessness by hash-matching a per-group
+    * aggregate that covers every column: counts, n_chars sums, and an
+    * order-independent text checksum (sum of each doc's first-16-hex of
+    * md5(text) as a BIGINT — any mutation of any text byte moves it).
+    *
+    * Scale: JSONL is splittable (line-delimited), so both the write and
+    * the read-back parallelize per-partition with no coordination; the
+    * aggregate is one map-side-combined group-key shuffle.
+    */
+  def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = DumpCache.ensure(
+      DumpCache.dirFor("graft_docs_jsonl", dir, "documents.parquet")) { tmp =>
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .write.mode("overwrite").json(tmp)
+    }
+    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    spark.read.schema(schema).json(out)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(conv(substring(md5($"text"), 1, 16), 16, 10).cast("decimal(20,0)"))
+          .cast("decimal(38,0)").as("text_checksum"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+  }
+
+  val jsonlRoundTripSql: String = """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substring(md5(text), 1, 16)) AS UBIGINT)) AS DECIMAL(38,0)) AS text_checksum,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents GROUP BY 1, 2"""
+
   /** Bucketed tables + co-located join: the shuffle is PRE-PAID once at
     * write time. Both tables are written `bucketBy(8, doc_id)` +
     * `sortBy(doc_id)`, so the doc_id equi-join between them needs NO

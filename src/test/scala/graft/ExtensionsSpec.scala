@@ -175,4 +175,39 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(exact.length === 3)
   }
+
+  test("graft_bloom_agg / graft_might_contain: SQL Bloom sketch round trip") {
+    // build a sketch over 1000 keys, probe members + non-members from SQL
+    spark.range(1000).createOrReplaceTempView("bloom_keys")
+    val bf = spark.sql(
+      "SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING)), 1000, 65536) AS bf FROM bloom_keys")
+    bf.createOrReplaceTempView("bloom_bf")
+    // members: zero false negatives, ever (the Bloom contract); the
+    // sketch side must be a constant or scalar subquery — the shape
+    // Spark's own runtime-filter rewrite emits
+    val misses = spark.sql(
+      """SELECT count(*) AS n FROM bloom_keys
+        |WHERE NOT graft_might_contain((SELECT bf FROM bloom_bf),
+        |                              xxhash64(CAST(id AS STRING)))""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(misses === 0L, "bloom filter produced a false negative")
+    // non-members: false-positive rate stays near the sizing target
+    val fps = spark.sql(
+      """SELECT count(*) AS n
+        |FROM (SELECT id + 1000000 AS id FROM bloom_keys)
+        |WHERE graft_might_contain((SELECT bf FROM bloom_bf),
+        |                          xxhash64(CAST(id AS STRING)))""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(fps < 100, s"false-positive rate ${fps / 1000.0} far above sizing target")
+  }
+
+  test("bloom-prefiltered decontam output equals the broadcast-join decontam exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.operators.Decontam.ngramCollisions(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = graft.operators.Decontam.bloomDecontam(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(bloom === exact)
+  }
 }
