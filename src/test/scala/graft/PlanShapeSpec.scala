@@ -204,4 +204,62 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("NOT (lang"), s"partition pruning missing:\n$plan")
   }
+
+  test("text_lm_score: model extraction is TakeOrdered, top-set attach broadcasts") {
+    val nodes = physical(TextAnalysis.lmScore(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-1000 bigram extraction must be TakeOrdered, not a global sort")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the fixed-size top-bigram model must broadcast into the hit join")
+  }
+
+  test("text_decontam_bloom: sketch rejection runs map-side BEFORE the verify join") {
+    val plan = Decontam.bloomDecontam(spark, sf)
+      .queryExecution.executedPlan.toString
+    val probeAt = plan.indexOf("might_contain")
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    assert(probeAt >= 0, s"bloom probe missing from the plan:\n$plan")
+    assert(joinAt >= 0, "exact verify join missing")
+    // executedPlan prints top-down: the probe Filter must sit BELOW the
+    // join (i.e., later in the string) — on the scan side, not above it
+    assert(probeAt > joinAt,
+      s"bloom probe is not inside the scan stage under the verify join:\n$plan")
+  }
+
+  test("q_funnel and q_retention stay keyed-join + aggregate (no cartesian, no global sort)") {
+    for ((name, df) <- Seq(
+        "q_funnel" -> Behavior.qFunnel(spark, sf),
+        "q_retention" -> Behavior.qRetention(spark, sf))) {
+      val nodes = physical(df)
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        s"$name picked up a cartesian product")
+      assert(!nodes.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.SortExec] &&
+          n.asInstanceOf[org.apache.spark.sql.execution.SortExec].global),
+        s"$name picked up a global sort")
+    }
+  }
+
+  test("q_ntile windows are partitioned (never an empty-partition global window)") {
+    val nodes = physical(Behavior.qNtile(spark, sf))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected a WindowExec")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "ntile window lost its PARTITION BY — a global ntile serializes the corpus through one task")
+    }
+  }
+
+  test("embed_knn_graph bounds group emission: one typed shuffle + final window only") {
+    val df = Similarity.embedKnnGraph(spark, sf)
+    // the group stage and the rank stage — nothing else may shuffle
+    assert(shuffles(df) <= 3, s"unexpected shuffle count ${shuffles(df)}")
+    assert(!physical(df).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "knn graph must never plan a cartesian self-join")
+  }
 }
