@@ -18,6 +18,7 @@ object SparkEntry {
     "q5_join"      -> (Analytics.q5Join _),
     "q_topk_window" -> (Analytics.qTopkWindow _),
     "q_rollup"     -> (Analytics.qRollup _),
+    "q_grouping_sets" -> (Analytics.qGroupingSets _),
     "q_approx_distinct" -> (Analytics.qDistinct _),
     "q_quantile"   -> (Analytics.qQuantile _),
     "q_moving_window" -> (Analytics.qMovingWindow _),
@@ -49,6 +50,7 @@ object SparkEntry {
     "q_stream_slide"   -> (StreamQueries.streamSlideCount _),
     "q_stream_session" -> (StreamQueries.streamSessionWindow _),
     "q_stream_dedup"   -> (StreamQueries.streamDedup _),
+    "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_range_join" -> (StreamQueries.streamRangeJoin _),
     "dedup_exact"      -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -97,6 +99,7 @@ object SparkEntry {
     "mm_framesample"   -> (Multimodal.frameSample _),
     "mm_resize"        -> (Multimodal.resize _),
     "mm_features"      -> (Multimodal.features _),
+    "mm_dedup"         -> (Multimodal.payloadDedup _),
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_stratified_topk" -> (Curation.sampleStratifiedThreshold _),
     "sample_weighted"  -> (Curation.sampleWeighted _),
@@ -112,6 +115,7 @@ object SparkEntry {
     "q5_join"      -> Analytics.q5JoinSql,
     "q_topk_window" -> Analytics.qTopkWindowSql,
     "q_rollup"     -> Analytics.qRollupSql,
+    "q_grouping_sets" -> Analytics.qGroupingSetsSql,
     "q_approx_distinct" -> Analytics.qDistinctSql,
     "q_quantile"   -> Analytics.qQuantileSql,
     "q_moving_window" -> Analytics.qMovingWindowSql,
@@ -142,6 +146,7 @@ object SparkEntry {
     "q_stream_slide"   -> Windows.slideCountSql,  // streaming == batch
     "q_stream_session" -> Windows.sessionWindowSql, // streaming == batch
     "q_stream_dedup"   -> StreamQueries.streamDedupSql,
+    "q_stream_slide_distinct" -> StreamQueries.streamSlideDistinctSql,
     "q_stream_range_join" -> StreamQueries.streamRangeJoinSql,
     // q_stream_dgim_tumble: rows-only; StreamingSpec asserts error bound.
     "dedup_exact"      -> Dedup.exactSql,
@@ -199,6 +204,7 @@ object SparkEntry {
     "mm_framesample"   -> Multimodal.frameSampleSql,
     "mm_resize"        -> Multimodal.resizeSql,
     "mm_features"      -> Multimodal.featuresSql,
+    "mm_dedup"         -> Multimodal.payloadDedupSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     // identical output contract, huge-strata plan — same oracle
     "sample_stratified_topk" -> Curation.sampleStratifiedSql,

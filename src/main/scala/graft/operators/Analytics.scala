@@ -158,6 +158,36 @@ object Analytics {
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 
+  /** The GENERAL grouping-sets form (rollup and cube are its two named
+    * specializations): an explicit set list — per-status totals,
+    * per-priority totals, and the grand total, but NOT the (status,
+    * priority) cross — plus `grouping()` indicator columns, which is how
+    * consumers distinguish "NULL because aggregated away" from a genuine
+    * NULL key. Same physical shape as rollup/cube: Spark expands each
+    * row ×|sets| then runs ONE map-side-combined aggregation — the
+    * expansion factor is the set-list length (a query constant), never
+    * data-dependent.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(Dec)).cast(DoubleType).as("total"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_priority"))
+  }
+
+  val qGroupingSetsSql: String = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
   /** Sketch counting: exact distinct per group. The Spark side ALSO computes
     * approx_count_distinct (HLL) and asserts it in the spec; the oracled
     * output is the exact twin so hashes match (HLL implementations differ

@@ -196,4 +196,30 @@ object Multimodal {
            CAST(min(v) AS BIGINT) AS min_byte,
            CAST(max(v) AS BIGINT) AS max_byte
     FROM b GROUP BY doc_id"""
+
+  /** Exact BINARY dedup over the payload column — the multimodal twin of
+    * `dedup_exact` (image/video corpora dedup raw bytes before any
+    * decode: identical files are the dominant duplication mode). md5
+    * runs over the binary payload itself (codegen'd, no decode, no
+    * text assumptions); one hash-keyed shuffle groups identical
+    * payloads, keeper = min doc_id. At 100 TB the hash computes in the
+    * scan and only (hash, doc_id) slim rows shuffle — payload bytes
+    * never move.
+    */
+  def payloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .select($"doc_id", md5($"payload").as("payload_md5"))
+      .groupBy($"payload_md5")
+      .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  // DuckDB's md5 takes VARCHAR (hashed as UTF-8 bytes) — the same bytes
+  // Spark's md5(encode(text,'UTF-8')) hashes, so the oracle can hash the
+  // text directly
+  val payloadDedupSql: String = """
+    SELECT md5(text) AS payload_md5,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1"""
 }

@@ -122,6 +122,34 @@ object StreamQueries {
           $"session_window.end".as("session_end"), $"n_events")
     }
 
+  /** Distinct users per hop window over an UNBOUNDED stream — the
+    * streaming twin of `q_slide_distinct`. Streaming aggregation forbids
+    * `countDistinct` (distinct state is unbounded per group), so this
+    * uses the streaming-native decomposition every production pipeline
+    * uses: watermarked `dropDuplicates` on (user, window) — exact-once
+    * state per distinct key, evicted by the watermark — followed by a
+    * plain windowed count of the deduplicated rows. Hash-matches the
+    * batch distinct-count oracle.
+    */
+  def streamSlideDistinct(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark) { s =>
+      import s.implicits._
+      eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .select($"user_id", $"ts", window($"ts", "1 hour", "15 minutes").as("w"))
+        .dropDuplicates("user_id", "w")
+        .groupBy($"w")
+        .agg(count(lit(1)).as("n_users"))
+        .select($"w.start".as("window_start"), $"w.end".as("window_end"), $"n_users")
+    }
+
+  val streamSlideDistinctSql: String = """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' + INTERVAL '1 hour' AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
+    GROUP BY 1, 2"""
+
   /** Stream-stream interval join: every (error, click) pair by the same
     * user within ±5 minutes, both sides unbounded streams. This is the
     * streaming twin of `q_range_join`'s band join: Spark keeps each
