@@ -104,6 +104,7 @@ object SparkEntry {
     "sample_stratified_topk" -> (Curation.sampleStratifiedThreshold _),
     "sample_weighted"  -> (Curation.sampleWeighted _),
     "pipeline_curate"  -> (Curation.curate _),
+    "pipeline_split"   -> (Curation.trainValTestSplit _),
     "pipeline_pack"    -> (Curation.pack _),
     "pipeline_shuffle" -> (Curation.shuffleOrder _),
   )
@@ -210,6 +211,7 @@ object SparkEntry {
     "sample_stratified_topk" -> Curation.sampleStratifiedSql,
     "sample_weighted"  -> Curation.sampleWeightedSql,
     "pipeline_curate"  -> Curation.curateSql,
+    "pipeline_split"   -> Curation.trainValTestSplitSql,
     "pipeline_pack"    -> Curation.packSql,
     "pipeline_shuffle" -> Curation.shuffleOrderSql,
   )

@@ -120,6 +120,41 @@ object Curation {
                       ELSE '${hexThreshold(0.1)}' END"""
   }
 
+  /** Deterministic train/validation/test split — the assignment every
+    * corpus needs to be STABLE across reruns, engines and partitionings
+    * (a split that drifts leaks eval data into training). Same
+    * fixed-width md5-hex-threshold device as [[sampleWeighted]]:
+    * bucket = where md5(doc_id)'s first 8 hex digits fall in [0,1) —
+    * train < 0.90 ≤ val < 0.95 ≤ test. Pure per-row scan expression:
+    * ZERO shuffles, reproducible byte-for-byte on any engine with md5.
+    * New documents never move existing ones between splits (assignment
+    * depends only on the doc's own id) — the property that lets a
+    * 100 TB corpus grow incrementally without re-splitting.
+    */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trainEnd = f"${(0.90 * (1L << 32)).toLong}%08x"
+    val valEnd = f"${(0.95 * (1L << 32)).toLong}%08x"
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        substring(md5($"doc_id".cast("string").cast("binary")), 1, 8).as("h"))
+      .select($"doc_id", $"source",
+        when($"h" < trainEnd, "train")
+          .when($"h" < valEnd, "val")
+          .otherwise("test").as("split"))
+  }
+
+  val trainValTestSplitSql: String = {
+    val trainEnd = f"${(0.90 * (1L << 32)).toLong}%08x"
+    val valEnd = f"${(0.95 * (1L << 32)).toLong}%08x"
+    s"""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$trainEnd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$valEnd' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents"""
+  }
+
   /** Concat-and-split sequence packing — the training-batch assembly
     * step: documents concatenate (per `lang` stream, deterministic
     * doc_id order) and cut into fixed 512-word bins. Emitted per doc:
