@@ -105,6 +105,7 @@ object SparkEntry {
     "sample_weighted"  -> (Curation.sampleWeighted _),
     "pipeline_curate"  -> (Curation.curate _),
     "pipeline_split"   -> (Curation.trainValTestSplit _),
+    "pipeline_corpus"  -> (Curation.corpusBuild _),
     "pipeline_pack"    -> (Curation.pack _),
     "pipeline_shuffle" -> (Curation.shuffleOrder _),
   )
@@ -212,6 +213,7 @@ object SparkEntry {
     "sample_weighted"  -> Curation.sampleWeightedSql,
     "pipeline_curate"  -> Curation.curateSql,
     "pipeline_split"   -> Curation.trainValTestSplitSql,
+    "pipeline_corpus"  -> Curation.corpusBuildSql,
     "pipeline_pack"    -> Curation.packSql,
     "pipeline_shuffle" -> Curation.shuffleOrderSql,
   )

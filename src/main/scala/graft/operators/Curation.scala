@@ -245,6 +245,67 @@ object Curation {
     SELECT doc_id, lang, n_words, stop_ratio, text_hash
     FROM deduped WHERE pick = 1"""
 
+  /** The WHOLE corpus-build DAG as ONE declarative query — what a
+    * pre-training data run actually ships: quality gate → exact dedup
+    * (keep-first) → deterministic split assignment → per-(split, lang)
+    * corpus accounting. Composing through the optimizer (instead of
+    * materializing between stages) lets Catalyst inline the quality
+    * filters into the scan, share the normalize across the hash and the
+    * word stats, and leaves exactly TWO shuffles: the dedup window and
+    * the final stats agg — the split assignment is a free per-row
+    * expression sandwiched between them. The per-stage artifact forms
+    * exist as their own operators (`pipeline_curate`, `dedup_exact`,
+    * `pipeline_split`); this row proves they COMPOSE without glue code
+    * or extra passes.
+    */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trainEnd = f"${(0.90 * (1L << 32)).toLong}%08x"
+    val valEnd = f"${(0.95 * (1L << 32)).toLong}%08x"
+    val w = Text.wordsFast($"text")
+    val filtered = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars", size(w).as("n_words"),
+        md5(Text.normalizeFast($"text")).as("text_hash"))
+      .filter($"n_words" >= 30)
+    val deduped = filtered
+      .withColumn("pick", row_number().over(
+        Window.partitionBy($"text_hash").orderBy($"doc_id")))
+      .filter($"pick" === 1)
+    deduped
+      .withColumn("h", substring(md5($"doc_id".cast("string").cast("binary")), 1, 8))
+      .withColumn("split",
+        when($"h" < trainEnd, "train").when($"h" < valEnd, "val").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("total_words"),
+        sum($"n_chars").as("total_chars"))
+  }
+
+  val corpusBuildSql: String = {
+    val trainEnd = f"${(0.90 * (1L << 32)).toLong}%08x"
+    val valEnd = f"${(0.95 * (1L << 32)).toLong}%08x"
+    s"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' ')) AS INT) AS n_words,
+             md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS text_hash
+      FROM documents),
+    filtered AS (SELECT * FROM d WHERE n_words >= 30),
+    deduped AS (
+      SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS pick
+      FROM filtered),
+    assigned AS (
+      SELECT *,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$trainEnd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$valEnd' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM deduped WHERE pick = 1)
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY 1, 2"""
+  }
+
   /** Deterministic global training-order shuffle: every doc gets a
     * seeded pseudo-random sort key (`md5(seed || doc_id)` — RNG-free, so
     * the order is reproducible across engines, partitionings and

@@ -231,8 +231,11 @@ object TextAnalysis {
       .select($"doc_id", explode(Text.wordsFast($"text")).as("word"))
       .filter(length($"word") >= 3)
     val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-    val df = words.select($"doc_id", $"word").distinct()
-      .groupBy($"word").agg(count(lit(1)).as("df"))
+    // document frequency DERIVES from the tf table (tf rows are already
+    // distinct (doc, word) pairs): one agg over the much smaller tf
+    // relation replaces a second full explode + distinct shuffle of the
+    // corpus — at 100 TB that second tokenization pass is the cost
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     tf.join(df, "word")
       .withColumn("rk", row_number().over(
         w.partitionBy($"doc_id")
