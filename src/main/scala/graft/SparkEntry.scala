@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_minhash"    -> (Dedup.minhashLsh _),
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_chunks"     -> (Dedup.chunkDups _),
+    "dedup_editdist"   -> (Dedup.editDistVerify _),
     "dedup_clusters"   -> (Clusters.dedupClusters _),
     "dedup_apply"      -> (Clusters.dedupApply _),
     "dedup_embed"      -> ((s: SparkSession, d: String) => Similarity.embedPairs(s, d)),
@@ -156,6 +157,7 @@ object SparkEntry {
     // dedup_minhash / dedup_simhash: sketch-based, not SQL-expressible →
     // rows-only driver check; SketchSpec asserts recall/precision.
     "dedup_chunks"     -> Dedup.chunkDupsSql,
+    "dedup_editdist"   -> Dedup.editDistVerifySql,
     "dedup_clusters"   -> Clusters.dedupClustersSql,
     "dedup_apply"      -> Clusters.dedupApplySql,
     "dedup_embed"      -> Similarity.embedPairsSql,

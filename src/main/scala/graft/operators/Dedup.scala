@@ -139,6 +139,51 @@ object Dedup {
     FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
     WHERE i*1.0/(sa.n+sb.n-i) >= 0.8"""
 
+  /** Edit-distance verification of the near-dup pair set: classic
+    * Levenshtein over the NORMALIZED text of every verified Jaccard ≥ 0.8
+    * pair, plus the length-normalized similarity 1 − d/max(|a|,|b|).
+    * Character-level distance is the final arbiter real dedup pipelines
+    * apply before destructive collapse — shingle Jaccard is word-order
+    * insensitive (two docs that permute sentences can tie on trigrams),
+    * while edit distance is not, so the pair (jaccard, edit_sim) separates
+    * true near-copies from shuffled boilerplate.
+    *
+    * Scale: Levenshtein is O(|a|·|b|) PER PAIR, so it must never run on
+    * candidates — only on the verified pair set (near-dup density ×
+    * corpus, the tiny output of [[ngramJaccard]]'s pipeline, read from
+    * its dump). The two text-attach joins are plain doc_id equi-joins:
+    * the pair side is small → AQE broadcasts it; at 100 TB they become
+    * shuffle hash joins with the pair side still orders of magnitude
+    * smaller than the corpus. `levenshtein` is a codegen'd Catalyst
+    * expression — no UDF.
+    */
+  def editDistVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, dir).select($"doc_id_a", $"doc_id_b")
+    val norm = Tables.documents(spark, dir)
+      .select($"doc_id", Text.normalizeFast($"text").as("nt"))
+    pairs
+      .join(norm.toDF("doc_id_a", "ta"), "doc_id_a")
+      .join(norm.toDF("doc_id_b", "tb"), "doc_id_b")
+      .select($"doc_id_a", $"doc_id_b",
+        levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
+        greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
+      .select($"doc_id_a", $"doc_id_b", $"edit_dist", $"max_len",
+        (lit(1.0) - $"edit_dist" * lit(1.0) / $"max_len").as("edit_sim"))
+  }
+
+  val editDistVerifySql: String = s"""
+    WITH pairs AS ($ngramJaccardSql),
+    norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) nt FROM documents)
+    SELECT p.doc_id_a, p.doc_id_b,
+           CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_dist,
+           CAST(greatest(length(a.nt), length(b.nt)) AS BIGINT) AS max_len,
+           1.0 - CAST(levenshtein(a.nt, b.nt) AS BIGINT) * 1.0
+                 / CAST(greatest(length(a.nt), length(b.nt)) AS BIGINT) AS edit_sim
+    FROM pairs p
+    JOIN norm a ON p.doc_id_a = a.doc_id
+    JOIN norm b ON p.doc_id_b = b.doc_id"""
+
   /** Chunk-level (paragraph-grade) duplication: the per-doc fraction of
     * training-sequence chunks whose fingerprint also appears in ANOTHER
     * document — the fine-grained signal pipelines gate on when whole-doc

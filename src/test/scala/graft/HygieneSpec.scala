@@ -123,6 +123,31 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("editDistVerify: metrics are sane and identical docs score sim 1.0") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.editDistVerify(spark, dir)
+      .select($"doc_id_a", $"doc_id_b", $"edit_dist", $"max_len", $"edit_sim")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty) // planted dups must exist at this sf
+    // one row per verified Jaccard pair — the verify never drops pairs
+    assert(rows.length === Dedup.ngramJaccard(spark, dir).count())
+    rows.foreach { case (a, b, d, m, s) =>
+      assert(a < b)
+      assert(d >= 0 && d <= m, s"($a,$b): dist $d outside [0, $m]")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(math.abs(s - (1.0 - d.toDouble / m)) < 1e-12)
+    }
+    // exact copies in the planted dup set must surface as edit_dist 0
+    val norm = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", graft.functions.Text.normalizeFast($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    rows.foreach { case (a, b, d, _, _) =>
+      assert((d == 0L) === (norm(a) == norm(b)),
+        s"($a,$b): edit_dist $d disagrees with normalized-text equality")
+    }
+  }
+
   test("applyChangelog: multi-version CDC histories resolve last-write-wins") {
     import spark.implicits._
     val base = Seq((1L, "a", 0L, "I"), (2L, "b", 0L, "I"), (3L, "c", 0L, "I"))
