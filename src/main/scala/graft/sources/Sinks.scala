@@ -75,8 +75,13 @@ object Sinks {
     * JSON lines, read back with an EXPLICIT schema (inferSchema at scale
     * double-scans), and prove losslessness by hash-matching a per-group
     * aggregate that covers every column: counts, n_chars sums, and an
-    * order-independent text checksum (sum of each doc's first-16-hex of
+    * order-independent text checksum (sum of each doc's first-14-hex of
     * md5(text) as a BIGINT — any mutation of any text byte moves it).
+    * 14 hex digits keep each term < 2^56, so per-group sums stay far
+    * inside int64 at gate scale and hash identically across engines —
+    * a 16-hex term forces a DECIMAL(38,0) sum that the comparison layer
+    * coerces through float64 differently per engine. (At unbounded group
+    * sizes you'd switch the sum to a BIT_XOR fold, which never grows.)
     *
     * Scale: JSONL is splittable (line-delimited), so both the write and
     * the read-back parallelize per-partition with no coordination; the
@@ -95,15 +100,15 @@ object Sinks {
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("total_chars"),
-        sum(conv(substring(md5($"text"), 1, 16), 16, 10).cast("decimal(20,0)"))
-          .cast("decimal(38,0)").as("text_checksum"),
+        sum(conv(substring(md5($"text"), 1, 14), 16, 10).cast("long"))
+          .as("text_checksum"),
         min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
   }
 
   val jsonlRoundTripSql: String = """
     SELECT lang, source, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(CAST(('0x' || substring(md5(text), 1, 16)) AS UBIGINT)) AS DECIMAL(38,0)) AS text_checksum,
+           CAST(SUM(CAST(('0x' || substring(md5(text), 1, 14)) AS BIGINT)) AS BIGINT) AS text_checksum,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM documents GROUP BY 1, 2"""
 
