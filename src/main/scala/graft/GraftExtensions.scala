@@ -46,6 +46,17 @@ object CollapseNormalize extends Rule[LogicalPlan] {
   * rule folding nested normalizes), so one extensions line equips a
   * session with graft's full planner/optimizer/function surface.
   */
+object GraftExtensions {
+  /** Default Bloom sketch width shared by the SQL surface
+    * (`graft_bloom_agg` with no numBits arg) and the DataFrame-side
+    * consumer ([[graft.operators.Decontam.bloomDecontam]]): 2^23 bits =
+    * 1 MiB, Spark's own `BloomFilterAggregate` default — ~0.1% false
+    * positives at the 1M-item default estimate. One constant so the two
+    * entry points can never drift apart.
+    */
+  val DefaultBloomBits: Long = 1L << 23
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.DgimStrategy)
@@ -84,7 +95,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(c) =>
             new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
               c, org.apache.spark.sql.catalyst.expressions.Literal(1000000L),
-              org.apache.spark.sql.catalyst.expressions.Literal(8388608L))
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                GraftExtensions.DefaultBloomBits))
           case Seq(c, est) =>
             new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
               c, toLong(est))

@@ -63,7 +63,7 @@ object Decontam {
     *     only wasted verify work, never wrong rows. Same SQL oracle.
     */
   def bloomDecontam(spark: SparkSession, dir: String,
-      numBits: Long = 1L << 22): DataFrame = {
+      numBits: Long = graft.GraftExtensions.DefaultBloomBits): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}

@@ -174,11 +174,16 @@ object Pq {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cb)
     val encoded = encode(spark, dir, cb)
+    // zero-norm guard: cosine is undefined for a zero vector and Spark
+    // orders NaN ABOVE every double, so an unguarded 0/0 would top every
+    // shortlist — drop zero-norm rows on BOTH sides of BOTH rank windows
     val corpus = encoded.select($"vec_id", $"codes", $"nrm")
+      .filter($"nrm" > 0)
     val queries = Tables.embeddings(spark, dir).filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"),
         luts(bc)($"embedding").as("lut"),
         graft.functions.Vectors.norm2($"embedding").as("qn"))
+      .filter($"qn" > 0)
     val adc = udf { (lut: Seq[Seq[Double]], codes: Seq[Int]) =>
       var s = 0
       var acc = 0.0
@@ -196,9 +201,11 @@ object Pq {
     // exact re-rank: attach full vectors to the tiny shortlist by id
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", graft.functions.Vectors.norm2($"embedding").as("vnrm"))
+      .filter($"vnrm" > 0)
     val qemb = Tables.embeddings(spark, dir).filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"),
         graft.functions.Vectors.norm2($"embedding").as("qn2"))
+      .filter($"qn2" > 0)
     val exact = short
       .join(emb, short("neighbor_id") === emb("vec_id"))
       .join(broadcast(qemb), "query_id")

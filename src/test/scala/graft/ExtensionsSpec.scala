@@ -201,6 +201,41 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps < 100, s"false-positive rate ${fps / 1000.0} far above sizing target")
   }
 
+  test("graft_might_contain rejects a non-foldable sketch argument at analysis time") {
+    // CONTRACT: the sketch side must be foldable — a literal or a scalar
+    // subquery (the shapes the round-trip test uses). A per-row BINARY
+    // column is rejected by Spark's BloomFilterMightContain during
+    // analysis: the sketch is deserialized ONCE at plan time, never per
+    // row. Pin that behavior so the API docs can promise it.
+    spark.range(10)
+      .selectExpr("CAST(NULL AS BINARY) AS bf",
+        "xxhash64(CAST(id AS STRING)) AS h")
+      .createOrReplaceTempView("bloom_nonfoldable")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_might_contain(bf, h) FROM bloom_nonfoldable").collect()
+    }
+    assert(e.getMessage.nonEmpty)
+  }
+
+  test("default Bloom width is one shared constant across SQL and DataFrame surfaces") {
+    // graft_bloom_agg's no-numBits default and Decontam.bloomDecontam's
+    // default parameter both read GraftExtensions.DefaultBloomBits; a
+    // sketch built by the SQL default must be byte-identical to one
+    // built by an explicit DefaultBloomBits literal.
+    spark.range(100).createOrReplaceTempView("bloom_defaults")
+    val dflt = spark.sql(
+      "SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING))) AS bf FROM bloom_defaults")
+      .head().getAs[Array[Byte]](0)
+    val explicit = spark.sql(
+      s"""SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING)), 1000000,
+         |${graft.GraftExtensions.DefaultBloomBits}) AS bf
+         |FROM bloom_defaults""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(dflt, explicit),
+      "SQL default sketch differs from the shared-constant sketch")
+  }
+
   test("bloom-prefiltered decontam output equals the broadcast-join decontam exactly") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.operators.Decontam.ngramCollisions(spark, dir)

@@ -279,4 +279,27 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r100 >= 0.8, s"shortlist=100 recall = $r100")
     assert(r100 >= r25, s"recall not monotone in depth: $r25 -> $r100")
   }
+
+  test("PQ zero-norm vectors never reach the shortlist (NaN ordering guard)") {
+    // Spark orders NaN above every double, so an unguarded 0/0 cosine
+    // would put a zero-norm vector at rank 1 of EVERY query. Plant one
+    // and prove the guard keeps it out of all results.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_zero").toString
+    val zeroId = 999999L
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dim = base.select(size($"embedding")).head().getInt(0)
+    val zero = Seq((zeroId, Array.fill(dim)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding", $"label".cast("int"))
+    base.unionByName(zero).write.parquet(s"$tmp/embeddings.parquet")
+    val cb = graft.operators.Pq.train(spark, tmp)
+    val res = graft.operators.Pq.annPq(spark, tmp, cb).collect()
+    assert(res.nonEmpty, "guarded search should still return neighbors")
+    assert(!res.exists(_.getLong(1) == zeroId),
+      "zero-norm vector surfaced in a shortlist — NaN guard broken")
+    assert(res.forall(r => !r.getDouble(2).isNaN),
+      "NaN cosine leaked into the result")
+  }
 }
