@@ -246,6 +246,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(second === Map(base -> 60L, (base + 60) -> 15L))
   }
 
+  test("upsertToLog killed between micro-batches resumes from its checkpoint: no lost or duplicated windows") {
+    // The reference leans on Flink checkpoint restore for this (its
+    // docker-compose restart semantics); here the claim is proven for the
+    // flatMapGroupsWithState state store + foreachBatch sink: run the
+    // upsert job over the first half of the input, STOP, restart from the
+    // SAME checkpoint dir with the rest of the input present, and the
+    // compacted view must equal a never-stopped single run over
+    // everything — per-window DGIM state recovered (not recounted from
+    // zero), already-seen files not reprocessed, finalization intact.
+    import spark.implicits._
+    val base = 1704067200L
+    def msg(sec: Long, bit: String) = {
+      val iso = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      s"""{"value": "$bit", "timestamp": "$iso"}"""
+    }
+    val f1 = (0 until 40).map(i => msg(base + i, "1"))
+    val f2 = (40 until 60).map(i => msg(base + i, "1")) ++
+      (60 until 75).map(i => msg(base + i, "1"))
+    val f3 = Seq(msg(base + 300, "1"))
+    val f4 = Seq(msg(base + 310, "1"))
+
+    def appendFile(dir: String, rows: Seq[String]): Unit =
+      rows.toDF("raw").coalesce(1).write.mode("append").text(dir)
+    def runJob(dir: String, logDir: String, ckpt: String): Unit = {
+      val parsed = TrafficSource.parse(
+        spark.readStream.format("text").option("maxFilesPerTrigger", "1")
+          .load(dir).withColumnRenamed("value", "raw"))
+      TrafficJobs.upsertToLog(TrafficJobs.upsertDgim(parsed), logDir, ckpt)
+        .awaitTermination()
+    }
+    def compacted(logDir: String): Map[java.sql.Timestamp, (Long, Boolean)] =
+      TrafficJobs.compactedView(spark, logDir).collect()
+        .map(r => r.getAs[java.sql.Timestamp]("window_end") ->
+          ((r.getAs[Long]("count_estimate"), r.getAs[Boolean]("finalized")))).toMap
+
+    // interrupted run: f1+f2, stop, then f3+f4 from the same checkpoint
+    val dirA = Files.createTempDirectory("graft_resume_msgs").toString
+    val logA = Files.createTempDirectory("graft_resume_log").toString + "/log"
+    val ckptA = Files.createTempDirectory("graft_resume_ckpt").toString
+    appendFile(dirA, f1); appendFile(dirA, f2)
+    runJob(dirA, logA, ckptA)
+    val midWindows = spark.read.parquet(logA)
+      .select("window_end").distinct().count()
+    assert(midWindows >= 1, "first segment should have upserted windows")
+    appendFile(dirA, f3); appendFile(dirA, f4)
+    runJob(dirA, logA, ckptA)
+
+    // reference run: all four files, one never-stopped query
+    val dirB = Files.createTempDirectory("graft_single_msgs").toString
+    val logB = Files.createTempDirectory("graft_single_log").toString + "/log"
+    val ckptB = Files.createTempDirectory("graft_single_ckpt").toString
+    appendFile(dirB, f1); appendFile(dirB, f2); appendFile(dirB, f3); appendFile(dirB, f4)
+    runJob(dirB, logB, ckptB)
+
+    val viewA = compacted(logA)
+    val viewB = compacted(logB)
+    assert(viewA === viewB,
+      s"restarted view $viewA differs from single-run view $viewB")
+    // the restart RESUMED (batch ids continue past the first segment's),
+    // and the pre-stop windows finalized without being re-ingested
+    val batchIds = spark.read.parquet(logA)
+      .select("batch_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(batchIds.length >= 4, s"expected >=4 micro-batches, got ${batchIds.toSeq}")
+    val w0End = new java.sql.Timestamp((base + 60) * 1000L)
+    assert(viewA(w0End)._2, "window0 should finalize after the restart")
+    assert(math.abs(viewA(w0End)._1 - 60L) <= 31L, s"w0 est=${viewA(w0End)._1}")
+  }
+
   test("stream-stream interval join emits cross-batch pairs exactly once") {
     import spark.implicits._
     // three files → three micro-batches (maxFilesPerTrigger=1): the
