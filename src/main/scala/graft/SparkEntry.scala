@@ -58,6 +58,8 @@ object SparkEntry {
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_chunks"     -> (Dedup.chunkDups _),
     "dedup_editdist"   -> (Dedup.editDistVerify _),
+    "dedup_delta"      -> (Dedup.deltaDedup _),
+    "dedup_delta_lsh"  -> (Dedup.deltaLshCandidates _),
     "dedup_clusters"   -> (Clusters.dedupClusters _),
     "dedup_apply"      -> (Clusters.dedupApply _),
     "dedup_embed"      -> ((s: SparkSession, d: String) => Similarity.embedPairs(s, d)),
@@ -158,6 +160,10 @@ object SparkEntry {
     // rows-only driver check; SketchSpec asserts recall/precision.
     "dedup_chunks"     -> Dedup.chunkDupsSql,
     "dedup_editdist"   -> Dedup.editDistVerifySql,
+    "dedup_delta"      -> Dedup.deltaDedupSql,
+    // dedup_delta_lsh: MinHash bands are not SQL-expressible → rows-only;
+    // SketchSpec proves equality with the full-corpus LSH run restricted
+    // to pairs touching the delta
     "dedup_clusters"   -> Clusters.dedupClustersSql,
     "dedup_apply"      -> Clusters.dedupApplySql,
     "dedup_embed"      -> Similarity.embedPairsSql,

@@ -280,6 +280,20 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r100 >= r25, s"recall not monotone in depth: $r25 -> $r100")
   }
 
+  test("delta LSH candidates equal the full-corpus run restricted to pairs touching the delta") {
+    // The incremental path (delta bands probing the staged base index +
+    // its own bands) must find EXACTLY what a from-scratch full-corpus
+    // LSH run finds among pairs with >= 1 delta-side doc — same recall,
+    // delta-sized work. Base-vs-base pairs are intentionally absent (the
+    // standing index already resolved them).
+    val full = pairs(Dedup.minhashLsh(spark, sf))
+    val expected = full.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    val got = pairs(Dedup.deltaLshCandidates(spark, sf))
+    assert(expected.nonEmpty, "test data should have near-dups touching the delta")
+    assert(got === expected,
+      s"missing ${expected.diff(got).take(5)}, extra ${got.diff(expected).take(5)}")
+  }
+
   test("PQ zero-norm vectors never reach the shortlist (NaN ordering guard)") {
     // Spark orders NaN above every double, so an unguarded 0/0 cosine
     // would put a zero-norm vector at rank 1 of EVERY query. Plant one
