@@ -128,6 +128,54 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AQE splits a skewed shuffle join with salting off (remedy ladder step 2)") {
+    // The skew remedy ladder is (1) broadcast the small side — pinned by
+    // the dim-join test above; (2) AQE's automatic skew-partition split —
+    // pinned HERE; (3) explicit salting (SkewJoin.saltedJoin) for when
+    // both sides shuffle and AQE's granularity isn't enough, oracle-
+    // equal to the plain join by the q_salted_join CORRECTNESS row.
+    // Build a hot key holding ~90% of the probe side, force a sort-merge
+    // join (no broadcast), and assert AQE marks the join skew=true in
+    // the FINAL adaptive plan — the hot partition was split at runtime,
+    // no salt in the query.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, length, lit, lpad, sum, when}
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // test-scale detection knobs; the MECHANISM under test is the same
+      // one that fires at the 256 MB default on a real cluster
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      val probe = spark.range(100000).select(
+        when($"id" % 10 =!= 0, lit(0L)).otherwise($"id").as("k"),
+        lpad($"id".cast("string"), 100, "x").as("payload"))
+      val build = spark.range(100).select($"id".as("k"),
+        ($"id" * 7).as("w"))
+      val joined = probe.join(build, "k")
+        .agg(count(lit(1)).as("n"), sum(length($"payload")).as("bytes"))
+      // matches: 90 001 rows with k=0 (the hot key) + the 9 probe rows
+      // whose own id (10..90) falls inside the build's key range
+      val row = joined.collect().head
+      assert(row.getLong(0) === 90010L, "join lost/duplicated rows under skew split")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("heavy hitters: broadcast candidate join and top-k without a global sort") {
     val nodes = physical(TextAnalysis.heavyHitters(spark, sf))
     assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
