@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_editdist"   -> (Dedup.editDistVerify _),
     "dedup_delta"      -> (Dedup.deltaDedup _),
     "dedup_delta_lsh"  -> (Dedup.deltaLshCandidates _),
+    "dedup_delta_commit" -> (Dedup.deltaCommit _),
     "dedup_clusters"   -> (Clusters.dedupClusters _),
     "dedup_apply"      -> (Clusters.dedupApply _),
     "dedup_embed"      -> ((s: SparkSession, d: String) => Similarity.embedPairs(s, d)),
@@ -161,6 +162,9 @@ object SparkEntry {
     "dedup_chunks"     -> Dedup.chunkDupsSql,
     "dedup_editdist"   -> Dedup.editDistVerifySql,
     "dedup_delta"      -> Dedup.deltaDedupSql,
+    // dedup_delta_commit emits the SAME contract as dedup_exact, so the
+    // from-scratch oracle proves incremental index merge ≡ recompute
+    "dedup_delta_commit" -> Dedup.exactSql,
     // dedup_delta_lsh: MinHash bands are not SQL-expressible → rows-only;
     // SketchSpec proves equality with the full-corpus LSH run restricted
     // to pairs touching the delta

@@ -375,6 +375,30 @@ object Dedup {
     JOIN hits h USING (doc_id)
     WHERE d.doc_id % 5 = 0"""
 
+  /** Index commit for the accepted delta (`dedup_delta_commit`): the
+    * UPDATED exact-fingerprint index after the append — the staged base
+    * index merged with the delta's own fingerprint aggregate. Work is
+    * O(delta + index): the base corpus text is never re-read; the merge
+    * is one groupBy over index-cardinality slim rows (at scale, the
+    * compaction write that publishes the next index generation).
+    *
+    * Oracle: the output contract is EXACTLY [[exact]]'s (text_hash →
+    * keeper, multiplicity over the full corpus), so the from-scratch
+    * [[exactSql]] oracle hash-checks that incremental index maintenance
+    * ≡ whole-corpus recompute.
+    */
+  def deltaCommit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = baseFpIndex(spark, dir)
+    val deltaAgg = Tables.documents(spark, dir).filter(isDelta($"doc_id"))
+      .select($"doc_id", md5(Text.normalizeFast($"text")).as("text_hash"))
+      .groupBy($"text_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    idx.unionByName(deltaAgg)
+      .groupBy($"text_hash")
+      .agg(min($"keep_id").as("keep_id"), sum($"n_copies").as("n_copies"))
+  }
+
   /** Near-dup candidates for the arriving delta (`dedup_delta_lsh`): the
     * delta's MinHash bands joined against the staged base band index PLUS
     * the delta's own bands (new-vs-index and new-vs-new) — never
