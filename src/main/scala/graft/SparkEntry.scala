@@ -50,6 +50,7 @@ object SparkEntry {
     "q_stream_slide"   -> (StreamQueries.streamSlideCount _),
     "q_stream_session" -> (StreamQueries.streamSessionWindow _),
     "q_stream_dedup"   -> (StreamQueries.streamDedup _),
+    "q_stream_delta_dedup" -> (StreamQueries.streamDeltaDedup _),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_range_join" -> (StreamQueries.streamRangeJoin _),
     "dedup_exact"      -> (Dedup.exact _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "q_stream_slide"   -> Windows.slideCountSql,  // streaming == batch
     "q_stream_session" -> Windows.sessionWindowSql, // streaming == batch
     "q_stream_dedup"   -> StreamQueries.streamDedupSql,
+    "q_stream_delta_dedup" -> StreamQueries.streamDeltaDedupSql,
     "q_stream_slide_distinct" -> StreamQueries.streamSlideDistinctSql,
     "q_stream_range_join" -> StreamQueries.streamRangeJoinSql,
     // q_stream_dgim_tumble: rows-only; StreamingSpec asserts error bound.

@@ -271,7 +271,7 @@ object Dedup {
     * DumpCache — the persisted index a production pipeline maintains
     * between ingest runs; [[deltaDedup]] only ever reads it back.
     */
-  private def baseFpIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def baseFpIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dump = DumpCache.dirFor("graft_base_fp", dir, "documents.parquet")
     DumpCache.ensure(dump) { tmp =>

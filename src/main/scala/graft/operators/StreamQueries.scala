@@ -107,6 +107,41 @@ object StreamQueries {
     SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS text_hash
     FROM documents"""
 
+  /** Streaming incremental ingest dedup — the ARRIVING corpus shard as a
+    * stream, deduped against the standing corpus's persisted fingerprint
+    * index via a STREAM-STATIC left join (stateless: no watermark, no
+    * state store — the production ingest-gate shape; the static side is
+    * [[Dedup.baseFpIndex]]'s staged parquet, reloaded per micro-batch so
+    * a newly committed index generation is picked up between batches).
+    * Emits one verdict row per arriving doc: its fingerprint, and the
+    * base keeper id when the standing corpus already holds the text.
+    * Hash-matches the batch left-join oracle — streaming ≡ batch.
+    */
+  def streamDeltaDedup(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val docsRawSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val idx = Dedup.baseFpIndex(s, dir)
+        .select($"text_hash", $"keep_id".as("base_dup_of"))
+      s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter($"doc_id" % 5 === 0)
+        .select($"doc_id",
+          md5(graft.functions.Text.normalizeFast($"text")).as("text_hash"))
+        .join(idx, Seq("text_hash"), "left")
+        .select($"doc_id", $"text_hash", $"base_dup_of")
+    }
+
+  val streamDeltaDedupSql: String = """
+    WITH norm AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS text_hash FROM documents),
+    base_fp AS (SELECT text_hash, MIN(doc_id) AS keep_id FROM norm WHERE doc_id % 5 != 0 GROUP BY 1)
+    SELECT d.doc_id, d.text_hash, f.keep_id AS base_dup_of
+    FROM norm d LEFT JOIN base_fp f USING (text_hash)
+    WHERE d.doc_id % 5 = 0"""
+
   /** Streaming session windows (complete mode), hash-matching the batch
     * `Windows.sessionWindowSql` oracle — the streaming path of the
     * merge-on-overlap session state machine.
