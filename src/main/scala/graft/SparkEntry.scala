@@ -113,6 +113,9 @@ object SparkEntry {
     "pipeline_corpus"  -> (Curation.corpusBuild _),
     "pipeline_pack"    -> (Curation.pack _),
     "pipeline_shuffle" -> (Curation.shuffleOrder _),
+    "pipeline_mix"     -> (Curation.mixSources _),
+    "graph_pagerank"   -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
+    "sink_scd2"        -> (graft.sources.Sinks.scd2Build _),
   )
 
   /** DuckDB-equivalent SQL per query key (column names must match). */
@@ -230,5 +233,8 @@ object SparkEntry {
     "pipeline_corpus"  -> Curation.corpusBuildSql,
     "pipeline_pack"    -> Curation.packSql,
     "pipeline_shuffle" -> Curation.shuffleOrderSql,
+    "pipeline_mix"     -> Curation.mixSourcesSql,
+    "graph_pagerank"   -> Graph.pagerankSql,
+    "sink_scd2"        -> graft.sources.Sinks.scd2BuildSql,
   )
 }

@@ -362,4 +362,67 @@ object Curation {
              ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
              AS shuffle_pos
     FROM documents"""
+
+  /** Domain-mixture construction — the static-mix step of a training
+    * recipe (DoReMi-style weights, FineWeb source blending): given
+    * target PROPORTIONS per source, emit the largest corpus that hits
+    * them exactly, bounded by what each source can supply.
+    *
+    * Targets here: src0 : src1 : src2 = 5 : 3 : 2 (other sources
+    * excluded). The output size is pinned by the binding source,
+    * N_out = min_s (n_s·denom div w_s), and each quota is
+    * k_s = (w_s·N_out) div denom — ALL integer arithmetic, so both
+    * engines agree bit-for-bit (contrast [[sampleWeighted]], which
+    * fixes per-source RATES; mixing fixes the output COMPOSITION and
+    * derives the rates from observed counts at runtime). Rows are
+    * chosen per source by md5(doc_id) order — deterministic, auditable,
+    * stable under partitioning.
+    *
+    * Scale shape: counts are a map-side-combined agg on `source`
+    * (output = #sources rows); quotas ride a broadcast join; the pick
+    * is one rank window per source. Strata too large for one reducer
+    * switch the rank to [[sampleStratifiedThreshold]]'s local-top-k
+    * candidate plan — identical rows, O(quota) per-partition work.
+    */
+  def mixSources(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wnum = when($"source" === "src0", 5L)
+      .when($"source" === "src1", 3L)
+      .otherwise(2L)
+    val docs = Tables.documents(spark, dir)
+      .filter($"source".isin("src0", "src1", "src2"))
+      .select($"doc_id", $"source",
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+    val counts = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wnum", wnum)
+    // binding-source output size: one row, broadcast back onto the quotas
+    val nOut = counts.agg(min(expr("(n * 10) div wnum")).as("n_out"))
+    val quotas = counts.crossJoin(broadcast(nOut))
+      .select($"source", expr("(wnum * n_out) div 10").as("k"))
+    docs.join(broadcast(quotas), "source")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+      .filter($"rk" <= $"k")
+      .select($"doc_id", $"source", $"rk")
+  }
+
+  val mixSourcesSql: String = """
+    WITH docs AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3 ELSE 2 END AS wnum
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n, MIN(wnum) AS wnum
+      FROM docs GROUP BY source),
+    n_out AS (SELECT MIN((n * 10) // wnum) AS n_out FROM counts),
+    quotas AS (
+      SELECT source, CAST((wnum * (SELECT n_out FROM n_out)) // 10 AS BIGINT) AS k
+      FROM counts),
+    ranked AS (
+      SELECT d.doc_id, d.source, q.k,
+             row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS rk
+      FROM docs d JOIN quotas q USING (source))
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= k"""
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the corpus k-NN graph.
+  *
+  * Curation pipelines rank documents by graph centrality over the
+  * embedding neighbourhood graph (density weighting, representative
+  * selection, influence-aware sampling). The primitive is PageRank
+  * over [[Similarity.embedKnnGraph]]'s exact top-k cosine edges.
+  *
+  * Arithmetic is FIXED-POINT: ranks are BIGINTs scaled by 1e12 and
+  * every step is integer multiply / integer (floor) division. Floating
+  * sums depend on reduce order, so a float PageRank is not
+  * bit-reproducible across partitionings, let alone engines; the
+  * integer form is associative-exact — the same device as the
+  * exact-integer-moment Pearson in [[Profile.statsCorr]] — which is
+  * what lets DuckDB replay the identical iteration as the oracle.
+  */
+object Graph {
+
+  /** Fixed-point scale: 1e12 (rank mass 1.0 == 1e12). */
+  val Scale: Long = 1000000000000L
+
+  /** Damping 0.85 expressed as the integer pair 85/100. */
+  private val DampNum = 85L
+  private val DampDen = 100L
+
+  /** `iters` rounds of damped PageRank over the k-NN graph.
+    *
+    * pr⁰(v) = S div N;  pr⁺(v) = (15·S) div (100·N)
+    *                            + (85 · Σ_{u→v} (pr(u) div outdeg(u))) div 100
+    *
+    * Every node of a k-NN graph has out-degree exactly k, so there are
+    * no dangling nodes; nodes nobody points at still appear via the
+    * left join and hold the base rank.
+    *
+    * Scale shape: this is Pregel-on-DataFrames — per round ONE join of
+    * the edge list with the rank vector on `src` (both sides hash-
+    * partitioned on the same key, so the exchange is planned once and
+    * reused) and ONE `dst` aggregation with map-side partial sums. The
+    * edge list is cached across rounds; nothing corpus-sized ever
+    * reaches the driver (the two `count()` scalars are bounded). A
+    * fixed small iteration count keeps lineage shallow — a production
+    * run at hundreds of rounds would checkpoint every few like
+    * [[Clusters.dedupClusters]] does.
+    */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = Similarity.embedKnnGraph(spark, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .cache()
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    // k-NN: the src set IS the node set (every node emits k edges)
+    val nodes = edges.select($"src".as("id")).distinct().cache()
+    val n = nodes.count() // bounded driver scalar
+    val base = (15L * Scale) / (100L * n)
+    val withDeg = edges.join(outdeg, "src").cache()
+    var pr = nodes.select($"id", lit(Scale / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = withDeg
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .select($"dst", expr("pr div outdeg").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("inflow"))
+      pr = nodes
+        .join(inflow.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select($"id",
+          (lit(base) + expr(s"($DampNum * coalesce(inflow, 0L)) div $DampDen"))
+            .as("pr"))
+    }
+    pr.select($"id".as("vec_id"), $"pr".as("pagerank"))
+  }
+
+  /** DuckDB replay: same knn edge definition as
+    * [[Similarity.embedKnnGraphSql]], then the three iterations
+    * unrolled as CTEs. Integer sums widen to HUGEINT in DuckDB, so
+    * every aggregate is cast back to BIGINT.
+    */
+  val pagerankSql: String = {
+    val S = Scale
+    def iter(prev: String, cur: String): String = s"""
+    $cur AS (
+      SELECT nd.id,
+             CAST((15 * $S) // (100 * (SELECT cnt FROM nn))
+               + (85 * COALESCE(CAST(SUM(p.pr // dg.d) AS BIGINT), 0)) // 100
+               AS BIGINT) AS pr
+      FROM nodes nd
+      LEFT JOIN knn e ON e.dst = nd.id
+      LEFT JOIN deg dg ON dg.src = e.src
+      LEFT JOIN $prev p ON p.id = e.src
+      GROUP BY nd.id)"""
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) nrm FROM e),
+      |s AS (SELECT a.vec_id vid, b.vec_id nid,
+      |        list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1]*x[2])) / (a.nrm * b.nrm) c
+      |      FROM n a JOIN n b ON a.vec_id != b.vec_id),
+      |knn AS (SELECT vid AS src, nid AS dst FROM (
+      |          SELECT vid, nid, row_number() OVER (PARTITION BY vid ORDER BY c DESC, nid) rk
+      |          FROM s) WHERE rk <= 3),
+      |nodes AS (SELECT DISTINCT src AS id FROM knn),
+      |nn AS (SELECT COUNT(*) cnt FROM nodes),
+      |deg AS (SELECT src, COUNT(*) d FROM knn GROUP BY src),
+      |p0 AS (SELECT id, CAST(""".stripMargin + S.toString +
+      """ // (SELECT cnt FROM nn) AS BIGINT) AS pr FROM nodes),""".stripMargin +
+      iter("p0", "p1") + "," + iter("p1", "p2") + "," + iter("p2", "p3") + """
+    SELECT id AS vec_id, pr AS pagerank FROM p3"""
+  }
+}

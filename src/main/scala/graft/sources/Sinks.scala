@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sink-side demonstration: hive-style partitioned parquet write +
@@ -409,4 +410,71 @@ object Sinks {
       FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
     SELECT doc_id, lang, source, n_chars
     FROM merged WHERE rn = 1 AND op <> 'D'"""
+
+  /** SCD Type-2 history build — the lakehouse dimension pattern
+    * [[mergeUpsert]]'s changelog flattening deliberately discards:
+    * instead of keeping only each key's latest row, collapse the key's
+    * event stream into VERSIONED VALIDITY INTERVALS (valid_from /
+    * valid_to / is_current), so any past state is one predicate away
+    * (`valid_from <= d AND (valid_to IS NULL OR d < valid_to)`).
+    *
+    * Input: each customer's orders as a status-change stream, ordered
+    * by (o_orderdate, o_orderkey) — the unique orderkey breaks same-day
+    * ties, which is what makes the whole operator deterministic. Runs
+    * of equal consecutive status collapse to one version: a change mark
+    * via lag(), a running sum() for the version id, one group-by for
+    * the run, and a lead() for the closing bound.
+    *
+    * Scale shape: every window and the run aggregation partition on the
+    * DIMENSION KEY (o_custkey) with time-ordering inside the partition
+    * — one hash exchange total, reused by all four steps (Catalyst
+    * plans a single Exchange; the sorts share it). Per-key state is the
+    * key's own history, never the table, so a 100 TB fact stream SCD2s
+    * with per-reducer memory O(orders per key). No collect anywhere.
+    */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byEvent = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val marked = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey")
+      .withColumn("prev", lag($"o_orderstatus", 1).over(byEvent))
+      .withColumn("chg",
+        when($"prev".isNull || $"prev" =!= $"o_orderstatus", 1L).otherwise(0L))
+      .withColumn("version", sum($"chg").over(byEvent))
+    val runs = marked.groupBy($"o_custkey", $"version")
+      .agg(min($"o_orderstatus").as("status"), // constant within the run
+        min($"o_orderdate").as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val byVersion = Window.partitionBy($"o_custkey").orderBy($"version")
+    runs
+      .withColumn("valid_to", lead($"valid_from", 1).over(byVersion))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"o_custkey", $"version", $"status", $"valid_from",
+        $"valid_to", $"n_orders", $"is_current")
+  }
+
+  val scd2BuildSql: String = """
+    WITH marked AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    versioned AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+      FROM marked),
+    runs AS (
+      SELECT o_custkey, version, MIN(o_orderstatus) AS status,
+             MIN(o_orderdate) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM versioned GROUP BY o_custkey, version)
+    SELECT o_custkey, version, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+             AS valid_to,
+           n_orders,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+             IS NULL AS is_current
+    FROM runs"""
 }

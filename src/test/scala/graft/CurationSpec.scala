@@ -41,4 +41,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(n === math.ceil(totals(lang) * 0.1).toLong, s"lang=$lang")
     }
   }
+
+  test("pipeline_mix hits the 5:3:2 composition pinned by the binding source") {
+    val weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L)
+    val supply = graft.sources.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("source").isin(weights.keys.toSeq: _*))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nOut = weights.map { case (s, w) => supply(s) * 10L / w }.min
+    val expected = weights.map { case (s, w) => s -> (w * nOut / 10L) }
+    val got = Curation.mixSources(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // quotas never exceed supply, and the binding source is maximally used
+    expected.foreach { case (s, k) => assert(k <= supply(s), s) }
+    assert(weights.exists { case (s, w) =>
+      supply(s) * 10L / w == nOut && expected(s) == w * nOut / 10L })
+  }
+
+  test("pipeline_mix reruns pick the identical rows") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val a = rows(Curation.mixSources(spark, sf))
+    assert(a.nonEmpty)
+    assert(rows(Curation.mixSources(spark, sf)) === a)
+  }
 }

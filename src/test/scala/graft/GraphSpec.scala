@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Semantic oracles for the fixed-point PageRank (the DuckDB replay in
+  * CORRECTNESS checks engine parity; these check the MATH).
+  */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val pr: Map[Long, Long] =
+    Graph.pagerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pagerank covers every embedding exactly once, all ranks positive") {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(pr.size === n)
+    assert(pr.values.forall(_ > 0))
+  }
+
+  test("rank mass is conserved up to integer-floor dust") {
+    // every div floors away < 1 fixed-point unit per node/edge per round;
+    // with N=500, E=1500, 3 rounds the loss is < ~10k units of 1e12
+    val total = pr.values.sum
+    assert(total <= Graph.Scale)
+    assert(total > (Graph.Scale * 0.999).toLong,
+      s"mass $total lost more than 0.1% of ${Graph.Scale}")
+  }
+
+  test("nodes with no in-edges sit exactly at the damped base rank") {
+    import spark.implicits._
+    val edges = graft.operators.Similarity.embedKnnGraph(spark, sf)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    val dsts = edges.select("dst").distinct().as[Long].collect().toSet
+    val n = pr.size.toLong
+    val base = (15L * Graph.Scale) / (100L * n)
+    val sinksOnly = pr.keySet.diff(dsts)
+    assert(sinksOnly.forall(id => pr(id) == base),
+      s"non-base rank on in-degree-0 nodes: ${sinksOnly.filter(id => pr(id) != base).take(3)}")
+    // and somebody must be ABOVE base, else the graph did nothing
+    assert(pr.values.exists(_ > base))
+  }
+
+  test("integer arithmetic makes reruns bit-identical") {
+    val again = Graph.pagerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === pr)
+  }
+}
