@@ -310,4 +310,42 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
       "knn graph must never plan a cartesian self-join")
   }
+
+  test("sink_scd2: every window and the run agg share ONE dimension-key exchange") {
+    val df = graft.sources.Sinks.scd2Build(spark, sf)
+    // lag + running-sum windows, the run group-by, and the lead window
+    // all partition on o_custkey: Catalyst must plan a single shuffle
+    assert(shuffles(df) === 1, s"scd2 shuffle count ${shuffles(df)} != 1")
+    val windows = physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "scd2 window lost its dimension-key PARTITION BY"))
+  }
+
+  test("pipeline_mix: quotas attach via broadcast; the pick window is per-source") {
+    val df = Curation.mixSources(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "quota attach must broadcast (it is #sources rows), never shuffle the corpus")
+    val windows = physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "mix rank window lost its PARTITION BY source"))
+  }
+
+  test("graph_pagerank plans keyed joins only — no cartesian, no global window") {
+    val df = graft.operators.Graph.pagerank(spark, sf)
+    val nodes = physical(df)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "pagerank iteration must never plan a cartesian product")
+    // ranks stay (id, pr) pairs end-to-end: no window, no global sort
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]) ||
+      nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "unexpected global sort in the pagerank plan")
+  }
 }
