@@ -20,6 +20,7 @@ object SparkEntry {
     "q_rollup"     -> (Analytics.qRollup _),
     "q_grouping_sets" -> (Analytics.qGroupingSets _),
     "q_approx_distinct" -> (Analytics.qDistinct _),
+    "q_hll_merge"  -> (Analytics.qHllMerge _),
     "q_quantile"   -> (Analytics.qQuantile _),
     "q_moving_window" -> (Analytics.qMovingWindow _),
     "q_cube"       -> (Analytics.qCube _),
@@ -33,6 +34,8 @@ object SparkEntry {
     "q_funnel"     -> (Behavior.qFunnel _),
     "q_retention"  -> (Behavior.qRetention _),
     "q_histogram"  -> (Behavior.qHistogram _),
+    "q_transitions" -> (Behavior.qTransitions _),
+    "q_anomaly"    -> (Windows.anomaly _),
     "stats_corr"   -> (Profile.statsCorr _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
@@ -115,6 +118,7 @@ object SparkEntry {
     "pipeline_shuffle" -> (Curation.shuffleOrder _),
     "pipeline_mix"     -> (Curation.mixSources _),
     "graph_pagerank"   -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
+    "graph_triangles"  -> (Graph.triangles _),
     "sink_scd2"        -> (graft.sources.Sinks.scd2Build _),
   )
 
@@ -140,6 +144,11 @@ object SparkEntry {
     "q_funnel"     -> Behavior.qFunnelSql,
     "q_retention"  -> Behavior.qRetentionSql,
     "q_histogram"  -> Behavior.qHistogramSql,
+    "q_transitions" -> Behavior.qTransitionsSql,
+    "q_anomaly"    -> Windows.anomalySql,
+    // q_hll_merge: DataSketches HLL estimates are not reproducible in
+    // DuckDB (different sketch impl) → rows-only driver check; SketchSpec
+    // pins merge==direct equality, error vs exact, byte-identical rebuild.
     "stats_corr"   -> Profile.statsCorrSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
@@ -235,6 +244,7 @@ object SparkEntry {
     "pipeline_shuffle" -> Curation.shuffleOrderSql,
     "pipeline_mix"     -> Curation.mixSourcesSql,
     "graph_pagerank"   -> Graph.pagerankSql,
+    "graph_triangles"  -> Graph.trianglesSql,
     "sink_scd2"        -> graft.sources.Sinks.scd2BuildSql,
   )
 }

@@ -204,6 +204,47 @@ object Analytics {
   val qDistinctSql: String =
     "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_returnflag"
 
+  /** Mergeable sketches AT REST: per-day HLL sketches of distinct users
+    * built once (`hll_sketch_agg`, lgK=12), PERSISTED as binary parquet
+    * columns, then re-read and merged (`hll_union_agg`) into the
+    * all-days distinct estimate — plus the per-day estimates off the
+    * same stored sketches.
+    *
+    * This is the incremental-analytics counterpart of DGIM's windowed
+    * bit-counting (SURVEY §1): at 100 TB you never re-scan history to
+    * answer "distinct users this quarter" — each day's partition is
+    * sketched ONCE at ingest (fixed-size state, map-side mergeable), and
+    * any date-range rollup is a union over |days| kilobyte-sized
+    * sketches. HLL registers are max-of-hashes, so the union is
+    * associative/commutative/idempotent — partitioning-independent and
+    * deterministic, which is what makes the estimate column stable
+    * enough to verify at all.
+    *
+    * Driver check is rows-only (DuckDB's approx sketch is a different
+    * implementation by construction); SketchSpec pins (a) merged == one
+    * direct sketch over the whole corpus (mergeability, exact equality),
+    * (b) every estimate within HLL lgK=12 error of the exact distinct
+    * count, (c) byte-identical sketches on rebuild.
+    */
+  def qHllMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = graft.sources.DumpCache.ensure(
+      graft.sources.DumpCache.dirFor("graft_hll_daily", dir, "events.parquet")) { tmp =>
+      Tables.events(spark, dir)
+        .select(to_date($"ts").as("d"), $"user_id")
+        .groupBy($"d")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sketch"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val daily = spark.read.parquet(out)
+    val perDay = daily.select($"d".cast("string").as("d"),
+      expr("hll_sketch_estimate(sketch)").as("est_users"))
+    val merged = daily
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch, true))").as("est_users"))
+      .select(lit("ALL").as("d"), $"est_users")
+    perDay.unionByName(merged)
+  }
+
   /** Cube aggregate: all grouping-set combinations of (status, priority).
     * Same partial-agg single-shuffle shape as rollup, 4 grouping sets.
     */

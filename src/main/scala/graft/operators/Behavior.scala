@@ -157,4 +157,48 @@ object Behavior {
     SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
            COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
     FROM orders GROUP BY 1"""
+
+  /** Event-type transition matrix (first-order Markov model of user
+    * behavior): for every consecutive pair of events in each user's
+    * timeline, count (prev_type → next_type) and derive the row-
+    * normalized transition probability. The sequence order is a TOTAL
+    * order (ts, then event_id) so duplicate timestamps cannot flip
+    * neighbors between engines.
+    *
+    * Scale: ONE user_id shuffle for the lag window (per-user sequences
+    * sort within their partition — bounded by the max per-user history,
+    * the same contract as `q_moving_window`), then one map-side-combined
+    * aggregation onto |types|² rows. The probability denominator is a
+    * window over that aggregated frame — |types|² rows, constant-size at
+    * any corpus scale — and p is a fixed double expression over exact
+    * integer counts, so it hash-matches across engines.
+    */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val steps = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+    val agg = steps.groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy($"prev_type")
+    agg.select($"prev_type", $"next_type", $"n",
+      sum($"n").over(byPrev).as("n_from"),
+      ($"n".cast("double") / sum($"n").over(byPrev).cast("double")).as("p"))
+  }
+
+  val qTransitionsSql: String = """
+    WITH s AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+           CAST(n AS DOUBLE) /
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM c"""
 }

@@ -107,4 +107,90 @@ object Graph {
       iter("p0", "p1") + "," + iter("p1", "p2") + "," + iter("p2", "p3") + """
     SELECT id AS vec_id, pr AS pagerank FROM p3"""
   }
+
+  /** Per-node triangle count + local clustering coefficient over the
+    * undirected k-NN graph — the density signal curation uses to find
+    * tightly-knit near-duplicate neighbourhoods (a high-clustering node
+    * sits inside a clique-like region; PageRank finds central nodes,
+    * this finds DENSE ones).
+    *
+    * Algorithm: orient every undirected edge low-id → high-id, build
+    * wedges (x<y<z) by joining the oriented list with itself on the
+    * middle vertex, and close each wedge against the oriented list —
+    * every triangle is produced exactly once at its smallest vertex.
+    * This is the standard two-join distributed triangle count; each join
+    * is keyed, never a cartesian product.
+    *
+    * Scale: a k-NN graph has undirected degree ≤ 2k, so wedge fan-out is
+    * bounded by 4k² per vertex — the joins stay balanced at any corpus
+    * size. On a general (skewed) graph the same pipeline holds with the
+    * orientation changed to (degree, id) order, which bounds wedge
+    * emission by O(m^1.5) total and puts hub vertices at wedge ENDS
+    * instead of centers — the one-line skew remedy this operator's
+    * contract documents. The clustering coefficient 2T/(d(d−1)) is a
+    * fixed double expression over exact integer (T, d), hash-stable
+    * across engines.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val knn = Similarity.embedKnnGraph(spark, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    val und = knn
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct().cache()
+    val nodes = knn.select($"src".as("vec_id")).distinct()
+    val deg = und.select($"a".as("vec_id"))
+      .unionAll(und.select($"b".as("vec_id")))
+      .groupBy($"vec_id").agg(count(lit(1)).as("degree"))
+    val wedges = und.select($"a".as("x"), $"b".as("y"))
+      .join(und.select($"a".as("y"), $"b".as("z")), "y")
+    val tri = wedges
+      .join(und.select($"a".as("x"), $"b".as("z")), Seq("x", "z"))
+      .select($"x", $"y", $"z")
+    val incident = tri
+      .select(explode(array($"x", $"y", $"z")).as("vec_id"))
+      .groupBy($"vec_id").agg(count(lit(1)).as("n_tri"))
+    nodes.join(deg, Seq("vec_id"), "left")
+      .join(incident, Seq("vec_id"), "left")
+      .select($"vec_id", $"degree",
+        coalesce($"n_tri", lit(0L)).as("n_tri"),
+        when($"degree" >= 2,
+          (lit(2.0) * coalesce($"n_tri", lit(0L)).cast("double")) /
+            ($"degree".cast("double") * ($"degree".cast("double") - lit(1.0))))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** DuckDB replay: same knn edge CTE as [[pagerankSql]], then the
+    * orient → wedge → close pipeline verbatim.
+    */
+  val trianglesSql: String = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) nrm FROM e),
+    s AS (SELECT a.vec_id vid, b.vec_id nid,
+            list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1]*x[2])) / (a.nrm * b.nrm) c
+          FROM n a JOIN n b ON a.vec_id != b.vec_id),
+    knn AS (SELECT vid AS src, nid AS dst FROM (
+              SELECT vid, nid, row_number() OVER (PARTITION BY vid ORDER BY c DESC, nid) rk
+              FROM s) WHERE rk <= 3),
+    und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b FROM knn),
+    tri AS (SELECT e1.a x, e1.b y, e2.b z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    inc AS (SELECT unnest([x, y, z]) AS vec_id FROM tri),
+    cnt AS (SELECT vec_id, COUNT(*) AS n_tri FROM inc GROUP BY 1),
+    degs AS (SELECT v AS vec_id, COUNT(*) AS degree FROM (
+               SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+             GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS vec_id FROM knn)
+    SELECT nd.vec_id, dg.degree,
+           CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN dg.degree >= 2 THEN
+             (2.0 * CAST(COALESCE(c.n_tri, 0) AS DOUBLE)) /
+             (CAST(dg.degree AS DOUBLE) * (CAST(dg.degree AS DOUBLE) - 1.0))
+           ELSE 0.0 END AS clustering
+    FROM nodes nd
+    LEFT JOIN degs dg ON dg.vec_id = nd.vec_id
+    LEFT JOIN cnt c ON c.vec_id = nd.vec_id"""
 }

@@ -176,4 +176,61 @@ object Windows {
              FROM span)
     SELECT d.user_id, d.day, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_events
     FROM days d LEFT JOIN per p ON d.user_id = p.user_id AND d.day = p.day"""
+
+  /** Traffic anomaly detection: z-score of each tumbling-hour click count
+    * against the corpus-wide mean/std — the alerting query a traffic
+    * monitor (the reference's domain) runs on top of its window counts.
+    *
+    * The moments (n, Σc, Σc²) are EXACT integer aggregates of the window
+    * counts — order-independent BIGINTs, the same device as
+    * [[Profile.statsCorr]] — and z is derived by one FIXED double
+    * expression `(n·c − Σc) / sqrt(n·Σc² − (Σc)²)` (algebraically
+    * (c − mean)/std_pop), so the float column is hash-comparable across
+    * engines. Window counts at gate scale keep every moment far below
+    * 2^53.
+    *
+    * Scale: the windowed count is one map-side-combined shuffle; the
+    * moments frame is ONE ROW (aggregated from window-cardinality rows,
+    * not events) and joins back as a broadcast — no second pass over the
+    * corpus, no driver collect.
+    */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // cached: window-cardinality rows (corpus-size-independent), read by
+    // both the z branch and the moments branch — ONE corpus scan total
+    val counts = Tables.events(spark, dir)
+      .filter($"event_type" === "click")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("window_start"), $"cnt")
+      .cache()
+    val m = counts.agg(
+      count(lit(1)).as("n_w"),
+      sum($"cnt").as("sum_c"),
+      sum($"cnt" * $"cnt").as("sum_cc"))
+    val z = ($"n_w".cast("double") * $"cnt".cast("double") -
+        $"sum_c".cast("double")) /
+      sqrt($"n_w".cast("double") * $"sum_cc".cast("double") -
+        $"sum_c".cast("double") * $"sum_c".cast("double"))
+    counts.crossJoin(broadcast(m))
+      .select($"window_start", $"cnt", z.as("z"),
+        (abs(z) > lit(2.0)).as("is_anomaly"))
+  }
+
+  val anomalySql: String = """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, COUNT(*) AS cnt
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    m AS (SELECT COUNT(*) AS n_w,
+                 CAST(SUM(cnt) AS BIGINT) AS sum_c,
+                 CAST(SUM(cnt * cnt) AS BIGINT) AS sum_cc
+          FROM c)
+    SELECT window_start, cnt,
+           (CAST(n_w AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(sum_c AS DOUBLE)) /
+           sqrt(CAST(n_w AS DOUBLE) * CAST(sum_cc AS DOUBLE) -
+                CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)) AS z,
+           abs((CAST(n_w AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(sum_c AS DOUBLE)) /
+               sqrt(CAST(n_w AS DOUBLE) * CAST(sum_cc AS DOUBLE) -
+                    CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE))) > 2.0 AS is_anomaly
+    FROM c, m"""
 }

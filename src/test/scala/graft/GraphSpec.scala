@@ -60,4 +60,35 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === pr)
   }
+
+  test("triangles match a driver-side exact recount; clustering is 2T/d(d-1)") {
+    import spark.implicits._
+    val und = graft.operators.Similarity.embedKnnGraph(spark, sf)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+    val exactTri = adj.map { case (v, nbrs) =>
+      v -> nbrs.toSeq.combinations(2)
+        .count { case Seq(x, y) => und((math.min(x, y), math.max(x, y))) }
+        .toLong
+    }
+    val got = Graph.triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === adj.keySet)
+    got.foreach { case (v, (deg, ntri, cc)) =>
+      assert(deg === adj(v).size.toLong, s"degree of $v")
+      assert(ntri === exactTri(v), s"triangle count of $v")
+      val expCc =
+        if (deg >= 2) (2.0 * ntri) / (deg.toDouble * (deg.toDouble - 1.0))
+        else 0.0
+      assert(cc === expCc, s"clustering of $v")
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+    assert(got.values.map(_._2).sum % 3 === 0L,
+      "incident counts must triple-count each triangle")
+    assert(got.values.exists(_._2 > 0), "k-NN graph should close some triangles")
+  }
 }

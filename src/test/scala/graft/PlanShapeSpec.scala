@@ -348,4 +348,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
       "unexpected global sort in the pagerank plan")
   }
+
+  test("graph_triangles: wedge/close joins stay keyed — no cartesian product") {
+    val nodes = physical(Graph.triangles(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "triangle joins must be keyed (on the middle vertex / the (x,z) pair)")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "triangle joins must never degrade to a nested loop")
+  }
+
+  test("q_anomaly: one corpus pass; the moments frame attaches as a broadcast") {
+    val df = Windows.anomaly(spark, sf)
+    // window count = 1 keyed shuffle; the 1-row moments aggregate adds a
+    // single-partition exchange over WINDOW-cardinality rows (not events)
+    assert(shuffles(df) <= 2, s"q_anomaly shuffles ${shuffles(df)} > 2")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "moments must attach via broadcast, never a shuffle join")
+  }
+
+  test("q_transitions: lag window partitions by user; denominator windows the agg") {
+    val df = Behavior.qTransitions(spark, sf)
+    val windows = physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "transition windows must keep their PARTITION BY (user_id / prev_type)"))
+    assert(!physical(df).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
 }

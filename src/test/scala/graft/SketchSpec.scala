@@ -316,4 +316,46 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.forall(r => !r.getDouble(2).isNaN),
       "NaN cosine leaked into the result")
   }
+
+  test("hll_merge: persisted per-day sketch union == direct sketch; error bounded") {
+    import org.apache.spark.sql.functions._
+    // merged row from the persisted per-day sketches
+    val rows = graft.operators.Analytics.qHllMerge(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val events = graft.sources.Tables.events(spark, sf)
+    // (a) mergeability: union of per-day sketches == ONE sketch over the
+    // whole corpus (HLL registers are max-of-hashes — associative,
+    // order-independent), asserted as exact estimate equality
+    val direct = events
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))"))
+      .head().getLong(0)
+    assert(rows("ALL") === direct,
+      s"merged=${rows("ALL")} direct=$direct — sketch union must equal one pass")
+    // (b) accuracy: every estimate within lgK=12 HLL error (~1.6% rse;
+    // allow 5% = ~3 sigma) of the exact distinct count
+    val exactAll = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(rows("ALL") - exactAll).toDouble / exactAll <= 0.05,
+      s"merged estimate ${rows("ALL")} vs exact $exactAll")
+    val exactByDay = events
+      .groupBy(to_date(col("ts")).cast("string").as("d"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactByDay.foreach { case (d, exact) =>
+      assert(math.abs(rows(d) - exact).toDouble / exact <= 0.05,
+        s"day $d estimate ${rows(d)} vs exact $exact")
+    }
+    // (c) determinism: rebuilding the daily sketches from scratch yields
+    // byte-identical binaries (what makes persisted sketches diffable)
+    val rebuilt = events
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy(col("d"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sketch"))
+      .select(col("d").cast("string"), md5(col("sketch")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val stored = spark.read.parquet(
+      graft.sources.DumpCache.dirFor("graft_hll_daily", sf, "events.parquet"))
+      .select(col("d").cast("string"), md5(col("sketch")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rebuilt === stored, "per-day sketch bytes changed on rebuild")
+  }
 }
