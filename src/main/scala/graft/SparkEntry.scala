@@ -37,6 +37,7 @@ object SparkEntry {
     "q_transitions" -> (Behavior.qTransitions _),
     "q_anomaly"    -> (Windows.anomaly _),
     "stats_corr"   -> (Profile.statsCorr _),
+    "stats_ttest"  -> (Profile.statsTtest _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_slide_distinct" -> (Windows.slideDistinct _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "dedup_minhash"    -> (Dedup.minhashLsh _),
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_chunks"     -> (Dedup.chunkDups _),
+    "dedup_containment" -> (Dedup.containment _),
     "dedup_editdist"   -> (Dedup.editDistVerify _),
     "dedup_delta"      -> (Dedup.deltaDedup _),
     "dedup_delta_lsh"  -> (Dedup.deltaLshCandidates _),
@@ -150,6 +152,7 @@ object SparkEntry {
     // DuckDB (different sketch impl) → rows-only driver check; SketchSpec
     // pins merge==direct equality, error vs exact, byte-identical rebuild.
     "stats_corr"   -> Profile.statsCorrSql,
+    "stats_ttest"  -> Profile.statsTtestSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_slide_distinct" -> Windows.slideDistinctSql,
@@ -174,6 +177,7 @@ object SparkEntry {
     // dedup_minhash / dedup_simhash: sketch-based, not SQL-expressible →
     // rows-only driver check; SketchSpec asserts recall/precision.
     "dedup_chunks"     -> Dedup.chunkDupsSql,
+    "dedup_containment" -> Dedup.containmentSql,
     "dedup_editdist"   -> Dedup.editDistVerifySql,
     "dedup_delta"      -> Dedup.deltaDedupSql,
     // dedup_delta_commit emits the SAME contract as dedup_exact, so the

@@ -224,6 +224,84 @@ object Dedup {
     FROM ch JOIN fp USING (chunk_md5)
     GROUP BY ch.doc_id"""
 
+  /** Asymmetric shingle CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ 0.9 —
+    * the doc-in-doc signal symmetric Jaccard structurally misses. A
+    * 200-word doc pasted verbatim inside a 5000-word doc has Jaccard
+    * ≈ 0.04 (invisible to [[ngramJaccard]]) but containment 1.0; this is
+    * how pipelines catch quote-wrapped copies, concatenated corpora, and
+    * scraped pages republished inside larger shells.
+    *
+    * Same inverted-index machinery as Jaccard with ONE asymmetry: the
+    * prefix filter applies to the PROBE (contained) side only — if B
+    * holds ≥ ⌈0.9·n_a⌉ of A's shingles, B misses at most
+    * n_a − ⌈0.9·n_a⌉ of them, so B must share one of ANY
+    * n_a − ⌈0.9·n_a⌉ + 1 of A's shingles (completeness holds under any
+    * fixed global order — Spark ranks df-ascending, the oracle by md5;
+    * both are complete, so the VERIFIED outputs agree). The index side
+    * keeps every shingle (the container has no prefix bound), but the
+    * df-ascending probe prefix keeps stopword shingles out of the probe,
+    * so no index bucket is ever probed hot. Thresholds are exact integer
+    * arithmetic (⌈0.9n⌉ = (9n+9) div 10) — no float-ceil off-by-one.
+    *
+    * Scale: candidates = Σ_probe-prefix df(s) — linear in the prefix
+    * inverted lists, never all-pairs; verification attaches the two
+    * (distinct-)shingle arrays by doc_id equi-joins (AQE broadcasts the
+    * small candidate side) and intersects in-row. At 100 TB the one
+    * extra remedy is capping df on the INDEX side (a shingle shared by
+    * half the corpus identifies nothing) — the same top-df cut
+    * `text_heavyhitters` computes.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = 0.9
+    val sh = docShingles(spark, dir).cache()
+    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val ranked = sh.join(df, "s")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rk", row_number().over(wDoc.orderBy($"df", $"s")))
+    // probe prefix: rk ≤ n − ⌈t·n⌉ + 1, ⌈0.9n⌉ exact as (9n+9) div 10
+    val probe = ranked
+      .filter($"rk" <= $"n" - floor(($"n" * 9 + 9) / 10) + 1)
+      .select($"doc_id".as("ida"), $"s", $"n".as("na"))
+    val cand = probe.join(sh.toDF("idb", "s"), "s")
+      .filter($"ida" =!= $"idb")
+      .select($"ida", $"idb", $"na")
+      .distinct()
+    val docSets = Tables.documents(spark, dir)
+      .select($"doc_id", Text.shinglesFastUdf($"text").as("ss"))
+    cand
+      .join(docSets.toDF("ida", "sa"), "ida")
+      .join(docSets.toDF("idb", "sb"), "idb")
+      .select($"ida", $"idb", $"na",
+        size(array_intersect($"sa", $"sb")).cast("long").as("inter"))
+      .select($"ida".as("doc_id_a"), $"idb".as("doc_id_b"),
+        $"na".as("n_a"), $"inter",
+        ($"inter" * lit(1.0) / $"na").as("containment"))
+      .filter($"containment" >= t)
+  }
+
+  val containmentSql: String = """
+    WITH docs AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    wrds AS (SELECT doc_id, string_split(t,' ') w FROM docs),
+    idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1,1))) i FROM wrds),
+    sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] s FROM idx),
+    sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    ranked AS (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY md5(s), s) rk FROM sh),
+    probe AS (SELECT r.doc_id, r.s, sz.n FROM ranked r JOIN sz USING (doc_id)
+              WHERE rk <= n - ceil(n*0.9) + 1),
+    cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb, a.n na
+             FROM probe a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id),
+    inter AS (SELECT ida, idb, any_value(na) na, count(*) i
+              FROM cand JOIN sh x ON x.doc_id = ida
+              JOIN sh y ON y.doc_id = idb AND y.s = x.s
+              GROUP BY ida, idb)
+    SELECT ida AS doc_id_a, idb AS doc_id_b,
+           CAST(na AS BIGINT) AS n_a, CAST(i AS BIGINT) AS inter,
+           i*1.0/na AS containment
+    FROM inter
+    WHERE i*1.0/na >= 0.9"""
+
   /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
     * Rows-only driver check; SketchSpec asserts recall vs exact Jaccard.
     */

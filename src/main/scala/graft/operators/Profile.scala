@@ -111,4 +111,70 @@ object Profile {
             sqrt(CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE) -
                  CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))) AS corr
     FROM m"""
+
+  /** Welch's two-sample t statistic (click vs purchase event values) from
+    * EXACT integer moments — the A/B-experiment readout computed the way
+    * a 100 TB profiler does it: ONE conditional-aggregation pass
+    * producing the six sufficient statistics (n, Σx, Σx² per group) as
+    * order-independent BIGINTs on a cents scale, then mean / sample
+    * variance / t derived by fixed double expressions (identical trees
+    * both engines — the [[statsCorr]] device). No per-group float
+    * aggregates, no second scan, nothing at the driver.
+    *
+    * Cents keep every moment far below 2^53 at gate scales (values are
+    * O(100), squares O(1e8), × O(1e5) rows ≈ 1e13), so the int→double
+    * casts are exact and the output hash-matches.
+    */
+  def statsTtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", round($"value" * 100).cast("long").as("x"))
+    val isA = $"event_type" === "click"
+    val m = ev.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isA, $"x").otherwise(0L)).as("sx_a"),
+      sum(when(isA, $"x" * $"x").otherwise(0L)).as("sxx_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!isA, $"x").otherwise(0L)).as("sx_b"),
+      sum(when(!isA, $"x" * $"x").otherwise(0L)).as("sxx_b"))
+    def mean(sx: String, n: String) =
+      col(sx).cast("double") / col(n).cast("double")
+    def svar(n: String, sxx: String, sx: String) =
+      (col(n).cast("double") * col(sxx).cast("double") -
+        col(sx).cast("double") * col(sx).cast("double")) /
+        (col(n).cast("double") * (col(n).cast("double") - lit(1.0)))
+    m.select($"n_a", $"n_b", $"sx_a", $"sx_b", $"sxx_a", $"sxx_b",
+      mean("sx_a", "n_a").as("mean_a"),
+      mean("sx_b", "n_b").as("mean_b"),
+      ((mean("sx_a", "n_a") - mean("sx_b", "n_b")) /
+        sqrt(svar("n_a", "sxx_a", "sx_a") / $"n_a".cast("double") +
+          svar("n_b", "sxx_b", "sx_b") / $"n_b".cast("double"))).as("t_welch"))
+  }
+
+  val statsTtestSql: String = """
+    WITH s AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    m AS (SELECT
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN x * x ELSE 0 END) AS BIGINT) AS sxx_a,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN x * x ELSE 0 END) AS BIGINT) AS sxx_b
+          FROM s)
+    SELECT n_a, n_b, sx_a, sx_b, sxx_a, sxx_b,
+           CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+           CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+           (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+            CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+           sqrt((CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE) -
+                 CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)) /
+                (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) /
+                CAST(n_a AS DOUBLE) +
+                (CAST(n_b AS DOUBLE) * CAST(sxx_b AS DOUBLE) -
+                 CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)) /
+                (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) /
+                CAST(n_b AS DOUBLE)) AS t_welch
+    FROM m"""
 }

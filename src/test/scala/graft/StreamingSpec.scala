@@ -358,6 +358,80 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length === 2, "a pair emitted more than once")
   }
 
+  test("append-mode watermark drops late rows; each closed window emits exactly once") {
+    // The reference relies on Flink's watermark semantics to bound state
+    // and discard stragglers; this pins the Spark twin's exact behavior:
+    // a row arriving AFTER the watermark passed its window is dropped
+    // (never resurrects evicted state, never re-emits the window), and
+    // every closed window appears exactly once in append output.
+    import spark.implicits._
+    val base = 1704067200L
+    def msg(sec: Long, bit: String) = {
+      val iso = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      s"""{"value": "$bit", "timestamp": "$iso"}"""
+    }
+    val dir = Files.createTempDirectory("graft_late_msgs").toString
+    // the file source orders batches by modification time; same-ms writes
+    // would make batch order (and thus the watermark race) nondeterministic,
+    // so stamp each appended file with a strictly increasing mtime
+    var stamp = 1704067200000L
+    val stamped = scala.collection.mutable.Set.empty[String]
+    def appendFile(rows: Seq[String]): Unit = {
+      rows.toDF("raw").coalesce(1).write.mode("append").text(dir)
+      stamp += 60000L
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !stamped(f.getName))
+        .foreach { f => f.setLastModified(stamp); stamped += f.getName }
+    }
+    // five files -> five ordered micro-batches (maxFilesPerTrigger=1).
+    // Spark tracks TWO watermark values per batch (SPARK-24634): late-row
+    // FILTERING uses the PREVIOUS batch's watermark (replay-deterministic),
+    // EVICTION uses the current one — so a straggler is only guaranteed
+    // dropped from the second batch after the advancing event onward:
+    //  b0: 10 on-time ones in w0 [0,60) + a one at +400
+    //      -> watermark after b0 = 400-120 = 280, past w0's end
+    //  b1: a one at +500 -> eviction wm 280 closes w0 (EMITTED with the
+    //      10 on-time bits); late-filter wm for b2 becomes 280
+    //  b2: 40 LATE ones at +10..49, far below filter wm 280 -> ALL
+    //      DROPPED (w0's evicted state is never resurrected/re-emitted)
+    //  b3/b4: ones at +700/+800 -> eviction wm 580/680 closes the +400
+    //      window [360,420) and the +500 window [480,540)
+    appendFile((0 until 10).map(i => msg(base + i, "1")) :+ msg(base + 400, "1"))
+    appendFile(Seq(msg(base + 500, "1")))
+    appendFile((10 until 50).map(i => msg(base + i, "1")))
+    appendFile(Seq(msg(base + 700, "1")))
+    appendFile(Seq(msg(base + 800, "1")))
+    val parsed = TrafficSource.parse(
+      spark.readStream.format("text").option("maxFilesPerTrigger", "1")
+        .load(dir).withColumnRenamed("value", "raw"))
+    val name = "late_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = TrafficJobs.tumbleDgim(parsed).writeStream.format("memory")
+      .queryName(name).outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // direct evidence: the late rows reached the state store as ONE
+    // partial-aggregate row (map-side combine runs before the store —
+    // 40 inputs, one w0 group) and that row was dropped by the watermark
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped === 1L, s"dropped-by-watermark $dropped != 1")
+    val rows = spark.table(name).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_end").getTime / 1000L - base)
+        -> r.getAs[Long]("count_estimate"))
+    // only the three CLOSED windows appear (the +700/+800 windows stay
+    // open past the final watermark), and none appears twice — the late
+    // batch neither re-opened w0 nor re-emitted it
+    assert(rows.map(_._1).sorted.toSeq === Seq(60L, 420L, 540L),
+      s"emitted windows ${rows.toSeq}")
+    val est = rows.toMap
+    // w0 estimate tracks the 10 ON-TIME bits within the DGIM 50% bound;
+    // had the 40 late bits been admitted (true count 50) the worst-case
+    // underestimate would still be >= 25 — disjoint ranges, so this
+    // discriminates drop from admit
+    assert(est(60L) >= 5L && est(60L) <= 15L, s"w0 estimate ${est(60L)}")
+    assert(est(420L) === 1L && est(540L) === 1L)
+  }
+
   test("TrafficGen produces parseable messages with both bit values") {
     import spark.implicits._
     // drive the deterministic jsonify on a batch frame shaped like the rate source
