@@ -56,6 +56,7 @@ object SparkEntry {
     "q_stream_dedup"   -> (StreamQueries.streamDedup _),
     "q_stream_delta_dedup" -> (StreamQueries.streamDeltaDedup _),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
+    "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
     "q_stream_range_join" -> (StreamQueries.streamRangeJoin _),
     "dedup_exact"      -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -170,6 +171,9 @@ object SparkEntry {
     "q_stream_dedup"   -> StreamQueries.streamDedupSql,
     "q_stream_delta_dedup" -> StreamQueries.streamDeltaDedupSql,
     "q_stream_slide_distinct" -> StreamQueries.streamSlideDistinctSql,
+    // q_stream_approx_distinct: HLL estimates are engine-specific →
+    // rows-only driver check; StreamingSpec pins estimates within HLL
+    // error of the exact batch distincts over the same window set.
     "q_stream_range_join" -> StreamQueries.streamRangeJoinSql,
     // q_stream_dgim_tumble: rows-only; StreamingSpec asserts error bound.
     "dedup_exact"      -> Dedup.exactSql,

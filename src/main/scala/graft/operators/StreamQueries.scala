@@ -185,6 +185,32 @@ object StreamQueries {
     FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
     GROUP BY 1, 2"""
 
+  /** SKETCH-distinct users per hop window over an unbounded stream — the
+    * fixed-size-state form `q_slide_distinct` names as the 100 TB swap.
+    * `approx_count_distinct`'s HLL buffer is mergeable streaming state:
+    * O(1) bytes per window REGARDLESS of key cardinality, where
+    * [[streamSlideDistinct]]'s exact dropDuplicates form keeps one state
+    * row per distinct (user, window) — exact but linear. At an unbounded
+    * user space the sketch form is the only one whose state survives;
+    * this completes the exact→sketch ladder the batch rows
+    * (`q_slide_distinct` → `q_approx_distinct`) document.
+    *
+    * Rows-only driver check (HLL estimates are engine-specific by
+    * construction); StreamingSpec pins every per-window estimate within
+    * HLL error of the exact batch distinct count and the window set
+    * equal to the batch oracle's.
+    */
+  def streamApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark) { s =>
+      import s.implicits._
+      eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour", "15 minutes"))
+        .agg(approx_count_distinct($"user_id").as("approx_users"))
+        .select($"window.start".as("window_start"),
+          $"window.end".as("window_end"), $"approx_users")
+    }
+
   /** Stream-stream interval join: every (error, click) pair by the same
     * user within ±5 minutes, both sides unbounded streams. This is the
     * streaming twin of `q_range_join`'s band join: Spark keeps each

@@ -432,6 +432,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est(420L) === 1L && est(540L) === 1L)
   }
 
+  test("streaming approx distinct tracks exact batch distincts per hop window") {
+    val sf = "/root/testdata/sf0.001"
+    val est = graft.operators.StreamQueries.streamApproxDistinct(spark, sf)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start") ->
+        r.getAs[Long]("approx_users")).toMap
+    val exact = graft.operators.Windows.slideDistinct(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start") ->
+        r.getAs[Long]("n_users")).toMap
+    // same window set as the exact batch oracle, and every HLL estimate
+    // within 3x the default 5% relative standard deviation of the exact
+    // per-window distinct count
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (w, n) =>
+      assert(math.abs(est(w) - n).toDouble / n <= 0.15,
+        s"window $w estimate ${est(w)} vs exact $n")
+    }
+  }
+
   test("TrafficGen produces parseable messages with both bit values") {
     import spark.implicits._
     // drive the deterministic jsonify on a batch frame shaped like the rate source
