@@ -36,6 +36,11 @@ object GraftFunctions {
     // job.py:37-46) under its own name
     registerDgim(spark, "dgim_estimate_floor", DefaultDgimWindowSeconds,
       roundUp = false)
+    // the sum generalization (Datar et al. §5): dgim_sum_estimate(amount
+    // BIGINT, ts_sec BIGINT) -> BIGINT over the same 1 h window
+    spark.udf.register("dgim_sum_estimate",
+      udaf(new graft.functions.DgimSumAggregator(DefaultDgimWindowSeconds),
+        Encoders.product[graft.functions.SumEvent]))
     spark.udf.register("rolling_hash61", Text.rollingHashUdf)
     // the text-pipeline primitives for pure-SQL users (same single-pass
     // fast paths the operators use, spec-pinned to the Column semantics)

@@ -47,6 +47,7 @@ object SparkEntry {
     "q_dgim_tumble"    -> (DgimQueries.dgimTumble _),
     "q_dgim_slide"     -> (DgimQueries.dgimSlide _),
     "q_dgim_sql"       -> (DgimQueries.sqlDgimTumble _),
+    "q_dgim_sum"       -> (DgimQueries.dgimSumTumble _),
     "q_pivot"          -> (Analytics.qPivot _),
     "q_stream_tumble"  -> (StreamQueries.streamTumbleCount _),
     "q_stream_dgim_tumble" -> (StreamQueries.streamDgimTumble _),
@@ -160,10 +161,12 @@ object SparkEntry {
     "q_session_window" -> Windows.sessionWindowSql,
     "q_events_parse"   -> Windows.eventsParseSql,
     "q_resample"       -> Windows.resampleSql,
-    // q_dgim_tumble / q_dgim_slide / q_dgim_sql: DGIM is not DuckDB-
-    // expressible → rows-only driver check; DgimSpec/DgimPlanSpec are the
-    // in-repo oracles (q_dgim_sql is additionally pinned to q_dgim_tumble:
-    // same windows, same exact counts, estimates within the DGIM bound).
+    // q_dgim_tumble / q_dgim_slide / q_dgim_sql / q_dgim_sum: DGIM is not
+    // DuckDB-expressible → rows-only driver check; DgimSpec/DgimPlanSpec
+    // are the in-repo oracles (q_dgim_sql is additionally pinned to
+    // q_dgim_tumble: same windows, same exact counts, estimates within the
+    // DGIM bound; q_dgim_sum carries its exact twin in-query and DgimSpec
+    // pins the §5 sum bound, hand vectors, and expiry).
     "q_pivot"          -> Analytics.qPivotSql,
     "q_stream_tumble"  -> Windows.tumbleCountSql, // streaming == batch
     "q_stream_slide"   -> Windows.slideCountSql,  // streaming == batch

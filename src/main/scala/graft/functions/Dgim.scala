@@ -44,10 +44,18 @@ object Dgim {
       * coincide — the early return matters for externally constructed /
       * deserialized states, which must follow the published semantics too.
       */
-    def estimate(roundUp: Boolean): Long = {
+    def estimate(roundUp: Boolean): Long = estimateAt(latest, roundUp)
+
+    /** Estimate with the live-window cutoff taken at an EXTERNAL `now`
+      * instead of this state's own latest — what a multi-instance sketch
+      * (the §5 sum decomposition) needs: an instance whose bit was not
+      * set by recent values has a stale `latest`, and evaluating it
+      * there would count buckets the global clock has already expired.
+      */
+    def estimateAt(now: Long, roundUp: Boolean): Long = {
       // live prefix: buckets are newest-first; stop at the first expired
       var m = 0
-      while (m < ts.length && latest - ts(m) < windowSeconds) m += 1
+      while (m < ts.length && now - ts(m) < windowSeconds) m += 1
       if (m == 0) 0L
       else if (m == 1 && roundUp) size(0)
       else {
@@ -205,5 +213,71 @@ class DgimAggregator(windowSeconds: Long) extends Aggregator[Long, Dgim.State, L
   override def merge(a: Dgim.State, b: Dgim.State): Dgim.State = Dgim.merge(a, b)
   override def finish(r: Dgim.State): Long = r.estimate
   override def bufferEncoder: Encoder[Dgim.State] = Encoders.product[Dgim.State]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** Mergeable state of the DGIM SUM sketch: one independent [[Dgim.State]]
+  * per bit position, newest-first inside each.
+  */
+case class DgimSumState(windowSeconds: Long, states: Seq[Dgim.State])
+
+/** One (amount, event-time) pair for the sum sketch. */
+case class SumEvent(amount: Long, tsSec: Long)
+
+/** DGIM extended from bit-counting to SUMS of bounded non-negative
+  * integers — the generalization published alongside the counting sketch
+  * (Datar–Gionis–Indyk–Motwani 2002, §5: "maintaining the sum of the
+  * last N elements" via binary decomposition): each arriving amount v
+  * feeds a 1-bit into an independent DGIM instance for every set bit of
+  * v, and the windowed-sum estimate is Σ_j 2^j · estimate_j. State is
+  * `bits × O(log² W)` — still polylogarithmic in the window.
+  *
+  * Error: each instance carries the counting sketch's ≤ 50% bound on
+  * its own bit count, so the weighted total satisfies
+  * |est − exact| ≤ 0.5 · exact (+ ≤ 1 per instance from round-up).
+  *
+  * Amounts clamp into [0, 2^bits): negative amounts are skipped
+  * (lenient, like the bit aggregator's non-"1" values), oversized
+  * amounts saturate at 2^bits − 1 — pick `bits` from the domain bound
+  * (17 covers the events table's cents at every SF).
+  */
+class DgimSumAggregator(windowSeconds: Long, bits: Int = 17)
+    extends Aggregator[SumEvent, DgimSumState, Long] {
+  override def zero: DgimSumState =
+    DgimSumState(windowSeconds,
+      Vector.fill(bits)(Dgim.emptyState(windowSeconds)))
+  override def reduce(b: DgimSumState, e: SumEvent): DgimSumState = {
+    if (e.amount <= 0L) b
+    else {
+      val v = math.min(e.amount, (1L << bits) - 1)
+      var out = b.states
+      var j = 0
+      while (j < bits) {
+        if (((v >> j) & 1L) == 1L)
+          out = out.updated(j, Dgim.added(out(j), e.tsSec))
+        j += 1
+      }
+      DgimSumState(b.windowSeconds, out)
+    }
+  }
+  override def merge(a: DgimSumState, b: DgimSumState): DgimSumState =
+    DgimSumState(a.windowSeconds,
+      a.states.zip(b.states).map { case (x, y) => Dgim.merge(x, y) })
+  override def finish(r: DgimSumState): Long = {
+    // evaluate every instance at the GLOBAL latest: an instance whose bit
+    // recent values never set has a stale local clock, and its expired
+    // buckets must not count (measured: a 100-then-7 stream estimated 103
+    // instead of 7 before this)
+    var latest = 0L
+    r.states.foreach(s => latest = math.max(latest, s.latest))
+    var total = 0L
+    var j = 0
+    while (j < r.states.length) {
+      total += (1L << j) * r.states(j).estimateAt(latest, roundUp = true)
+      j += 1
+    }
+    total
+  }
+  override def bufferEncoder: Encoder[DgimSumState] = Encoders.product[DgimSumState]
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

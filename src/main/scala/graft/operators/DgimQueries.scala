@@ -81,4 +81,34 @@ object DgimQueries {
             WHERE event_type = 'click' AND ts IS NOT NULL)
       GROUP BY window(ts, '1 hour')""")
   }
+
+  /** DGIM generalized from counting to SUMS (Datar et al. 2002 §5 — the
+    * published companion of the reference's counting sketch): per
+    * tumbling hour, the sketch estimate of the click VALUE sum (cents)
+    * over the trailing 1 h, next to the exact integer sum. Each amount
+    * feeds its set bits into 17 independent DGIM instances; the estimate
+    * is the 2^j-weighted instance total, state 17×O(log²W) per window.
+    * This answers "approximate revenue/bytes in the last W" the way the
+    * reference answers "approximate request count in the last W" —
+    * mergeable partial aggregation across partitions included.
+    *
+    * Rows-only driver check (merge order may legally shift bucket
+    * boundaries, like `q_dgim_sql`); DgimSpec pins hand-computed exact
+    * vectors, window expiry, and the ≤ 50% published bound against the
+    * in-query exact twin.
+    */
+  def dgimSumTumble(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = udaf(new graft.functions.DgimSumAggregator(3600L))
+    Tables.events(spark, dir)
+      .filter($"event_type" === "click" && $"ts".isNotNull)
+      .select(window($"ts", "1 hour").as("w"),
+        round($"value" * 100).cast("long").as("cents"),
+        unix_timestamp($"ts").as("ts_sec"))
+      .groupBy($"w")
+      .agg(agg($"cents", $"ts_sec").as("sum_estimate"),
+        sum($"cents").as("exact_cents"))
+      .select($"w.start".as("window_start"), $"w.end".as("window_end"),
+        $"sum_estimate", $"exact_cents")
+  }
 }
