@@ -35,6 +35,7 @@ object SparkEntry {
     "q_retention"  -> (Behavior.qRetention _),
     "q_histogram"  -> (Behavior.qHistogram _),
     "q_transitions" -> (Behavior.qTransitions _),
+    "q_session_paths" -> (Behavior.qSessionPaths _),
     "q_anomaly"    -> (Windows.anomaly _),
     "stats_corr"   -> (Profile.statsCorr _),
     "stats_ttest"  -> (Profile.statsTtest _),
@@ -48,6 +49,7 @@ object SparkEntry {
     "q_dgim_slide"     -> (DgimQueries.dgimSlide _),
     "q_dgim_sql"       -> (DgimQueries.sqlDgimTumble _),
     "q_dgim_sum"       -> (DgimQueries.dgimSumTumble _),
+    "q_stream_dgim_sum" -> (StreamQueries.streamDgimSum _),
     "q_pivot"          -> (Analytics.qPivot _),
     "q_stream_tumble"  -> (StreamQueries.streamTumbleCount _),
     "q_stream_dgim_tumble" -> (StreamQueries.streamDgimTumble _),
@@ -149,6 +151,7 @@ object SparkEntry {
     "q_retention"  -> Behavior.qRetentionSql,
     "q_histogram"  -> Behavior.qHistogramSql,
     "q_transitions" -> Behavior.qTransitionsSql,
+    "q_session_paths" -> Behavior.qSessionPathsSql,
     "q_anomaly"    -> Windows.anomalySql,
     // q_hll_merge: DataSketches HLL estimates are not reproducible in
     // DuckDB (different sketch impl) → rows-only driver check; SketchSpec

@@ -201,4 +201,56 @@ object Behavior {
            CAST(n AS DOUBLE) /
            CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
     FROM c"""
+
+  /** Top-20 session PATHS — the "how do users actually move" readout on
+    * top of sessionization: each 30-min-gap session rendered as its
+    * ordered event-type sequence (`view>click>purchase`), counted across
+    * all sessions. Path order is a TOTAL order (ts, then event_id), so
+    * duplicate timestamps cannot flip steps between engines; the top-20
+    * cut orders by (count desc, path asc) — fully deterministic.
+    *
+    * Scale: session assignment is Spark's native `session_window`
+    * aggregation (ONE user_id shuffle, merge-on-overlap); the in-group
+    * sort is `array_sort` over one session's events (bounded by session
+    * length, never a window over the corpus); path counting is a second
+    * map-side-combined agg on the path key; the final cut is
+    * TakeOrdered (per-partition partial top-k), not a global sort.
+    */
+  def qSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val paths = Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path".asc)
+      .limit(20)
+  }
+
+  /** Gaps-and-islands twin of the session assignment (same break
+    * condition as `Windows.sessionWindowSql`: new session when
+    * diff >= gap), with the path ordered by the identical total order.
+    */
+  val qSessionPathsSql: String = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), p AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+    ORDER BY n_sessions DESC, path LIMIT 20"""
 }

@@ -272,6 +272,33 @@ object StreamQueries {
     }
   }
 
+  /** The SUM sketch on the unbounded stream: windowed `dgim_sum_estimate`
+    * (the Datar et al. §5 generalization `q_dgim_sum` runs in batch) as a
+    * streaming aggregation — the typed DGIM-sum buffer is mergeable
+    * state, so partial aggregation and the state store compose exactly
+    * like the count sketch in `q_stream_dgim_tumble`. Answers
+    * "approximate revenue in the trailing hour" continuously, with
+    * 17×O(log²W) state per window.
+    *
+    * Rows-only driver check; StreamingSpec pins every per-window
+    * estimate within the §5 bound of the BATCH exact sums over the
+    * identical window set.
+    */
+  def streamDgimSum(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark) { s =>
+      import s.implicits._
+      val agg = udaf(new graft.functions.DgimSumAggregator(3600L))
+      eventsStream(s, dir)
+        .filter($"event_type" === "click" && $"ts".isNotNull)
+        .withWatermark("ts", "1 hour")
+        .select($"ts", round($"value" * 100).cast("long").as("cents"),
+          unix_timestamp($"ts").as("ts_sec"))
+        .groupBy(window($"ts", "1 hour"))
+        .agg(agg($"cents", $"ts_sec").as("sum_estimate"))
+        .select($"window.start".as("window_start"),
+          $"window.end".as("window_end"), $"sum_estimate")
+    }
+
   /** Materialize the event table as the traffic-JSON message stream (what
     * the Kafka topic held); cached across runs keyed by canonical path +
     * size+mtime fingerprint of the source file, so repeat runs reuse the

@@ -432,6 +432,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est(420L) === 1L && est(540L) === 1L)
   }
 
+  test("streaming DGIM sum stays within the §5 bound of the batch exact sums") {
+    val sf = "/root/testdata/sf0.001"
+    val est = graft.operators.StreamQueries.streamDgimSum(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start") ->
+        r.getAs[Long]("sum_estimate")).toMap
+    val exact = graft.operators.DgimQueries.dgimSumTumble(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start") ->
+        r.getAs[Long]("exact_cents")).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (w, x) =>
+      assert(math.abs(est(w) - x) <= x / 2 + 17,
+        s"window $w stream est ${est(w)} vs exact $x")
+    }
+  }
+
   test("streaming approx distinct tracks exact batch distincts per hop window") {
     val sf = "/root/testdata/sf0.001"
     val est = graft.operators.StreamQueries.streamApproxDistinct(spark, sf)
