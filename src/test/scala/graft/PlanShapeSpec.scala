@@ -369,6 +369,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "moments must attach via broadcast, never a shuffle join")
   }
 
+  test("dedup_containment: probe/index/verify joins all keyed — no cartesian") {
+    val nodes = physical(Dedup.containment(spark, sf))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "containment must join on shingle / doc_id keys, never a cross product")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "prefix rank window lost its PARTITION BY doc_id"))
+  }
+
+  test("q_session_paths: two aggregations + TakeOrdered, no global sort") {
+    val nodes = physical(Behavior.qSessionPaths(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-20 must be TakeOrdered (per-partition partials), not a global sort")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
   test("q_transitions: lag window partitions by user; denominator windows the agg") {
     val df = Behavior.qTransitions(spark, sf)
     val windows = physical(df).collect {
