@@ -363,6 +363,62 @@ object Curation {
              AS shuffle_pos
     FROM documents"""
 
+  /** Token-budget selection: take documents in QUALITY order until the
+    * cumulative token count reaches the budget — the greedy knapsack
+    * every "train on the best N-billion tokens" recipe runs after
+    * scoring. Order is total ((quality_score desc, doc_id) — score ties
+    * cannot flip membership between engines).
+    *
+    * The global cumulative sum is the running-total sibling of
+    * [[shuffleOrder]]'s two-pass global index: an unpartitioned
+    * `SUM() OVER (ORDER BY ...)` window would serialize the corpus
+    * through one task, so instead range-partition + sort on the quality
+    * key (the one full-data movement any global order pays), aggregate
+    * per-partition token totals (P longs to the driver), broadcast the
+    * prefix offsets, and emit `offset(pid) + local running sum` in one
+    * per-partition pass. The slim selected set is locally checkpointed
+    * so the corpus-wide sorted cache never outlives the operator.
+    */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 10000L): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = TextAnalysis.quality(spark, dir)
+      .select($"doc_id", $"n_words".cast("long").as("n_tokens"),
+        $"quality_score")
+      .repartitionByRange(parts, $"quality_score".desc, $"doc_id".asc)
+      .sortWithinPartitions($"quality_score".desc, $"doc_id".asc)
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val partial = sorted.groupBy($"pid").agg(sum($"n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts)
+      .scanLeft(0L)((acc, p) => acc + partial.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = sorted.as[(Long, Long, Double, Int)].mapPartitions { it =>
+      var run = 0L
+      it.map { case (docId, nTok, q, pid) =>
+        run += nTok
+        (docId, nTok, q, bc.value(pid) + run)
+      }
+    }.toDF("doc_id", "n_tokens", "quality_score", "cum_tokens")
+      .filter($"cum_tokens" <= budget)
+      .localCheckpoint()
+    sorted.unpersist(blocking = false)
+    out
+  }
+
+  val tokenBudgetSql: String = s"""
+    WITH q AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+                      quality_score
+               FROM (${TextAnalysis.qualitySql})),
+    c AS (SELECT doc_id, n_tokens, quality_score,
+            CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM q)
+    SELECT doc_id, n_tokens, quality_score, cum_tokens
+    FROM c WHERE cum_tokens <= 10000"""
+
   /** Domain-mixture construction — the static-mix step of a training
     * recipe (DoReMi-style weights, FineWeb source blending): given
     * target PROPORTIONS per source, emit the largest corpus that hits

@@ -113,6 +113,27 @@ class DgimPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === distinctWindows)
   }
 
+  test("SQL-registered dgim_sum_estimate works from SQL text within the bound") {
+    graft.GraftFunctions.register(spark)
+    graft.sources.Tables.events(spark, sf).createOrReplaceTempView("events_sum_sql")
+    val rows = spark.sql("""
+      SELECT window.start AS ws,
+             dgim_sum_estimate(cents, ts_sec) AS est,
+             SUM(cents) AS exact
+      FROM (SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents,
+                   unix_timestamp(ts) AS ts_sec
+            FROM events_sum_sql
+            WHERE event_type = 'click' AND ts IS NOT NULL)
+      GROUP BY window(ts, '1 hour')""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est")
+      val exact = r.getAs[Long]("exact")
+      assert(math.abs(est - exact) <= exact / 2 + 17,
+        s"window ${r.get(0)}: est=$est exact=$exact")
+    }
+  }
+
   test("q_dgim_sum: every window's sum estimate within the §5 bound of its exact twin") {
     val rows = DgimQueries.dgimSumTumble(spark, sf).collect()
     assert(rows.nonEmpty)

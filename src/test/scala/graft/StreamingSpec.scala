@@ -432,6 +432,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est(420L) === 1L && est(540L) === 1L)
   }
 
+  test("RocksDB state store: identical windowed DGIM results to the default provider") {
+    // At 100 TB streaming state outgrows executor heaps; Spark's answer
+    // is the RocksDB state store provider (spilling, changelog-
+    // checkpointed). Providers only persist bytes — the aggregation
+    // path is identical — so the SAME input must yield BYTE-identical
+    // window estimates. This pins that the graft jobs run unmodified on
+    // the scale-path provider shipped in this Spark build.
+    import spark.implicits._
+    val base = 1704067200L
+    def msg(sec: Long, bit: String) = {
+      val iso = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      s"""{"value": "$bit", "timestamp": "$iso"}"""
+    }
+    val dir = writeMessages((0 until 500).map(i =>
+      msg(base + i, if (i % 3 == 0) "1" else "0")))
+    def run(provider: Option[String]): Map[java.sql.Timestamp, Long] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      provider.foreach(p =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      val parsed = TrafficSource.parse(
+        s.readStream.format("text").load(dir).withColumnRenamed("value", "raw"))
+      val name = "prov_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = TrafficJobs.tumbleDgim(parsed).writeStream.format("memory")
+        .queryName(name).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).collect()
+        .map(r => r.getAs[java.sql.Timestamp]("window_end") ->
+          r.getAs[Long]("count_estimate")).toMap
+    }
+    val default = run(None)
+    val rocks = run(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(default.nonEmpty)
+    assert(rocks === default,
+      "RocksDB state store changed streaming aggregation results")
+  }
+
   test("streaming DGIM sum stays within the §5 bound of the batch exact sums") {
     val sf = "/root/testdata/sf0.001"
     val est = graft.operators.StreamQueries.streamDgimSum(spark, sf).collect()
