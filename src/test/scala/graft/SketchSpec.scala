@@ -317,6 +317,31 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "NaN cosine leaked into the result")
   }
 
+  test("containment catches a doc embedded in a larger shell that Jaccard misses") {
+    // The operator's motivating claim, proven on a planted corpus: a
+    // small doc pasted verbatim inside a much larger shell has shingle
+    // containment 1.0 but symmetric Jaccard far below the 0.8 dedup
+    // threshold — whole-doc Jaccard is structurally blind to doc-in-doc.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    val core = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val shell = (100 to 400).map(i => s"pad$i").mkString(" ") + " " + core
+    val noise = (1 to 3).map(k =>
+      (10L + k, (1 to 60).map(i => s"w${k}x$i").mkString(" "), "en", "web"))
+    val docs = (Seq((1L, core, "en", "web"), (2L, shell, "en", "web")) ++ noise)
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cont = graft.operators.Dedup.containment(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment"))
+      .toMap
+    assert(cont.get((1L, 2L)).exists(_ >= 0.999),
+      s"embedded doc not caught by containment: $cont")
+    val jac = pairs(Dedup.ngramJaccard(spark, tmp))
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)),
+      "Jaccard unexpectedly caught the embedded pair — planting is wrong")
+  }
+
   test("hll_merge: persisted per-day sketch union == direct sketch; error bounded") {
     import org.apache.spark.sql.functions._
     // merged row from the persisted per-day sketches
