@@ -95,6 +95,7 @@ object SparkEntry {
     "embed_pca"        -> (Similarity.embedPca _),
     "embed_knn_graph"  -> ((s: SparkSession, d: String) => Similarity.embedKnnGraph(s, d)),
     "ann_pq"           -> ((s: SparkSession, d: String) => Pq.query(s, d)),
+    "ann_ivfpq"        -> ((s: SparkSession, d: String) => Pq.annIvfPq(s, d)),
     "dedup_semdedup"   -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "text_lm_score"    -> (TextAnalysis.lmScore _),
     "text_pii"         -> (TextAnalysis.pii _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "sink_jsonl"       -> (graft.sources.Sinks.jsonlRoundTrip _),
     "sink_bucketed"    -> (graft.sources.Sinks.bucketedJoin _),
     "sink_zorder"      -> (graft.sources.Sinks.zorderRoundTrip _),
+    "sink_manifest"    -> (graft.sources.Sinks.manifestPrune _),
     "sink_merge"       -> (graft.sources.Sinks.mergeUpsert _),
     "sink_compact"     -> (graft.sources.Sinks.compactRoundTrip _),
     "sink_dpp"         -> (graft.sources.Sinks.dppJoin _),
@@ -239,6 +241,7 @@ object SparkEntry {
     "sink_jsonl"       -> graft.sources.Sinks.jsonlRoundTripSql,
     "sink_bucketed"    -> graft.sources.Sinks.bucketedJoinSql,
     "sink_zorder"      -> graft.sources.Sinks.zorderRoundTripSql,
+    "sink_manifest"    -> graft.sources.Sinks.manifestPruneSql,
     "sink_merge"       -> graft.sources.Sinks.mergeUpsertSql,
     "sink_compact"     -> graft.sources.Sinks.compactRoundTripSql,
     "sink_dpp"         -> graft.sources.Sinks.dppJoinSql,

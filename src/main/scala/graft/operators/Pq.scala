@@ -199,20 +199,7 @@ object Pq {
       .filter($"arank" <= shortlist)
       .select($"query_id", $"neighbor_id")
     // exact re-rank: attach full vectors to the tiny shortlist by id
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", graft.functions.Vectors.norm2($"embedding").as("vnrm"))
-      .filter($"vnrm" > 0)
-    val qemb = Tables.embeddings(spark, dir).filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-        graft.functions.Vectors.norm2($"embedding").as("qn2"))
-      .filter($"qn2" > 0)
-    val exact = short
-      .join(emb, short("neighbor_id") === emb("vec_id"))
-      .join(broadcast(qemb), "query_id")
-      .select($"query_id", $"neighbor_id",
-        (graft.functions.Vectors.dot($"qe", $"embedding") / ($"qn2" * $"vnrm")).as("cos"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    exact.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+    rerankExact(spark, dir, short)
   }
 
   private def luts(bc: org.apache.spark.broadcast.Broadcast[Codebook]) =
@@ -232,6 +219,96 @@ object Pq {
   /** The driver-facing query: train → encode → ADC scan → exact re-rank. */
   def query(spark: SparkSession, dir: String, shortlist: Int = 50): DataFrame =
     annPq(spark, dir, train(spark, dir), shortlist)
+
+  /** IVF + PQ composed — the FAISS `IVFPQ,Refine` production index
+    * shape, assembled from graft's two trained stages: the coarse
+    * k-means quantizer ([[Similarity.kmeansCodebook]]) partitions the
+    * compressed store into cells, each query probes only its `nprobe`
+    * nearest cells, the ADC scan runs over the PQ codes of PROBED cells
+    * only (nprobe/k of the corpus instead of all of it — the read
+    * reduction IVF exists for, stacked on PQ's byte-per-subspace
+    * compression), and the exact re-rank touches full-precision vectors
+    * for the tiny shortlist alone.
+    *
+    * Scale: both models are broadcast artifacts (k×dim centroids,
+    * m×k×subDim codebook); the probe join replicates each query
+    * `nprobe` times (#queries × nprobe rows — broadcast-safe by
+    * construction, never corpus-sized); everything downstream is the
+    * same map-side-limited windows as [[annPq]]. Rows-only driver
+    * check; SketchSpec pins recall vs brute force and the
+    * subset-of-probed-cells invariant.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, nprobe: Int = 3,
+      kCells: Int = 10, shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    val (cells, _) = Similarity.kmeansCodebook(spark, dir, kCells, 4)
+    val cb = train(spark, dir)
+    val bcCells = spark.sparkContext.broadcast(cells)
+    val bc = spark.sparkContext.broadcast(cb)
+    val cellUdf = udf((v: Seq[Float]) =>
+      Similarity.nearestCell(v.toArray, bcCells.value)._1)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      bcCells.value.indices
+        .map { c =>
+          val ctr = bcCells.value(c)
+          var d = 0.0
+          var i = 0
+          while (i < ctr.length) { val t = a(i) - ctr(i); d += t * t; i += 1 }
+          (d, c)
+        }
+        .sorted.take(nprobe).map(_._2)
+    }
+    val corpus = encode(spark, dir, cb)
+      .select($"vec_id", $"codes", $"nrm", cellUdf($"embedding").as("cell"))
+      .filter($"nrm" > 0)
+    val probes = Tables.embeddings(spark, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"),
+        luts(bc)($"embedding").as("lut"),
+        graft.functions.Vectors.norm2($"embedding").as("qn"),
+        explode(probeUdf($"embedding")).as("cell"))
+      .filter($"qn" > 0)
+    val adc = udf { (lut: Seq[Seq[Double]], codes: Seq[Int]) =>
+      var s = 0
+      var acc = 0.0
+      while (s < codes.length) { acc += lut(s)(codes(s)); s += 1 }
+      acc
+    }
+    val scored = corpus.join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (adc($"lut", $"codes") / ($"qn" * $"nrm")).as("approx_cos"))
+    val wa = Window.partitionBy($"query_id")
+      .orderBy($"approx_cos".desc, $"neighbor_id".asc)
+    val short = scored.withColumn("arank", row_number().over(wa))
+      .filter($"arank" <= shortlist)
+      .select($"query_id", $"neighbor_id")
+    rerankExact(spark, dir, short)
+  }
+
+  /** Shared exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
+    * full-precision vectors attach by id (the shortlist is #queries ×
+    * shortlist rows — tiny), top-5 per query emitted.
+    */
+  private def rerankExact(spark: SparkSession, dir: String,
+      short: DataFrame): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        graft.functions.Vectors.norm2($"embedding").as("vnrm"))
+      .filter($"vnrm" > 0)
+    val qemb = Tables.embeddings(spark, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        graft.functions.Vectors.norm2($"embedding").as("qn2"))
+      .filter($"qn2" > 0)
+    val exact = short
+      .join(emb, short("neighbor_id") === emb("vec_id"))
+      .join(broadcast(qemb), "query_id")
+      .select($"query_id", $"neighbor_id",
+        (graft.functions.Vectors.dot($"qe", $"embedding") / ($"qn2" * $"vnrm")).as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    exact.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+  }
 
   /** Mean squared reconstruction error of the PQ codes — the compression
     * quality metric an index build monitors (spec asserts it shrinks

@@ -205,6 +205,50 @@ object Sinks {
     s"""SELECT event_id, ($a | ($b << 1)) AS zval FROM events"""
   }
 
+  /** FILE-level stats manifest + manifest-driven pruning — the skipping
+    * mechanism Delta/Iceberg layer ON TOP of partition pruning: per-file
+    * min/max column stats let a range predicate drop whole files that a
+    * partition filter can't touch. Composes with [[zorderRoundTrip]]'s
+    * layout: BECAUSE the files cover disjoint z ranges, a z-range
+    * predicate prunes almost all of them; on an unsorted layout every
+    * file would straddle the predicate and nothing could be skipped —
+    * the manifest is only as good as the layout under it.
+    *
+    * Mechanics: build the manifest by aggregating (min, max, count) per
+    * `_metadata.file_path` (one scan of the slim columns — at scale
+    * this is written ONCE at commit time, like a Delta log); evaluate
+    * the predicate against the MANIFEST (file-cardinality rows);
+    * hard-assert real skipping (pruned < total); read back ONLY the
+    * surviving paths. The returned rows hash-match the full-scan
+    * filter oracle — pruning is proven side-effect-free.
+    */
+  def manifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    zorderRoundTrip(spark, dir) // ensure the z-ordered dump exists
+    val out = DumpCache.dirFor("graft_events_zorder", dir, "events.parquet")
+    // zval < 2^24 ⟺ cents < 4096 and user_id < 4096 (interleave bits)
+    val hi = 1L << 24
+    val manifest = spark.read.parquet(out)
+      .select($"zval", col("_metadata.file_path").as("f"))
+      .groupBy($"f")
+      .agg(min($"zval").as("zmin"), max($"zval").as("zmax"),
+        count(lit(1)).as("n_rows"))
+      .collect() // file-cardinality: one row per written file
+    val keep = manifest.filter(r => r.getAs[Long]("zmin") < hi)
+      .map(_.getAs[String]("f"))
+    require(keep.nonEmpty, "manifest pruning dropped every file")
+    require(keep.length < manifest.length,
+      s"manifest pruned nothing: ${keep.length}/${manifest.length} files " +
+        "survive — the z layout no longer clusters the predicate range")
+    spark.read.parquet(keep.toIndexedSeq: _*)
+      .filter($"zval" < hi)
+      .select($"event_id", $"zval")
+  }
+
+  val manifestPruneSql: String =
+    s"""SELECT event_id, zval FROM ($zorderRoundTripSql)
+        WHERE zval < ${1L << 24}"""
+
   val bucketedJoinSql: String = """
     WITH d AS (
       SELECT doc_id, lang, n_chars,

@@ -317,6 +317,39 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "NaN cosine leaked into the result")
   }
 
+  test("IVFPQ: shortlist honors probed cells; recall tracks plain PQ") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val res = graft.operators.Pq.annIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res.nonEmpty)
+    // invariant: every returned neighbor lives in one of its query's
+    // nprobe probed cells (the IVF read-reduction contract)
+    val (cells, _) = Similarity.kmeansCodebook(spark, sf, 10, 4)
+    def cellOf(v: Array[Float]) = Similarity.nearestCell(v, cells)._1
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def probesOf(q: Array[Float]) = cells.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      while (i < cells(c).length) { val t = q(i) - cells(c)(i); d += t * t; i += 1 }
+      (d, c)
+    }.sorted.take(3).map(_._2).toSet
+    res.foreach { case (qid, nid) =>
+      assert(probesOf(vecs(qid))(cellOf(vecs(nid))),
+        s"neighbor $nid of query $qid came from an unprobed cell")
+    }
+    // recall vs brute force: bounded below by what cell-pruning keeps —
+    // random vectors spread neighbors across cells, so the floor is
+    // modest; clustered real corpora do far better
+    val brute = Similarity.annBruteforce(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(res).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVFPQ recall@5 = $recall")
+  }
+
   test("containment catches a doc embedded in a larger shell that Jaccard misses") {
     // The operator's motivating claim, proven on a planted corpus: a
     // small doc pasted verbatim inside a much larger shell has shingle
