@@ -37,6 +37,8 @@ object SparkEntry {
     "q_transitions" -> (Behavior.qTransitions _),
     "q_session_paths" -> (Behavior.qSessionPaths _),
     "q_anomaly"    -> (Windows.anomaly _),
+    "q_incidents"  -> (Windows.incidents _),
+    "q_rate_spikes" -> ((s: SparkSession, d: String) => Windows.rateSpikes(s, d)),
     "stats_corr"   -> (Profile.statsCorr _),
     "stats_ttest"  -> (Profile.statsTtest _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
@@ -156,6 +158,8 @@ object SparkEntry {
     "q_transitions" -> Behavior.qTransitionsSql,
     "q_session_paths" -> Behavior.qSessionPathsSql,
     "q_anomaly"    -> Windows.anomalySql,
+    "q_incidents"  -> Windows.incidentsSql,
+    "q_rate_spikes" -> Windows.rateSpikesSql,
     // q_hll_merge: DataSketches HLL estimates are not reproducible in
     // DuckDB (different sketch impl) → rows-only driver check; SketchSpec
     // pins merge==direct equality, error vs exact, byte-identical rebuild.

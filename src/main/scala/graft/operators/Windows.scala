@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -233,4 +234,82 @@ object Windows {
                sqrt(CAST(n_w AS DOUBLE) * CAST(sum_cc AS DOUBLE) -
                     CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE))) > 2.0 AS is_anomaly
     FROM c, m"""
+
+  /** Anomalous windows grouped into INCIDENTS — the page an on-call
+    * actually receives: consecutive anomalous hours ([[anomaly]]'s
+    * |z| > 2 windows) collapse into one incident row with start/end,
+    * window count, total clicks and peak z (gaps-and-islands over the
+    * anomaly set).
+    *
+    * The unpartitioned order window here is NOT the corpus anti-pattern:
+    * its input is the ANOMALOUS-WINDOW set — bounded by hours-in-
+    * time-range (and usually far smaller), never by event volume. The
+    * corpus-sized work all happens inside [[anomaly]]'s one
+    * map-side-combined pass.
+    */
+  def incidents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = anomaly(spark, dir).filter($"is_anomaly")
+    val ord = Window.orderBy($"window_start")
+    val marked = a.withColumn("brk",
+      when(lag($"window_start", 1).over(ord).isNull ||
+        lag($"window_start", 1).over(ord) =!=
+          $"window_start" - expr("interval 1 hour"), 1L).otherwise(0L))
+    marked
+      .withColumn("incident_id", sum($"brk").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"incident_id")
+      .agg(min($"window_start").as("incident_start"),
+        (max($"window_start") + expr("interval 1 hour")).as("incident_end"),
+        count(lit(1)).as("n_windows"),
+        sum($"cnt").as("total_clicks"),
+        max($"z").as("peak_z"))
+  }
+
+  val incidentsSql: String = s"""
+    WITH a AS (SELECT window_start, cnt, z FROM ($anomalySql) WHERE is_anomaly),
+    mk AS (SELECT window_start, cnt, z,
+             CASE WHEN lag(window_start) OVER (ORDER BY window_start) IS NULL
+                    OR lag(window_start) OVER (ORDER BY window_start)
+                       != window_start - INTERVAL '1 hour' THEN 1 ELSE 0 END AS brk
+           FROM a),
+    nm AS (SELECT window_start, cnt, z,
+             CAST(SUM(brk) OVER (ORDER BY window_start
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS incident_id
+           FROM mk)
+    SELECT incident_id, MIN(window_start) AS incident_start,
+           MAX(window_start) + INTERVAL '1 hour' AS incident_end,
+           COUNT(*) AS n_windows,
+           CAST(SUM(cnt) AS BIGINT) AS total_clicks,
+           MAX(z) AS peak_z
+    FROM nm GROUP BY 1"""
+
+  /** Per-user burst detection — the rate-limiter / abuse readout: users
+    * whose event count in ANY sliding hour (15 min hop) reaches the
+    * threshold, with how many windows tripped and the peak rate.
+    *
+    * Scale: one (user, window) keyed agg with map-side combine (×4 hop
+    * fan-out before the partials — a constant), then a user-cardinality
+    * rollup; the threshold filter happens between the aggs, so the
+    * second shuffle carries only violators.
+    */
+  def rateSpikes(spark: SparkSession, dir: String, threshold: Long = 3L): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", window($"ts", "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= threshold)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_windows_over"), max($"n").as("peak"))
+  }
+
+  val rateSpikesSql: String = """
+    WITH u AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS w,
+             COUNT(*) AS n
+      FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
+      GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_windows_over, MAX(n) AS peak
+    FROM u WHERE n >= 3 GROUP BY 1"""
 }
