@@ -67,4 +67,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty)
     assert(rows(Curation.mixSources(spark, sf)) === a)
   }
+
+  test("pipeline_budget selects the MAXIMAL quality-ordered prefix under the budget") {
+    val budget = 500L
+    val sel = Curation.tokenBudget(spark, sf, budget).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("cum_tokens")).toMap
+    assert(sel.nonEmpty && sel.values.max <= budget)
+    // independent greedy oracle: fold the quality order locally
+    val order = graft.operators.TextAnalysis.quality(spark, sf)
+      .select("doc_id", "n_words", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    val expected = order.takeWhile { case (_, n, _) => { cum += n; cum <= budget } }
+      .map(_._1).toSet
+    assert(sel.keySet === expected,
+      s"missing ${expected.diff(sel.keySet)}, extra ${sel.keySet.diff(expected)}")
+  }
 }
