@@ -51,6 +51,7 @@ object SparkEntry {
     "q_dgim_slide"     -> (DgimQueries.dgimSlide _),
     "q_dgim_sql"       -> (DgimQueries.sqlDgimTumble _),
     "q_dgim_sum"       -> (DgimQueries.dgimSumTumble _),
+    "q_dgim_sum_slide" -> (DgimQueries.dgimSumSlide _),
     "q_stream_dgim_sum" -> (StreamQueries.streamDgimSum _),
     "q_pivot"          -> (Analytics.qPivot _),
     "q_stream_tumble"  -> (StreamQueries.streamTumbleCount _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "text_repetition"  -> (TextAnalysis.repetition _),
     "text_heavyhitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_search"      -> (TextAnalysis.search _),
+    "text_cooccur"     -> (TextAnalysis.cooccur _),
     "stats_profile"    -> (Profile.statsProfile _),
     "embed_pca"        -> (Similarity.embedPca _),
     "embed_knn_graph"  -> ((s: SparkSession, d: String) => Similarity.embedKnnGraph(s, d)),
@@ -121,6 +123,7 @@ object SparkEntry {
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_stratified_topk" -> (Curation.sampleStratifiedThreshold _),
     "sample_weighted"  -> (Curation.sampleWeighted _),
+    "sample_fixed"     -> ((s: SparkSession, d: String) => Curation.sampleFixed(s, d)),
     "pipeline_curate"  -> (Curation.curate _),
     "pipeline_split"   -> (Curation.trainValTestSplit _),
     "pipeline_corpus"  -> (Curation.corpusBuild _),
@@ -223,6 +226,7 @@ object SparkEntry {
     "text_repetition"  -> TextAnalysis.repetitionSql,
     "text_heavyhitters" -> TextAnalysis.heavyHittersSql,
     "text_search"      -> TextAnalysis.searchSql,
+    "text_cooccur"     -> TextAnalysis.cooccurSql,
     "stats_profile"    -> Profile.statsProfileSql,
     // embed_pca: eigenvector extraction is not SQL-expressible →
     // rows-only driver check; SketchSpec asserts the eigenpair residual,
@@ -259,6 +263,7 @@ object SparkEntry {
     // identical output contract, huge-strata plan — same oracle
     "sample_stratified_topk" -> Curation.sampleStratifiedSql,
     "sample_weighted"  -> Curation.sampleWeightedSql,
+    "sample_fixed"     -> Curation.sampleFixedSql,
     "pipeline_curate"  -> Curation.curateSql,
     "pipeline_split"   -> Curation.trainValTestSplitSql,
     "pipeline_corpus"  -> Curation.corpusBuildSql,

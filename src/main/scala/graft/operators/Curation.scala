@@ -408,6 +408,29 @@ object Curation {
     out
   }
 
+  /** Fixed-SIZE uniform sample — the reservoir-sampling contract done
+    * the distributed way: the k documents with the smallest seeded hash
+    * (md5 of a seed-prefixed id — RNG-free, engine-reproducible) form
+    * an exact uniform k-draw, computed as TakeOrdered top-k
+    * (per-partition partial top-k, P×k rows to the driver merge) —
+    * never a global sort. Fraction sampling (`sample_stratified`)
+    * scales output WITH the corpus; fixed-k keeps it constant — the
+    * eval-set / human-review draw.
+    */
+  def sampleFixed(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        md5(concat(lit("fx42:"), $"doc_id".cast("string"))).as("skey"))
+      .orderBy($"skey".asc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  val sampleFixedSql: String = """
+    SELECT doc_id, lang, source,
+           md5('fx42:' || CAST(doc_id AS VARCHAR)) AS skey
+    FROM documents ORDER BY skey, doc_id LIMIT 100"""
+
   val tokenBudgetSql: String = s"""
     WITH q AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
                       quality_score

@@ -97,12 +97,24 @@ object DgimQueries {
     * vectors, window expiry, and the ≤ 50% published bound against the
     * in-query exact twin.
     */
-  def dgimSumTumble(spark: SparkSession, dir: String): DataFrame = {
+  def dgimSumTumble(spark: SparkSession, dir: String): DataFrame =
+    dgimSumOver(spark, dir, window(org.apache.spark.sql.functions.col("ts"), "1 hour"))
+
+  /** Hop-window (1 h / 15 min) twin of [[dgimSumTumble]] — the sum
+    * sketch in the reference Job 2's sliding shape; same mergeable
+    * per-bit state, ×4 hop fan-out before the partial agg.
+    */
+  def dgimSumSlide(spark: SparkSession, dir: String): DataFrame =
+    dgimSumOver(spark, dir,
+      window(org.apache.spark.sql.functions.col("ts"), "1 hour", "15 minutes"))
+
+  private def dgimSumOver(spark: SparkSession, dir: String,
+      win: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
     val agg = udaf(new graft.functions.DgimSumAggregator(3600L))
     Tables.events(spark, dir)
       .filter($"event_type" === "click" && $"ts".isNotNull)
-      .select(window($"ts", "1 hour").as("w"),
+      .select(win.as("w"),
         round($"value" * 100).cast("long").as("cents"),
         unix_timestamp($"ts").as("ts_sec"))
       .groupBy($"w")

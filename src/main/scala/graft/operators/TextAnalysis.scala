@@ -34,6 +34,62 @@ object TextAnalysis {
     """WITH d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t, text FROM documents),
       |wd AS (SELECT doc_id, text, t, string_split(t, ' ') w FROM d)""".stripMargin
 
+  /** Top-20 word co-occurrence pairs by PMI — the corpus association
+    * statistic under embedding/word2vec preprocessing and collocation
+    * mining. Unit = document-level co-occurrence over DISTINCT words
+    * per doc; counts (n_ab, n_a, n_b, n_docs) are exact integers, and
+    * the association score is the LIFT ratio n_ab·N / (n_a·n_b) — the
+    * exponential of PMI, identical ranking — computed as one exactly-
+    * rounded double division. (PMI itself would take a transcendental
+    * ln whose last ulp differs between the JVM's Math.log and libm —
+    * measured — so the log stays out of the hash-compared contract;
+    * callers wanting nats apply ln downstream.)
+    *
+    * Scale: the pair join is keyed on doc_id with per-doc fan-out
+    * bounded by distinct-words-per-doc² (a per-document constant, not a
+    * corpus blow-up); a min-support filter (n_ab ≥ 3) cuts the pair
+    * table before the df joins; word-frequency sides are vocabulary-
+    * cardinality (broadcastable); top-20 is TakeOrdered. At web scale
+    * the standard extra step is dropping stopword-grade high-df words
+    * first (the `text_heavyhitters` cut) to bound the fan-out constant.
+    */
+  def cooccur(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(Text.wordsFast($"text"))).as("w"))
+    val wdf = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val pairs = words.toDF("doc_id", "word_a")
+      .join(words.toDF("doc_b", "word_b"),
+        $"doc_id" === $"doc_b" && $"word_a" < $"word_b")
+      .groupBy($"word_a", $"word_b").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 3)
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(wdf.toDF("word_a", "n_a"), "word_a")
+      .join(wdf.toDF("word_b", "n_b"), "word_b")
+      .crossJoin(broadcast(total))
+      .select($"word_a", $"word_b", $"n_ab", $"n_a", $"n_b",
+        (($"n_ab".cast("double") * $"n_docs".cast("double")) /
+          ($"n_a".cast("double") * $"n_b".cast("double"))).as("lift"))
+      .orderBy($"lift".desc, $"word_a".asc, $"word_b".asc)
+      .limit(20)
+  }
+
+  val cooccurSql: String = sqlWords + """,
+    wrd AS (SELECT DISTINCT doc_id, unnest(w) AS wd FROM wd),
+    freq AS (SELECT wd, COUNT(*) AS n_w FROM wrd GROUP BY 1),
+    pairs AS (SELECT a.wd AS word_a, b.wd AS word_b, COUNT(*) AS n_ab
+              FROM wrd a JOIN wrd b ON a.doc_id = b.doc_id AND a.wd < b.wd
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT word_a, word_b, n_ab,
+           CAST(fa.n_w AS BIGINT) AS n_a, CAST(fb.n_w AS BIGINT) AS n_b,
+           (CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)) /
+           (CAST(fa.n_w AS DOUBLE) * CAST(fb.n_w AS DOUBLE)) AS lift
+    FROM pairs JOIN freq fa ON fa.wd = word_a
+    JOIN freq fb ON fb.wd = word_b, tot
+    ORDER BY lift DESC, word_a, word_b LIMIT 20"""
+
   /** Stopword-score language ID with a fixed argmax precedence
     * (en > es > de > fr > unknown). On this synthetic corpus the text is
     * English-like regardless of the `lang` label — the point is the

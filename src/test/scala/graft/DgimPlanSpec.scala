@@ -135,15 +135,18 @@ class DgimPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q_dgim_sum: every window's sum estimate within the §5 bound of its exact twin") {
-    val rows = DgimQueries.dgimSumTumble(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val est = r.getAs[Long]("sum_estimate")
-      val exact = r.getAs[Long]("exact_cents")
-      // per-bit DGIM 50% bound weighted by 2^j -> 50% of the sum, plus
-      // <= 1 round-up slack per bit instance (17 bits)
-      assert(math.abs(est - exact) <= exact / 2 + 17,
-        s"window ${r.get(0)}: est=$est exact=$exact")
+    for (df <- Seq(DgimQueries.dgimSumTumble(spark, sf),
+        DgimQueries.dgimSumSlide(spark, sf))) {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val est = r.getAs[Long]("sum_estimate")
+        val exact = r.getAs[Long]("exact_cents")
+        // per-bit DGIM 50% bound weighted by 2^j -> 50% of the sum, plus
+        // <= 1 round-up slack per bit instance (17 bits)
+        assert(math.abs(est - exact) <= exact / 2 + 17,
+          s"window ${r.get(0)}: est=$est exact=$exact")
+      }
     }
   }
 }
