@@ -41,6 +41,7 @@ object SparkEntry {
     "q_rate_spikes" -> ((s: SparkSession, d: String) => Windows.rateSpikes(s, d)),
     "stats_corr"   -> (Profile.statsCorr _),
     "stats_ttest"  -> (Profile.statsTtest _),
+    "stats_drift"  -> (Profile.statsDrift _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_slide_distinct" -> (Windows.slideDistinct _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "dedup_delta"      -> (Dedup.deltaDedup _),
     "dedup_delta_lsh"  -> (Dedup.deltaLshCandidates _),
     "dedup_delta_commit" -> (Dedup.deltaCommit _),
+    "dedup_delta_bloom" -> ((s: SparkSession, d: String) => Dedup.deltaBloomDedup(s, d)),
     "dedup_clusters"   -> (Clusters.dedupClusters _),
     "dedup_apply"      -> (Clusters.dedupApply _),
     "dedup_embed"      -> ((s: SparkSession, d: String) => Similarity.embedPairs(s, d)),
@@ -168,6 +170,7 @@ object SparkEntry {
     // pins merge==direct equality, error vs exact, byte-identical rebuild.
     "stats_corr"   -> Profile.statsCorrSql,
     "stats_ttest"  -> Profile.statsTtestSql,
+    "stats_drift"  -> Profile.statsDriftSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_slide_distinct" -> Windows.slideDistinctSql,
@@ -203,6 +206,10 @@ object SparkEntry {
     // dedup_delta_commit emits the SAME contract as dedup_exact, so the
     // from-scratch oracle proves incremental index merge ≡ recompute
     "dedup_delta_commit" -> Dedup.exactSql,
+    // Bloom-gated ingest emits the SAME contract as the plain index
+    // probe (exact verify behind the sketch) — same oracle as the
+    // streaming delta dedup's left join
+    "dedup_delta_bloom" -> StreamQueries.streamDeltaDedupSql,
     // dedup_delta_lsh: MinHash bands are not SQL-expressible → rows-only;
     // SketchSpec proves equality with the full-corpus LSH run restricted
     // to pairs touching the delta

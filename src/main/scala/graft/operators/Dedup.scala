@@ -465,6 +465,50 @@ object Dedup {
     * [[exactSql]] oracle hash-checks that incremental index maintenance
     * ≡ whole-corpus recompute.
     */
+  /** Bloom-GATED incremental ingest dedup: the same verdict contract as
+    * the plain index probe (`q_stream_delta_dedup`'s doc_id /
+    * text_hash / base_dup_of), but the arriving delta first passes a
+    * Bloom filter built from the persisted index's fingerprint set —
+    * kilobytes of sketch standing in for the gigabyte-scale index. Rows
+    * the sketch rejects are DEFINITELY new (no false negatives) and
+    * never touch the index; only the might-contain sliver pays the
+    * exact verify join. Same sketch-then-exact-verify ladder as
+    * `text_decontam_bloom`, so the output is BIT-IDENTICAL to the
+    * unfiltered left join — the DuckDB oracle is the plain join.
+    *
+    * Scale: at 100 TB the index lives across executors while its Bloom
+    * (one `graft_bloom_agg` pass over the index at commit time, here
+    * built inline) broadcasts everywhere — the ingest gate drops the
+    * overwhelmingly-new delta traffic map-side, turning the per-ingest
+    * join from index-sized to duplicate-sliver-sized.
+    */
+  def deltaBloomDedup(spark: SparkSession, dir: String,
+      numBits: Long = graft.GraftExtensions.DefaultBloomBits): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val idx = baseFpIndex(spark, dir)
+      .select($"text_hash", $"keep_id".as("base_dup_of"))
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64($"text_hash")),
+        Literal(1000000L), Literal(numBits)).toAggregateExpression())
+    val bloom = idx.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64($"text_hash"))))
+    val delta = Tables.documents(spark, dir).filter(isDelta($"doc_id"))
+      .select($"doc_id", md5(Text.normalizeFast($"text")).as("text_hash"))
+    val verified = delta.filter(mightContain)
+      .join(idx, Seq("text_hash"), "left") // exact verify of the sliver
+      .select($"doc_id", $"text_hash", $"base_dup_of")
+    val definitelyNew = delta.filter(!mightContain)
+      .select($"doc_id", $"text_hash",
+        lit(null).cast("long").as("base_dup_of"))
+    verified.unionByName(definitelyNew)
+  }
+
   def deltaCommit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val idx = baseFpIndex(spark, dir)

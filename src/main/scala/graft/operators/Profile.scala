@@ -152,6 +152,62 @@ object Profile {
           svar("n_b", "sxx_b", "sx_b") / $"n_b".cast("double"))).as("t_welch"))
   }
 
+  /** Split drift monitor: total-variation distance between the train
+    * and val splits' SOURCE distributions — the check a pipeline runs
+    * before trusting a validation set (a drifted val split silently
+    * invalidates every eval). TV = ½·Σ_s |p_train(s) − p_val(s)|,
+    * computed from EXACT integers: per-source counts cross-multiplied
+    * against the opposite split's total (|n_t·N_v − n_v·N_t| — an
+    * order-independent BIGINT sum, ≪ 2^53 at gate scales), with ONE
+    * final double division. The usual PSI carries a transcendental ln
+    * whose last ulp differs between JVM and libm (the `text_cooccur`
+    * lesson), so the hash-compared contract stays log-free; TV is the
+    * standard distance with the same monitoring role.
+    *
+    * Scale: one conditional-aggregation pass onto source-cardinality
+    * rows, a 1-row totals broadcast, and a constant-size final fold.
+    */
+  def statsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Curation.trainValTestSplit(spark, dir)
+      .filter($"split".isin("train", "val"))
+      .groupBy($"source")
+      .agg(sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"split" === "val", 1L).otherwise(0L)).as("n_val"))
+    val tot = counts.agg(sum($"n_train").as("na"), sum($"n_val").as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .select($"na", $"nb",
+        abs($"n_train" * $"nb" - $"n_val" * $"na").as("ct"))
+      .groupBy($"na", $"nb")
+      .agg(sum($"ct").as("sum_cross"))
+      .select($"na", $"nb", $"sum_cross",
+        ((lit(0.5) * $"sum_cross".cast("double")) /
+          ($"na".cast("double") * $"nb".cast("double"))).as("tv_dist"))
+  }
+
+  val statsDriftSql: String = {
+    val trainEnd = f"${(0.90 * (1L << 32)).toLong}%08x"
+    val valEnd = f"${(0.95 * (1L << 32)).toLong}%08x"
+    s"""
+    WITH sp AS (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$trainEnd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$valEnd' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    c AS (SELECT source,
+            CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+            CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+          FROM sp WHERE split IN ('train', 'val') GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_train) AS BIGINT) AS na,
+                 CAST(SUM(n_val) AS BIGINT) AS nb FROM c)
+    SELECT na, nb,
+           CAST(SUM(abs(n_train * nb - n_val * na)) AS BIGINT) AS sum_cross,
+           0.5 * CAST(CAST(SUM(abs(n_train * nb - n_val * na)) AS BIGINT) AS DOUBLE) /
+           (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tv_dist
+    FROM c, t GROUP BY na, nb"""
+  }
+
   val statsTtestSql: String = """
     WITH s AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
                FROM events WHERE event_type IN ('click', 'purchase')),
