@@ -38,6 +38,7 @@ object SparkEntry {
     "q_session_paths" -> (Behavior.qSessionPaths _),
     "q_anomaly"    -> (Windows.anomaly _),
     "q_incidents"  -> (Windows.incidents _),
+    "q_changepoint" -> (Windows.changepoint _),
     "q_rate_spikes" -> ((s: SparkSession, d: String) => Windows.rateSpikes(s, d)),
     "stats_corr"   -> (Profile.statsCorr _),
     "stats_ttest"  -> (Profile.statsTtest _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "q_stream_delta_dedup" -> (StreamQueries.streamDeltaDedup _),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
+    "q_stream_rate_spikes" -> (StreamQueries.streamRateSpikes _),
     "q_stream_range_join" -> (StreamQueries.streamRangeJoin _),
     "dedup_exact"      -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -164,6 +166,7 @@ object SparkEntry {
     "q_session_paths" -> Behavior.qSessionPathsSql,
     "q_anomaly"    -> Windows.anomalySql,
     "q_incidents"  -> Windows.incidentsSql,
+    "q_changepoint" -> Windows.changepointSql,
     "q_rate_spikes" -> Windows.rateSpikesSql,
     // q_hll_merge: DataSketches HLL estimates are not reproducible in
     // DuckDB (different sketch impl) → rows-only driver check; SketchSpec
@@ -190,6 +193,7 @@ object SparkEntry {
     "q_stream_dedup"   -> StreamQueries.streamDedupSql,
     "q_stream_delta_dedup" -> StreamQueries.streamDeltaDedupSql,
     "q_stream_slide_distinct" -> StreamQueries.streamSlideDistinctSql,
+    "q_stream_rate_spikes" -> StreamQueries.streamRateSpikesSql,
     // q_stream_approx_distinct: HLL estimates are engine-specific →
     // rows-only driver check; StreamingSpec pins estimates within HLL
     // error of the exact batch distincts over the same window set.

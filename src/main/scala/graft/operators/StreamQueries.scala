@@ -272,6 +272,32 @@ object StreamQueries {
     }
   }
 
+  /** Per-user burst detection on the unbounded stream — the continuous
+    * form of `q_rate_spikes`: one watermarked (user, hop-window) count
+    * (a SINGLE streaming aggregation — the per-user rollup of the batch
+    * form would be a second, which streaming forbids; emitting the
+    * violating (user, window) rows IS the alerting contract), filtered
+    * to windows at/over the threshold. Hash-matches the batch hop
+    * expansion with HAVING.
+    */
+  def streamRateSpikes(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark) { s =>
+      import s.implicits._
+      eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy($"user_id", window($"ts", "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= 3)
+        .select($"user_id", $"window.start".as("window_start"), $"n")
+    }
+
+  val streamRateSpikesSql: String = """
+    SELECT user_id,
+           time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS window_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3"""
+
   /** The SUM sketch on the unbounded stream: windowed `dgim_sum_estimate`
     * (the Datar et al. §5 generalization `q_dgim_sum` runs in batch) as a
     * streaming aggregation — the typed DGIM-sum buffer is mergeable

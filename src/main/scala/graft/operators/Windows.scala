@@ -284,6 +284,56 @@ object Windows {
            MAX(z) AS peak_z
     FROM nm GROUP BY 1"""
 
+  /** CUSUM changepoint detection over the hourly click counts — the
+    * sequential drift detector monitoring stacks run NEXT to the
+    * z-score point alarm ([[anomaly]] flags single outlier windows;
+    * CUSUM accumulates small sustained shifts until they cross a
+    * threshold). Uses the closed form s_k = prefix_k − min_{j≤k}
+    * prefix_j (the running-sum-minus-running-min identity of
+    * max(0, s_{k−1} + x_k)), so the recurrence becomes two plain window
+    * functions instead of a sequential fold.
+    *
+    * ALL integer: deviations are scaled by n (n·c − S instead of
+    * c − S/n), keeping every prefix an exact BIGINT; the alarm
+    * threshold is 50·n (a 50-click sustained excess). The order window
+    * runs over the WINDOW-COUNT frame (bounded by hours-in-range, like
+    * [[incidents]]); the corpus-sized work is one map-side-combined
+    * pass.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .filter($"event_type" === "click")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("window_start"), $"cnt")
+      .cache()
+    val m = counts.agg(count(lit(1)).as("n_w"), sum($"cnt").as("sum_c"))
+    val ord = Window.orderBy($"window_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(m))
+      .withColumn("pref", sum($"n_w" * $"cnt" - $"sum_c").over(ord))
+      .withColumn("cusum", $"pref" - min($"pref").over(ord))
+      .select($"window_start", $"cnt", $"cusum",
+        ($"cusum" > $"n_w" * 50L).as("is_alarm"))
+  }
+
+  val changepointSql: String = """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, COUNT(*) AS cnt
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    m AS (SELECT COUNT(*) AS n_w, CAST(SUM(cnt) AS BIGINT) AS sum_c FROM c),
+    p AS (SELECT window_start, cnt, n_w,
+            CAST(SUM(n_w * cnt - sum_c) OVER (ORDER BY window_start
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref
+          FROM c, m)
+    SELECT window_start, cnt,
+           CAST(pref - MIN(pref) OVER (ORDER BY window_start
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum,
+           pref - MIN(pref) OVER (ORDER BY window_start
+                ROWS UNBOUNDED PRECEDING) > n_w * 50 AS is_alarm
+    FROM p"""
+
   /** Per-user burst detection — the rate-limiter / abuse readout: users
     * whose event count in ANY sliding hour (15 min hop) reaches the
     * threshold, with how many windows tripped and the peak rate.

@@ -49,6 +49,34 @@ class WindowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total === 150L)
   }
 
+  test("CUSUM alarms on a sustained shift and stays quiet before it") {
+    // same planted corpus shape as the incidents test: 38 quiet hours of
+    // 2 clicks + 3 consecutive hours of 50. The z-alarm flags the burst
+    // hours pointwise; CUSUM accumulates them — it must be silent before
+    // the burst and cross the 50·n threshold by the burst's end
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    val baseNanos = 1704067200L * 1000000000L
+    val rows = (0 until 41).flatMap { h =>
+      val clicks = if (h >= 10 && h <= 12) 50 else 2
+      (0 until clicks).map { i =>
+        (h * 1000L + i, baseNanos + (h * 3600L + i) * 1000000000L,
+          i.toLong % 7, "click", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Windows.changepoint(spark, tmp).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime / 1000L
+          - 1704067200L) / 3600L ->
+        ((r.getAs[Long]("cusum"), r.getAs[Boolean]("is_alarm"))))
+      .toMap
+    assert((0 until 10).forall(h => !out(h.toLong)._2),
+      s"false alarm before the shift: ${out.filter(_._2._2)}")
+    assert(out(12L)._2, s"no alarm by burst end: ${out(12L)}")
+    assert(out.values.forall(_._1 >= 0L), "cusum must be non-negative")
+  }
+
   test("rate spikes flag exactly the users whose hop windows reach the threshold") {
     // planted: user 1 fires 5 events in one 15-min span (peak sliding-hour
     // rate 5), user 2 fires 2, user 3 fires once an hour (never >= 3)
