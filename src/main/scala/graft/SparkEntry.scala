@@ -66,6 +66,7 @@ object SparkEntry {
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
     "q_stream_rate_spikes" -> (StreamQueries.streamRateSpikes _),
+    "q_stream_session_paths" -> (StreamQueries.streamSessionPaths _),
     "q_stream_range_join" -> (StreamQueries.streamRangeJoin _),
     "dedup_exact"      -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "q_stream_delta_dedup" -> StreamQueries.streamDeltaDedupSql,
     "q_stream_slide_distinct" -> StreamQueries.streamSlideDistinctSql,
     "q_stream_rate_spikes" -> StreamQueries.streamRateSpikesSql,
+    "q_stream_session_paths" -> StreamQueries.streamSessionPathsSql,
     // q_stream_approx_distinct: HLL estimates are engine-specific →
     // rows-only driver check; StreamingSpec pins estimates within HLL
     // error of the exact batch distincts over the same window set.

@@ -298,6 +298,47 @@ object StreamQueries {
     FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
     GROUP BY 1, 2 HAVING COUNT(*) >= 3"""
 
+  /** Per-session event PATHS on the unbounded stream — stateful ORDERED
+    * aggregation: each 30-min-gap session accumulates its events in the
+    * state store (merge-on-overlap session windows) and emits the
+    * ordered event-type sequence under the same total order (ts,
+    * event_id) as the batch `q_session_paths`. The corpus-wide top-20
+    * rollup stays a batch/downstream concern (it would be a second
+    * streaming aggregation); per-session paths ARE the streaming
+    * contract. Hash-matches the batch gaps-and-islands path oracle.
+    */
+  def streamSessionPaths(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark) { s =>
+      import s.implicits._
+      eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+            x => x.getField("event_type")), ">").as("path"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"), $"path")
+    }
+
+  val streamSessionPathsSql: String = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM numbered GROUP BY user_id, sid"""
+
   /** The SUM sketch on the unbounded stream: windowed `dgim_sum_estimate`
     * (the Datar et al. §5 generalization `q_dgim_sum` runs in batch) as a
     * streaming aggregation — the typed DGIM-sum buffer is mergeable
