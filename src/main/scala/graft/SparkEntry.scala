@@ -135,6 +135,7 @@ object SparkEntry {
     "pipeline_pack"    -> (Curation.pack _),
     "pipeline_shuffle" -> (Curation.shuffleOrder _),
     "pipeline_budget"  -> ((s: SparkSession, d: String) => Curation.tokenBudget(s, d)),
+    "pipeline_epochs"  -> ((s: SparkSession, d: String) => Curation.epochOrders(s, d)),
     "pipeline_mix"     -> (Curation.mixSources _),
     "graph_pagerank"   -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles"  -> (Graph.triangles _),
@@ -283,6 +284,7 @@ object SparkEntry {
     "pipeline_pack"    -> Curation.packSql,
     "pipeline_shuffle" -> Curation.shuffleOrderSql,
     "pipeline_budget"  -> Curation.tokenBudgetSql,
+    "pipeline_epochs"  -> Curation.epochOrdersSql,
     "pipeline_mix"     -> Curation.mixSourcesSql,
     "graph_pagerank"   -> Graph.pagerankSql,
     "graph_triangles"  -> Graph.trianglesSql,

@@ -327,12 +327,20 @@ object Curation {
     * outlives the operator. At corpus scale use DISK_ONLY or a parquet
     * staging write instead — the two passes are deterministic either way.
     */
-  def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    seededOrder(spark, dir, "s42:")
+
+  /** The two-pass global index over a seeded hash order, parameterized
+    * by the seed prefix — [[shuffleOrder]] is one epoch of it and
+    * [[epochOrders]] stacks several.
+    */
+  private def seededOrder(spark: SparkSession, dir: String,
+      seed: String): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = Tables.documents(spark, dir)
       .select($"doc_id",
-        md5(concat(lit("s42:"), $"doc_id".cast("string"))).as("skey"))
+        md5(concat(lit(seed), $"doc_id".cast("string"))).as("skey"))
       .repartitionByRange(parts, $"skey", $"doc_id")
       .sortWithinPartitions($"skey", $"doc_id")
       .withColumn("pid", spark_partition_id())
@@ -362,6 +370,34 @@ object Curation {
              ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
              AS shuffle_pos
     FROM documents"""
+
+  /** Multi-EPOCH training schedule: one independent deterministic
+    * global order per epoch (seed `e{k}:`), stacked with the epoch id —
+    * the reshuffle-every-epoch contract of LLM training loops, with the
+    * property that every epoch's order is reproducible in isolation
+    * (resume epoch 2 without recomputing epoch 0). Each epoch is one
+    * run of the same two-pass range-partition index as
+    * [[shuffleOrder]]; epochs is a small constant, so the total cost is
+    * epochs × (one range shuffle + P-row driver counts).
+    */
+  def epochOrders(spark: SparkSession, dir: String,
+      epochs: Int = 3): DataFrame =
+    (0 until epochs).map { e =>
+      seededOrder(spark, dir, s"e$e:")
+        .withColumn("epoch", org.apache.spark.sql.functions.lit(e))
+        .select(org.apache.spark.sql.functions.col("epoch"),
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("skey"),
+          org.apache.spark.sql.functions.col("shuffle_pos"))
+    }.reduce(_ unionByName _)
+
+  val epochOrdersSql: String = """
+    SELECT ep.epoch, doc_id,
+           md5('e' || ep.epoch || ':' || CAST(doc_id AS VARCHAR)) AS skey,
+           CAST(row_number() OVER (PARTITION BY ep.epoch
+             ORDER BY md5('e' || ep.epoch || ':' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS shuffle_pos
+    FROM documents CROSS JOIN (VALUES (0),(1),(2)) ep(epoch)"""
 
   /** Token-budget selection: take documents in QUALITY order until the
     * cumulative token count reaches the budget — the greedy knapsack
