@@ -77,6 +77,27 @@ class WindowsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.forall(_._1 >= 0L), "cusum must be non-negative")
   }
 
+  test("observe() metrics ride the query for free and match a recompute") {
+    // production pipelines attach row-count / quality expectations to
+    // the SAME pass that computes the result (Spark's observe API) —
+    // no second scan. Pin that the observed metrics on a windows query
+    // equal an independent aggregation.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val obs = new org.apache.spark.sql.Observation("win_metrics")
+    val sf = "/root/testdata/sf0.001"
+    val df = Windows.tumbleCount(spark, sf)
+      .observe(obs, count(lit(1)).as("n_windows"), sum($"cnt").as("n_clicks"),
+        max($"cnt").as("peak"))
+    df.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val check = Windows.tumbleCount(spark, sf)
+      .agg(count(lit(1)), sum($"cnt"), max($"cnt")).head()
+    assert(m("n_windows") === check.getLong(0))
+    assert(m("n_clicks") === check.getLong(1))
+    assert(m("peak") === check.getLong(2))
+  }
+
   test("rate spikes flag exactly the users whose hop windows reach the threshold") {
     // planted: user 1 fires 5 events in one 15-min span (peak sliding-hour
     // rate 5), user 2 fires 2, user 3 fires once an hour (never >= 3)
