@@ -68,6 +68,24 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(Curation.mixSources(spark, sf)) === a)
   }
 
+  test("checkpoint/cache/manifest operators are rerun-deterministic") {
+    // the driver's hash compare presumes identical reruns; these four
+    // route through localCheckpoint, operator-scoped caches, or a
+    // driver-side file manifest — exactly where nondeterminism would
+    // sneak in if it could
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    for ((name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "pipeline_budget" -> (() => Curation.tokenBudget(spark, sf)),
+        "pipeline_epochs" -> (() => Curation.epochOrders(spark, sf)),
+        "dedup_containment" -> (() => graft.operators.Dedup.containment(spark, sf)),
+        "sink_manifest" -> (() => graft.sources.Sinks.manifestPrune(spark, sf)))) {
+      val a = rows(mk())
+      assert(a.nonEmpty, name)
+      assert(rows(mk()) === a, s"$name differs across reruns")
+    }
+  }
+
   test("pipeline_budget selects the MAXIMAL quality-ordered prefix under the budget") {
     val budget = 500L
     val sel = Curation.tokenBudget(spark, sf, budget).collect()
