@@ -284,7 +284,7 @@ object SparkEntry {
     "pipeline_pack"    -> Curation.packSql,
     "pipeline_shuffle" -> Curation.shuffleOrderSql,
     "pipeline_budget"  -> Curation.tokenBudgetSql,
-    "pipeline_epochs"  -> Curation.epochOrdersSql,
+    "pipeline_epochs"  -> Curation.epochOrdersSql(),
     "pipeline_mix"     -> Curation.mixSourcesSql,
     "graph_pagerank"   -> Graph.pagerankSql,
     "graph_triangles"  -> Graph.trianglesSql,

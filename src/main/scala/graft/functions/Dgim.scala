@@ -240,6 +240,15 @@ case class SumEvent(amount: Long, tsSec: Long)
   * (lenient, like the bit aggregator's non-"1" values), oversized
   * amounts saturate at 2^bits − 1 — pick `bits` from the domain bound
   * (17 covers the events table's cents at every SF).
+  *
+  * Ordering: like [[DgimBitAggregator]], the per-row reduce inserts at
+  * the newest-first head and expires at the arriving timestamp — it
+  * assumes non-decreasing timestamps WITHIN a partition (cross-partition
+  * disorder is repaired by the sort-based canonical [[Dgim.merge]]).
+  * Intra-partition out-of-order rows break the newest-first invariant
+  * and can void the §5 bound; feed it partition-sorted event time (the
+  * batch queries sort per group, streaming micro-batches arrive in
+  * watermark order) or pre-sort unordered sources.
   */
 class DgimSumAggregator(windowSeconds: Long, bits: Int = 17)
     extends Aggregator[SumEvent, DgimSumState, Long] {
@@ -250,14 +259,18 @@ class DgimSumAggregator(windowSeconds: Long, bits: Int = 17)
     if (e.amount <= 0L) b
     else {
       val v = math.min(e.amount, (1L << bits) - 1)
-      var out = b.states
+      // hot path: one 17-slot ref-array copy per row, mutated in place —
+      // Vector.updated per set bit was up to 17 persistent-vector copies
+      // per row (the round-2 count-sketch lesson applied to the sum form)
+      val out = b.states.toArray
       var j = 0
       while (j < bits) {
         if (((v >> j) & 1L) == 1L)
-          out = out.updated(j, Dgim.added(out(j), e.tsSec))
+          out(j) = Dgim.added(out(j), e.tsSec)
         j += 1
       }
-      DgimSumState(b.windowSeconds, out)
+      DgimSumState(b.windowSeconds,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
     }
   }
   override def merge(a: DgimSumState, b: DgimSumState): DgimSumState =

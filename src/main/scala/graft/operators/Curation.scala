@@ -391,13 +391,20 @@ object Curation {
           org.apache.spark.sql.functions.col("shuffle_pos"))
     }.reduce(_ unionByName _)
 
-  val epochOrdersSql: String = """
+  /** Oracle for [[epochOrders]] — the VALUES list is generated from the
+    * SAME `epochs` parameter (a mismatched literal list would silently
+    * desync the oracle from a non-default call).
+    */
+  def epochOrdersSql(epochs: Int = 3): String = {
+    val values = (0 until epochs).map(e => s"($e)").mkString(",")
+    s"""
     SELECT ep.epoch, doc_id,
            md5('e' || ep.epoch || ':' || CAST(doc_id AS VARCHAR)) AS skey,
            CAST(row_number() OVER (PARTITION BY ep.epoch
              ORDER BY md5('e' || ep.epoch || ':' || CAST(doc_id AS VARCHAR)),
                       doc_id) AS BIGINT) AS shuffle_pos
-    FROM documents CROSS JOIN (VALUES (0),(1),(2)) ep(epoch)"""
+    FROM documents CROSS JOIN (VALUES $values) ep(epoch)"""
+  }
 
   /** Token-budget selection: take documents in QUALITY order until the
     * cumulative token count reaches the budget — the greedy knapsack

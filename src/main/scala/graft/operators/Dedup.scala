@@ -270,7 +270,7 @@ object Dedup {
       .distinct()
     val docSets = Tables.documents(spark, dir)
       .select($"doc_id", Text.shinglesFastUdf($"text").as("ss"))
-    cand
+    val out = cand
       .join(docSets.toDF("ida", "sa"), "ida")
       .join(docSets.toDF("idb", "sb"), "idb")
       .select($"ida", $"idb", $"na",
@@ -279,6 +279,11 @@ object Dedup {
         $"na".as("n_a"), $"inter",
         ($"inter" * lit(1.0) / $"na").as("containment"))
       .filter($"containment" >= t)
+      // materialize the (small, verified) pair set so the corpus-wide
+      // shingle cache can be released before the operator returns
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
   }
 
   val containmentSql: String = """
@@ -495,18 +500,27 @@ object Dedup {
         ColumnBridge.expression(xxhash64($"text_hash")),
         Literal(1000000L), Literal(numBits)).toAggregateExpression())
     val bloom = idx.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
-      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
-      ColumnBridge.expression(xxhash64($"text_hash"))))
     val delta = Tables.documents(spark, dir).filter(isDelta($"doc_id"))
       .select($"doc_id", md5(Text.normalizeFast($"text")).as("text_hash"))
-    val verified = delta.filter(mightContain)
-      .join(idx, Seq("text_hash"), "left") // exact verify of the sliver
-      .select($"doc_id", $"text_hash", $"base_dup_of")
-    val definitelyNew = delta.filter(!mightContain)
-      .select($"doc_id", $"text_hash",
-        lit(null).cast("long").as("base_dup_of"))
-    verified.unionByName(definitelyNew)
+    if (bloom == null) {
+      // empty index ⇒ BloomFilterAggregate returns a null buffer and BOTH
+      // mightContain and its negation evaluate to null, silently dropping
+      // every delta row — skip the gate: the contract is the plain left
+      // join, which here emits every delta row with base_dup_of = null
+      delta.join(idx, Seq("text_hash"), "left")
+        .select($"doc_id", $"text_hash", $"base_dup_of")
+    } else {
+      val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+        Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64($"text_hash"))))
+      val verified = delta.filter(mightContain)
+        .join(idx, Seq("text_hash"), "left") // exact verify of the sliver
+        .select($"doc_id", $"text_hash", $"base_dup_of")
+      val definitelyNew = delta.filter(!mightContain)
+        .select($"doc_id", $"text_hash",
+          lit(null).cast("long").as("base_dup_of"))
+      verified.unionByName(definitelyNew)
+    }
   }
 
   def deltaCommit(spark: SparkSession, dir: String): DataFrame = {

@@ -209,13 +209,18 @@ object Windows {
       count(lit(1)).as("n_w"),
       sum($"cnt").as("sum_c"),
       sum($"cnt" * $"cnt").as("sum_cc"))
-    val z = ($"n_w".cast("double") * $"cnt".cast("double") -
-        $"sum_c".cast("double")) /
-      sqrt($"n_w".cast("double") * $"sum_cc".cast("double") -
-        $"sum_c".cast("double") * $"sum_c".cast("double"))
+    // zero-variance guard: all-equal counts (or a single window) make the
+    // variance term 0 — Spark's Divide yields NULL there while DuckDB's
+    // double division yields inf/NaN, so both engines must short-circuit
+    // to NULL explicitly (same CASE mirrored in anomalySql)
+    val varTerm = $"n_w".cast("double") * $"sum_cc".cast("double") -
+      $"sum_c".cast("double") * $"sum_c".cast("double")
+    val z = when(varTerm > lit(0.0),
+      ($"n_w".cast("double") * $"cnt".cast("double") -
+        $"sum_c".cast("double")) / sqrt(varTerm))
     counts.crossJoin(broadcast(m))
       .select($"window_start", $"cnt", z.as("z"),
-        (abs(z) > lit(2.0)).as("is_anomaly"))
+        coalesce(abs(z) > lit(2.0), lit(false)).as("is_anomaly"))
   }
 
   val anomalySql: String = """
@@ -225,15 +230,19 @@ object Windows {
     m AS (SELECT COUNT(*) AS n_w,
                  CAST(SUM(cnt) AS BIGINT) AS sum_c,
                  CAST(SUM(cnt * cnt) AS BIGINT) AS sum_cc
-          FROM c)
+          FROM c),
+    v AS (SELECT *,
+                 CAST(n_w AS DOUBLE) * CAST(sum_cc AS DOUBLE) -
+                 CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) AS var_term
+          FROM m)
     SELECT window_start, cnt,
-           (CAST(n_w AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(sum_c AS DOUBLE)) /
-           sqrt(CAST(n_w AS DOUBLE) * CAST(sum_cc AS DOUBLE) -
-                CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)) AS z,
-           abs((CAST(n_w AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(sum_c AS DOUBLE)) /
-               sqrt(CAST(n_w AS DOUBLE) * CAST(sum_cc AS DOUBLE) -
-                    CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE))) > 2.0 AS is_anomaly
-    FROM c, m"""
+           CASE WHEN var_term > 0 THEN
+             (CAST(n_w AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(sum_c AS DOUBLE)) /
+             sqrt(var_term) END AS z,
+           coalesce(abs(CASE WHEN var_term > 0 THEN
+             (CAST(n_w AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(sum_c AS DOUBLE)) /
+             sqrt(var_term) END) > 2.0, false) AS is_anomaly
+    FROM c, v"""
 
   /** Anomalous windows grouped into INCIDENTS — the page an on-call
     * actually receives: consecutive anomalous hours ([[anomaly]]'s
