@@ -182,12 +182,14 @@ object SparkEntry {
     "q_session_window" -> Windows.sessionWindowSql,
     "q_events_parse"   -> Windows.eventsParseSql,
     "q_resample"       -> Windows.resampleSql,
-    // q_dgim_tumble / q_dgim_slide / q_dgim_sql / q_dgim_sum: DGIM is not
-    // DuckDB-expressible → rows-only driver check; DgimSpec/DgimPlanSpec
-    // are the in-repo oracles (q_dgim_sql is additionally pinned to
-    // q_dgim_tumble: same windows, same exact counts, estimates within the
-    // DGIM bound; q_dgim_sum carries its exact twin in-query and DgimSpec
-    // pins the §5 sum bound, hand vectors, and expiry).
+    // q_dgim_tumble / q_dgim_slide run the DETERMINISTIC sort-then-fold
+    // exec, so a DuckDB recursive CTE replays the fold exactly (hash
+    // oracle). q_dgim_sql / q_dgim_sum* go through the mergeable UDAF
+    // whose canonical cross-partition bucket-merge is NOT associative
+    // with the fold (estimates legally differ within the bound) →
+    // rows-only + DgimSpec/DgimPlanSpec bound pins for those.
+    "q_dgim_tumble"    -> DgimQueries.dgimTumbleSql,
+    "q_dgim_slide"     -> DgimQueries.dgimSlideSql,
     "q_pivot"          -> Analytics.qPivotSql,
     "q_stream_tumble"  -> Windows.tumbleCountSql, // streaming == batch
     "q_stream_slide"   -> Windows.slideCountSql,  // streaming == batch

@@ -52,6 +52,82 @@ object DgimQueries {
   def dgimSlide(spark: SparkSession, dir: String): DataFrame =
     dgimOverWindows(spark, dir, "1 hour", Some("15 minutes"))
 
+  /** DuckDB oracle for the deterministic sort-then-fold DGIM queries: a
+    * recursive CTE REPLAYS the exact fold the custom exec runs (the
+    * reference PyFlink job's sort-by-ts-then-sequential semantics,
+    * job.py:75-93, with the Java flagship's round-up estimate,
+    * DGIMAccumulator.java:75-95) — the same recursive-CTE device as
+    * `text_tokens_bpe`'s WordPiece oracle.
+    *
+    * State per window is the (ts, size) bucket list pair, newest first.
+    * Each recursion step applies ONE primitive move, exactly mirroring
+    * [[graft.functions.Dgim.Builder.add]]'s loop structure:
+    *  - if any three consecutive buckets share a size, merge the FIRST
+    *    (smallest-index) such triple — middle bucket keeps its ts, size
+    *    doubles, oldest of the three drops (the restart-at-0 scan always
+    *    merges the first triple, so min-index selection is equivalent);
+    *  - else consume the next sorted timestamp as a fresh size-1 bucket
+    *    at the head.
+    * A window's fixpoint row (input drained, no triple) yields the
+    * estimate: sum of all bucket sizes except the oldest + ceil(oldest/2)
+    * — with the single-bucket early return (full size).
+    *
+    * Expiry needs no replay: window size (1 h) == the sketch's W
+    * (3600 s), so within one group `latest − ts ≤ 3599 < W` always —
+    * no bucket can expire, and the live prefix at `latest` is every
+    * bucket. The UDAF / streaming paths stay spec-pinned instead:
+    * canonical bucket-merge across partitions is NOT associative with
+    * the sequential fold (a 4-element split/merge counterexample yields
+    * 4 vs the fold's 3 — both within the published bound, not equal),
+    * so only the sort-then-fold exec admits a hash oracle.
+    */
+  private def dgimFoldSql(windowAssign: String): String = s"""
+    WITH RECURSIVE clicks AS (
+      $windowAssign
+    ),
+    grouped AS (
+      SELECT window_start, list(tsec ORDER BY tsec) AS rest, COUNT(*) AS exact_count
+      FROM clicks GROUP BY 1
+    ),
+    fold AS (
+      SELECT window_start, exact_count, rest,
+             CAST([] AS BIGINT[]) AS bts, CAST([] AS BIGINT[]) AS bsz
+      FROM grouped
+      UNION ALL
+      SELECT window_start, exact_count,
+             CASE WHEN tri IS NOT NULL THEN rest ELSE rest[2:] END,
+             CASE WHEN tri IS NOT NULL THEN bts[1:tri+1] || bts[tri+3:]
+                  ELSE [rest[1]] || bts END,
+             CASE WHEN tri IS NOT NULL THEN bsz[1:tri] || [2*bsz[tri+1]] || bsz[tri+3:]
+                  ELSE [CAST(1 AS BIGINT)] || bsz END
+      FROM (SELECT *,
+              list_filter(range(1, len(bsz)-1),
+                          i -> bsz[i] = bsz[i+1] AND bsz[i+1] = bsz[i+2])[1] AS tri
+            FROM fold)
+      WHERE tri IS NOT NULL OR len(rest) > 0
+    )
+    SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+           CAST(CASE WHEN len(bsz) = 1 THEN bsz[1]
+                ELSE list_aggregate(bsz[1:len(bsz)-1], 'sum') + (bsz[len(bsz)] + 1) // 2
+           END AS BIGINT) AS count_estimate,
+           exact_count
+    FROM (SELECT *,
+            list_filter(range(1, len(bsz)-1),
+                        i -> bsz[i] = bsz[i+1] AND bsz[i+1] = bsz[i+2])[1] AS tri
+          FROM fold)
+    WHERE len(rest) = 0 AND tri IS NULL"""
+
+  val dgimTumbleSql: String = dgimFoldSql("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL""")
+
+  val dgimSlideSql: String = dgimFoldSql("""
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS window_start,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
+      WHERE event_type = 'click' AND ts IS NOT NULL""")
+
   /** The reference's literal USAGE pattern, end-to-end through graft's
     * SQL surface: `DGIM_ESTIMATE` called from SQL text over a windowed
     * GROUP BY (StreamingJob.java:57-58 registers the aggregate;
