@@ -236,7 +236,7 @@ object SparkEntry {
     "text_tokens"      -> TextAnalysis.tokensSql,
     "text_tokens_bpe"  -> TextAnalysis.tokensBpeSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
-    // text_rollhash: rows-only; SketchSpec pins known hash vectors.
+    "text_rollhash"    -> TextAnalysis.rollhashSql,
     "text_tfidf"       -> TextAnalysis.tfidfSql,
     "text_chunks"      -> TextAnalysis.chunksSql,
     "text_repetition"  -> TextAnalysis.repetitionSql,

@@ -453,7 +453,7 @@ object TextAnalysis {
     FROM documents"""
 
   /** Order-sensitive 61-bit rolling polynomial fingerprint (Rabin–Karp).
-    * Not SQL-expressible → rows-only driver check; SketchSpec pins known
+    * SQL-oracled via [[rollhashSql]]; SketchSpec additionally pins known
     * vectors.
     */
   def rollhash(spark: SparkSession, dir: String): DataFrame = {
@@ -461,6 +461,51 @@ object TextAnalysis {
     Tables.documents(spark, dir).select($"doc_id",
       Text.rollingHashUdf(Text.normalizeFast($"text")).as("fp_roll"))
   }
+
+  /** DuckDB oracle for the Mersenne-61 rolling hash: the sequential fold
+    * h_i = (h_{i-1}·257 + c_i) mod M rewritten in its closed polynomial
+    * form h = Σ c_i · 257^(n−i) mod M so no per-character recursion is
+    * needed — every product fits HUGEINT (term < 2^68, Σ terms < 2^81,
+    * power-doubling products < 2^122 « 2^127). The 257^k table is built
+    * by list DOUBLING (P_{2k} = P_k ∥ P_k·257^k), log₂(max doc length)
+    * recursion steps instead of one per exponent (41 s → 1.4 s at
+    * sf0.1); chars then join their exponent's power and one SUM per doc
+    * folds the polynomial. Empty normalized text hashes to 0 (the fold's
+    * base), via the left join.
+    */
+  val rollhashSql: String = """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS t
+      FROM documents
+    ),
+    maxn AS (SELECT max(length(t)) AS mx FROM docs),
+    powlist AS (
+      SELECT [CAST(1 AS HUGEINT)] AS ps, CAST(257 AS HUGEINT) AS mult, 1 AS sz
+      UNION ALL
+      SELECT ps || list_transform(ps, x -> (x * mult) % CAST(2305843009213693951 AS HUGEINT)),
+             (mult * mult) % CAST(2305843009213693951 AS HUGEINT), sz * 2
+      FROM powlist WHERE sz < (SELECT mx FROM maxn)
+    ),
+    pows AS (
+      SELECT i - 1 AS k, ps[i] AS p
+      FROM (SELECT ps FROM powlist ORDER BY sz DESC LIMIT 1),
+           unnest(range(1, len(ps) + 1)) AS u(i)
+    ),
+    chars AS (
+      SELECT doc_id, length(t) AS n, i, ascii(t[i]) AS c
+      FROM docs, unnest(range(1, length(t) + 1)) AS u(i)
+    ),
+    terms AS (
+      SELECT doc_id, (CAST(c AS HUGEINT) * p) % CAST(2305843009213693951 AS HUGEINT) AS term
+      FROM chars JOIN pows ON pows.k = chars.n - chars.i
+    ),
+    folded AS (
+      SELECT doc_id, CAST(SUM(term) % CAST(2305843009213693951 AS HUGEINT) AS BIGINT) AS fp_roll
+      FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(f.fp_roll, 0) AS fp_roll
+    FROM docs d LEFT JOIN folded f USING (doc_id)"""
 
   /** Single-pass per-row repetition statistics (see [[repetition]]). */
   private[graft] def repetitionStats(text: String): (Long, Long, Long, Long) = {
