@@ -94,6 +94,7 @@ object SparkEntry {
     "text_tokens_bpe"  -> (TextAnalysis.tokensBpe _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rollhash"    -> (TextAnalysis.rollhash _),
+    "text_boilerplate" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplate(s, d)),
     "text_tfidf"       -> (TextAnalysis.tfidf _),
     "text_chunks"      -> (TextAnalysis.chunks _),
     "text_repetition"  -> (TextAnalysis.repetition _),
@@ -237,6 +238,7 @@ object SparkEntry {
     "text_tokens_bpe"  -> TextAnalysis.tokensBpeSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_rollhash"    -> TextAnalysis.rollhashSql,
+    "text_boilerplate" -> TextAnalysis.boilerplateSql,
     "text_tfidf"       -> TextAnalysis.tfidfSql,
     "text_chunks"      -> TextAnalysis.chunksSql,
     "text_repetition"  -> TextAnalysis.repetitionSql,

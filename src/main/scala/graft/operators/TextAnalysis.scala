@@ -702,4 +702,74 @@ object TextAnalysis {
            CAST(greatest(len(w) - 1, 0) AS INT) AS n_bigrams,
            CAST(coalesce(hits.n_top_hits, 0) AS BIGINT) AS n_top_hits
     FROM wd LEFT JOIN hits ON wd.doc_id = hits.doc_id"""
+
+  /** Line-level boilerplate REMOVAL (CCNet / RefinedWeb-style): drop the
+    * lines whose hash appears in more than `maxDf` distinct documents —
+    * headers, footers, nav chrome, cookie banners — and emit the REWRITTEN
+    * corpus. `dedup_chunks` gates whole documents on a duplication
+    * fraction; this operator is its line-granularity twin that edits the
+    * documents instead of discarding them.
+    *
+    * Line unit: this corpus carries no newlines (single-line synthetic
+    * text), so "line" = non-overlapping 10-word segment of the normalized
+    * text — the same deterministic stand-in for physical lines that
+    * `text_chunks` uses for training windows; on a real corpus the
+    * splitter swaps to `split(text, '\n')` with the pipeline unchanged.
+    *
+    * Scale shape: segments are a bounded per-row fan-out in the scan (no
+    * shuffle); the doc-frequency pass is ONE map-side-combined agg on the
+    * segment hash; the HOT set (df > maxDf) is tiny by construction —
+    * boilerplate is the repeated sliver, here broadcast for a map-side
+    * LEFT ANTI probe (at 100 TB it stays KBs–MBs: the distinct lines
+    * shared by many documents, not the corpus); the rewrite is one
+    * doc_id-keyed agg reassembling kept segments in segment order. The
+    * md5 of the rewritten text makes the whole edited corpus
+    * hash-comparable.
+    */
+  def boilerplate(spark: SparkSession, dir: String, maxDf: Int = 2): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select($"doc_id", Text.wordsFast($"text").as("w"))
+      .withColumn("n_lines", expr("(size(w) + 9) div 10"))
+    val segs = words
+      .select($"doc_id", $"n_lines", $"w",
+        explode(sequence(lit(0L), $"n_lines" - 1)).as("i"))
+      .select($"doc_id", $"i".as("seg_idx"),
+        array_join(slice($"w", ($"i" * 10 + 1).cast("int"), lit(10)), " ").as("seg"))
+      .withColumn("h", md5($"seg"))
+    val hot = segs.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("seg_df"))
+      .filter($"seg_df" > maxDf)
+      .select($"h")
+    val cleaned = segs.join(broadcast(hot), Seq("h"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct($"seg_idx", $"seg"))),
+            x => x("seg")), " ").as("clean_text"))
+    words.select($"doc_id", $"n_lines")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_lines" - coalesce($"n_kept", lit(0L))).as("n_dropped"),
+        md5(coalesce($"clean_text", lit(""))).as("clean_md5"))
+  }
+
+  val boilerplateSql: String = sqlWords + """,
+    counts AS (SELECT doc_id, (len(w)+9)//10 AS n_lines FROM wd),
+    segs AS (SELECT doc_id, i AS seg_idx,
+               array_to_string(w[i*10+1 : least((i+1)*10, len(w))], ' ') AS seg
+             FROM wd, unnest(range(0, (len(w)+9)//10)) AS u(i)),
+    hot AS (SELECT md5(seg) AS h FROM segs
+            GROUP BY 1 HAVING count(DISTINCT doc_id) > 2),
+    kept AS (SELECT doc_id, seg_idx, seg FROM segs
+             WHERE md5(seg) NOT IN (SELECT h FROM hot)),
+    cleaned AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+                FROM kept GROUP BY 1)
+    SELECT c.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(n_lines - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,
+           md5(coalesce(clean_text, '')) AS clean_md5
+    FROM counts c LEFT JOIN cleaned USING (doc_id)"""
 }

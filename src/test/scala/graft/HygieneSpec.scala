@@ -22,6 +22,43 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("boilerplate: shared lines dropped, unique docs pass through untouched") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    // a 10-word "cookie banner" segment planted as the head of 4 docs
+    // (df = 4 > maxDf = 2 → boilerplate); each doc has a unique tail;
+    // doc 9 shares nothing (df of all its segments = 1 → untouched)
+    val banner = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val tails = (1 to 4).map(k => (1 to 12).map(i => s"u${k}w$i").mkString(" "))
+    val unique = (1 to 25).map(i => s"solo$i").mkString(" ")
+    val docs = (tails.zipWithIndex.map { case (t, k) =>
+      (k.toLong, s"$banner $t", "en", "web")
+    } :+ ((9L, unique, "en", "web")))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.boilerplate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    // banner docs: 10+12 words = 3 segments (banner, tail words 1-10,
+    // tail words 11-12); the banner segment drops, the unique tail stays
+    for (k <- 0 until 4) {
+      val (nLines, nKept, nDropped, cleanMd5) = out(k.toLong)
+      assert(nLines === 3L && nKept === 2L && nDropped === 1L,
+        s"doc $k: lines=$nLines kept=$nKept dropped=$nDropped")
+      assert(cleanMd5 === md5hex(tails(k)),
+        s"doc $k rewrite should be exactly its unique tail")
+    }
+    // the fully unique doc is untouched: rewrite == its normalized text
+    val (nl, nk, nd, cm) = out(9L)
+    assert(nl === 3L && nk === 3L && nd === 0L)
+    assert(cm === md5hex(unique))
+  }
+
   test("min-label propagation resolves chains, stars and isolated pairs") {
     import spark.implicits._
     // components: chain 1-2-3-4 (diameter 3), star 20-{21,22,23},
