@@ -68,6 +68,7 @@ object SparkEntry {
     "q_stream_rate_spikes" -> (StreamQueries.streamRateSpikes _),
     "q_stream_session_paths" -> (StreamQueries.streamSessionPaths _),
     "q_stream_range_join" -> (StreamQueries.streamRangeJoin _),
+    "q_stream_range_join_outer" -> (StreamQueries.streamRangeJoinOuter _),
     "dedup_exact"      -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash"    -> (Dedup.minhashLsh _),
@@ -204,6 +205,7 @@ object SparkEntry {
     // rows-only driver check; StreamingSpec pins estimates within HLL
     // error of the exact batch distincts over the same window set.
     "q_stream_range_join" -> StreamQueries.streamRangeJoinSql,
+    "q_stream_range_join_outer" -> StreamQueries.streamRangeJoinOuterSql,
     // q_stream_dgim_tumble: rows-only; StreamingSpec asserts error bound.
     "dedup_exact"      -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -243,6 +243,81 @@ object StreamQueries {
       ON e.user_id = c.c_user
      AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE"""
 
+  /** The LEFT OUTER form of [[streamRangeJoin]] — errors with NO click
+    * within ±5 min still emit, with a null click timestamp, once the
+    * watermark proves no match can still arrive (the semantics Spark
+    * gates hardest: a null-side row may only be released when the join
+    * state for its time range is provably complete). StreamingSpec pins
+    * the release timing; here the full result hash-matches the batch
+    * LEFT JOIN oracle.
+    *
+    * End-of-stream flush: a bounded replay ends before the watermark
+    * passes the LAST rows' join bounds, which would hold their null
+    * emissions in state forever (correct streaming behavior — the
+    * stream "isn't over"). The dump therefore appends one far-future
+    * sentinel per side on a reserved user (filtered back out of the
+    * output): the reference's allowed-lateness domain closes windows the
+    * same way — time, not end-of-input, releases results. Unbounded
+    * deployments need no sentinel.
+    */
+  def streamRangeJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val dump = sentinelEventsDump(spark, dir)
+    val joined = runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.readStream.schema(eventsRawSchema).parquet(dump)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts".as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      // the sentinel filter must NOT live inside this streaming query:
+      // Catalyst pushes a `user_id >= 0` predicate below the join AND
+      // below both EventTimeWatermark nodes (inferring c_user >= 0 for
+      // the build side too), which silently removes the sentinels before
+      // the watermark operators see them — measured: final watermark
+      // stuck at (last real error − 1h) and the tail's null rows held in
+      // state forever. Filter on the materialized result instead.
+      errors.join(clicks,
+        expr("""user_id = c_user AND
+                c_ts BETWEEN e_ts - INTERVAL 5 MINUTES AND e_ts + INTERVAL 5 MINUTES"""),
+        "left_outer")
+        .select($"event_id", $"user_id", $"e_ts", $"c_ts")
+    }
+    joined.filter(col("user_id") >= 0)
+  }
+
+  val streamRangeJoinOuterSql: String = """
+    SELECT e.event_id, e.user_id, e.ts AS e_ts, c.ts AS c_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT user_id AS c_user, ts FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.c_user
+     AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE"""
+
+  /** events.parquet plus one far-future error + click sentinel on a
+    * reserved user (staged once per source generation): the sentinels
+    * advance BOTH sides' watermarks past every real row's join bound so
+    * outer-join null emissions flush before a bounded replay ends.
+    */
+  private def sentinelEventsDump(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    graft.sources.DumpCache.ensure(
+      graft.sources.DumpCache.dirFor("graft_events_sentinel", dir, "events.parquet")) { tmp =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val maxTs = raw.agg(max($"ts")).head().getLong(0)
+      val dayNanos = 86400L * 1000000000L
+      val sentinels = Seq(
+        (-1L, maxTs + dayNanos, -1L, "error", 0.0, null.asInstanceOf[String]),
+        (-2L, maxTs + dayNanos, -1L, "click", 0.0, null.asInstanceOf[String]))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      raw.unionByName(sentinels).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** The reference's full pipeline shape end-to-end: events → traffic-JSON
     * messages → lenient TrafficSource decode → streaming tumbling DGIM
     * (1 h windows to fit the events table's timescale). Rows-only driver

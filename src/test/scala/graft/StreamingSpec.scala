@@ -358,6 +358,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length === 2, "a pair emitted more than once")
   }
 
+  test("left-outer interval join releases a null row only once the watermark passes its bound") {
+    // The semantics Spark gates hardest on stream-stream outer joins: an
+    // unmatched left row may emit its null-padded result ONLY when the
+    // watermark proves no matching right row can still arrive (e_ts +
+    // upper join bound < watermark). Run 1 ends with the watermark short
+    // of the lone error's bound — nothing may emit; run 2 (same
+    // checkpoint) advances both sides' event time, which must release
+    // exactly that held null row while the NEW error stays in state.
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_ssoj_src").toString
+    val ckpt = Files.createTempDirectory("graft_ssoj_ckpt").toString
+    def writeBatch(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("event_id", "sec", "user_id", "event_type")
+        .select($"event_id", timestamp_seconds($"sec").as("ts"),
+          $"user_id", $"event_type")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val outDir = Files.createTempDirectory("graft_ssoj_out").toString
+    def run(): Set[(Long, Option[Long])] = {
+      val stream = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+        .parquet(srcDir)
+      val errors = stream.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts".as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val clicks = stream.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      // file sink: the memory sink cannot recover from a checkpoint,
+      // and the restart IS the behavior under test
+      val q = errors.join(clicks,
+          expr("""user_id = c_user AND
+                  c_ts BETWEEN e_ts - INTERVAL 5 MINUTES AND e_ts + INTERVAL 5 MINUTES"""),
+          "left_outer")
+        .select($"event_id", unix_timestamp($"c_ts").as("c_sec"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.schema("event_id BIGINT, c_sec BIGINT").parquet(outDir)
+        .as[(Long, Option[Long])].collect().toSet
+    }
+    // error 1 has no click within ±5 min; the unrelated click keeps the
+    // clicks-side watermark defined. Watermark after run 1 = 2000 − 3600
+    // < epoch → the null row must NOT be released yet.
+    writeBatch(Seq((1L, 1000L, 1L, "error"), (2L, 2000L, 2L, "click")))
+    val out1 = run()
+    assert(out1.isEmpty, s"null row released before the watermark passed: $out1")
+    // both sides advance to t=20000 → watermark 16400 > error 1's bound
+    // (1300): its null row releases; error 3's bound (20300) is still
+    // ahead of the watermark, so it must stay held.
+    writeBatch(Seq((3L, 20000L, 3L, "error"), (4L, 20000L, 4L, "click")))
+    val out2 = run()
+    assert(out2 === Set((1L, None)),
+      s"expected exactly error 1's null release, got $out2")
+  }
+
   test("append-mode watermark drops late rows; each closed window emits exactly once") {
     // The reference relies on Flink's watermark semantics to bound state
     // and discard stragglers; this pins the Spark twin's exact behavior:
