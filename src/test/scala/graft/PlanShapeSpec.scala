@@ -128,6 +128,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runtime bloom filter injects into the TPC-H fact scan; results hash-unchanged") {
+    // The engine's own version of what text_decontam_bloom builds by
+    // hand: InjectRuntimeFilter compresses the SELECTIVE dim side of a
+    // shuffle join (customer filtered to one mktsegment, reached through
+    // the ord⋈cust join) into a Bloom sketch and applies it map-side on
+    // the fact scan's join key before the shuffle. At 100 TB this is the
+    // difference between shuffling all of lineitem and shuffling the
+    // qualifying sliver. The default thresholds (10 GB application-side
+    // scan) are sized for clusters, so the pin lowers them to engage the
+    // rewrite at gate scale, forces the fact join to shuffle
+    // (auto-broadcast off — broadcast joins get DPP/pushdown instead),
+    // and asserts BOTH the injected might_contain probe and that the
+    // rewritten plan's result equals the default run row-for-row.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val filtered = Analytics.q3Join(s, sf)
+    val optimized = filtered.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("might_contain"),
+      s"runtime bloom filter not injected:\n$optimized")
+    val expected = Analytics.q3Join(spark, sf).collect().map(_.toString).toSeq
+    val got = filtered.collect().map(_.toString).toSeq
+    assert(got === expected, "bloom-filtered plan changed the result")
+  }
+
   test("AQE splits a skewed shuffle join with salting off (remedy ladder step 2)") {
     // The skew remedy ladder is (1) broadcast the small side — pinned by
     // the dim-join test above; (2) AQE's automatic skew-partition split —
