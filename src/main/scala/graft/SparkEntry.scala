@@ -138,6 +138,7 @@ object SparkEntry {
     "pipeline_shuffle" -> (Curation.shuffleOrder _),
     "pipeline_budget"  -> ((s: SparkSession, d: String) => Curation.tokenBudget(s, d)),
     "pipeline_epochs"  -> ((s: SparkSession, d: String) => Curation.epochOrders(s, d)),
+    "pipeline_budget_epochs" -> ((s: SparkSession, d: String) => Curation.budgetEpochs(s, d)),
     "pipeline_mix"     -> (Curation.mixSources _),
     "graph_pagerank"   -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles"  -> (Graph.triangles _),
@@ -291,6 +292,7 @@ object SparkEntry {
     "pipeline_shuffle" -> Curation.shuffleOrderSql,
     "pipeline_budget"  -> Curation.tokenBudgetSql,
     "pipeline_epochs"  -> Curation.epochOrdersSql(),
+    "pipeline_budget_epochs" -> Curation.budgetEpochsSql(),
     "pipeline_mix"     -> Curation.mixSourcesSql,
     "graph_pagerank"   -> Graph.pagerankSql,
     "graph_triangles"  -> Graph.trianglesSql,

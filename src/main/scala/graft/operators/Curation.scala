@@ -335,10 +335,19 @@ object Curation {
     * [[epochOrders]] stacks several.
     */
   private def seededOrder(spark: SparkSession, dir: String,
+      seed: String): DataFrame =
+    seededOrderOf(spark,
+      Tables.documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id")), seed)
+
+  /** The same two-pass index over an ARBITRARY (doc_id) set — lets the
+    * schedule compose with upstream selections ([[budgetEpochs]]) without
+    * re-deriving them per epoch.
+    */
+  private def seededOrderOf(spark: SparkSession, ids: DataFrame,
       seed: String): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = Tables.documents(spark, dir)
+    val sorted = ids
       .select($"doc_id",
         md5(concat(lit(seed), $"doc_id".cast("string"))).as("skey"))
       .repartitionByRange(parts, $"skey", $"doc_id")
@@ -484,6 +493,48 @@ object Curation {
           FROM q)
     SELECT doc_id, n_tokens, quality_score, cum_tokens
     FROM c WHERE cum_tokens <= 10000"""
+
+  /** The composed training schedule ([[tokenBudget]] × [[epochOrders]]):
+    * the budget-cut corpus reshuffled independently per epoch — "train E
+    * epochs over the best N tokens" as ONE query. The two two-pass
+    * indexes FUSE: the budget cut's global cumulative sum runs once and
+    * its (slim, locally checkpointed) selected set feeds every epoch's
+    * reshuffle — the corpus is scanned exactly once no matter how many
+    * epochs follow (PlanShapeSpec pins zero file scans in the composed
+    * result: the epoch legs reorder the staged cut, never the corpus).
+    */
+  def budgetEpochs(spark: SparkSession, dir: String,
+      budget: Long = 10000L, epochs: Int = 3): DataFrame = {
+    import spark.implicits._
+    val selected = tokenBudget(spark, dir, budget).select($"doc_id")
+    (0 until epochs).map { e =>
+      seededOrderOf(spark, selected, s"e$e:")
+        .withColumn("epoch", lit(e))
+        .select($"epoch", $"doc_id", $"skey", $"shuffle_pos")
+    }.reduce(_ unionByName _)
+  }
+
+  /** Oracle for [[budgetEpochs]] — the VALUES list derives from the same
+    * epochs parameter, like [[epochOrdersSql]].
+    */
+  def budgetEpochsSql(epochs: Int = 3): String = {
+    val values = (0 until epochs).map(e => s"($e)").mkString(",")
+    s"""
+    WITH q AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+                      quality_score
+               FROM (${TextAnalysis.qualitySql})),
+    c AS (SELECT doc_id,
+            CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM q),
+    sel AS (SELECT doc_id FROM c WHERE cum_tokens <= 10000)
+    SELECT ep.epoch, doc_id,
+           md5('e' || ep.epoch || ':' || CAST(doc_id AS VARCHAR)) AS skey,
+           CAST(row_number() OVER (PARTITION BY ep.epoch
+             ORDER BY md5('e' || ep.epoch || ':' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS shuffle_pos
+    FROM sel CROSS JOIN (VALUES $values) ep(epoch)"""
+  }
 
   /** Domain-mixture construction — the static-mix step of a training
     * recipe (DoReMi-style weights, FineWeb source blending): given

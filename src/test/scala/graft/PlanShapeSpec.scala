@@ -128,6 +128,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipeline_budget_epochs: epochs reshuffle the staged cut, never re-scan the corpus") {
+    // The composed schedule's fusion claim: the budget cut's two-pass
+    // cumulative index runs ONCE (its corpus scan happens inside
+    // tokenBudget, before this plan exists), and every epoch leg reorders
+    // the slim checkpointed selection — so the composed result contains
+    // zero file scans regardless of epoch count.
+    val df = Curation.budgetEpochs(spark, sf)
+    val fileScans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.isEmpty,
+      s"epoch legs re-scan files: ${fileScans.map(_.tableIdentifier)}")
+  }
+
   test("runtime bloom filter injects into the TPC-H fact scan; results hash-unchanged") {
     // The engine's own version of what text_decontam_bloom builds by
     // hand: InjectRuntimeFilter compresses the SELECTIVE dim side of a
