@@ -74,7 +74,7 @@ object SparkEntry {
     "dedup_minhash"    -> (Dedup.minhashLsh _),
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_chunks"     -> (Dedup.chunkDups _),
-    "dedup_containment" -> (Dedup.containment _),
+    "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_editdist"   -> (Dedup.editDistVerify _),
     "dedup_delta"      -> (Dedup.deltaDedup _),
     "dedup_delta_lsh"  -> (Dedup.deltaLshCandidates _),

@@ -251,7 +251,8 @@ object Dedup {
     * half the corpus identifies nothing) — the same top-df cut
     * `text_heavyhitters` computes.
     */
-  def containment(spark: SparkSession, dir: String): DataFrame = {
+  def containment(spark: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
     import spark.implicits._
     val t = 0.9
     val sh = docShingles(spark, dir).cache()
@@ -270,7 +271,7 @@ object Dedup {
       .distinct()
     val docSets = Tables.documents(spark, dir)
       .select($"doc_id", Text.shinglesFastUdf($"text").as("ss"))
-    val out = cand
+    val verified = cand
       .join(docSets.toDF("ida", "sa"), "ida")
       .join(docSets.toDF("idb", "sb"), "idb")
       .select($"ida", $"idb", $"na",
@@ -279,11 +280,15 @@ object Dedup {
         $"na".as("n_a"), $"inter",
         ($"inter" * lit(1.0) / $"na").as("containment"))
       .filter($"containment" >= t)
-      // materialize the (small, verified) pair set so the corpus-wide
-      // shingle cache can be released before the operator returns
-      .localCheckpoint()
-    sh.unpersist(blocking = false)
-    out
+    // materialize the (small, verified) pair set so the corpus-wide
+    // shingle cache can be released before the operator returns;
+    // checkpoint=false keeps the plan inspectable for PlanShapeSpec
+    if (!checkpoint) verified
+    else {
+      val out = verified.localCheckpoint()
+      sh.unpersist(blocking = false)
+      out
+    }
   }
 
   val containmentSql: String = """

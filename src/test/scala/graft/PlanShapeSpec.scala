@@ -411,7 +411,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dedup_containment: probe/index/verify joins all keyed — no cartesian") {
-    val nodes = physical(Dedup.containment(spark, sf))
+    val nodes = physical(Dedup.containment(spark, sf, checkpoint = false))
     assert(!nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
       "containment must join on shingle / doc_id keys, never a cross product")
