@@ -15,6 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> (Analytics.q1Agg _),
     "q3_join"      -> (Analytics.q3Join _),
+    "q14_promo"    -> (Analytics.q14Promo _),
+    "q2_mincost"   -> (Analytics.q2MinCost _),
     "q5_join"      -> (Analytics.q5Join _),
     "q_topk_window" -> (Analytics.qTopkWindow _),
     "q_rollup"     -> (Analytics.qRollup _),
@@ -36,6 +38,8 @@ object SparkEntry {
     "q_histogram"  -> (Behavior.qHistogram _),
     "q_transitions" -> (Behavior.qTransitions _),
     "q_session_paths" -> (Behavior.qSessionPaths _),
+    "q_attribution"   -> (Behavior.qAttribution _),
+    "stats_mad"       -> (Profile.statsMad _),
     "q_anomaly"    -> (Windows.anomaly _),
     "q_incidents"  -> (Windows.incidents _),
     "q_changepoint" -> (Windows.changepoint _),
@@ -139,6 +143,8 @@ object SparkEntry {
     "pipeline_budget"  -> ((s: SparkSession, d: String) => Curation.tokenBudget(s, d)),
     "pipeline_epochs"  -> ((s: SparkSession, d: String) => Curation.epochOrders(s, d)),
     "pipeline_budget_epochs" -> ((s: SparkSession, d: String) => Curation.budgetEpochs(s, d)),
+    "pipeline_interleave" -> (Curation.interleave _),
+    "mm_simhash"       -> (Multimodal.payloadSimhash _),
     "pipeline_mix"     -> (Curation.mixSources _),
     "graph_pagerank"   -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles"  -> (Graph.triangles _),
@@ -149,6 +155,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg"       -> Analytics.q1AggSql,
     "q3_join"      -> Analytics.q3JoinSql,
+    "q14_promo"    -> Analytics.q14PromoSql,
+    "q2_mincost"   -> Analytics.q2MinCostSql,
     "q5_join"      -> Analytics.q5JoinSql,
     "q_topk_window" -> Analytics.qTopkWindowSql,
     "q_rollup"     -> Analytics.qRollupSql,
@@ -169,6 +177,8 @@ object SparkEntry {
     "q_histogram"  -> Behavior.qHistogramSql,
     "q_transitions" -> Behavior.qTransitionsSql,
     "q_session_paths" -> Behavior.qSessionPathsSql,
+    "q_attribution"   -> Behavior.qAttributionSql,
+    "stats_mad"       -> Profile.statsMadSql,
     "q_anomaly"    -> Windows.anomalySql,
     "q_incidents"  -> Windows.incidentsSql,
     "q_changepoint" -> Windows.changepointSql,
@@ -293,6 +303,9 @@ object SparkEntry {
     "pipeline_budget"  -> Curation.tokenBudgetSql,
     "pipeline_epochs"  -> Curation.epochOrdersSql(),
     "pipeline_budget_epochs" -> Curation.budgetEpochsSql(),
+    "pipeline_interleave" -> Curation.interleaveSql,
+    // mm_simhash: sketch-based (SimHash bit votes) → rows-only driver
+    // check; SketchSpec plants a one-byte-flipped payload copy.
     "pipeline_mix"     -> Curation.mixSourcesSql,
     "graph_pagerank"   -> Graph.pagerankSql,
     "graph_triangles"  -> Graph.trianglesSql,

@@ -121,6 +121,97 @@ object Analytics {
     WHERE r_name = 'ASIA'
     GROUP BY n_name"""
 
+  /** TPC-H Q14-style promo revenue share: per ship month, the share of
+    * revenue from one part-type class ('ECONOMY' in this corpus's
+    * taxonomy) — the conditional-aggregation-over-a-dim-join shape.
+    *
+    * part broadcasts (dim); ONE map-side-combined shuffle on the month
+    * key; both revenue sums are exact DECIMAL and the share is a single
+    * double expression over their casts — no float aggregate anywhere.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_extendedprice", $"l_discount", $"l_shipdate")
+    val rev = $"l_extendedprice".cast(Dec) *
+      (lit(BigDecimal(1)).cast(Dec) - $"l_discount".cast(Dec))
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy(date_trunc("month", $"l_shipdate").as("ship_month"))
+      .agg(
+        sum(when($"p_type" === "ECONOMY", rev)
+          .otherwise(lit(BigDecimal(0)).cast(Dec))).as("promo_dec"),
+        sum(rev).as("total_dec"))
+      .select($"ship_month",
+        $"promo_dec".cast(DoubleType).as("promo_revenue"),
+        $"total_dec".cast(DoubleType).as("total_revenue"),
+        (lit(100.0) * $"promo_dec".cast(DoubleType) /
+          $"total_dec".cast(DoubleType)).as("promo_share"))
+  }
+
+  val q14PromoSql: String = """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+      CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+      100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1"""
+
+  /** TPC-H Q2-style min-cost supplier: for every small part (p_size ≤ 10),
+    * the supplier observed selling it cheapest (min line price over the
+    * fact table, exact integer cents), with supplier/nation names attached.
+    *
+    * Shape: ONE (part, supplier) map-side-combined agg over the fact
+    * scan, a PARTITIONED rank window (per-part frames, bounded by
+    * suppliers-per-part — never a global sort), and broadcast dim
+    * attaches (part filter prunes in its scan). The classic "argmin per
+    * group" done without a self-join.
+    */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+      .filter($"p_size" <= 10).select($"p_partkey", $"p_name", $"p_size")
+    val supp = Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey")
+    val nation = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    val offers = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_partkey", $"p_name", $"l_suppkey")
+      .agg(min($"cents").as("min_cents"))
+    val w = Window.partitionBy($"p_partkey")
+      .orderBy($"min_cents".asc, $"l_suppkey".asc)
+    offers.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .select($"p_partkey", $"p_name", $"min_cents",
+        $"s_name", $"n_name")
+  }
+
+  val q2MinCostSql: String = """
+    WITH offers AS (
+      SELECT p_partkey, p_name, l_suppkey,
+             MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 10
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY p_partkey
+               ORDER BY min_cents ASC, l_suppkey ASC) AS rk
+      FROM offers)
+    SELECT p_partkey, p_name, min_cents, s_name, n_name
+    FROM ranked
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE rk = 1"""
+
   /** Top-3 orders per customer by total price (window ranking).
     *
     * Single shuffle on o_custkey; rank + filter stays in one whole-stage

@@ -253,4 +253,77 @@ object Behavior {
     )
     SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
     ORDER BY n_sessions DESC, path LIMIT 20"""
+
+  /** LAST-TOUCH attribution — which channel gets credit for each
+    * purchase: the same user's most recent prior-or-simultaneous
+    * non-purchase event within a 7-day lookback, else 'direct'; revenue
+    * and purchase counts rolled up per attributed type. The marketing
+    * readout every event pipeline ships next to funnels/retention.
+    *
+    * Shape: [[AsofJoin]]'s union-and-carry-forward device (NOT an
+    * inequality join — that is a per-key cross product): union touches
+    * and purchases with a side tag, ONE user_id shuffle + in-partition
+    * sort, `last(touch, ignoreNulls)` carries the newest touch forward
+    * with O(1) state per row, purchases read it; then one map-side agg
+    * onto |event types| rows. Total order (ts, side, event_id) makes
+    * same-instant ties deterministic on both engines; revenue in exact
+    * integer cents.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val touches = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"ts", lit(0).as("side"), $"event_id",
+        $"event_type".as("touch_type"),
+        lit(null).cast("long").as("cents"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("side"), $"event_id",
+        lit(null).cast("string").as("touch_type"),
+        round($"value" * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"side", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionByName(purchases)
+      .withColumn("carry", last(
+        when($"side" === 0, struct($"ts".as("t_ts"), $"touch_type".as("t_type"))),
+        ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"cents",
+        when($"carry".isNotNull &&
+            $"carry.t_ts" >= $"ts" - expr("INTERVAL 7 DAYS"),
+          $"carry.t_type").otherwise(lit("direct")).as("attributed_type"))
+      .groupBy($"attributed_type")
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("total_cents"))
+  }
+
+  /** The identical carry-forward in DuckDB SQL — the formulation is
+    * engine-portable (plain window functions), so the oracle replays it
+    * rather than approximating it with an inequality join.
+    */
+  val qAttributionSql: String = """
+    WITH u AS (
+      SELECT user_id, ts, 0 AS side, event_id, event_type AS touch_type,
+             CAST(NULL AS BIGINT) AS cents
+      FROM events WHERE event_type != 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, event_id, CAST(NULL AS VARCHAR),
+             CAST(round(value * 100) AS BIGINT)
+      FROM events WHERE event_type = 'purchase'),
+    carried AS (
+      SELECT side, cents, ts,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER w AS t_ts,
+             last_value(CASE WHEN side = 0 THEN touch_type END IGNORE NULLS)
+               OVER w AS t_type
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    attributed AS (
+      SELECT cents,
+             CASE WHEN t_ts IS NOT NULL AND t_ts >= ts - INTERVAL 7 DAY
+                  THEN t_type ELSE 'direct' END AS attributed_type
+      FROM carried WHERE side = 1)
+    SELECT attributed_type, COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM attributed GROUP BY 1"""
 }

@@ -536,6 +536,60 @@ object Curation {
     FROM sel CROSS JOIN (VALUES $values) ep(epoch)"""
   }
 
+  /** Deterministic ratio INTERLEAVING — the reader-side schedule of
+    * [[mixSources]]'s static quotas: a training loader consuming three
+    * sources at 5:3:2 needs each document's GLOBAL slot, not just its
+    * source quota. Every block of 10 consecutive slots carries 5 src0 +
+    * 3 src1 + 2 src2 docs (contiguous sub-runs per source), so the mix
+    * ratio holds at every 10-doc prefix boundary — the property
+    * curriculum schedules rely on.
+    *
+    * slot(r, s) = (r div w_s)·10 + start_s + (r mod w_s) for the doc at
+    * 0-based md5 rank r within source s — pure integer arithmetic on
+    * both engines. Once the shortest source exhausts, later blocks
+    * carry its slots empty (positions stay deterministic; a quota cut
+    * like `pipeline_mix` trims to exact ratios first when density is
+    * required). Shape: one rank window per source partition (the huge-
+    * strata remedy is `sample_stratified_topk`'s local-top-k plan) +
+    * a pure slot expression; no joins.
+    */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L)
+    val starts = Map("src0" -> 0L, "src1" -> 5L, "src2" -> 8L)
+    val w = Window.partitionBy($"source").orderBy($"skey", $"doc_id")
+    val wCol = coalesce(
+      weights.foldLeft(lit(null).cast("long")) { case (acc, (s, v)) =>
+        when($"source" === s, lit(v)).otherwise(acc) }, lit(1L))
+    val startCol = coalesce(
+      starts.foldLeft(lit(null).cast("long")) { case (acc, (s, v)) =>
+        when($"source" === s, lit(v)).otherwise(acc) }, lit(0L))
+    Tables.documents(spark, dir)
+      .filter($"source".isin("src0", "src1", "src2"))
+      .select($"doc_id", $"source",
+        md5(concat(lit("il:"), $"doc_id".cast("string"))).as("skey"))
+      .withColumn("r", row_number().over(w).cast("long") - 1)
+      .select($"doc_id", $"source", $"skey",
+        ($"r" + 1).as("src_rank"),
+        (($"r" / wCol).cast("long") * 10 + startCol + ($"r" % wCol) + 1)
+          .as("slot"))
+  }
+
+  val interleaveSql: String = """
+    WITH d AS (
+      SELECT doc_id, source,
+             md5('il:' || CAST(doc_id AS VARCHAR)) AS skey,
+             CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3 ELSE 2 END AS w,
+             CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 5 ELSE 8 END AS st
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) - 1 AS r
+      FROM d)
+    SELECT doc_id, source, skey,
+           CAST(r + 1 AS BIGINT) AS src_rank,
+           CAST((r // w) * 10 + st + (r % w) + 1 AS BIGINT) AS slot
+    FROM ranked"""
+
   /** Domain-mixture construction — the static-mix step of a training
     * recipe (DoReMi-style weights, FineWeb source blending): given
     * target PROPORTIONS per source, emit the largest corpus that hits

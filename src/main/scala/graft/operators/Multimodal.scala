@@ -222,4 +222,59 @@ object Multimodal {
     SELECT md5(text) AS payload_md5,
            MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
     FROM documents GROUP BY 1"""
+
+  /** Rolling 4-byte gram hashes of a payload (stride 1), avalanche-mixed
+    * (splitmix64 finalizer) so the simhash bit-vote sees decorrelated
+    * bits — the byte-level analog of the text shingle hashes.
+    */
+  def byteGramHashes(bytes: Array[Byte]): Array[Long] = {
+    val n = math.max(bytes.length - 3, 0)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      out(i) = h ^ (h >>> 31)
+      i += 1
+    }
+    out
+  }
+
+  /** NEAR-dup detection for binary payloads — the fuzzy twin of
+    * [[payloadDedup]]'s exact byte dedup (re-encoded images, metadata
+    * retags, and truncated uploads share most byte content but no md5):
+    * 64-bit SimHash over rolling 4-byte grams, then the same Hamming-≤3
+    * pigeonhole blocking as `dedup_simhash` (4 blocks of 16 bits — any
+    * pair within distance 3 agrees on ≥1 whole block, so the block join
+    * finds every such pair; no all-pairs compare).
+    *
+    * Scale: signatures are one per-partition pass over the payloads
+    * (the same batch `mapPartitions` slot a real codec/fingerprint
+    * occupies); only (doc_id, sig, block) slim rows shuffle — payload
+    * bytes never move, like `mm_dedup`. Rows-only driver check;
+    * SketchSpec plants a one-byte-flipped copy (caught) next to
+    * unrelated payloads (not paired).
+    */
+  def payloadSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[Payload]
+      .mapPartitions(rows => rows.map(p =>
+        (p.doc_id, graft.functions.Text.simhash64(byteGramHashes(p.payload)))))
+      .toDF("doc_id", "sig")
+    val blocked = sigs.select($"doc_id", $"sig", explode(array(
+      (0 until 4).map(b => struct(lit(b).as("blk"),
+        (shiftright($"sig", b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*)).as("e"))
+      .select($"doc_id", $"sig", $"e.blk", $"e.bh")
+    val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    blocked.as("a").join(blocked.as("b"),
+        $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_id_a"), $"b.doc_id".as("doc_id_b"),
+        hammingUdf($"a.sig", $"b.sig").as("hamming"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .filter($"hamming" <= 3)
+  }
 }

@@ -233,4 +233,38 @@ object Profile {
                 (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) /
                 CAST(n_b AS DOUBLE)) AS t_welch
     FROM m"""
+
+  /** Median absolute deviation of order totals — the ROBUST scale
+    * estimate next to [[statsCorr]]'s moment-based spread (one extreme
+    * order can move a standard deviation arbitrarily; the MAD moves only
+    * when half the mass does — the robust-outlier gate a profiler runs
+    * before trusting z-scores).
+    *
+    * MAD is a two-level order statistic, so two passes are inherent:
+    * exact distributed `percentile` for the median (bit-identical to
+    * DuckDB `quantile_cont` — proven by `q_quantile`), the 1-row median
+    * broadcast into a second scan computing deviations, then `percentile`
+    * again. Values in exact integer cents; both emitted columns are the
+    * interpolated doubles both engines derive identically. At 100 TB the
+    * documented swap is `approx_percentile` on both levels (the
+    * rank-error-bounded sketch `q_quantile`'s spec already bounds).
+    */
+  def statsMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"))
+    val med = cents.agg(expr("percentile(cents, 0.5)").as("med"))
+    cents.crossJoin(broadcast(med))
+      .select($"med", abs($"cents" - $"med").as("dev"))
+      .agg(max($"med").as("median_cents"),
+        expr("percentile(dev, 0.5)").as("mad_cents"))
+  }
+
+  val statsMadSql: String = """
+    WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    m AS (SELECT quantile_cont(cents, 0.5) AS med FROM c)
+    SELECT max(med) AS median_cents,
+           quantile_cont(abs(cents - med), 0.5) AS mad_cents
+    FROM c, m"""
 }

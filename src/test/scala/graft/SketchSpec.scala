@@ -27,6 +27,34 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       a: String = "doc_id_a", b: String = "doc_id_b"): Set[(Long, Long)] =
     df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("mm_simhash pairs a one-byte-flipped payload copy; unrelated payloads stay apart") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mmsim").toString
+    val rnd = new scala.util.Random(7)
+    // base "payload" text of 400 deterministic chars; the near-dup flips
+    // ONE character (≤4 byte-grams change → few simhash bits move);
+    // the two unrelated docs are independent draws
+    val base = Array.fill(400)(('a' + rnd.nextInt(26)).toChar).mkString
+    val flipped = base.updated(200, if (base(200) == 'z') 'a' else 'z')
+    val unrelated1 = Array.fill(400)(('a' + rnd.nextInt(26)).toChar).mkString
+    val unrelated2 = Array.fill(400)(('a' + rnd.nextInt(26)).toChar).mkString
+    Seq((1L, base), (2L, flipped), (3L, unrelated1), (4L, unrelated2))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Multimodal.payloadSimhash(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(got.contains((1L, 2L)),
+      s"one-byte-flipped copy not caught: $got")
+    assert(got((1L, 2L)) <= 3)
+    assert(got.keySet.forall(p => p == ((1L, 2L))),
+      s"unrelated payloads paired: $got")
+    // exact byte copies collide at distance 0 (the mm_dedup overlap case)
+    val h = graft.operators.Multimodal.byteGramHashes(base.getBytes("UTF-8"))
+    assert(Text.simhash64(h) === Text.simhash64(
+      graft.operators.Multimodal.byteGramHashes((base + "").getBytes("UTF-8"))))
+  }
+
   test("minhash LSH recovers every exact-Jaccard>=0.8 pair (recall 1.0 on planted dups)") {
     val exact = pairs(Dedup.ngramJaccard(spark, sf))
     val cand = pairs(Dedup.minhashLsh(spark, sf))
