@@ -296,6 +296,49 @@ object StreamQueries {
       ON e.user_id = c.c_user
      AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE"""
 
+  /** CONTINUOUS boilerplate discovery — the streaming twin of
+    * `text_boilerplate`'s hot-line detection: as documents arrive, the
+    * set of lines shared by more than `maxDf` distinct documents grows
+    * monotonically (a production ingest pipeline maintains this hot set
+    * continuously and ships it to the rewrite stage as a broadcast
+    * artifact). Two chained stateful operators, both streaming-legal:
+    * `dropDuplicates(line, doc)` (exact-once state per distinct pair —
+    * the same decomposition `q_stream_slide_distinct` uses for distinct
+    * counts) feeding ONE global count per line hash in complete mode.
+    * Hash-matches the batch hot-set oracle (the `hot` CTE of
+    * `text_boilerplate`, with its doc-frequency attached).
+    */
+  def streamHotLines(spark: SparkSession, dir: String, maxDf: Int = 2): DataFrame =
+    runToTable(spark) { s =>
+      import s.implicits._
+      val docsRawSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val words = s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select($"doc_id", graft.functions.Text.wordsFast($"text").as("w"))
+        .withColumn("n_lines", expr("(size(w) + 9) div 10"))
+      words
+        .select($"doc_id", $"w",
+          explode(sequence(lit(0L), $"n_lines" - 1)).as("i"))
+        .select($"doc_id",
+          md5(array_join(slice($"w", ($"i" * 10 + 1).cast("int"), lit(10)), " ")).as("h"))
+        .dropDuplicates("h", "doc_id")
+        .groupBy($"h")
+        .agg(count(lit(1)).as("seg_df"))
+        .filter($"seg_df" > maxDf)
+    }
+
+  val streamHotLinesSql: String = """
+    WITH d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    wd AS (SELECT doc_id, string_split(t, ' ') w FROM d),
+    segs AS (SELECT doc_id,
+               array_to_string(w[i*10+1 : least((i+1)*10, len(w))], ' ') AS seg
+             FROM wd, unnest(range(0, (len(w)+9)//10)) AS u(i))
+    SELECT md5(seg) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS seg_df
+    FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) > 2"""
+
   /** events.parquet plus one far-future error + click sentinel on a
     * reserved user (staged once per source generation): the sentinels
     * advance BOTH sides' watermarks past every real row's join bound so

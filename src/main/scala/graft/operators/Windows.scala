@@ -371,4 +371,52 @@ object Windows {
       GROUP BY 1, 2)
     SELECT user_id, COUNT(*) AS n_windows_over, MAX(n) AS peak
     FROM u WHERE n >= 3 GROUP BY 1"""
+
+  /** Half-life DECAYED activity score per user — the recency-weighted
+    * counter behind trending/abuse/engagement readouts (a plain count
+    * weighs a month-old click like a fresh one; an exponential decay
+    * forgets smoothly). Each event contributes 2^(−age_hours); scores
+    * and ranks shift as time passes with NO mutable state — recompute
+    * from the log at any `now`.
+    *
+    * Hash parity: exponential decay is normally `exp(−λ·age)` — a
+    * transcendental, which the determinism rules keep OUT of compared
+    * columns (JVM vs libm last-ulp drift, measured at `text_cooccur`).
+    * With a 1-hour half-life the weight is EXACTLY a right-shift:
+    * score_scaled = Σ 2^40 >> age_hours (0 past 40 h) — pure BIGINT
+    * arithmetic, bit-identical on both engines, monotone in the true
+    * exponential. Σ ≤ n·2^40 stays far under 2^63 at any gate SF.
+    *
+    * Shape: `now` = 1-row max broadcast; weights are scan-stage
+    * expressions; ONE user-keyed map-side-combined agg.
+    */
+  def decayScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", unix_timestamp($"ts").as("sec"))
+    val now = ev.agg(max($"sec").as("now_sec"))
+    ev.crossJoin(broadcast(now))
+      .select($"user_id",
+        (($"now_sec" - $"sec") / 3600).cast("long").as("age_h"))
+      .select($"user_id",
+        when($"age_h" <= 40,
+          expr("shiftright(CAST(1099511627776 AS BIGINT), CAST(age_h AS INT))"))
+          .otherwise(lit(0L)).as("w"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"w").as("decay_scaled"))
+  }
+
+  val decayScoresSql: String = """
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    m AS (SELECT MAX(sec) AS now_sec FROM e),
+    aged AS (SELECT user_id, (now_sec - sec) // 3600 AS age_h FROM e, m),
+    wts AS (SELECT user_id,
+                   CASE WHEN age_h <= 40
+                        THEN (CAST(1 AS BIGINT) << 40) >> age_h
+                        ELSE 0 END AS w
+            FROM aged)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(w) AS BIGINT) AS decay_scaled
+    FROM wts GROUP BY 1"""
 }

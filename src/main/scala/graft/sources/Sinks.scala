@@ -347,6 +347,71 @@ object Sinks {
            MIN(event_id) AS min_id, MAX(event_id) AS max_id
     FROM events GROUP BY event_type"""
 
+  /** Targeted DELETE with manifest-driven file selection — the
+    * GDPR/right-to-erasure maintenance primitive (Delta/Iceberg
+    * DELETE + copy-on-write): "remove one tenant's rows" must NOT
+    * rewrite a 100 TB table. The table is range-laid-out on doc_id, so
+    * a tenant's contiguous id block lives in few files; a per-file
+    * (min, max) manifest (same device as `sink_manifest`) selects ONLY
+    * the overlapping files for rewrite, and every other file is carried
+    * into the next generation untouched (here a file copy — in a table
+    * format, a metadata-only manifest re-reference). In-query asserts
+    * pin both sides: some files rewritten AND some carried (a layout
+    * that scattered the tenant would silently degrade to a full
+    * rewrite). The read-back aggregate hash-matches a plain NOT BETWEEN
+    * oracle — deletion proven exact and side-effect-free.
+    */
+  def deleteRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lo = 100L
+    val hi = 199L
+    val gen0 = DumpCache.ensure(
+      DumpCache.dirFor("graft_docs_gen0", dir, "documents.parquet")) { tmp =>
+      Tables.documents(spark, dir)
+        .repartitionByRange(10, $"doc_id")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val gen1 = DumpCache.ensure(
+      DumpCache.dirFor("graft_docs_gen1", dir, "documents.parquet")) { tmp =>
+      val manifest = spark.read.parquet(gen0)
+        .select($"doc_id", col("_metadata.file_path").as("f"))
+        .groupBy($"f")
+        .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+        .collect() // file-cardinality rows, like sink_manifest
+      val (affected, untouched) = manifest
+        .map(r => (r.getAs[String]("f"),
+          r.getAs[Long]("mn"), r.getAs[Long]("mx")))
+        .partition { case (_, mn, mx) => mn <= hi && mx >= lo }
+      require(affected.nonEmpty, "delete range matched no file")
+      require(untouched.nonEmpty,
+        s"delete touched all ${manifest.length} files — the range " +
+          "layout no longer clusters tenant ids")
+      // rewrite ONLY the overlapping files, minus the tenant's rows
+      spark.read.parquet(affected.map(_._1).toIndexedSeq: _*)
+        .filter(!$"doc_id".between(lo, hi))
+        .write.mode("overwrite").parquet(tmp)
+      // carry every untouched file over by reference (prefixing keeps
+      // names disjoint from the rewritten part files)
+      untouched.foreach { case (f, _, _) =>
+        val src = java.nio.file.Paths.get(new java.net.URI(f))
+        java.nio.file.Files.copy(src,
+          java.nio.file.Paths.get(tmp, "carry-" + src.getFileName.toString))
+      }
+    }
+    spark.read.parquet(gen1)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+  }
+
+  val deleteRewriteSql: String = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    WHERE doc_id NOT BETWEEN 100 AND 199
+    GROUP BY lang"""
+
   /** Schema evolution across file generations: an early write without a
     * column, a later write with it, one `mergeSchema` read spanning both
     * — the drift every long-lived corpus accumulates (new annotations,
