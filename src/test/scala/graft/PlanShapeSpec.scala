@@ -128,6 +128,35 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-9 operators keep their contracts: partitioned windows, broadcast dims, keyed joins") {
+    // q2_mincost: rank window is PARTITIONED by part (never a global
+    // sort); supplier/nation attach as broadcasts, no cartesian
+    val q2 = physical(Analytics.q2MinCost(spark, sf))
+    q2.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, "q2 window lost PARTITION BY"))
+    assert(q2.exists(_.isInstanceOf[BroadcastHashJoinExec]), "q2 dims must broadcast")
+    assert(!q2.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    // q_attribution: the carry-forward is ONE user_id exchange feeding a
+    // partitioned window — no inequality join anywhere
+    val attr = physical(Behavior.qAttribution(spark, sf))
+    assert(!attr.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    attr.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, "attribution window lost PARTITION BY"))
+    // pipeline_interleave: per-source rank windows only, zero joins
+    val il = physical(Curation.interleave(spark, sf))
+    il.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, "interleave window lost PARTITION BY"))
+    assert(shuffles(Curation.interleave(spark, sf)) <= 1,
+      "interleave should be one source-keyed exchange")
+    // q_decay: the now-frame attaches as a broadcast (1 row), one keyed agg
+    val dec = Windows.decayScores(spark, sf)
+    val decPlan = dec.queryExecution.executedPlan.toString
+    assert(decPlan.contains("BroadcastNestedLoopJoin") || decPlan.contains("BroadcastHashJoin"),
+      "decay's now-frame must broadcast")
+  }
+
   test("pipeline_budget_epochs: epochs reshuffle the staged cut, never re-scan the corpus") {
     // The composed schedule's fusion claim: the budget cut's two-pass
     // cumulative index runs ONCE (its corpus scan happens inside
