@@ -48,6 +48,43 @@ object Similarity {
            CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS INT) AS rank
     FROM s QUALIFY rank <= 5"""
 
+  /** Max-INNER-PRODUCT search (MIPS) — the metric recommendation and
+    * retrieval scorers actually serve (user·item affinity, reward
+    * models): top-5 by RAW dot product, where [[annBruteforce]]'s cosine
+    * would erase the norm signal (a high-norm item IS more relevant in
+    * MIPS; inner product is not a metric — it violates the triangle
+    * inequality — so metric-space indexes don't apply directly).
+    *
+    * Same broadcast-queries single-scan shape as the cosine form; the
+    * dot is the native codegen'd `float_dot` fold, bit-identical to the
+    * oracle's list fold. The 100 TB index path is the standard
+    * norm-augmentation reduction (Bachrach et al., RecSys 2014):
+    * ϕ(x) = [x, √(M²−‖x‖²)], ψ(q) = [q, 0] makes augmented cosine rank
+    * EXACTLY like raw inner product (‖ϕ(x)‖ = M constant), so every
+    * graft ANN index (LSH / IVF / PQ) applies unchanged in augmented
+    * space — SketchSpec pins the rank-equivalence on this corpus.
+    */
+  def embedMips(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        Vectors.dot($"qe", $"embedding").as("ip"))
+    val w = Window.partitionBy($"query_id").orderBy($"ip".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+  }
+
+  val embedMipsSql: String = duckEmb + """,
+    q AS (SELECT vec_id qid, emb qe FROM n WHERE vec_id < 10),
+    s AS (SELECT qid, vec_id nid,
+            list_sum(list_transform(list_zip(qe, emb), x -> x[1]*x[2])) ip
+          FROM q, n WHERE vec_id != qid)
+    SELECT qid AS query_id, nid AS neighbor_id, ip,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid) AS INT) AS rank
+    FROM s QUALIFY rank <= 5"""
+
   /** Embedding near-duplicate pairs: cosine ≥ 0.4 (threshold is
     * data-calibrated; the synthetic corpus tops out at ~0.51).
     *

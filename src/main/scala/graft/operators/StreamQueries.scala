@@ -296,6 +296,86 @@ object StreamQueries {
       ON e.user_id = c.c_user
      AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE"""
 
+  /** One event row for the stateful attribution job. */
+  case class AttrEvent(user_id: Long, tsMicros: Long, event_id: Long,
+    event_type: String, cents: Long)
+
+  /** One attributed purchase emitted by the stateful job. */
+  case class AttrOut(event_id: Long, user_id: Long,
+    attributed_type: String, cents: Long)
+
+  /** CONTINUOUS last-touch attribution — `q_attribution` as a stateful
+    * streaming ENRICHMENT (the pattern behind online feature joins and
+    * real-time credit assignment): per user, `flatMapGroupsWithState`
+    * keeps only the newest touch (ts, type) as state — O(1) bytes per
+    * user, no window buffering — and each arriving purchase emits its
+    * attribution immediately. Events are sorted (ts, side, event_id)
+    * WITHIN each micro-batch before folding, so a bounded replay
+    * reproduces the batch oracle exactly; across batches the online
+    * semantics hold (a touch that arrives after its purchase was
+    * processed cannot retro-attribute — the same contract any
+    * at-emission-time attributor has).
+    */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val ev = eventsStream(s, dir)
+        .select($"user_id", unix_micros($"ts").as("tsMicros"), $"event_id",
+          $"event_type",
+          coalesce(round($"value" * 100).cast("long"), lit(0L)).as("cents"))
+        .as[AttrEvent]
+      val sevenDaysMicros = 7L * 86400L * 1000000L
+      ev.groupByKey(_.user_id)
+        .flatMapGroupsWithState[Option[(Long, String)], AttrOut](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_, rows, state) =>
+            var last = state.getOption.flatten
+            val out = Vector.newBuilder[AttrOut]
+            // total order (ts, side, event_id): touches sort before
+            // purchases at the same instant — the batch oracle's order
+            rows.toSeq.sortBy(e =>
+              (e.tsMicros, if (e.event_type == "purchase") 1 else 0, e.event_id))
+              .foreach { e =>
+                if (e.event_type != "purchase") last = Some((e.tsMicros, e.event_type))
+                else out += AttrOut(e.event_id, e.user_id,
+                  last match {
+                    case Some((ts, tp)) if ts >= e.tsMicros - sevenDaysMicros => tp
+                    case _ => "direct"
+                  }, e.cents)
+              }
+            state.update(last)
+            out.result().iterator
+        }.toDF()
+    }
+
+  /** Event-level twin of `Behavior.qAttributionSql` (same carried
+    * window, rows instead of the rollup).
+    */
+  val streamAttributionSql: String = """
+    WITH u AS (
+      SELECT user_id, ts, 0 AS side, event_id, event_type AS touch_type,
+             CAST(NULL AS BIGINT) AS cents
+      FROM events WHERE event_type != 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, event_id, CAST(NULL AS VARCHAR),
+             CAST(coalesce(round(value * 100), 0) AS BIGINT)
+      FROM events WHERE event_type = 'purchase'),
+    carried AS (
+      SELECT side, event_id, user_id, cents, ts,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER w AS t_ts,
+             last_value(CASE WHEN side = 0 THEN touch_type END IGNORE NULLS)
+               OVER w AS t_type
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT event_id, user_id,
+           CASE WHEN t_ts IS NOT NULL AND t_ts >= ts - INTERVAL 7 DAY
+                THEN t_type ELSE 'direct' END AS attributed_type,
+           cents
+    FROM carried WHERE side = 1"""
+
   /** CONTINUOUS boilerplate discovery — the streaming twin of
     * `text_boilerplate`'s hot-line detection: as documents arrive, the
     * set of lines shared by more than `maxDf` distinct documents grows

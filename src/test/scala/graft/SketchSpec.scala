@@ -27,6 +27,33 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       a: String = "doc_id_a", b: String = "doc_id_b"): Set[(Long, Long)] =
     df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("MIPS norm-augmentation ranks exactly like raw inner product") {
+    // The reduction embed_mips's scale path rests on (Bachrach et al.
+    // 2014): with phi(x) = [x, sqrt(M^2 - |x|^2)] and psi(q) = [q, 0],
+    // cos(psi(q), phi(x)) = <q,x> / (|q|·M) — a per-query-constant
+    // positive scaling of the inner product, so the neighbor RANKING is
+    // identical and any cosine ANN index serves MIPS unchanged.
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Seq[Float]](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val m2 = emb.values.map(v => dot(v, v)).max
+    def phi(v: Array[Double]) = v :+ math.sqrt(math.max(m2 - dot(v, v), 0.0))
+    for (qid <- 0L until 5L) {
+      val q = emb(qid)
+      val psiQ = q :+ 0.0
+      val others = emb.keys.filter(_ != qid).toSeq
+      val byIp = others.sortBy(o => (-dot(q, emb(o)), o)).take(10)
+      val byAug = others.sortBy { o =>
+        val p = phi(emb(o))
+        (-(dot(psiQ, p) / math.sqrt(dot(p, p))), o)
+      }.take(10)
+      assert(byIp === byAug,
+        s"augmented-cosine ranking diverged from raw IP for query $qid")
+    }
+  }
+
   test("mm_simhash pairs a one-byte-flipped payload copy; unrelated payloads stay apart") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_mmsim").toString
