@@ -267,4 +267,39 @@ object Profile {
     SELECT max(med) AS median_cents,
            quantile_cont(abs(cents - med), 0.5) AS mad_cents
     FROM c, m"""
+
+  /** Robust outlier gate — orders more than k·MAD from the median
+    * (the alerting rule [[statsMad]] exists to feed: unlike z-scores,
+    * the threshold itself cannot be dragged by the outliers it hunts).
+    * Heavy-tailed production data gates at k ≈ 3–10; this corpus's
+    * prices are uniform-ish (max deviation ≈ 2·MAD), so the default
+    * sits at 1.9 to actually exercise the tail (~0.5% of orders at
+    * sf0.01). The two 1-row robust statistics broadcast into one final
+    * scan — three passes total, each a full scan + tiny agg, nothing
+    * ever keyed by more than the 1-row stats frame.
+    */
+  def outliersMad(spark: SparkSession, dir: String, k: Double = 1.9): DataFrame = {
+    import spark.implicits._
+    val stats = statsMad(spark, dir)
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .crossJoin(broadcast(stats))
+      .filter(abs($"cents" - $"median_cents") > lit(k) * $"mad_cents")
+      .select($"o_orderkey", $"cents",
+        (($"cents" - $"median_cents") / $"mad_cents").as("mad_score"))
+  }
+
+  val outliersMadSql: String = """
+    WITH c AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    m AS (SELECT quantile_cont(cents, 0.5) AS med FROM c),
+    s AS (SELECT max(med) AS median_cents,
+                 quantile_cont(abs(cents - med), 0.5) AS mad_cents
+          FROM c, m)
+    SELECT o_orderkey, cents,
+           (cents - median_cents) / mad_cents AS mad_score
+    FROM c, s
+    WHERE abs(cents - median_cents) > 1.9 * mad_cents"""
 }

@@ -412,6 +412,31 @@ object Sinks {
     WHERE doc_id NOT BETWEEN 100 AND 199
     GROUP BY lang"""
 
+  /** SNAPSHOT isolation / time travel — the property that makes
+    * [[deleteRewrite]]'s copy-on-write safe to run live: the delete
+    * PUBLISHED generation 1, but generation 0's files were never
+    * touched, so a reader pinned to the old snapshot still sees the
+    * full pre-delete table (Delta/Iceberg VERSION AS OF). This query
+    * runs the delete (ensuring both generations exist), then reads
+    * gen0 and hash-matches the ORIGINAL table's aggregate — proving
+    * history survived the rewrite byte-for-byte.
+    */
+  def snapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    deleteRewrite(spark, dir).count() // publish gen1 (and gen0) first
+    val gen0 = DumpCache.dirFor("graft_docs_gen0", dir, "documents.parquet")
+    spark.read.parquet(gen0)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+  }
+
+  val snapshotReadSql: String = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang"""
+
   /** Schema evolution across file generations: an early write without a
     * column, a later write with it, one `mergeSchema` read spanning both
     * — the drift every long-lived corpus accumulates (new annotations,
