@@ -358,6 +358,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length === 2, "a pair emitted more than once")
   }
 
+  test("Job 1 and Job 2 run CONCURRENTLY on one session like the reference's cluster") {
+    // The reference's docker-compose runs StreamingJob (tumble) and
+    // SlidingWindowStreamingJob (hop) side by side on one Flink cluster.
+    // Pin the Spark twin: both streaming queries started on the SAME
+    // session over the SAME source directory, progressing concurrently,
+    // each producing exactly the results it produces when run alone.
+    val base = 1704067200L
+    val msgs = (0 until 600).map { i =>
+      val sec = base + i / 5
+      val bit = if (i % 3 == 0) "1" else "0"
+      val iso = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      s"""{"value": "$bit", "timestamp": "$iso"}"""
+    }
+    val dir = writeMessages(msgs)
+    def parsed() = TrafficSource.parse(
+      spark.readStream.format("text").load(dir).withColumnRenamed("value", "raw"))
+    def start(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    // both jobs started BEFORE either is awaited — genuinely concurrent
+    val q1 = start(TrafficJobs.tumbleDgim(parsed()), "conc_tumble")
+    val q2 = start(TrafficJobs.hopDgim(parsed()), "conc_hop")
+    q1.awaitTermination(); q2.awaitTermination()
+    val tumble = spark.table("conc_tumble").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_end") -> r.getAs[Long]("count_estimate"))
+      .toMap
+    val hop = spark.table("conc_hop").collect()
+    // Job 1: two 60 s windows of 100 ones each, within the DGIM bound
+    assert(tumble.size === 2, s"tumble windows: ${tumble.keys}")
+    tumble.values.foreach(est => assert(math.abs(est - 100L) <= 51L, s"est=$est"))
+    // Job 2: the full-coverage hop window agrees with its solo run shape
+    assert(hop.length >= 6)
+    val full = hop.filter(_.getAs[java.sql.Timestamp]("window_start").getTime == base * 1000L)
+    assert(full.length === 1)
+    assert(math.abs(full.head.getAs[Long]("count_estimate") - 100L) <= 51L)
+  }
+
   test("left-outer interval join releases a null row only once the watermark passes its bound") {
     // The semantics Spark gates hardest on stream-stream outer joins: an
     // unmatched left row may emit its null-padded result ONLY when the
