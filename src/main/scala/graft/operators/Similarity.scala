@@ -733,8 +733,10 @@ object Similarity {
   /** Per-vector projection onto the learned first principal component —
     * the applied artifact of [[pcaTop]]. (mean, pc1) ride the task
     * closure (2×dim doubles); the projection is a per-row primitive
-    * loop, no shuffle. Rows-only driver check; SketchSpec asserts the
-    * eigenpair residual, variance capture, and bit-identical retrain.
+    * loop, no shuffle. SQL hash-oracled via [[embedPcaSql]] (the whole
+    * training run is deterministic, so DuckDB replays it bit-exactly);
+    * SketchSpec additionally asserts the eigenpair residual, variance
+    * capture, and bit-identical retrain.
     */
   def embedPca(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -759,4 +761,89 @@ object Similarity {
            CAST(SUM(v) AS DOUBLE) / 1e9 / COUNT(*) AS centroid,
            COUNT(*) AS n
     FROM x GROUP BY label, dim"""
+
+  /** DuckDB oracle for [[embedPca]] — the ENTIRE training run replayed
+    * bit-exactly in SQL, because every step is deterministic IEEE
+    * arithmetic: scaled-integer moments (no tie can occur: x·10⁴ hits
+    * k+0.5 only for x = (2k+1)/(2·10⁴), whose 5⁴ denominator no binary
+    * float represents), covariance from exact integer sums, then 100
+    * power-iteration steps as a recursive CTE carrying the 64-double
+    * vector — matvec and norm as ordered list folds (`list_reduce` is a
+    * left fold; the lambda sums match the Scala loops' ascending index
+    * order; sqrt and division are correctly rounded on both engines;
+    * `list_dot_product` is NOT order-equivalent — measured — so the
+    * explicit fold stays). Every seed literal is CAST to DOUBLE (bare
+    * DuckDB numerics are DECIMAL and quantize the whole recursion —
+    * measured). The upstream CTEs are MATERIALIZED: DuckDB inlines CTE
+    * references by default, so the un-hinted recursion re-derived the
+    * whole moment pipeline every iteration (23 s → 0.8 s at sf0.01).
+    */
+  val embedPcaSql: String = """
+    WITH RECURSIVE x AS (
+      SELECT vec_id, CAST(i AS BIGINT) - 1 AS d,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS s,
+             CAST(embedding[i] AS DOUBLE) AS xd
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ),
+    nrow AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+    dims AS (SELECT CAST(MAX(d) + 1 AS INT) AS dim FROM x),
+    means AS MATERIALIZED (
+      SELECT d, CAST(SUM(s) AS DOUBLE) / 10000.0 / (SELECT n FROM nrow) AS mu
+      FROM x GROUP BY d
+    ),
+    gram AS MATERIALIZED (
+      SELECT a.d AS i, b.d AS j, SUM(a.s * b.s) AS g
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY 1, 2
+    ),
+    cov AS MATERIALIZED (
+      SELECT t.i, t.j,
+             CAST(g AS DOUBLE) / 100000000.0 / (SELECT n FROM nrow)
+               - mi.mu * mj.mu AS c
+      FROM (SELECT i, j, g FROM gram
+            UNION ALL SELECT j, i, g FROM gram WHERE i != j) t
+      JOIN means mi ON mi.d = t.i
+      JOIN means mj ON mj.d = t.j
+    ),
+    strt AS MATERIALIZED (SELECT i FROM cov WHERE i = j ORDER BY c DESC, i ASC LIMIT 1),
+    cmat AS MATERIALIZED (
+      SELECT list(crow ORDER BY i) AS m
+      FROM (SELECT i, list(c ORDER BY j) AS crow FROM cov GROUP BY i)
+    ),
+    fold AS (
+      SELECT 0 AS it,
+             list_transform(range(0, dim),
+               d -> CASE WHEN d = i THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS v
+      FROM strt, dims
+      UNION ALL
+      SELECT it + 1, list_transform(lw.wv, z -> z / ln.nrm)
+      FROM fold, cmat,
+      LATERAL (SELECT list_transform(cmat.m, row ->
+                 list_reduce(list_transform(list_zip(row, fold.v), p -> p[1] * p[2]),
+                             (a, b) -> a + b)) AS wv) lw,
+      LATERAL (SELECT sqrt(list_reduce(list_transform(lw.wv, y -> y * y),
+                                       (a, b) -> a + b)) AS nrm) ln
+      WHERE it < 100
+    ),
+    pcraw AS MATERIALIZED (SELECT v FROM fold WHERE it = 100),
+    big AS MATERIALIZED (
+      SELECT d FROM pcraw, LATERAL (SELECT unnest(range(0, len(v))) AS d) u
+      ORDER BY abs(v[d + 1]) DESC, d ASC LIMIT 1
+    ),
+    pc AS MATERIALIZED (
+      SELECT CASE WHEN v[(SELECT d FROM big) + 1] < 0
+                  THEN list_transform(v, z -> -z) ELSE v END AS pc1
+      FROM pcraw
+    ),
+    mul AS MATERIALIZED (SELECT list(mu ORDER BY d) AS ml FROM means),
+    vecs AS (
+      SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
+      FROM embeddings
+    )
+    SELECT vec_id,
+           list_reduce(
+             list_transform(list_zip(emb, (SELECT ml FROM mul), (SELECT pc1 FROM pc)),
+                            p -> (p[1] - p[2]) * p[3]),
+             (a, b) -> a + b) AS pc1_proj
+    FROM vecs"""
 }
