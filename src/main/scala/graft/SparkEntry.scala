@@ -256,6 +256,10 @@ object SparkEntry {
     // dedup_embed_lsh: LSH candidate recall < 1 by construction → rows-only
     // driver check; SketchSpec asserts precision 1.0 + recall vs exact twin.
     "ann_bruteforce"   -> Similarity.annBruteforceSql,
+    // ann_ivf: deterministic Lloyd's means the WHOLE learned index is
+    // replayable — DuckDB unrolls the 4 training iterations as chained
+    // CTEs and hash-matches train→assign→probe→re-rank end to end.
+    "ann_ivf"          -> Similarity.annIvfSql,
     // ann_lsh: rows-only; SketchSpec measures recall vs brute force.
     "embed_centroids"  -> Similarity.embedCentroidsSql,
     "embed_quantize"   -> Similarity.embedQuantizeSql,

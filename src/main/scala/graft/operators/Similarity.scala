@@ -846,4 +846,99 @@ object Similarity {
                             p -> (p[1] - p[2]) * p[3]),
              (a, b) -> a + b) AS pc1_proj
     FROM vecs"""
+
+  /** One unrolled Lloyd iteration for [[annIvfSql]]: distances to every
+    * cell of codebook `cb_t` (ordered left folds = the Scala ascending
+    * loop), first-minimum assignment (ORDER BY d, c ≡ the strict-`<`
+    * keep-first scan), scaled-integer per-(cell,dim) sums, and the next
+    * codebook with empty cells keeping their previous centroid.
+    */
+  private def ivfIterSql(t: Int): String = s"""
+    d_$t AS MATERIALIZED (
+      SELECT e.vec_id, cells.c,
+             list_reduce(list_transform(list_zip(e.emb, cells.ctr),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d
+      FROM e, (SELECT unnest(cb) AS ctr, generate_subscripts(cb, 1) - 1 AS c
+               FROM cb_$t) cells
+    ),
+    asg_$t AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM d_$t) WHERE rn = 1
+    ),
+    sums_$t AS MATERIALIZED (
+      SELECT a.cell, x.dm, SUM(x.s) AS sm, COUNT(DISTINCT x.vec_id) AS cnt
+      FROM asg_$t a JOIN xs x USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    newc_$t AS (
+      SELECT cell, list(CAST(sm AS DOUBLE) / 1e9 / cnt ORDER BY dm) AS ctr
+      FROM sums_$t GROUP BY cell
+    ),
+    cb_${t + 1} AS MATERIALIZED (
+      SELECT list(coalesce(n.ctr, o.ctr) ORDER BY o.c) AS cb
+      FROM (SELECT unnest(cb) AS ctr, generate_subscripts(cb, 1) - 1 AS c FROM cb_$t) o
+      LEFT JOIN newc_$t n ON n.cell = o.c
+    )"""
+
+  /** DuckDB oracle for [[annIvf]] — the LEARNED index replayed end to
+    * end: deterministic Lloyd's training (md5-ordered seeds, the 4
+    * iterations UNROLLED as chained CTEs — the `graph_pagerank` device —
+    * each with ordered-fold distances, keep-first argmin, exact
+    * scaled-integer centroid sums), then final assignment, top-nprobe
+    * probes by the same metric, and exact cosine re-scoring inside
+    * probed cells only. Every double (distances, centroids, cosines)
+    * comes out bit-identical to the Scala run, so the driver hash gate
+    * covers the whole train→index→probe→re-rank pipeline.
+    */
+  val annIvfSql: String = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    xs AS MATERIALIZED (
+      SELECT vec_id, CAST(i AS BIGINT) - 1 AS dm,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS s
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ),
+    cb_0 AS MATERIALIZED (
+      SELECT list(emb ORDER BY h, vec_id) AS cb
+      FROM (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM e ORDER BY h, vec_id LIMIT 10)
+    ),""" + (0 until 4).map(ivfIterSql).mkString(",") + """,
+    dfin AS MATERIALIZED (
+      SELECT e.vec_id, cells.c,
+             list_reduce(list_transform(list_zip(e.emb, cells.ctr),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d
+      FROM e, (SELECT unnest(cb) AS ctr, generate_subscripts(cb, 1) - 1 AS c
+               FROM cb_4) cells
+    ),
+    corpus AS MATERIALIZED (
+      SELECT n.vec_id, a.cell, n.emb, n.nrm
+      FROM (SELECT vec_id, emb,
+                   sqrt(list_sum(list_transform(emb, z -> z * z))) AS nrm FROM e) n
+      JOIN (SELECT vec_id, c AS cell FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+              FROM dfin) WHERE rn = 1) a USING (vec_id)
+    ),
+    probes AS MATERIALIZED (
+      SELECT vec_id AS query_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dfin WHERE vec_id < 10) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id, p.cell,
+             list_sum(list_transform(list_zip(q.emb, x.emb), z -> z[1] * z[2]))
+               / (q.nrm * x.nrm) AS cos
+      FROM probes p
+      JOIN corpus x ON x.cell = p.cell AND x.vec_id != p.query_id
+      JOIN corpus q ON q.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(cell AS INT) AS cell, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= 5"""
 }
