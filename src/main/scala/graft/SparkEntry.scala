@@ -260,6 +260,7 @@ object SparkEntry {
     // replayable — DuckDB unrolls the 4 training iterations as chained
     // CTEs and hash-matches train→assign→probe→re-rank end to end.
     "ann_ivf"          -> Similarity.annIvfSql,
+    "dedup_semdedup"   -> Similarity.semDedupSql,
     // ann_lsh: rows-only; SketchSpec measures recall vs brute force.
     "embed_centroids"  -> Similarity.embedCentroidsSql,
     "embed_quantize"   -> Similarity.embedQuantizeSql,
@@ -288,9 +289,9 @@ object SparkEntry {
     // ann_pq: learned PQ codebook + ADC ranking is not SQL-expressible →
     // rows-only driver check; SketchSpec asserts retrain determinism,
     // monotone objectives, recall vs brute force, reconstruction MSE.
-    // dedup_semdedup: k-means cells are not SQL-expressible → rows-only;
-    // HygieneSpec pins exact-witness precision + co-celled-pair recall
-    // against the exact embedPairs contract.
+    // dedup_semdedup: hash-oracled after all (the k-means replay above
+    // + keep-first EXISTS); HygieneSpec still pins exact-witness
+    // precision + co-celled-pair recall against embedPairs.
     "text_lm_score"    -> TextAnalysis.lmScoreSql,
     "text_decontam"    -> Decontam.ngramCollisionsSql,
     // identical output contract via the Bloom pre-filter path (exact

@@ -892,7 +892,11 @@ object Similarity {
     * comes out bit-identical to the Scala run, so the driver hash gate
     * covers the whole train→index→probe→re-rank pipeline.
     */
-  val annIvfSql: String = """
+  /** Shared replay prefix: training (4 unrolled iterations), final
+    * distances, and the assigned corpus with norms — consumed by both
+    * [[annIvfSql]] and [[semDedupSql]].
+    */
+  private val ivfTrainedCorpusSql: String = """
     WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
       FROM embeddings
@@ -922,7 +926,9 @@ object Similarity {
               SELECT vec_id, c,
                      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
               FROM dfin) WHERE rn = 1) a USING (vec_id)
-    ),
+    )"""
+
+  val annIvfSql: String = ivfTrainedCorpusSql + """,
     probes AS MATERIALIZED (
       SELECT vec_id AS query_id, c AS cell FROM (
         SELECT vec_id, c,
@@ -941,4 +947,24 @@ object Similarity {
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
     FROM scored QUALIFY rank <= 5"""
+
+  /** DuckDB oracle for [[semDedup]] — the same trained-corpus replay,
+    * then the keep-first rule as an EXISTS: vector a drops iff some
+    * smaller-id co-celled b (dropped or not — SemDeDup's any-earlier-
+    * member witness) has cosine ≥ τ with it. The 0.4 threshold compare
+    * and the cosine form are the ones `dedup_embed`'s passing oracle
+    * already proves engine-exact.
+    */
+  val semDedupSql: String = ivfTrainedCorpusSql + """,
+    kept AS (
+      SELECT a.vec_id, a.cell,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM corpus b
+               WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                 AND list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1] * z[2]))
+                       / (a.nrm * b.nrm) >= 0.4)
+             THEN 0 ELSE 1 END AS is_kept
+      FROM corpus a)
+    SELECT vec_id, CAST(cell AS INT) AS cell, CAST(is_kept AS INT) AS is_kept
+    FROM kept"""
 }
