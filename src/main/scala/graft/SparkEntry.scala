@@ -286,9 +286,12 @@ object SparkEntry {
     "embed_pca"        -> Similarity.embedPcaSql,
     "text_pii"         -> TextAnalysis.piiSql,
     "embed_knn_graph"  -> Similarity.embedKnnGraphSql,
-    // ann_pq: learned PQ codebook + ADC ranking is not SQL-expressible →
-    // rows-only driver check; SketchSpec asserts retrain determinism,
-    // monotone objectives, recall vs brute force, reconstruction MSE.
+    // ann_pq / ann_ivfpq: hash-oracled after all — the per-subspace
+    // Lloyd's and the coarse quantizer unroll as chained CTEs, the ADC
+    // sum is an ordered list fold; SketchSpec still asserts retrain
+    // determinism, monotone objectives, recall, reconstruction MSE.
+    "ann_pq"           -> Pq.annPqSql,
+    "ann_ivfpq"        -> Pq.annIvfPqSql,
     // dedup_semdedup: hash-oracled after all (the k-means replay above
     // + keep-first EXISTS); HygieneSpec still pins exact-witness
     // precision + co-celled-pair recall against embedPairs.

@@ -310,6 +310,179 @@ object Pq {
     exact.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
   }
 
+  /** One unrolled per-subspace Lloyd iteration for the DuckDB replay
+    * oracles — the PQ twin of [[Similarity.ivfIterSql]]: every subspace
+    * trains in the same pass (the codebook table is keyed (s, cell)).
+    */
+  private def pqIterSql(t: Int): String = s"""
+    pqd_$t AS MATERIALIZED (
+      SELECT sub.vec_id, sub.s, cb.cell,
+             list_reduce(list_transform(list_zip(sub.sv, cb.ctr),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d
+      FROM sub JOIN pqcb_$t cb USING (s)
+    ),
+    pqa_$t AS MATERIALIZED (
+      SELECT vec_id, s, cell FROM (
+        SELECT vec_id, s, cell,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cell ASC) AS rn
+        FROM pqd_$t) WHERE rn = 1
+    ),
+    pqs_$t AS MATERIALIZED (
+      SELECT a.s, a.cell, x.i, SUM(x.sint) AS sm, COUNT(DISTINCT x.vec_id) AS cnt
+      FROM pqa_$t a JOIN subx x ON x.vec_id = a.vec_id AND x.s = a.s
+      GROUP BY 1, 2, 3
+    ),
+    pqn_$t AS (
+      SELECT s, cell, list(CAST(sm AS DOUBLE) / 1e9 / cnt ORDER BY i) AS ctr
+      FROM pqs_$t GROUP BY 1, 2
+    ),
+    pqcb_${t + 1} AS MATERIALIZED (
+      SELECT o.s, o.cell, coalesce(n.ctr, o.ctr) AS ctr
+      FROM pqcb_$t o LEFT JOIN pqn_$t n USING (s, cell)
+    )"""
+
+  /** Shared replay prefix for the PQ oracles: embeddings with norms,
+    * subspace slices (plain + scaled-integer), the seeded codebook, the
+    * 4 unrolled training iterations, the final encoding, and the
+    * per-query LUT of exact sub-inner-products.
+    */
+  private val pqTrainedSql: String = """
+    e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb,
+             sqrt(list_sum(list_transform(embedding, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    sub AS MATERIALIZED (
+      SELECT vec_id, s, emb[s*8+1 : s*8+8] AS sv
+      FROM e, unnest(range(0, 8)) AS u(s)
+    ),
+    subx AS MATERIALIZED (
+      SELECT vec_id, s, i, CAST(round(sv[i+1] * 1e9) AS BIGINT) AS sint
+      FROM sub, unnest(range(0, 8)) AS w(i)
+    ),
+    pqseeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, emb
+      FROM (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM e ORDER BY h, vec_id LIMIT 16)
+    ),
+    pqcb_0 AS MATERIALIZED (
+      SELECT u.s, pqseeds.cell, emb[u.s*8+1 : u.s*8+8] AS ctr
+      FROM pqseeds, unnest(range(0, 8)) AS u(s)
+    ),""" + (0 until 4).map(pqIterSql).mkString(",") + """,
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, cell FROM (
+        SELECT sub.vec_id, sub.s, cb.cell,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY list_reduce(list_transform(list_zip(sub.sv, cb.ctr),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) ASC,
+                 cb.cell ASC) AS rn
+        FROM sub JOIN pqcb_4 cb USING (s)) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, cb.s, cb.cell,
+             list_reduce(list_transform(list_zip(q.emb[cb.s*8+1 : cb.s*8+8], cb.ctr),
+                         p -> p[1] * p[2]), (a, b) -> a + b) AS ip
+      FROM (SELECT vec_id, emb FROM e WHERE vec_id < 10 AND nrm > 0) q, pqcb_4 cb
+    )"""
+
+  /** Shared exact re-rank tail: top-5 per query over the shortlist by
+    * full-precision cosine.
+    */
+  private val rerankSql: String = """
+    SELECT s.query_id, s.neighbor_id,
+           list_sum(list_transform(list_zip(q.emb, x.emb), z -> z[1] * z[2]))
+             / (q.nrm * x.nrm) AS cos,
+           CAST(row_number() OVER (PARTITION BY s.query_id
+                ORDER BY list_sum(list_transform(list_zip(q.emb, x.emb), z -> z[1] * z[2]))
+                         / (q.nrm * x.nrm) DESC, s.neighbor_id ASC) AS INT) AS rank
+    FROM short s
+    JOIN e x ON x.vec_id = s.neighbor_id AND x.nrm > 0
+    JOIN e q ON q.vec_id = s.query_id AND q.nrm > 0
+    QUALIFY rank <= 5"""
+
+  /** DuckDB oracle for [[query]] (`ann_pq`) — train → encode → ADC →
+    * exact re-rank replayed bit-exactly: the per-subspace Lloyd's
+    * unrolls like the IVF oracle, the ADC sum over subspaces is an
+    * ordered list fold (ascending s, the Scala loop's order), and the
+    * shortlist/re-rank windows use the established cosine forms.
+    */
+  val annPqSql: String = "WITH" + pqTrainedSql + """,
+    adc AS MATERIALIZED (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             list_reduce(list(l.ip ORDER BY l.s), (a, b) -> a + b)
+               / (q.nrm * x.nrm) AS approx_cos
+      FROM codes c
+      JOIN lut l ON l.s = c.s AND l.cell = c.cell
+      JOIN e x ON x.vec_id = c.vec_id
+      JOIN e q ON q.vec_id = l.query_id
+      WHERE c.vec_id != l.query_id AND x.nrm > 0
+      GROUP BY l.query_id, c.vec_id, q.nrm, x.nrm
+    ),
+    short AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cos DESC, neighbor_id ASC) AS arank
+        FROM adc) WHERE arank <= 50
+    )""" + rerankSql
+
+  /** DuckDB oracle for [[annIvfPq]] — BOTH trained stages replayed in
+    * one query: the coarse k-means cells (the `Similarity.ivfIterSql`
+    * blocks over this prefix's nrm-enriched `e` — the extra column is
+    * harmless), the PQ codebook, and the probed-cell-restricted ADC
+    * with exact re-rank.
+    */
+  val annIvfPqSql: String = "WITH" + pqTrainedSql + """,
+    xs AS MATERIALIZED (
+      SELECT vec_id, CAST(i AS BIGINT) - 1 AS dm,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS s
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ),
+    cb_0 AS MATERIALIZED (
+      SELECT list(emb ORDER BY h, vec_id) AS cb
+      FROM (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM e ORDER BY h, vec_id LIMIT 10)
+    ),""" + (0 until 4).map(Similarity.ivfIterSql).mkString(",") + """,
+    dfin AS MATERIALIZED (
+      SELECT e.vec_id, cells.c,
+             list_reduce(list_transform(list_zip(e.emb, cells.ctr),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d
+      FROM e, (SELECT unnest(cb) AS ctr, generate_subscripts(cb, 1) - 1 AS c
+               FROM cb_4) cells
+    ),
+    cellasg AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dfin) WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT vec_id AS query_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dfin WHERE vec_id < 10) WHERE rn <= 3
+    ),
+    adc AS MATERIALIZED (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             list_reduce(list(l.ip ORDER BY l.s), (a, b) -> a + b)
+               / (q.nrm * x.nrm) AS approx_cos
+      FROM probes p
+      JOIN cellasg ca ON ca.cell = p.cell
+      JOIN codes c ON c.vec_id = ca.vec_id
+      JOIN lut l ON l.query_id = p.query_id AND l.s = c.s AND l.cell = c.cell
+      JOIN e x ON x.vec_id = c.vec_id
+      JOIN e q ON q.vec_id = p.query_id
+      WHERE c.vec_id != p.query_id AND x.nrm > 0
+      GROUP BY l.query_id, c.vec_id, q.nrm, x.nrm
+    ),
+    short AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cos DESC, neighbor_id ASC) AS arank
+        FROM adc) WHERE arank <= 50
+    )""" + rerankSql
+
   /** Mean squared reconstruction error of the PQ codes — the compression
     * quality metric an index build monitors (spec asserts it shrinks
     * with more training and beats the 1-centroid degenerate codebook).

@@ -853,7 +853,7 @@ object Similarity {
     * keep-first scan), scaled-integer per-(cell,dim) sums, and the next
     * codebook with empty cells keeping their previous centroid.
     */
-  private def ivfIterSql(t: Int): String = s"""
+  private[operators] def ivfIterSql(t: Int): String = s"""
     d_$t AS MATERIALIZED (
       SELECT e.vec_id, cells.c,
              list_reduce(list_transform(list_zip(e.emb, cells.ctr),
