@@ -397,7 +397,7 @@ object Windows {
     val now = ev.agg(max($"sec").as("now_sec"))
     ev.crossJoin(broadcast(now))
       .select($"user_id",
-        (($"now_sec" - $"sec") / 3600).cast("long").as("age_h"))
+        expr("(now_sec - sec) div 3600").as("age_h"))
       .select($"user_id",
         when($"age_h" <= 40,
           expr("shiftright(CAST(1099511627776 AS BIGINT), CAST(age_h AS INT))"))
