@@ -329,8 +329,10 @@ object SparkEntry {
     "pipeline_epochs"  -> Curation.epochOrdersSql(),
     "pipeline_budget_epochs" -> Curation.budgetEpochsSql(),
     "pipeline_interleave" -> Curation.interleaveSql,
-    // mm_simhash: sketch-based (SimHash bit votes) → rows-only driver
-    // check; SketchSpec plants a one-byte-flipped payload copy.
+    // mm_simhash: splitmix64 is plain 2^64 integer arithmetic (unlike
+    // the xxhash64 text sketches) → the whole byte-level sketch replays
+    // in HUGEINT; SketchSpec still plants a one-byte-flipped copy.
+    "mm_simhash"       -> Multimodal.payloadSimhashSql,
     "pipeline_mix"     -> Curation.mixSourcesSql,
     "graph_pagerank"   -> Graph.pagerankSql,
     "graph_triangles"  -> Graph.trianglesSql,
