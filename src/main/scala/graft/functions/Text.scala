@@ -52,7 +52,12 @@ object Text {
     when(size(wordsCol) >= n, joined).otherwise(array().cast("array<string>"))
   }
 
-  /** xxhash64 of each shingle — the numeric form fed to the sketches. */
+  /** xxhash64 of each shingle — the historical Column-path numeric form.
+    * Round 10 moved the SKETCH base hash to [[gram64]] (splitmix64
+    * finalizer over the Mersenne-61 rolling hash) so the MinHash/SimHash
+    * sketches replay bit-exactly in the DuckDB oracle; this Column form
+    * stays as the xx64 parity documentation.
+    */
   def shingleHashes(shinglesCol: Column): Column =
     transform(shinglesCol, s => xxhash64(s))
 
@@ -127,12 +132,49 @@ object Text {
   /** text → distinct n-shingles for arbitrary n (same fast path). */
   def shinglesNFastUdf(n: Int) = udf((text: String) => shingleSet(text, n))
 
-  /** text → xxhash64 of each distinct 3-shingle (fast path). */
+  // ---- splitmix64-seeded sketch hashing ------------------------------
+  //
+  // Round 10: the sketch base hash moved from xxhash64 to
+  // mix64(roll61(shingle)) — the splitmix64 FINALIZER (Steele/Lea/
+  // Flood, "Fast Splittable Pseudorandom Number Generators", OOPSLA'14;
+  // the same mixer `mm_simhash` already replays) applied to the
+  // Mersenne-61 rolling polynomial hash (`text_rollhash`'s closed-form-
+  // replayable fingerprint). Statistically equivalent avalanche for
+  // sketching, and — unlike xxhash64's lane/length-dependent byte
+  // schedule — plain 2^64/2^61 modular arithmetic, so every downstream
+  // sketch (MinHash sigs, band folds, SimHash votes, LSH planes)
+  // replays bit-exactly in DuckDB HUGEINT and the rows flip from
+  // spec-only to hash-oracled under the driver's hard gate.
+
+  val SmGolden: Long = 0x9E3779B97F4A7C15L // splitmix64 stream increment
+
+  /** splitmix64 finalizer: xor-shift/multiply avalanche, mod 2^64. */
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Draw i of the splitmix64 stream at `seed` — the deterministic
+    * parameter source for minhash perms and LSH hyperplanes.
+    */
+  def splitmix64(seed: Long, i: Long): Long = mix64(seed + (i + 1L) * SmGolden)
+
+  /** Sketch base hash of one shingle: Mersenne-61 rolling hash, then the
+    * splitmix64 finalizer for avalanche. Never 0-colliding with empty
+    * input in practice: shingles are non-empty normalized word trigrams.
+    */
+  def gram64(s: String): Long = mix64(rollingHash(s))
+
+  /** text → gram64 of each distinct 3-shingle — the numeric form fed to
+    * the MinHash/SimHash sketches (fast path).
+    */
   val shingleHashesFastUdf = udf { (text: String) =>
     val sh = shingleSet(text, 3)
     val out = new Array[Long](sh.length)
     var i = 0
-    while (i < sh.length) { out(i) = xx64(sh(i)); i += 1 }
+    while (i < sh.length) { out(i) = gram64(sh(i)); i += 1 }
     out
   }
 
@@ -143,14 +185,16 @@ object Text {
   val LshRows = 8 // MinhashPerms / LshBands
   private val MersennePrime = 2147483647L // 2^31-1
 
-  /** Deterministic permutation parameters (seeded, 31-bit so a*x+b stays
-    * in 63 bits).
+  /** Deterministic permutation parameters from the splitmix64 stream at
+    * seed 42 (draw 2p → a, draw 2p+1 → b): 31-bit so a*x+b stays in 63
+    * bits, a ∈ [1, M), b ∈ [0, M). Integer-derivable, so the DuckDB
+    * oracle regenerates them instead of trusting 256 literals.
     */
-  private val (permA, permB): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(42)
-    (Array.fill(MinhashPerms)(rnd.nextInt(Int.MaxValue - 1).toLong + 1),
-      Array.fill(MinhashPerms)(rnd.nextInt(Int.MaxValue).toLong))
-  }
+  private val (permA, permB): (Array[Long], Array[Long]) = (
+    Array.tabulate(MinhashPerms)(p =>
+      (splitmix64(42L, 2L * p) >>> 33) % (MersennePrime - 1) + 1),
+    Array.tabulate(MinhashPerms)(p =>
+      (splitmix64(42L, 2L * p + 1) >>> 33) % MersennePrime))
 
   /** 128-perm minhash signature of a shingle-hash array. */
   def minhashSignature(hashes: Array[Long]): Array[Long] = {

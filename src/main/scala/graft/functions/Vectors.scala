@@ -37,12 +37,20 @@ object Vectors {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
   /** Deterministic random-hyperplane LSH keys: `tables` keys per vector,
-    * each a `bits`-bit sign pattern tagged with its table index. Seeded
-    * gaussian hyperplanes (Charikar, STOC 2002).
+    * each a `bits`-bit sign pattern tagged with its table index
+    * (Charikar, STOC 2002). Plane entries are uniform [-1, 1) drawn from
+    * the splitmix64 stream at `seed` (plane index × dim + component):
+    * a symmetric sub-gaussian substitute for the classical gaussian
+    * planes (Achlioptas, PODS'01 shows sign-LSH quality survives such
+    * simple symmetric draws) whose EXACT dyadic construction
+    * ((z >>> 11) / 2^52 − 1) replays bit-for-bit in the DuckDB oracle —
+    * gaussians would need transcendental Box–Muller, which never
+    * hash-matches across engines.
     */
   def lshKeys(dim: Int, tables: Int, bits: Int, seed: Long = 7L): Column => Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(tables * bits, dim)(rnd.nextGaussian())
+    val planes = Array.tabulate(tables * bits, dim)((pl, i) =>
+      (Text.splitmix64(seed, pl.toLong * dim + i) >>> 11).toDouble /
+        (1L << 52).toDouble - 1.0)
     val f = udf { (emb: Seq[Float]) =>
       val v = emb.toArray
       Array.tabulate(tables) { t =>
