@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{FloatDotProduct, NormalizeText}
+import graft.functions.{FloatDotProduct, MinhashBands, MinhashSig, NormalizeText, ShingleGramHashes, SimHash64}
 
 /** Optimizer rule: `graft_normalize` is idempotent (its output alphabet
   * [a-z0-9 ], single-spaced, trimmed, is a fixpoint of the transform),
@@ -75,6 +75,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, s"graft_normalize takes 1 argument, got ${args.length}")
         NormalizeText(args.head)
       }))
+    // The sketch pipeline natives (round 10): same names as the
+    // GraftFunctions UDF twins, so an extensions-equipped session gets
+    // the codegen'd primitive-loop forms while plain register() sessions
+    // keep identical semantics through the UDFs (SketchExprSpec pins
+    // bit-parity).
+    def inject1(name: String, cls: Class[_], f: Expression => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name takes 1 argument, got ${args.length}")
+          f(args.head)
+        }))
+    inject1("graft_shingle_hashes", classOf[ShingleGramHashes], ShingleGramHashes(_))
+    inject1("graft_minhash_sig", classOf[MinhashSig], MinhashSig(_))
+    inject1("graft_minhash_bands", classOf[MinhashBands], MinhashBands(_))
+    inject1("graft_simhash64", classOf[SimHash64], SimHash64(_))
     // Spark's internal Bloom pair (what its runtime-filter rewrite
     // injects for shuffle-join pruning), surfaced to SQL users for
     // explicit sketch-side pre-filters (see Decontam.bloomDecontam):

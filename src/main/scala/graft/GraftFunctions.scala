@@ -48,6 +48,7 @@ object GraftFunctions {
     spark.udf.register("graft_shingles", Text.shinglesFastUdf)
     spark.udf.register("graft_shingle_hashes", Text.shingleHashesFastUdf)
     spark.udf.register("graft_minhash_sig", Text.minhashSigUdf)
+    spark.udf.register("graft_minhash_bands", Text.bandsFromSigUdf)
     spark.udf.register("graft_simhash64", Text.simhashUdf)
     // the Z-order layout key (sink_zorder's interleave, SQL-callable so
     // pure-SQL writers can ORDER BY the same curve)

@@ -224,18 +224,21 @@ object SparkEntry {
     // error of the exact batch distincts over the same window set.
     "q_stream_range_join" -> StreamQueries.streamRangeJoinSql,
     "q_stream_range_join_outer" -> StreamQueries.streamRangeJoinOuterSql,
-    "q_stream_hot_lines" -> StreamQueries.streamHotLinesSql,
+    "q_stream_hot_lines" -> StreamQueries.streamHotLinesSql(),
     "q_stream_attribution" -> StreamQueries.streamAttributionSql,
     "embed_mips"       -> Similarity.embedMipsSql,
     "q_decay"          -> Windows.decayScoresSql,
     "sink_delete"      -> graft.sources.Sinks.deleteRewriteSql,
     "sink_snapshot"    -> graft.sources.Sinks.snapshotReadSql,
-    "q_outlier_mad"    -> Profile.outliersMadSql,
+    "q_outlier_mad"    -> Profile.outliersMadSql(),
     // q_stream_dgim_tumble: rows-only; StreamingSpec asserts error bound.
     "dedup_exact"      -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
-    // dedup_minhash / dedup_simhash: sketch-based, not SQL-expressible →
-    // rows-only driver check; SketchSpec asserts recall/precision.
+    // dedup_minhash / dedup_simhash (round 10): the splitmix64 re-seed
+    // made the full sketches DuckDB-replayable — hash-oracled; SketchSpec
+    // still asserts recall/precision.
+    "dedup_minhash"    -> Dedup.minhashLshSql,
+    "dedup_simhash"    -> Dedup.simhashSql,
     "dedup_chunks"     -> Dedup.chunkDupsSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_editdist"   -> Dedup.editDistVerifySql,
@@ -247,21 +250,26 @@ object SparkEntry {
     // probe (exact verify behind the sketch) — same oracle as the
     // streaming delta dedup's left join
     "dedup_delta_bloom" -> StreamQueries.streamDeltaDedupSql,
-    // dedup_delta_lsh: MinHash bands are not SQL-expressible → rows-only;
-    // SketchSpec proves equality with the full-corpus LSH run restricted
-    // to pairs touching the delta
+    // dedup_delta_lsh (round 10): replayed like dedup_minhash, with the
+    // delta side probing all bands — index probe ≡ recompute, now under
+    // the hash gate (SketchSpec keeps the full-vs-delta equality proof)
+    "dedup_delta_lsh"  -> Dedup.deltaLshSql,
     "dedup_clusters"   -> Clusters.dedupClustersSql,
     "dedup_apply"      -> Clusters.dedupApplySql,
     "dedup_embed"      -> Similarity.embedPairsSql,
-    // dedup_embed_lsh: LSH candidate recall < 1 by construction → rows-only
-    // driver check; SketchSpec asserts precision 1.0 + recall vs exact twin.
+    // dedup_embed_lsh (round 10): recall < 1 vs the exact twin, but the
+    // operator's OWN output is deterministic — the splitmix64 hyperplanes
+    // replay in SQL, so the bucketed candidates + exact rescore hash-match.
+    "dedup_embed_lsh"  -> Similarity.embedPairsLshSql,
     "ann_bruteforce"   -> Similarity.annBruteforceSql,
     // ann_ivf: deterministic Lloyd's means the WHOLE learned index is
     // replayable — DuckDB unrolls the 4 training iterations as chained
     // CTEs and hash-matches train→assign→probe→re-rank end to end.
     "ann_ivf"          -> Similarity.annIvfSql,
     "dedup_semdedup"   -> Similarity.semDedupSql,
-    // ann_lsh: rows-only; SketchSpec measures recall vs brute force.
+    // ann_lsh (round 10): hyperplane replay → hash-oracled; SketchSpec
+    // still measures recall vs brute force.
+    "ann_lsh"          -> Similarity.annLshSql,
     "embed_centroids"  -> Similarity.embedCentroidsSql,
     "embed_quantize"   -> Similarity.embedQuantizeSql,
     "text_langid"      -> TextAnalysis.langidSql,
@@ -270,7 +278,7 @@ object SparkEntry {
     "text_tokens_bpe"  -> TextAnalysis.tokensBpeSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_rollhash"    -> TextAnalysis.rollhashSql,
-    "text_boilerplate" -> TextAnalysis.boilerplateSql,
+    "text_boilerplate" -> TextAnalysis.boilerplateSql(),
     "text_tfidf"       -> TextAnalysis.tfidfSql,
     "text_chunks"      -> TextAnalysis.chunksSql,
     "text_repetition"  -> TextAnalysis.repetitionSql,

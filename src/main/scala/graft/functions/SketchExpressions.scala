@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Primitive cores of the sketch pipeline, shared by the native
+  * expressions below and callable from generated code. The row UDFs in
+  * [[Text]] remain the registered SQL twins and the spec reference —
+  * SketchExprSpec pins bit-parity; these expressions exist because the
+  * dedup family evaluates them on EVERY document and a ScalaUDF pays
+  * UTF8String⇄String and ArrayData⇄Seq[Long] conversions per row plus
+  * the codegen break.
+  */
+object SketchNative {
+
+  private val M61 = (1L << 61) - 1
+
+  /** Distinct n-shingle gram64 hashes straight off the normalized BYTES:
+    * after [[TextNative.normalize]] words are single-space separated, so
+    * every shingle is a CONTIGUOUS byte slice [wordStart(i),
+    * wordEnd(i+n-1)) — no split, no per-word allocation. Dedup is by
+    * shingle CONTENT (UTF8String views over the slice), first-occurrence
+    * order, exactly like `Text.shingleSet`; the hash is the Mersenne-61
+    * roll over the slice bytes (== chars: the normalized alphabet is
+    * ASCII) finished with mix64 — bit-identical to
+    * `Text.gram64(shingle)`.
+    */
+  def shingleGramHashes(u: UTF8String, n: Int): ArrayData = {
+    val norm = TextNative.normalize(u).getBytes
+    var wc = if (norm.length == 0) 0 else 1
+    var i = 0
+    while (i < norm.length) { if (norm(i) == ' ') wc += 1; i += 1 }
+    if (wc < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val starts = new Array[Int](wc)
+    val ends = new Array[Int](wc)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < norm.length) {
+      if (norm(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = norm.length
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new Array[Long](wc - n + 1)
+    var k = 0
+    i = 0
+    while (i + n <= wc) {
+      val s = starts(i)
+      val e = ends(i + n - 1)
+      if (seen.add(UTF8String.fromBytes(norm, s, e - s))) {
+        var h = 0L
+        var j = s
+        while (j < e) { h = (Text.mulMod61(h, 257L) + norm(j)) % M61; j += 1 }
+        out(k) = Text.mix64(h)
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
+  def minhashSig(a: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Text.minhashSignature(a.toLongArray))
+
+  def bandHashes(a: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Text.bandHashesFromSig(a.toLongArray))
+
+  def simhash64(a: ArrayData): Long = Text.simhash64(a.toLongArray)
+}
+
+/** text → gram64 hashes of its distinct 3-shingles, inside whole-stage
+  * codegen (the scan-stage primitive of every sketch dedup query).
+  */
+case class ShingleGramHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchNative.shingleGramHashes(input.asInstanceOf[UTF8String], 3)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchNative.shingleGramHashes($c, 3)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleGramHashes {
+  def apply(c: Column): Column =
+    ColumnBridge.column(ShingleGramHashes(ColumnBridge.expression(c)))
+}
+
+/** gram-hash array → 128-perm minhash signature (primitive loop, no
+  * Seq[Long] boxing).
+  */
+case class MinhashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchNative.minhashSig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchNative.minhashSig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  def apply(c: Column): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(c)))
+}
+
+/** minhash signature → 16 LSH band hashes. */
+case class MinhashBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchNative.bandHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchNative.bandHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashBands {
+  def apply(c: Column): Column =
+    ColumnBridge.column(MinhashBands(ColumnBridge.expression(c)))
+}
+
+/** gram-hash array → 64-bit simhash (per-bit majority vote). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchNative.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchNative.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+}

@@ -276,7 +276,7 @@ object Text {
   /** (a*b) mod 2^61-1 via the Mersenne fold: with x = a·b in 128 bits,
     * x ≡ (x & M) + (x >> 61) (mod M) because 2^61 ≡ 1.
     */
-  private def mulMod61(a: Long, b: Long): Long = {
+  private[functions] def mulMod61(a: Long, b: Long): Long = {
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b
     var r = (lo & Mersenne61) + ((hi << 3) | (lo >>> 61))

@@ -514,10 +514,11 @@ object Curation {
     }.reduce(_ unionByName _)
   }
 
-  /** Oracle for [[budgetEpochs]] — the VALUES list derives from the same
-    * epochs parameter, like [[epochOrdersSql]].
+  /** Oracle for [[budgetEpochs]] — the VALUES list and the cum_tokens
+    * cutoff derive from the same epochs/budget parameters as the query,
+    * like [[epochOrdersSql]].
     */
-  def budgetEpochsSql(epochs: Int = 3): String = {
+  def budgetEpochsSql(epochs: Int = 3, budget: Long = 10000L): String = {
     val values = (0 until epochs).map(e => s"($e)").mkString(",")
     s"""
     WITH q AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
@@ -527,7 +528,7 @@ object Curation {
             CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
           FROM q),
-    sel AS (SELECT doc_id FROM c WHERE cum_tokens <= 10000)
+    sel AS (SELECT doc_id FROM c WHERE cum_tokens <= $budget)
     SELECT ep.epoch, doc_id,
            md5('e' || ep.epoch || ':' || CAST(doc_id AS VARCHAR)) AS skey,
            CAST(row_number() OVER (PARTITION BY ep.epoch
@@ -569,9 +570,13 @@ object Curation {
       .select($"doc_id", $"source",
         md5(concat(lit("il:"), $"doc_id".cast("string"))).as("skey"))
       .withColumn("r", row_number().over(w).cast("long") - 1)
+      .withColumn("wv", wCol)
+      // r div wv, not (r / wv).cast("long"): Spark's '/' on longs is
+      // double division, which loses floor semantics past 2^53 — div is
+      // the exact integer form the oracle's '//' uses at any scale
       .select($"doc_id", $"source", $"skey",
         ($"r" + 1).as("src_rank"),
-        (($"r" / wCol).cast("long") * 10 + startCol + ($"r" % wCol) + 1)
+        (expr("r div wv") * 10 + startCol + ($"r" % $"wv") + 1)
           .as("slot"))
   }
 

@@ -71,9 +71,16 @@ object Decontam {
     val docs = Tables.documents(spark, dir)
     val shingled = docs.select($"doc_id", $"source",
       explode(Text.shinglesNFastUdf(N)($"text")).as("s"))
+    // materialize the eval-gram set ONCE: it feeds two consumers — the
+    // Bloom build (an eager head()) and the broadcast verify join — and
+    // without the cache each would re-run the eval slice's shingle
+    // explode (r9's bench flagged exactly that double derivation). The
+    // set is benchmark-sized by construction, so caching it is the same
+    // memory the broadcast already pays.
     val evalGrams = shingled
       .filter($"source".isInCollection(EvalSources))
       .select($"s").distinct()
+      .cache()
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64($"s")),

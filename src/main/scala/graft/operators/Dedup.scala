@@ -313,16 +313,18 @@ object Dedup {
     WHERE i*1.0/na >= 0.9"""
 
   /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
-    * Rows-only driver check; SketchSpec asserts recall vs exact Jaccard.
+    * SQL hash-oracled via [[minhashLshSql]] (round 10 — the splitmix64
+    * re-seed made the full sketch DuckDB-replayable); SketchSpec
+    * additionally asserts recall vs exact Jaccard.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val withHashes = Tables.documents(spark, dir)
-      .select($"doc_id", Text.shingleHashesFastUdf($"text").as("hashes"))
+      .select($"doc_id", graft.functions.ShingleGramHashes($"text").as("hashes"))
       .filter(size($"hashes") > 0)
     val sigs = withHashes
-      .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"))
-      .select($"doc_id", $"sig", Text.bandsFromSigUdf($"sig").as("bands"))
+      .select($"doc_id", graft.functions.MinhashSig($"hashes").as("sig"))
+      .select($"doc_id", $"sig", graft.functions.MinhashBands($"sig").as("bands"))
       .cache()
     // join SLIM (doc_id, band) rows only — the 128-long signatures would
     // otherwise be shuffled twice (join + dedup) per band row; attach
@@ -344,6 +346,22 @@ object Dedup {
         simUdf($"sa.sig", $"sb.sig").as("est_jaccard"))
       .filter($"est_jaccard" >= 0.7)
   }
+
+  /** DuckDB replay oracle for [[minhashLsh]]: shingle gram64 hashes →
+    * perm regeneration off the splitmix64 stream → per-perm MIN → band
+    * folds → band join → signature-agreement Jaccard. est_jaccard =
+    * k/128 is exactly dyadic, so the double column hash-matches.
+    */
+  val minhashLshSql: String = s"""
+    WITH RECURSIVE ${SketchSql.gramsCtes},
+    ${SketchSql.minhashSigsCtes},
+    ${SketchSql.bandsCtes},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    ${SketchSql.jaccardSelect}"""
 
   // ------------------------------------------------------------ delta
 
@@ -395,10 +413,10 @@ object Dedup {
     val dump = DumpCache.dirFor("graft_base_minhash", dir, "documents.parquet")
     DumpCache.ensure(dump) { tmp =>
       Tables.documents(spark, dir).filter(!isDelta($"doc_id"))
-        .select($"doc_id", Text.shingleHashesFastUdf($"text").as("hashes"))
+        .select($"doc_id", graft.functions.ShingleGramHashes($"text").as("hashes"))
         .filter(size($"hashes") > 0)
-        .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"))
-        .select($"doc_id", $"sig", Text.bandsFromSigUdf($"sig").as("bands"))
+        .select($"doc_id", graft.functions.MinhashSig($"hashes").as("sig"))
+        .select($"doc_id", $"sig", graft.functions.MinhashBands($"sig").as("bands"))
         .write.mode("overwrite").parquet(tmp)
     }
     spark.read.parquet(dump)
@@ -553,10 +571,10 @@ object Dedup {
     import spark.implicits._
     val base = baseMinhashIndex(spark, dir)
     val delta = Tables.documents(spark, dir).filter(isDelta($"doc_id"))
-      .select($"doc_id", Text.shingleHashesFastUdf($"text").as("hashes"))
+      .select($"doc_id", graft.functions.ShingleGramHashes($"text").as("hashes"))
       .filter(size($"hashes") > 0)
-      .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"))
-      .select($"doc_id", $"sig", Text.bandsFromSigUdf($"sig").as("bands"))
+      .select($"doc_id", graft.functions.MinhashSig($"hashes").as("sig"))
+      .select($"doc_id", $"sig", graft.functions.MinhashBands($"sig").as("bands"))
     def bandRows(df: DataFrame) = df.select($"doc_id",
       posexplode($"bands").as(Seq("band_idx", "band_hash")))
     val deltaBands = bandRows(delta)
@@ -581,13 +599,32 @@ object Dedup {
       .filter($"est_jaccard" >= 0.7)
   }
 
+  /** DuckDB replay oracle for [[deltaLshCandidates]]: the same sketch
+    * replay as [[minhashLshSql]], with the delta side (doc_id % 5 = 0)
+    * probing all bands and pairs normalized via least/greatest — proving
+    * the staged-index probe equals a from-scratch recompute.
+    */
+  val deltaLshSql: String = s"""
+    WITH RECURSIVE ${SketchSql.gramsCtes},
+    ${SketchSql.minhashSigsCtes},
+    ${SketchSql.bandsCtes},
+    cand AS (
+      SELECT DISTINCT least(d.doc_id, x.doc_id) AS ida,
+             greatest(d.doc_id, x.doc_id) AS idb
+      FROM bands d JOIN bands x
+        ON d.band_idx = x.band_idx AND d.band_hash = x.band_hash
+       AND d.doc_id != x.doc_id
+      WHERE d.doc_id % 5 = 0),
+    ${SketchSql.jaccardSelect}"""
+
   /** SimHash near-dup pairs: 64-bit signatures, 4-block banding, exact
-    * Hamming ≤ 3 verify. Rows-only driver check + SketchSpec oracle.
+    * Hamming ≤ 3 verify. SQL hash-oracled via [[simhashSql]] (round 10)
+    * + SketchSpec planted-pair oracle.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = Tables.documents(spark, dir)
-      .select($"doc_id", Text.simhashUdf(Text.shingleHashesFastUdf($"text")).as("sig"))
+      .select($"doc_id", graft.functions.SimHash64(graft.functions.ShingleGramHashes($"text")).as("sig"))
       .cache()
     // 4 blocks of 16 bits; Hamming <= 3 pairs must agree on >= 1 block
     val blocked = sigs.select($"doc_id", $"sig", explode(array(
@@ -602,4 +639,38 @@ object Dedup {
       .dropDuplicates("doc_id_a", "doc_id_b")
       .filter($"hamming" <= 3)
   }
+
+  /** DuckDB replay oracle for [[simhash]]: gram64 shingle hashes → the
+    * per-bit majority vote over 16-bit parts → pigeonhole block join →
+    * Hamming verify (the `mm_simhash` oracle shape over word shingles
+    * instead of byte grams). Docs with < 3 words sign to 0 via the left
+    * join, exactly like the UDF on an empty hash array.
+    */
+  val simhashSql: String = s"""
+    WITH RECURSIVE ${SketchSql.gramsCtes},
+    parts AS MATERIALIZED (
+      SELECT doc_id, k, CAST((g // (CAST(1 AS HUGEINT) << (k * 16))) % 65536 AS BIGINT) AS pt
+      FROM grams, unnest(range(0, 4)) AS u(k)),
+    votes AS MATERIALIZED (
+      SELECT doc_id, k * 16 + jj AS j,
+             SUM(CASE WHEN (pt // (1 << jj)) % 2 = 1 THEN 1 ELSE -1 END) AS tally
+      FROM parts, unnest(range(0, 16)) AS w(jj)
+      GROUP BY doc_id, k * 16 + jj),
+    ssigs AS MATERIALIZED (
+      SELECT d.doc_id,
+             coalesce(SUM(CASE WHEN v.tally > 0
+                          THEN (CAST(1 AS HUGEINT) << v.j) ELSE CAST(0 AS HUGEINT) END), 0) AS sig
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN votes v USING (doc_id)
+      GROUP BY d.doc_id),
+    blocked AS (
+      SELECT doc_id, sig, blk, (sig // (CAST(1 AS HUGEINT) << (blk * 16))) % 65536 AS bh
+      FROM ssigs, unnest(range(0, 4)) AS u(blk)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.sig AS sa, b.sig AS sb
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT ida AS doc_id_a, idb AS doc_id_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
 }

@@ -264,8 +264,19 @@ object Multimodal {
     val sigs = Tables.documents(spark, dir)
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))
       .as[Payload]
-      .mapPartitions(rows => rows.map(p =>
-        (p.doc_id, graft.functions.Text.simhash64(byteGramHashes(p.payload)))))
+      .mapPartitions(rows => rows.map { p =>
+        // the DuckDB oracle reads code points via ascii(text[i]), which
+        // equals the UTF-8 byte ONLY for ASCII corpora — fail loudly on
+        // the first non-ASCII payload instead of hash-mismatching
+        var j = 0
+        while (j < p.payload.length) {
+          require(p.payload(j) >= 0,
+            s"doc ${p.doc_id}: non-ASCII payload byte at offset $j — " +
+              "mm_simhash's byte-level oracle parity is ASCII-only")
+          j += 1
+        }
+        (p.doc_id, graft.functions.Text.simhash64(byteGramHashes(p.payload)))
+      })
       .toDF("doc_id", "sig")
     val blocked = sigs.select($"doc_id", $"sig", explode(array(
       (0 until 4).map(b => struct(lit(b).as("blk"),

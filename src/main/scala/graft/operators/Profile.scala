@@ -290,7 +290,11 @@ object Profile {
         (($"cents" - $"median_cents") / $"mad_cents").as("mad_score"))
   }
 
-  val outliersMadSql: String = """
+  /** Oracle for [[outliersMad]] — the threshold derives from the same k
+    * parameter as the query, so a non-default call can't silently
+    * desync query from oracle.
+    */
+  def outliersMadSql(k: Double = 1.9): String = s"""
     WITH c AS (SELECT o_orderkey,
                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
                FROM orders),
@@ -301,5 +305,5 @@ object Profile {
     SELECT o_orderkey, cents,
            (cents - median_cents) / mad_cents AS mad_score
     FROM c, s
-    WHERE abs(cents - median_cents) > 1.9 * mad_cents"""
+    WHERE abs(cents - median_cents) > ${k}e0 * mad_cents"""
 }

@@ -305,6 +305,25 @@ object Similarity {
       .dropDuplicates("vec_id_a", "vec_id_b")
   }
 
+  /** DuckDB replay oracle for [[embedPairsLsh]] (round 10): the
+    * hyperplane keys regenerate from the splitmix64 stream
+    * ([[SketchSql.lshBucketCtes]]), candidates are same-bucket pairs,
+    * and the exact rescore is the proven list_sum double fold — so the
+    * approximate operator's EXACT output (buckets included) replays.
+    */
+  val embedPairsLshSql: String = duckEmb + "," +
+    SketchSql.lshBucketCtes(tables = 16, bits = 4, seed = 7) + """,
+    cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+             FROM buck a JOIN buck b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    scored AS (SELECT cd.ida, cd.idb,
+                 list_sum(list_transform(list_zip(x.emb, y.emb), z -> z[1]*z[2])) / (x.nrm * y.nrm) AS cos
+               FROM cand cd
+               JOIN n x ON x.vec_id = cd.ida
+               JOIN n y ON y.vec_id = cd.idb)
+    SELECT ida AS vec_id_a, idb AS vec_id_b, cos
+    FROM scored WHERE cos >= 0.4e0"""
+
   /** Sequential double left fold — bit-identical to the DuckDB oracle's
     * list_sum(list_transform(list_zip(...))).
     */
@@ -349,6 +368,25 @@ object Similarity {
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
   }
+
+  /** DuckDB replay oracle for [[annLsh]] (round 10): regenerated
+    * splitmix64 hyperplane buckets (8 tables × 6 bits, seed 7), bucket
+    * join of the 10 query vectors, exact cosine rescore, top-5.
+    */
+  val annLshSql: String = duckEmb + "," +
+    SketchSql.lshBucketCtes(tables = 8, bits = 6, seed = 7) + """,
+    qb AS (SELECT vec_id AS qid, bucket FROM buck WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT qb.qid, b.vec_id AS nid
+             FROM qb JOIN buck b ON b.bucket = qb.bucket
+             WHERE b.vec_id != qb.qid),
+    scored AS (SELECT cd.qid, cd.nid,
+                 list_sum(list_transform(list_zip(q.emb, x.emb), z -> z[1]*z[2])) / (q.nrm * x.nrm) AS cos
+               FROM cand cd
+               JOIN n q ON q.vec_id = cd.qid
+               JOIN n x ON x.vec_id = cd.nid)
+    SELECT qid AS query_id, nid AS neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+    FROM scored QUALIFY rank <= 5"""
 
   /** Per-label centroid of the embedding corpus, one row per (label, dim).
     * Summation runs in exact DECIMAL (float→decimal(27,9) cast on both

@@ -410,14 +410,17 @@ object StreamQueries {
         .filter($"seg_df" > maxDf)
     }
 
-  val streamHotLinesSql: String = """
+  /** Oracle for [[streamHotLines]] — threshold derives from the same
+    * maxDf parameter as the query.
+    */
+  def streamHotLinesSql(maxDf: Int = 2): String = s"""
     WITH d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
     wd AS (SELECT doc_id, string_split(t, ' ') w FROM d),
     segs AS (SELECT doc_id,
                array_to_string(w[i*10+1 : least((i+1)*10, len(w))], ' ') AS seg
              FROM wd, unnest(range(0, (len(w)+9)//10)) AS u(i))
     SELECT md5(seg) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS seg_df
-    FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) > 2"""
+    FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) > $maxDf"""
 
   /** events.parquet plus one far-future error + click sentinel on a
     * reserved user (staged once per source generation): the sentinels

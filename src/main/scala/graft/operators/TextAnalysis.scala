@@ -755,13 +755,16 @@ object TextAnalysis {
         md5(coalesce($"clean_text", lit(""))).as("clean_md5"))
   }
 
-  val boilerplateSql: String = sqlWords + """,
+  /** Oracle for [[boilerplate]] — the HAVING threshold derives from the
+    * same maxDf parameter as the query.
+    */
+  def boilerplateSql(maxDf: Int = 2): String = sqlWords + s""",
     counts AS (SELECT doc_id, (len(w)+9)//10 AS n_lines FROM wd),
     segs AS (SELECT doc_id, i AS seg_idx,
                array_to_string(w[i*10+1 : least((i+1)*10, len(w))], ' ') AS seg
              FROM wd, unnest(range(0, (len(w)+9)//10)) AS u(i)),
     hot AS (SELECT md5(seg) AS h FROM segs
-            GROUP BY 1 HAVING count(DISTINCT doc_id) > 2),
+            GROUP BY 1 HAVING count(DISTINCT doc_id) > $maxDf),
     kept AS (SELECT doc_id, seg_idx, seg FROM segs
              WHERE md5(seg) NOT IN (SELECT h FROM hot)),
     cleaned AS (SELECT doc_id, COUNT(*) AS n_kept,

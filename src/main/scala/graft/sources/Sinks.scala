@@ -129,20 +129,52 @@ object Sinks {
     * so each run re-registers the external tables; files land under the
     * fingerprint-keyed cache path. The final per-lang aggregate
     * hash-matches the same join computed directly by the oracle.
+    *
+    * Round 10: the bucketed GENERATIONS stage through DumpCache like
+    * every other derived artifact — a production pipeline pays the
+    * bucketed write once per ingest and amortizes it over every
+    * co-located join that follows, so a warm run should measure the
+    * no-exchange join, not re-pay the write (r9's bench flagged exactly
+    * that). The sf0.01 cold gate wipes /tmp, so the write path itself
+    * stays exercised every round; each run (new JVM, fresh in-memory
+    * catalog) re-registers the staged files as external bucketed tables
+    * via DDL.
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = DumpCache.dirFor("graft_bucketed", dir, "documents.parquet")
     val docs = Tables.documents(spark, dir)
-    docs.select($"doc_id", $"lang", $"n_chars")
-      .write.mode("overwrite").option("path", s"$base/docs")
-      .bucketBy(8, "doc_id").sortBy("doc_id")
-      .saveAsTable("graft_docs_bucketed")
-    docs.select($"doc_id",
-        size(graft.functions.Text.wordsFast($"text")).cast("long").as("n_words"))
-      .write.mode("overwrite").option("path", s"$base/stats")
-      .bucketBy(8, "doc_id").sortBy("doc_id")
-      .saveAsTable("graft_docstats_bucketed")
+    // bucketBy can only write through saveAsTable, and DumpCache's
+    // atomic publish renames the directory afterwards — so the write
+    // registers a throwaway *_stage entry whose metadata is dropped once
+    // the files move, and the durable name is (re-)created as external
+    // bucketed DDL over the staged location
+    def ensureTable(table: String, path: String, ddl: String)(
+        write: String => Unit): Unit = {
+      if (!DumpCache.isReady(path)) {
+        DumpCache.ensure(path)(write)
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_stage")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+        s"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO 8 BUCKETS " +
+        s"LOCATION '$path'")
+    }
+    ensureTable("graft_docs_bucketed", s"$base/docs",
+        "doc_id BIGINT, lang STRING, n_chars BIGINT") { tmp =>
+      docs.select($"doc_id", $"lang", $"n_chars")
+        .write.mode("overwrite").option("path", tmp)
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("graft_docs_bucketed_stage")
+    }
+    ensureTable("graft_docstats_bucketed", s"$base/stats",
+        "doc_id BIGINT, n_words BIGINT") { tmp =>
+      docs.select($"doc_id",
+          size(graft.functions.Text.wordsFast($"text")).cast("long").as("n_words"))
+        .write.mode("overwrite").option("path", tmp)
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("graft_docstats_bucketed_stage")
+    }
     spark.table("graft_docs_bucketed")
       .join(spark.table("graft_docstats_bucketed"), "doc_id")
       .groupBy($"lang")

@@ -79,6 +79,30 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mix64/splitmix64/gram64 match an independent BigInt reference") {
+    // independent reimplementation in BigInt so a sign/overflow slip in
+    // the Long path can't self-confirm
+    val m64 = BigInt(1) << 64
+    def ref(z0: BigInt): BigInt = {
+      var z = z0.mod(m64)
+      z = ((z ^ (z >> 30)) * BigInt("bf58476d1ce4e5b9", 16)).mod(m64)
+      z = ((z ^ (z >> 27)) * BigInt("94d049bb133111eb", 16)).mod(m64)
+      (z ^ (z >> 31)).mod(m64)
+    }
+    def toU(l: Long): BigInt = BigInt(java.lang.Long.toUnsignedString(l))
+    for (x <- Seq(0L, 1L, 42L, -1L, Long.MaxValue, Long.MinValue, 123456789L))
+      assert(toU(Text.mix64(x)) === ref(toU(x)), s"mix64($x)")
+    val golden = BigInt("9e3779b97f4a7c15", 16)
+    for (seed <- Seq(7L, 42L); i <- 0L until 10L)
+      assert(toU(Text.splitmix64(seed, i)) === ref(seed + (i + 1) * golden),
+        s"splitmix64($seed,$i)")
+    // gram64 = mix64 over the Mersenne-61 rolling hash
+    val m61 = (BigInt(1) << 61) - 1
+    def roll(s: String): BigInt = s.foldLeft(BigInt(0))((h, c) => (h * 257 + c.toInt).mod(m61))
+    for (s <- Seq("a", "the quick brown", "one two three", "0 1 2"))
+      assert(toU(Text.gram64(s)) === ref(roll(s)), s"gram64(<$s>)")
+  }
+
   test("greedy BPE tokenization: pinned vectors + structural properties") {
     import graft.operators.TextAnalysis
     // hand-derived against the vocab: longest match at every position.
