@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -316,37 +316,53 @@ object StreamQueries {
     * processed cannot retro-attribute — the same contract any
     * at-emission-time attributor has).
     */
+  /** The stateful fold behind [[streamAttribution]], factored out so
+    * StreamingSpec can drive it through its own multi-batch source +
+    * checkpoint restarts. State per user = newest touch BY EVENT TIME
+    * seen so far: within a batch the (ts, side, event_id) sort makes
+    * the >= guard a no-op (rows arrive ascending — identical to the
+    * bounded-replay hash oracle), and across batches it means a LATE
+    * touch with an older event time can neither retro-credit an
+    * already-emitted purchase (append output is immutable) nor regress
+    * the state future purchases attribute against.
+    */
+  def attributionFold(ev: Dataset[AttrEvent]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import ev.sparkSession.implicits._
+    val sevenDaysMicros = 7L * 86400L * 1000000L
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[(Long, String)], AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var last = state.getOption.flatten
+          val out = Vector.newBuilder[AttrOut]
+          // total order (ts, side, event_id): touches sort before
+          // purchases at the same instant — the batch oracle's order
+          rows.toSeq.sortBy(e =>
+            (e.tsMicros, if (e.event_type == "purchase") 1 else 0, e.event_id))
+            .foreach { e =>
+              if (e.event_type != "purchase") {
+                if (last.forall(_._1 <= e.tsMicros))
+                  last = Some((e.tsMicros, e.event_type))
+              } else out += AttrOut(e.event_id, e.user_id,
+                last match {
+                  case Some((ts, tp)) if ts >= e.tsMicros - sevenDaysMicros => tp
+                  case _ => "direct"
+                }, e.cents)
+            }
+          state.update(last)
+          out.result().iterator
+      }.toDF()
+  }
+
   def streamAttribution(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
-      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-      val ev = eventsStream(s, dir)
+      attributionFold(eventsStream(s, dir)
         .select($"user_id", unix_micros($"ts").as("tsMicros"), $"event_id",
           $"event_type",
           coalesce(round($"value" * 100).cast("long"), lit(0L)).as("cents"))
-        .as[AttrEvent]
-      val sevenDaysMicros = 7L * 86400L * 1000000L
-      ev.groupByKey(_.user_id)
-        .flatMapGroupsWithState[Option[(Long, String)], AttrOut](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (_, rows, state) =>
-            var last = state.getOption.flatten
-            val out = Vector.newBuilder[AttrOut]
-            // total order (ts, side, event_id): touches sort before
-            // purchases at the same instant — the batch oracle's order
-            rows.toSeq.sortBy(e =>
-              (e.tsMicros, if (e.event_type == "purchase") 1 else 0, e.event_id))
-              .foreach { e =>
-                if (e.event_type != "purchase") last = Some((e.tsMicros, e.event_type))
-                else out += AttrOut(e.event_id, e.user_id,
-                  last match {
-                    case Some((ts, tp)) if ts >= e.tsMicros - sevenDaysMicros => tp
-                    case _ => "direct"
-                  }, e.cents)
-              }
-            state.update(last)
-            out.result().iterator
-        }.toDF()
+        .as[AttrEvent])
     }
 
   /** Event-level twin of `Behavior.qAttributionSql` (same carried

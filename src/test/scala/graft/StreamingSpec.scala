@@ -602,6 +602,72 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming attribution across 3 micro-batches + restart: credits never retroactively change") {
+    import spark.implicits._
+    import graft.operators.StreamQueries
+    import graft.operators.StreamQueries.AttrEvent
+
+    val srcDir = Files.createTempDirectory("graft_attr_src").toString
+    val outDir = Files.createTempDirectory("graft_attr_out").toString
+    val ckpt = Files.createTempDirectory("graft_attr_ckpt").toString
+    val hourMicros = 3600L * 1000000L
+    val t0 = 1704067200L * 1000000L
+
+    def feed(rows: Seq[AttrEvent]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+
+    // the memory sink cannot recover from a checkpoint — restart specs
+    // must go through the file sink and read the output dir back
+    def runOnce(): Map[Long, String] = {
+      val ev = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[AttrEvent]].schema)
+        .parquet(srcDir).as[AttrEvent]
+      val q = StreamQueries.attributionFold(ev)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).collect()
+        .groupBy(_.getAs[Long]("event_id"))
+        .map { case (id, rows) =>
+          assert(rows.length == 1, s"purchase $id emitted ${rows.length} times")
+          id -> rows.head.getAs[String]("attributed_type")
+        }
+    }
+
+    // batch 1: user 1 clicks at t0+1h, buys at t0+2h → credit click
+    feed(Seq(
+      AttrEvent(1L, t0 + 1 * hourMicros, 10L, "click", 0L),
+      AttrEvent(1L, t0 + 2 * hourMicros, 11L, "purchase", 500L)))
+    assert(runOnce() === Map(11L -> "click"))
+
+    // batch 2 (fresh query, SAME checkpoint — state must survive the
+    // restart): user 1 buys again with NO new touch → still click;
+    // user 2 buys untouched → direct
+    feed(Seq(
+      AttrEvent(1L, t0 + 3 * hourMicros, 12L, "purchase", 700L),
+      AttrEvent(2L, t0 + 3 * hourMicros, 13L, "purchase", 900L)))
+    assert(runOnce() === Map(11L -> "click", 12L -> "click", 13L -> "direct"))
+
+    // batch 3: a LATE view for user 1 with event time BEFORE the click
+    // (t0) arrives alongside a new purchase. At-emission-time semantics:
+    //  - purchases 11/12 keep their already-emitted credits (append
+    //    output is immutable — asserted by the exactly-once grouping);
+    //  - the stale touch does NOT regress the state, so purchase 14
+    //    still credits the newer click, not the late view
+    feed(Seq(
+      AttrEvent(1L, t0, 20L, "view", 0L),
+      AttrEvent(1L, t0 + 4 * hourMicros, 14L, "purchase", 300L)))
+    assert(runOnce() === Map(
+      11L -> "click", 12L -> "click", 13L -> "direct", 14L -> "click"))
+
+    // batch 4: a genuinely newer touch replaces the state going forward
+    feed(Seq(
+      AttrEvent(1L, t0 + 5 * hourMicros, 21L, "error", 0L),
+      AttrEvent(1L, t0 + 6 * hourMicros, 15L, "purchase", 100L)))
+    assert(runOnce()(15L) === "error")
+  }
+
   test("TrafficGen produces parseable messages with both bit values") {
     import spark.implicits._
     // drive the deterministic jsonify on a batch frame shaped like the rate source
