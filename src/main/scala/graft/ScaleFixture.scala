@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool behind SURVEY §6's scaling-curve table: replicates the
+  * documents / embeddings / events tables of a testdata dir N× into a
+  * sibling fixture dir, so the heavy queries can be timed at 10× the
+  * gate's largest SF on this box (the driver only generates up to
+  * sf0.1).
+  *
+  * The replication is SEMANTICS-PRESERVING for scaling purposes:
+  *  - `documents`: copy k keeps copy 0's duplicate/near-dup STRUCTURE
+  *    but is textually disjoint from every other copy — each word gets
+  *    a per-copy suffix (`applez3`), so every shingle differs across
+  *    copies and the near-dup pair density stays CONSTANT instead of
+  *    exploding combinatorially (10 verbatim copies of the corpus would
+  *    make every doc a 10-way exact dup — a 100× pair blow-up that
+  *    measures the data, not the engine). Copy 0 is the original text.
+  *  - `embeddings`: ids shift by copy stride; copy k's vector is the
+  *    original CIRCULARLY SHIFTED by k dimensions — a permutation, so
+  *    norms and every within-copy pairwise cosine are exactly
+  *    preserved (each copy has copy 0's near-dup structure), while
+  *    cross-copy cosines fall to background level (verbatim copies
+  *    would make every vector a 10-way exact dup: a 100× same-bucket
+  *    pair blow-up that measures the data, not the engine — observed
+  *    38× on dedup_embed_lsh before this fix).
+  *  - `events`: ids and user_ids shift (10× users, same time range —
+  *    a 10×-busier service: window count constant, rows per window
+  *    10×). `ts` stays raw INT64 nanos so `Tables.events` and the
+  *    file-stream schema read the fixture exactly like the original.
+  *
+  * Usage: runMain graft.ScaleFixture <srcDir> <outDir> <copies>
+  */
+object ScaleFixture {
+
+  private val Stride = 10000000L
+
+  private def writeSingleFile(df: DataFrame, outDir: String, name: String): Unit = {
+    val tmp = s"$outDir/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written for $name"))
+    val dest = new java.io.File(outDir, s"$name.parquet")
+    if (dest.exists()) dest.delete()
+    if (!part.renameTo(dest)) sys.error(s"rename failed for $name")
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    new java.io.File(tmp).delete()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, copiesS) = args.take(3)
+    val copies = copiesS.toInt
+    new java.io.File(out).mkdirs()
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scale-fixture")
+      .getOrCreate()
+    import spark.implicits._
+
+    val docs = graft.sources.Tables.documents(spark, src)
+    val docCopies = (0 until copies).map { k =>
+      val text =
+        if (k == 0) $"text"
+        else regexp_replace(graft.functions.Text.normalizeFast($"text"),
+          "([a-z0-9]+)", s"$$1z$k")
+      docs.select(($"doc_id" + lit(k * Stride)).as("doc_id"), text.as("text"),
+        $"lang", $"source", length(text).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+    writeSingleFile(docCopies, out, "documents")
+
+    val emb = graft.sources.Tables.embeddings(spark, src)
+    val dim = emb.select($"embedding").head().getSeq[Float](0).length
+    val embCopies = (0 until copies).map { k =>
+      val shifted =
+        if (k == 0) $"embedding"
+        else concat(slice($"embedding", k % dim + 1, dim - k % dim),
+          slice($"embedding", 1, k % dim))
+      val cols = Seq(($"vec_id" + lit(k * Stride)).as("vec_id"),
+        shifted.as("embedding")) ++
+        emb.columns.filter(c => c != "vec_id" && c != "embedding").map(col)
+      emb.select(cols: _*)
+    }.reduce(_ unionByName _)
+    writeSingleFile(embCopies, out, "embeddings")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet") // ts stays raw nanos
+    val evCopies = (0 until copies).map { k =>
+      ev.select(($"event_id" + lit(k * Stride)).as("event_id"), $"ts",
+        ($"user_id" + lit(k * Stride)).as("user_id"),
+        $"event_type", $"value", $"props")
+    }.reduce(_ unionByName _)
+    writeSingleFile(evCopies, out, "events")
+
+    println(s"wrote ${copies}x fixture to $out")
+    spark.stop()
+  }
+}
+
+/** Dev tool: run a streaming harness query and print its final
+  * StreamingQueryProgress — the state-store row/byte counts behind
+  * SURVEY §6's O(log²W) DGIM state audit.
+  *
+  * Usage: runMain graft.StateProbe <queryKey> <sfDir>
+  */
+object StateProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(key, dir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-state-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = SparkEntry.queries(key)(spark, dir).count()
+    println(s"""{"query":"$key","rows":$n,"progress":${
+      graft.operators.StreamQueries.lastProgress.getOrElse("null")}}""")
+    spark.stop()
+  }
+}

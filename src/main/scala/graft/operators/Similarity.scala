@@ -272,10 +272,24 @@ object Similarity {
     */
   def embedPairsLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // 4-bit keys × 16 tables: at the near-threshold cosine regime of this
-    // corpus (0.4-0.51 ⇒ per-bit collision ~0.63-0.67) more, shorter keys
-    // buy recall; real near-dup corpora (cos ≥ 0.9) do well with 8-bit.
-    val keyer = Vectors.lshKeys(dim = 64, tables = 16, bits = 4)
+    // 4-bit keys × 16 tables at the gate SFs: at the near-threshold
+    // cosine regime of this corpus (0.4-0.51 ⇒ per-bit collision
+    // ~0.63-0.67) more, shorter keys buy recall; real near-dup corpora
+    // (cos ≥ 0.9) do well with 8-bit. Key WIDTH must grow with the
+    // corpus, though: fixed bits means bucket population n/2^bits grows
+    // linearly and same-bucket pairs quadratically — the round-10
+    // scaling run measured exactly that (52 s at 10× sf0.1, ~37× the
+    // sf0.1 time). Holding expected bucket population ≈ 125 per table
+    // (bits = max(4, ⌈log2(n/125)⌉), integer arithmetic so no FP-edge
+    // drift) keeps candidate volume ~n·bucket·tables — linear in n. At
+    // sf0.01/sf0.1 (500/2000 vectors) this resolves to the historical
+    // bits = 4, so the static DuckDB oracle and the recall spec are
+    // unchanged; the parquet row-count read is footer-only.
+    val n = Tables.embeddings(spark, dir).count()
+    val m = (n + 124) / 125
+    val bits = math.max(4,
+      if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1))
+    val keyer = Vectors.lshKeys(dim = 64, tables = 16, bits = bits)
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"))
     // slim candidate generation: only (vec_id, bucket) rides the self-join

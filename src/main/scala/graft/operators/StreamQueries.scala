@@ -34,6 +34,12 @@ object StreamQueries {
     * partitioning-independent; a real deployment sizes this to the key
     * cardinality instead).
     */
+  /** Last finished harness query's final progress JSON — dev observability
+    * for state-size audits (SURVEY §6's O(log²W) state measurement reads
+    * `stateOperators.numRowsTotal` / `stateMemory` from here after a run).
+    */
+  @volatile var lastProgress: Option[String] = None
+
   private def runToTable(spark0: SparkSession, mode: String = "complete")(
       build: SparkSession => DataFrame): DataFrame = {
     val spark = spark0.newSession()
@@ -42,6 +48,7 @@ object StreamQueries {
     val q = build(spark).writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    lastProgress = Option(q.lastProgress).map(_.json)
     spark.table(name)
   }
 
