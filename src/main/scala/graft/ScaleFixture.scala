@@ -101,6 +101,49 @@ object ScaleFixture {
   }
 }
 
+/** Dev tool: time the sketch pipeline's native-expression path against
+  * its UDF twin on the same corpus (SURVEY §6's dedup-family cut).
+  *
+  * Usage: runMain graft.SketchBench <sfDir>
+  */
+object SketchBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-sketch-bench")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.functions.{MinhashSig, ShingleGramHashes, SimHash64, Text}
+    val docs = graft.sources.Tables.documents(spark, dir).select($"text")
+    docs.write.format("noop").mode("overwrite").save() // page-fault warmup
+    def time(label: String)(df: org.apache.spark.sql.DataFrame): Double = {
+      // one warm pass then three measured, best-of (JIT settles)
+      df.write.format("noop").mode("overwrite").save()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-14s ${ts.min}%.3f s (best of 3)")
+      ts.min
+    }
+    val native = time("native") {
+      docs.select(MinhashSig(ShingleGramHashes($"text")).as("sig"),
+        SimHash64(ShingleGramHashes($"text")).as("sh"))
+    }
+    val viaUdf = time("udf") {
+      docs.select(Text.minhashSigUdf(Text.shingleHashesFastUdf($"text")).as("sig"),
+        Text.simhashUdf(Text.shingleHashesFastUdf($"text")).as("sh"))
+    }
+    println(f"""{"native_sec":$native%.3f,"udf_sec":$viaUdf%.3f,"speedup":${viaUdf / native}%.2f}""")
+    spark.stop()
+  }
+}
+
 /** Dev tool: run a streaming harness query and print its final
   * StreamingQueryProgress — the state-store row/byte counts behind
   * SURVEY §6's O(log²W) DGIM state audit.
