@@ -74,6 +74,7 @@ object SparkEntry {
     "q_stream_range_join" -> (StreamQueries.streamRangeJoin _),
     "q_stream_range_join_outer" -> (StreamQueries.streamRangeJoinOuter _),
     "q_stream_hot_lines" -> ((s: SparkSession, d: String) => StreamQueries.streamHotLines(s, d)),
+    "q_stream_ann_probe" -> ((s: SparkSession, d: String) => StreamQueries.streamAnnProbe(s, d)),
     "q_stream_attribution" -> (StreamQueries.streamAttribution _),
     "embed_mips"       -> (Similarity.embedMips _),
     "q_decay"          -> (Windows.decayScores _),
@@ -266,6 +267,10 @@ object SparkEntry {
     // replayable — DuckDB unrolls the 4 training iterations as chained
     // CTEs and hash-matches train→assign→probe→re-rank end to end.
     "ann_ivf"          -> Similarity.annIvfSql,
+    // q_stream_ann_probe emits ann_ivf's exact contract from the STAGED
+    // index — the training-replay oracle proves staged online serving ≡
+    // from-scratch batch train+probe
+    "q_stream_ann_probe" -> Similarity.annIvfSql,
     "dedup_semdedup"   -> Similarity.semDedupSql,
     // ann_lsh (round 10): hyperplane replay → hash-oracled; SketchSpec
     // still measures recall vs brute force.

@@ -447,6 +447,20 @@ object Similarity {
     (best, bestD)
   }
 
+  /** The `nprobe` L2-nearest cells in probe order (ascending distance,
+    * ties → lowest cell id) — shared by [[annIvf]] and the streaming
+    * serving twin so the probe rule can never drift between them.
+    */
+  private[graft] def probeCells(v: Array[Float],
+      codebook: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    codebook.indices.map { c =>
+      val ctr = codebook(c)
+      var d = 0.0
+      var i = 0
+      while (i < ctr.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+      (d, c)
+    }.sorted.take(nprobe).map(_._2)
+
   /** Deterministic Lloyd's k-means over the embedding corpus — the
     * LEARNED coarse quantizer behind [[annIvf]]. Returns the final
     * codebook (k × dim doubles) and the per-iteration objective (total
@@ -541,18 +555,7 @@ object Similarity {
     val cellUdf = udf((v: Seq[Float]) => nearestCell(v.toArray, bc.value)._1)
     // top-nprobe cells by the assignment metric (ascending L2, ties →
     // lower cell id) — probing with the metric the index was built with
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val a = v.toArray
-      bc.value.indices
-        .map { c =>
-          val ctr = bc.value(c)
-          var d = 0.0
-          var i = 0
-          while (i < ctr.length) { val t = a(i) - ctr(i); d += t * t; i += 1 }
-          (d, c)
-        }
-        .sorted.take(nprobe).map(_._2)
-    }
+    val probeUdf = udf((v: Seq[Float]) => probeCells(v.toArray, bc.value, nprobe))
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"),

@@ -399,6 +399,93 @@ object StreamQueries {
            cents
     FROM carried WHERE side = 1"""
 
+  /** Staged IVF serving index: the deterministic Lloyd's codebook plus
+    * the cell-assigned corpus (vec_id, cell, embedding, nrm), persisted
+    * once per source generation through DumpCache — the artifact an
+    * online similarity service loads, while training stays an offline
+    * batch job. [[streamAnnProbe]] only ever reads it back.
+    */
+  private def ivfIndexDump(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val base = graft.sources.DumpCache.dirFor(
+      "graft_ivf_index", dir, "embeddings.parquet")
+    graft.sources.DumpCache.ensure(base) { tmp =>
+      val (codebook, _) = Similarity.kmeansCodebook(spark, dir)
+      codebook.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.parquet(s"$tmp/codebook")
+      val bc = spark.sparkContext.broadcast(codebook)
+      val cellUdf = udf((v: Seq[Float]) =>
+        Similarity.nearestCell(v.toArray, bc.value)._1)
+      graft.sources.Tables.embeddings(spark, dir)
+        .select($"vec_id", cellUdf($"embedding").as("cell"), $"embedding",
+          graft.functions.Vectors.norm2($"embedding").as("nrm"))
+        .write.parquet(s"$tmp/corpus")
+      // parquet wrote its _SUCCESS markers inside the two subdirs; the
+      // dump-level marker is what DumpCache's atomic publish checks
+      new java.io.File(tmp, "_SUCCESS").createNewFile()
+    }
+    base
+  }
+
+  /** CONTINUOUS similarity serving — `ann_ivf` split into its production
+    * shape: the index (codebook + cell-assigned corpus) is TRAINED
+    * OFFLINE and staged ([[ivfIndexDump]]); arriving query vectors
+    * probe it as an unbounded stream. Per micro-batch: probe-cell
+    * fan-out against the broadcast codebook (same L2/tie rule as the
+    * batch index, shared code), a STATELESS stream-static equi-join on
+    * cell (each corpus vector lives in exactly one cell, so no dedup is
+    * needed), exact cosine rescore, and a one-shot per-query top-k emit
+    * through `flatMapGroupsWithState` (streaming forbids rank windows;
+    * the group state marks a query as served — at-most-once serving, the
+    * online contract). Output is column-identical to `ann_ivf`, so the
+    * SAME DuckDB oracle — the full training replay — hash-checks
+    * staged-index online serving ≡ from-scratch batch train+probe.
+    */
+  def streamAnnProbe(spark: SparkSession, dir: String,
+      nprobe: Int = 3, topK: Int = 5): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val idx = ivfIndexDump(s, dir)
+      val corpus = s.read.parquet(s"$idx/corpus")
+      val codebook = s.read.parquet(s"$idx/codebook")
+        .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
+        .sortBy(_._1).map(_._2.toArray)
+      val bc = s.sparkContext.broadcast(codebook)
+      val probeUdf = udf((v: Seq[Float]) =>
+        Similarity.probeCells(v.toArray, bc.value, nprobe))
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val queries = s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+          graft.functions.Vectors.norm2($"embedding").as("qn"),
+          explode(probeUdf($"embedding")).as("cell"))
+      queries.join(corpus, Seq("cell")) // stream-static: stateless
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"cell",
+          (graft.functions.Vectors.dot($"qe", $"embedding") /
+            ($"qn" * $"nrm")).as("cos"))
+        .as[(Long, Long, Int, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Boolean, (Long, Long, Int, Double, Int)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_, rows, state) =>
+            if (state.exists) Iterator.empty // already served: at-most-once
+            else {
+              state.update(true)
+              rows.toSeq.sortBy(r => (-r._4, r._2)).take(topK)
+                .zipWithIndex.iterator
+                .map { case ((q, n, c, cos), i) => (q, n, c, cos, i + 1) }
+            }
+        }
+        .toDF("query_id", "neighbor_id", "cell", "cos", "rank")
+    }
+
   /** CONTINUOUS boilerplate discovery — the streaming twin of
     * `text_boilerplate`'s hot-line detection: as documents arrive, the
     * set of lines shared by more than `maxDf` distinct documents grows

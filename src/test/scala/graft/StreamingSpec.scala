@@ -668,6 +668,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runOnce()(15L) === "error")
   }
 
+  test("streaming ANN probe equals the batch ann_ivf run row-for-row") {
+    import graft.operators.{Similarity, StreamQueries}
+    val dir = "/root/testdata/sf0.001"
+    val batch = Similarity.annIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    val stream = StreamQueries.streamAnnProbe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(stream === batch,
+      "staged-index streaming serving diverged from batch train+probe")
+    assert(stream.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
   test("TrafficGen produces parseable messages with both bit values") {
     import spark.implicits._
     // drive the deterministic jsonify on a batch frame shaped like the rate source
