@@ -190,7 +190,7 @@ object SparkEntry {
     "q_anomaly"    -> Windows.anomalySql,
     "q_incidents"  -> Windows.incidentsSql,
     "q_changepoint" -> Windows.changepointSql,
-    "q_rate_spikes" -> Windows.rateSpikesSql,
+    "q_rate_spikes" -> Windows.rateSpikesSql(),
     // q_hll_merge: DataSketches HLL estimates are not reproducible in
     // DuckDB (different sketch impl) → rows-only driver check; SketchSpec
     // pins merge==direct equality, error vs exact, byte-identical rebuild.
@@ -266,12 +266,12 @@ object SparkEntry {
     // ann_ivf: deterministic Lloyd's means the WHOLE learned index is
     // replayable — DuckDB unrolls the 4 training iterations as chained
     // CTEs and hash-matches train→assign→probe→re-rank end to end.
-    "ann_ivf"          -> Similarity.annIvfSql,
+    "ann_ivf"          -> Similarity.annIvfSql(),
     // q_stream_ann_probe emits ann_ivf's exact contract from the STAGED
     // index — the training-replay oracle proves staged online serving ≡
     // from-scratch batch train+probe
-    "q_stream_ann_probe" -> Similarity.annIvfSql,
-    "dedup_semdedup"   -> Similarity.semDedupSql,
+    "q_stream_ann_probe" -> Similarity.annIvfSql(),
+    "dedup_semdedup"   -> Similarity.semDedupSql(),
     // ann_lsh (round 10): hyperplane replay → hash-oracled; SketchSpec
     // still measures recall vs brute force.
     "ann_lsh"          -> Similarity.annLshSql,
@@ -298,13 +298,13 @@ object SparkEntry {
     // residual, variance capture, and bit-identical retrain.
     "embed_pca"        -> Similarity.embedPcaSql,
     "text_pii"         -> TextAnalysis.piiSql,
-    "embed_knn_graph"  -> Similarity.embedKnnGraphSql,
+    "embed_knn_graph"  -> Similarity.embedKnnGraphSql(),
     // ann_pq / ann_ivfpq: hash-oracled after all — the per-subspace
     // Lloyd's and the coarse quantizer unroll as chained CTEs, the ADC
     // sum is an ordered list fold; SketchSpec still asserts retrain
     // determinism, monotone objectives, recall, reconstruction MSE.
-    "ann_pq"           -> Pq.annPqSql,
-    "ann_ivfpq"        -> Pq.annIvfPqSql,
+    "ann_pq"           -> Pq.annPqSql(),
+    "ann_ivfpq"        -> Pq.annIvfPqSql(),
     // dedup_semdedup: hash-oracled after all (the k-means replay above
     // + keep-first EXISTS); HygieneSpec still pins exact-witness
     // precision + co-celled-pair recall against embedPairs.
@@ -332,13 +332,13 @@ object SparkEntry {
     // identical output contract, huge-strata plan — same oracle
     "sample_stratified_topk" -> Curation.sampleStratifiedSql,
     "sample_weighted"  -> Curation.sampleWeightedSql,
-    "sample_fixed"     -> Curation.sampleFixedSql,
+    "sample_fixed"     -> Curation.sampleFixedSql(),
     "pipeline_curate"  -> Curation.curateSql,
     "pipeline_split"   -> Curation.trainValTestSplitSql,
     "pipeline_corpus"  -> Curation.corpusBuildSql,
     "pipeline_pack"    -> Curation.packSql,
     "pipeline_shuffle" -> Curation.shuffleOrderSql,
-    "pipeline_budget"  -> Curation.tokenBudgetSql,
+    "pipeline_budget"  -> Curation.tokenBudgetSql(),
     "pipeline_epochs"  -> Curation.epochOrdersSql(),
     "pipeline_budget_epochs" -> Curation.budgetEpochsSql(),
     "pipeline_interleave" -> Curation.interleaveSql,
@@ -347,7 +347,7 @@ object SparkEntry {
     // in HUGEINT; SketchSpec still plants a one-byte-flipped copy.
     "mm_simhash"       -> Multimodal.payloadSimhashSql,
     "pipeline_mix"     -> Curation.mixSourcesSql,
-    "graph_pagerank"   -> Graph.pagerankSql,
+    "graph_pagerank"   -> Graph.pagerankSql(),
     "graph_triangles"  -> Graph.trianglesSql,
     "sink_scd2"        -> graft.sources.Sinks.scd2BuildSql,
   )

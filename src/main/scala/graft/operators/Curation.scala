@@ -478,12 +478,16 @@ object Curation {
       .limit(k)
   }
 
-  val sampleFixedSql: String = """
+  /** Oracle for [[sampleFixed]] — k derives from the same parameter. */
+  def sampleFixedSql(k: Int = 100): String = s"""
     SELECT doc_id, lang, source,
            md5('fx42:' || CAST(doc_id AS VARCHAR)) AS skey
-    FROM documents ORDER BY skey, doc_id LIMIT 100"""
+    FROM documents ORDER BY skey, doc_id LIMIT $k"""
 
-  val tokenBudgetSql: String = s"""
+  /** Oracle for [[tokenBudget]] — budget derives from the same
+    * parameter (the class of silent desync budgetEpochsSql already
+    * fixed). */
+  def tokenBudgetSql(budget: Long = 10000L): String = s"""
     WITH q AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
                       quality_score
                FROM (${TextAnalysis.qualitySql})),
@@ -492,7 +496,7 @@ object Curation {
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
           FROM q)
     SELECT doc_id, n_tokens, quality_score, cum_tokens
-    FROM c WHERE cum_tokens <= 10000"""
+    FROM c WHERE cum_tokens <= $budget"""
 
   /** The composed training schedule ([[tokenBudget]] × [[epochOrders]]):
     * the budget-cut corpus reshuffled independently per epoch — "train E

@@ -77,7 +77,7 @@ object Graph {
     * unrolled as CTEs. Integer sums widen to HUGEINT in DuckDB, so
     * every aggregate is cast back to BIGINT.
     */
-  val pagerankSql: String = {
+  def pagerankSql(iters: Int = 3): String = {
     val S = Scale
     def iter(prev: String, cur: String): String = s"""
     $cur AS (
@@ -104,8 +104,8 @@ object Graph {
       |deg AS (SELECT src, COUNT(*) d FROM knn GROUP BY src),
       |p0 AS (SELECT id, CAST(""".stripMargin + S.toString +
       """ // (SELECT cnt FROM nn) AS BIGINT) AS pr FROM nodes),""".stripMargin +
-      iter("p0", "p1") + "," + iter("p1", "p2") + "," + iter("p2", "p3") + """
-    SELECT id AS vec_id, pr AS pagerank FROM p3"""
+      (0 until iters).map(i => iter(s"p$i", s"p${i + 1}")).mkString(",") + s"""
+    SELECT id AS vec_id, pr AS pagerank FROM p$iters"""
   }
 
   /** Per-node triangle count + local clustering coefficient over the

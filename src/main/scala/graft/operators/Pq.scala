@@ -406,7 +406,12 @@ object Pq {
     * ordered list fold (ascending s, the Scala loop's order), and the
     * shortlist/re-rank windows use the established cosine forms.
     */
-  val annPqSql: String = "WITH" + pqTrainedSql + """,
+  /** Oracle for [[query]] — the shortlist width derives from the same
+    * parameter. (The codebook geometry m/k/iters flows through the
+    * trained [[Codebook]] object on both sides and is fixed in
+    * [[pqTrainedSql]]; changing it means regenerating that prefix.)
+    */
+  def annPqSql(shortlist: Int = 50): String = "WITH" + pqTrainedSql + s""",
     adc AS MATERIALIZED (
       SELECT l.query_id, c.vec_id AS neighbor_id,
              list_reduce(list(l.ip ORDER BY l.s), (a, b) -> a + b)
@@ -423,7 +428,7 @@ object Pq {
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY approx_cos DESC, neighbor_id ASC) AS arank
-        FROM adc) WHERE arank <= 50
+        FROM adc) WHERE arank <= $shortlist
     )""" + rerankSql
 
   /** DuckDB oracle for [[annIvfPq]] — BOTH trained stages replayed in
@@ -432,7 +437,8 @@ object Pq {
     * harmless), the PQ codebook, and the probed-cell-restricted ADC
     * with exact re-rank.
     */
-  val annIvfPqSql: String = "WITH" + pqTrainedSql + """,
+  def annIvfPqSql(nprobe: Int = 3, shortlist: Int = 50): String =
+    "WITH" + pqTrainedSql + """,
     xs AS MATERIALIZED (
       SELECT vec_id, CAST(i AS BIGINT) - 1 AS dm,
              CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS s
@@ -460,7 +466,7 @@ object Pq {
       SELECT vec_id AS query_id, c AS cell FROM (
         SELECT vec_id, c,
                row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
-        FROM dfin WHERE vec_id < 10) WHERE rn <= 3
+        FROM dfin WHERE vec_id < 10) WHERE rn <= """ + nprobe.toString + """
     ),
     adc AS MATERIALIZED (
       SELECT l.query_id, c.vec_id AS neighbor_id,
@@ -480,7 +486,7 @@ object Pq {
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY approx_cos DESC, neighbor_id ASC) AS arank
-        FROM adc) WHERE arank <= 50
+        FROM adc) WHERE arank <= """ + shortlist.toString + """
     )""" + rerankSql
 
   /** Mean squared reconstruction error of the PQ codes — the compression

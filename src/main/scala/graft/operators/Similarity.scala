@@ -249,13 +249,14 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
   }
 
-  val embedKnnGraphSql: String = duckEmb + """,
+  /** Oracle for [[embedKnnGraph]] — k derives from the same parameter. */
+  def embedKnnGraphSql(k: Int = 3): String = duckEmb + s""",
     s AS (SELECT a.vec_id vid, b.vec_id nid,
             list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1]*x[2])) / (a.nrm * b.nrm) c
           FROM n a JOIN n b ON a.vec_id != b.vec_id)
     SELECT vid AS vec_id, nid AS neighbor_id, c AS cos,
            CAST(row_number() OVER (PARTITION BY vid ORDER BY c DESC, nid) AS INT) AS rank
-    FROM s QUALIFY rank <= 3"""
+    FROM s QUALIFY rank <= $k"""
 
   /** The sublinear scale path for embedding near-dup: hyperplane-LSH
     * bucketed candidate generation (reusing [[Vectors.lshKeys]], the same
@@ -951,7 +952,7 @@ object Similarity {
     * distances, and the assigned corpus with norms — consumed by both
     * [[annIvfSql]] and [[semDedupSql]].
     */
-  private val ivfTrainedCorpusSql: String = """
+  private def ivfTrainedCorpusSql(k: Int, iters: Int): String = s"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
       FROM embeddings
@@ -964,14 +965,14 @@ object Similarity {
     cb_0 AS MATERIALIZED (
       SELECT list(emb ORDER BY h, vec_id) AS cb
       FROM (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
-            FROM e ORDER BY h, vec_id LIMIT 10)
-    ),""" + (0 until 4).map(ivfIterSql).mkString(",") + """,
+            FROM e ORDER BY h, vec_id LIMIT $k)
+    ),""" + (0 until iters).map(ivfIterSql).mkString(",") + s""",
     dfin AS MATERIALIZED (
       SELECT e.vec_id, cells.c,
              list_reduce(list_transform(list_zip(e.emb, cells.ctr),
                          p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d
       FROM e, (SELECT unnest(cb) AS ctr, generate_subscripts(cb, 1) - 1 AS c
-               FROM cb_4) cells
+               FROM cb_$iters) cells
     ),
     corpus AS MATERIALIZED (
       SELECT n.vec_id, a.cell, n.emb, n.nrm
@@ -983,12 +984,13 @@ object Similarity {
               FROM dfin) WHERE rn = 1) a USING (vec_id)
     )"""
 
-  val annIvfSql: String = ivfTrainedCorpusSql + """,
+  def annIvfSql(nprobe: Int = 3, k: Int = 10, iters: Int = 4): String =
+    ivfTrainedCorpusSql(k, iters) + s""",
     probes AS MATERIALIZED (
       SELECT vec_id AS query_id, c AS cell FROM (
         SELECT vec_id, c,
                row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
-        FROM dfin WHERE vec_id < 10) WHERE rn <= 3
+        FROM dfin WHERE vec_id < 10) WHERE rn <= $nprobe
     ),
     scored AS (
       SELECT p.query_id, x.vec_id AS neighbor_id, p.cell,
@@ -1010,14 +1012,15 @@ object Similarity {
     * and the cosine form are the ones `dedup_embed`'s passing oracle
     * already proves engine-exact.
     */
-  val semDedupSql: String = ivfTrainedCorpusSql + """,
+  def semDedupSql(k: Int = 10, iters: Int = 4,
+      threshold: Double = 0.4): String = ivfTrainedCorpusSql(k, iters) + s""",
     kept AS (
       SELECT a.vec_id, a.cell,
              CASE WHEN EXISTS (
                SELECT 1 FROM corpus b
                WHERE b.cell = a.cell AND b.vec_id < a.vec_id
                  AND list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1] * z[2]))
-                       / (a.nrm * b.nrm) >= 0.4)
+                       / (a.nrm * b.nrm) >= $threshold)
              THEN 0 ELSE 1 END AS is_kept
       FROM corpus a)
     SELECT vec_id, CAST(cell AS INT) AS cell, CAST(is_kept AS INT) AS is_kept

@@ -362,7 +362,9 @@ object Windows {
       .agg(count(lit(1)).as("n_windows_over"), max($"n").as("peak"))
   }
 
-  val rateSpikesSql: String = """
+  /** Oracle for [[rateSpikes]] — threshold derives from the same
+    * parameter as the query. */
+  def rateSpikesSql(threshold: Long = 3L): String = s"""
     WITH u AS (
       SELECT user_id,
              time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS w,
@@ -370,7 +372,7 @@ object Windows {
       FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
       GROUP BY 1, 2)
     SELECT user_id, COUNT(*) AS n_windows_over, MAX(n) AS peak
-    FROM u WHERE n >= 3 GROUP BY 1"""
+    FROM u WHERE n >= $threshold GROUP BY 1"""
 
   /** Half-life DECAYED activity score per user — the recency-weighted
     * counter behind trending/abuse/engagement readouts (a plain count
