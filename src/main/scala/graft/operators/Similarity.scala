@@ -286,10 +286,7 @@ object Similarity {
     // sf0.01/sf0.1 (500/2000 vectors) this resolves to the historical
     // bits = 4, so the static DuckDB oracle and the recall spec are
     // unchanged; the parquet row-count read is footer-only.
-    val n = Tables.embeddings(spark, dir).count()
-    val m = (n + 124) / 125
-    val bits = math.max(4,
-      if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1))
+    val bits = lshBitsFor(Tables.embeddings(spark, dir).count())
     val keyer = Vectors.lshKeys(dim = 64, tables = 16, bits = bits)
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"))
@@ -446,6 +443,20 @@ object Similarity {
       c += 1
     }
     (best, bestD)
+  }
+
+  /** LSH key width for a corpus of n vectors: bits = max(4,
+    * ⌈log2(⌈n/125⌉)⌉), holding expected bucket population ≈ 125 per
+    * table so same-bucket candidate volume stays LINEAR in n (fixed
+    * bits would make it quadratic — the round-10 scaling run measured
+    * 37× at 10× data). Integer arithmetic throughout: no FP-edge drift.
+    * INVARIANT (SketchSpec-pinned): the gate corpora (≤ 2000 vectors)
+    * must resolve to 4 — the static DuckDB oracle and the recall spec
+    * replay bits = 4, and a silent change here would hash-mismatch them.
+    */
+  private[graft] def lshBitsFor(n: Long): Int = {
+    val m = (n + 124) / 125
+    math.max(4, if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1))
   }
 
   /** The `nprobe` L2-nearest cells in probe order (ascending distance,

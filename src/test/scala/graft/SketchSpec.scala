@@ -275,6 +275,22 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, s"recall = $recall (${lsh.size}/${exact.size})")
   }
 
+  test("LSH key width scales with corpus size but stays 4 at the gate SFs") {
+    // the static DuckDB oracle and the recall calibration replay 4-bit
+    // keys: the gate corpora (500 / 2000 vectors) MUST resolve to 4,
+    // while larger corpora must widen to keep candidates linear
+    for (n <- Seq(1L, 100L, 500L, 2000L))
+      assert(Similarity.lshBitsFor(n) === 4, s"n=$n")
+    assert(Similarity.lshBitsFor(16000L) === 7) // 128 buckets boundary
+    assert(Similarity.lshBitsFor(16001L) === 8)
+    assert(Similarity.lshBitsFor(20000L) === 8)
+    assert(Similarity.lshBitsFor(2000000L) === 14)
+    // monotone, never shrinks with corpus growth
+    val seq = Seq(1L, 10L, 1000L, 10000L, 100000L, 1000000L, 10000000L)
+      .map(Similarity.lshBitsFor)
+    assert(seq === seq.sorted)
+  }
+
   test("rolling hash matches a BigInt reference implementation (overflow-free split)") {
     val Mod = BigInt((1L << 61) - 1)
     def reference(s: String): Long =
