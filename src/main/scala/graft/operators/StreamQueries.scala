@@ -417,10 +417,14 @@ object StreamQueries {
       val bc = spark.sparkContext.broadcast(codebook)
       val cellUdf = udf((v: Seq[Float]) =>
         Similarity.nearestCell(v.toArray, bc.value)._1)
+      // partitioned BY CELL: the layout an online serving reader prunes
+      // by — at corpus scale a per-trigger foreachBatch collects the
+      // batch's (few) probed cells and filters the scan to exactly those
+      // partitions' files; the declarative gate query reads it whole
       graft.sources.Tables.embeddings(spark, dir)
         .select($"vec_id", cellUdf($"embedding").as("cell"), $"embedding",
           graft.functions.Vectors.norm2($"embedding").as("nrm"))
-        .write.parquet(s"$tmp/corpus")
+        .write.partitionBy("cell").parquet(s"$tmp/corpus")
       // parquet wrote its _SUCCESS markers inside the two subdirs; the
       // dump-level marker is what DumpCache's atomic publish checks
       new java.io.File(tmp, "_SUCCESS").createNewFile()
