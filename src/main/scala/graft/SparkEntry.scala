@@ -75,6 +75,7 @@ object SparkEntry {
     "q_stream_range_join_outer" -> (StreamQueries.streamRangeJoinOuter _),
     "q_stream_hot_lines" -> ((s: SparkSession, d: String) => StreamQueries.streamHotLines(s, d)),
     "q_stream_ann_probe" -> ((s: SparkSession, d: String) => StreamQueries.streamAnnProbe(s, d)),
+    "q_stream_delta_lsh" -> ((s: SparkSession, d: String) => StreamQueries.streamDeltaLsh(s, d)),
     "q_stream_attribution" -> (StreamQueries.streamAttribution _),
     "embed_mips"       -> (Similarity.embedMips _),
     "q_decay"          -> (Windows.decayScores _),
@@ -255,6 +256,10 @@ object SparkEntry {
     // delta side probing all bands — index probe ≡ recompute, now under
     // the hash gate (SketchSpec keeps the full-vs-delta equality proof)
     "dedup_delta_lsh"  -> Dedup.deltaLshSql,
+    // q_stream_delta_lsh emits the SAME contract continuously (staged
+    // band-index probe + per-bucket state for new-vs-new) — the batch
+    // sketch replay hash-checks the streaming form too
+    "q_stream_delta_lsh" -> Dedup.deltaLshSql,
     "dedup_clusters"   -> Clusters.dedupClustersSql,
     "dedup_apply"      -> Clusters.dedupApplySql,
     "dedup_embed"      -> Similarity.embedPairsSql,

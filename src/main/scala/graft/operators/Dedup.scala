@@ -408,7 +408,7 @@ object Dedup {
   /** MinHash index of the BASE corpus: (doc_id, sig, bands) — what the
     * LSH join needs, with the raw text left behind. Staged once.
     */
-  private def baseMinhashIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def baseMinhashIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dump = DumpCache.dirFor("graft_base_minhash", dir, "documents.parquet")
     DumpCache.ensure(dump) { tmp =>

@@ -399,6 +399,102 @@ object StreamQueries {
            cents
     FROM carried WHERE side = 1"""
 
+  /** One member of a standing LSH bucket: (doc_id, minhash signature). */
+  case class LshMember(doc_id: Long, sig: Seq[Long])
+
+  /** One arriving band row with its bucket's standing members attached
+    * (public: Catalyst's generated deserializer must construct it).
+    */
+  case class BandArrival(band_idx: Int, band_hash: Long,
+    doc_id: Long, sig: Seq[Long], base_members: Seq[LshMember])
+
+  /** CONTINUOUS near-dup detection for an ingest stream — the LSH twin
+    * of `q_stream_delta_dedup`'s exact gate, and the streaming form of
+    * `dedup_delta_lsh`: arriving documents sketch map-side (the native
+    * shingle→minhash→band expressions), probe the STAGED base band
+    * index via a stateless stream-static join, and catch new-vs-new
+    * pairs through per-bucket `flatMapGroupsWithState` (state = the
+    * bucket's arrived members with their signatures — bounded by LSH
+    * bucket occupancy, the same sizing argument as the batch join).
+    *
+    * Exactly-once pair emission WITHOUT a second stateful dedup op
+    * (chaining one after flatMapGroupsWithState is not streaming-legal):
+    * a colliding pair is emitted only by its MINIMAL colliding band —
+    * recomputable from the two signatures alone at emission time, so
+    * every bucket applies the same rule independently and exactly one
+    * emits. Output (normalized pair + signature-estimated Jaccard ≥
+    * 0.7) equals the batch `dedup_delta_lsh` contract, so the SAME
+    * DuckDB sketch replay hash-checks the continuous form.
+    */
+  /** The probe+state topology behind [[streamDeltaLsh]], factored so the
+    * spec can drive it with its own multi-batch document stream and a
+    * synthetic base index. `docs` is a STREAMING documents DF; `base`
+    * is the standing (doc_id, sig, bands) index.
+    */
+  private[graft] def deltaLshTopology(docs: DataFrame, base: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.functions.{MinhashBands, MinhashSig, ShingleGramHashes, Text}
+    val baseBuckets = base
+      .select($"doc_id", $"sig",
+        posexplode($"bands").as(Seq("band_idx", "band_hash")))
+      .groupBy($"band_idx", $"band_hash")
+      .agg(collect_list(struct($"doc_id", $"sig")).as("base_members"))
+    val arriving = docs
+      .select($"doc_id", ShingleGramHashes($"text").as("hashes"))
+      .filter(size($"hashes") > 0)
+      .select($"doc_id", MinhashSig($"hashes").as("sig"))
+      .select($"doc_id", $"sig", posexplode(MinhashBands($"sig"))
+        .as(Seq("band_idx", "band_hash")))
+      .join(baseBuckets, Seq("band_idx", "band_hash"), "left") // stream-static
+      .select($"band_idx", $"band_hash", $"doc_id", $"sig",
+        coalesce($"base_members",
+          array().cast("array<struct<doc_id:bigint,sig:array<bigint>>>"))
+          .as("base_members"))
+      .as[BandArrival]
+    arriving
+      .groupByKey(r => (r.band_idx, r.band_hash))
+      .flatMapGroupsWithState[Seq[LshMember], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((bandIdx, _), rows, state) =>
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = Vector.newBuilder[(Long, Long, Double)]
+          def tryEmit(a: Long, sa: Array[Long], b: Long, sb: Array[Long]): Unit =
+            if (a != b) {
+              val est = Text.minhashJaccard(sa, sb)
+              if (est >= 0.7) {
+                val (ba, bb) = (Text.bandHashesFromSig(sa), Text.bandHashesFromSig(sb))
+                // minimal colliding band owns the emission
+                if (ba.indices.find(i => ba(i) == bb(i)).contains(bandIdx))
+                  out += ((math.min(a, b), math.max(a, b), est))
+              }
+            }
+          rows.foreach { r =>
+            val sa = r.sig.toArray
+            r.base_members.foreach(m => tryEmit(r.doc_id, sa, m.doc_id, m.sig.toArray))
+            members.foreach(m => tryEmit(r.doc_id, sa, m.doc_id, m.sig.toArray))
+            members = members :+ LshMember(r.doc_id, r.sig)
+          }
+          state.update(members)
+          out.result().iterator
+      }
+      .toDF("doc_id_a", "doc_id_b", "est_jaccard")
+  }
+
+  def streamDeltaLsh(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val docsRawSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val docs = s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter($"doc_id" % 5 === 0)
+      deltaLshTopology(docs, Dedup.baseMinhashIndex(s, dir))
+    }
+
   /** Staged IVF serving index: the deterministic Lloyd's codebook plus
     * the cell-assigned corpus (vec_id, cell, embedding, nrm), persisted
     * once per source generation through DumpCache — the artifact an

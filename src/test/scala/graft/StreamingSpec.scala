@@ -682,6 +682,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("streaming delta LSH finds pairs straddling micro-batches exactly once") {
+    import spark.implicits._
+    import graft.functions.Text
+    import graft.operators.StreamQueries
+
+    // near-dup trio over 50 DISTINCT words (a repeated phrase would
+    // collapse the distinct-shingle sets and push Jaccard under 0.7):
+    // B ~ A (word 20 changed), C unrelated; D in a later batch ~ A
+    // (word 22 changed) — the cross-batch case bucket state must catch
+    val words = (0 until 50).map(i => s"word$i")
+    val textA = words.mkString(" ")
+    val textB = words.updated(20, "changedb").mkString(" ")
+    val textD = words.updated(22, "changedd").mkString(" ")
+    val textC = (0 until 50).map(i => s"other$i").mkString(" ")
+
+    // standing base index holds A (the corpus already ingested)
+    val base = Seq((100L, textA)).toDF("doc_id", "text")
+      .select($"doc_id", Text.shingleHashesFastUdf($"text").as("hashes"))
+      .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"))
+      .select($"doc_id", $"sig", Text.bandsFromSigUdf($"sig").as("bands"))
+
+    val srcDir = Files.createTempDirectory("graft_sdl_src").toString
+    def feed(rows: Seq[(Long, String)], mtime: Long): Unit = {
+      val f = Files.createTempDirectory("graft_sdl_tmp").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(f)
+      val part = new java.io.File(f).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(srcDir, s"b$mtime.parquet")
+      assert(part.renameTo(dest))
+      dest.setLastModified(mtime) // strict mtime order → deterministic batches
+    }
+    feed(Seq((200L, textB), (300L, textC)), 1000000L)
+    feed(Seq((400L, textD)), 2000000L)
+
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val out = runComplete2(StreamQueries.deltaLshTopology(docs, base))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // every pair exactly once: (A,B) via base probe in batch 1,
+    // (A,D) via base probe in batch 2, (B,D) ACROSS batches via bucket
+    // state; C pairs with nothing
+    assert(out.sorted === List((100L, 200L), (100L, 400L), (200L, 400L)))
+  }
+
+  /** Append-mode variant of [[runComplete]] for stateful-append graphs. */
+  private def runComplete2(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val name = "spec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   test("TrafficGen produces parseable messages with both bit values") {
     import spark.implicits._
     // drive the deterministic jsonify on a batch frame shaped like the rate source
