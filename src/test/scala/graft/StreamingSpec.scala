@@ -727,6 +727,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.sorted === List((100L, 200L), (100L, 400L), (200L, 400L)))
   }
 
+  test("streaming delta LSH bucket state survives a checkpoint restart") {
+    import spark.implicits._
+    import graft.functions.Text
+    import graft.operators.StreamQueries
+
+    val words = (0 until 50).map(i => s"word$i")
+    val textB = words.updated(20, "changedb").mkString(" ")
+    val textD = words.updated(22, "changedd").mkString(" ")
+
+    val base = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+      .select($"doc_id", Text.shingleHashesFastUdf($"text").as("hashes"))
+      .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"))
+      .select($"doc_id", $"sig", Text.bandsFromSigUdf($"sig").as("bands"))
+
+    val srcDir = Files.createTempDirectory("graft_sdlr_src").toString
+    val outDir = Files.createTempDirectory("graft_sdlr_out").toString
+    val ckpt = Files.createTempDirectory("graft_sdlr_ckpt").toString
+    def feed(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Set[(Long, Long)] = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(srcDir)
+      val q = StreamQueries.deltaLshTopology(docs, base)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    feed(Seq((200L, textB)))
+    assert(runOnce() === Set.empty)
+    // B's signatures must come back from the RECOVERED bucket state —
+    // the source file is not reprocessed after the restart
+    feed(Seq((400L, textD)))
+    assert(runOnce() === Set((200L, 400L)))
+  }
+
   /** Append-mode variant of [[runComplete]] for stateful-append graphs. */
   private def runComplete2(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val name = "spec_" + java.util.UUID.randomUUID().toString.replace("-", "")
