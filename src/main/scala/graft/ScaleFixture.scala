@@ -36,6 +36,19 @@ object ScaleFixture {
 
   private val Stride = 10000000L
 
+  /** Id-shifting only disambiguates copies while every source id is
+    * under the stride — a silent collision would create the exact-dup
+    * explosion this fixture exists to prevent, so fail loudly instead.
+    */
+  private def requireIdsUnderStride(df: DataFrame, idCols: Seq[String], table: String): Unit = {
+    val maxes = df.select(idCols.map(c => max(col(c)).as(c)): _*).head()
+    idCols.zipWithIndex.foreach { case (c, i) =>
+      val m = maxes.getLong(i)
+      require(m < Stride,
+        s"$table.$c max id $m >= stride $Stride — copies would collide; raise Stride")
+    }
+  }
+
   private def writeSingleFile(df: DataFrame, outDir: String, name: String): Unit = {
     val tmp = s"$outDir/_tmp_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -63,6 +76,7 @@ object ScaleFixture {
     import spark.implicits._
 
     val docs = graft.sources.Tables.documents(spark, src)
+    requireIdsUnderStride(docs, Seq("doc_id"), "documents")
     val docCopies = (0 until copies).map { k =>
       val text =
         if (k == 0) $"text"
@@ -74,6 +88,7 @@ object ScaleFixture {
     writeSingleFile(docCopies, out, "documents")
 
     val emb = graft.sources.Tables.embeddings(spark, src)
+    requireIdsUnderStride(emb, Seq("vec_id"), "embeddings")
     val dim = emb.select($"embedding").head().getSeq[Float](0).length
     val embCopies = (0 until copies).map { k =>
       val shifted =
@@ -89,6 +104,7 @@ object ScaleFixture {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet") // ts stays raw nanos
+    requireIdsUnderStride(ev, Seq("event_id", "user_id"), "events")
     val evCopies = (0 until copies).map { k =>
       ev.select(($"event_id" + lit(k * Stride)).as("event_id"), $"ts",
         ($"user_id" + lit(k * Stride)).as("user_id"),

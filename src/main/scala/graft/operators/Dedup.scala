@@ -407,10 +407,15 @@ object Dedup {
 
   /** MinHash index of the BASE corpus: (doc_id, sig, bands) — what the
     * LSH join needs, with the raw text left behind. Staged once.
+    *
+    * The cache key carries the sketch-algorithm tag (`_g64` = the
+    * splitmix64 gram64 chain): DumpCache keys on source file identity
+    * only, so a derivation change MUST bump the name or a warm /tmp
+    * silently serves the previous algorithm's signatures.
     */
   private[operators] def baseMinhashIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dump = DumpCache.dirFor("graft_base_minhash", dir, "documents.parquet")
+    val dump = DumpCache.dirFor("graft_base_minhash_g64", dir, "documents.parquet")
     DumpCache.ensure(dump) { tmp =>
       Tables.documents(spark, dir).filter(!isDelta($"doc_id"))
         .select($"doc_id", graft.functions.ShingleGramHashes($"text").as("hashes"))

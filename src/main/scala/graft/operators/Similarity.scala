@@ -560,7 +560,7 @@ object Similarity {
     * objective, and recall vs brute force.
     */
   def annIvf(spark: SparkSession, dir: String, nprobe: Int = 3, k: Int = 10,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4, topK: Int = 5): DataFrame = {
     import spark.implicits._
     val (codebook, _) = kmeansCodebook(spark, dir, k, iters)
     val bc = spark.sparkContext.broadcast(codebook)
@@ -582,7 +582,7 @@ object Similarity {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cell",
         (Vectors.dot($"qe", $"embedding") / ($"qn" * $"nrm")).as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= topK)
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
@@ -995,7 +995,8 @@ object Similarity {
               FROM dfin) WHERE rn = 1) a USING (vec_id)
     )"""
 
-  def annIvfSql(nprobe: Int = 3, k: Int = 10, iters: Int = 4): String =
+  def annIvfSql(nprobe: Int = 3, k: Int = 10, iters: Int = 4,
+      topK: Int = 5): String =
     ivfTrainedCorpusSql(k, iters) + s""",
     probes AS MATERIALIZED (
       SELECT vec_id AS query_id, c AS cell FROM (
@@ -1014,7 +1015,7 @@ object Similarity {
     SELECT query_id, neighbor_id, CAST(cell AS INT) AS cell, cos,
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
-    FROM scored QUALIFY rank <= 5"""
+    FROM scored QUALIFY rank <= $topK"""
 
   /** DuckDB oracle for [[semDedup]] — the same trained-corpus replay,
     * then the keep-first rule as an EXISTS: vector a drops iff some

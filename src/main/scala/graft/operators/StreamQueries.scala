@@ -24,6 +24,12 @@ object StreamQueries {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Last finished harness query's final progress JSON — dev observability
+    * for state-size audits (SURVEY §6's O(log²W) state measurement reads
+    * `stateOperators.numRowsTotal` / `stateMemory` from here after a run).
+    */
+  @volatile var lastProgress: Option[String] = None
+
   /** A streaming aggregation materializes one state-store instance per
     * shuffle partition, each with its own checkpoint files per
     * micro-batch — at the gate's data volume that fixed I/O dominates.
@@ -34,12 +40,6 @@ object StreamQueries {
     * partitioning-independent; a real deployment sizes this to the key
     * cardinality instead).
     */
-  /** Last finished harness query's final progress JSON — dev observability
-    * for state-size audits (SURVEY §6's O(log²W) state measurement reads
-    * `stateOperators.numRowsTotal` / `stateMemory` from here after a run).
-    */
-  @volatile var lastProgress: Option[String] = None
-
   private def runToTable(spark0: SparkSession, mode: String = "complete")(
       build: SparkSession => DataFrame): DataFrame = {
     val spark = spark0.newSession()
@@ -311,18 +311,6 @@ object StreamQueries {
   case class AttrOut(event_id: Long, user_id: Long,
     attributed_type: String, cents: Long)
 
-  /** CONTINUOUS last-touch attribution — `q_attribution` as a stateful
-    * streaming ENRICHMENT (the pattern behind online feature joins and
-    * real-time credit assignment): per user, `flatMapGroupsWithState`
-    * keeps only the newest touch (ts, type) as state — O(1) bytes per
-    * user, no window buffering — and each arriving purchase emits its
-    * attribution immediately. Events are sorted (ts, side, event_id)
-    * WITHIN each micro-batch before folding, so a bounded replay
-    * reproduces the batch oracle exactly; across batches the online
-    * semantics hold (a touch that arrives after its purchase was
-    * processed cannot retro-attribute — the same contract any
-    * at-emission-time attributor has).
-    */
   /** The stateful fold behind [[streamAttribution]], factored out so
     * StreamingSpec can drive it through its own multi-batch source +
     * checkpoint restarts. State per user = newest touch BY EVENT TIME
@@ -362,6 +350,18 @@ object StreamQueries {
       }.toDF()
   }
 
+  /** CONTINUOUS last-touch attribution — `q_attribution` as a stateful
+    * streaming ENRICHMENT (the pattern behind online feature joins and
+    * real-time credit assignment): per user, `flatMapGroupsWithState`
+    * keeps only the newest touch (ts, type) as state — O(1) bytes per
+    * user, no window buffering — and each arriving purchase emits its
+    * attribution immediately. Events are sorted (ts, side, event_id)
+    * WITHIN each micro-batch before folding, so a bounded replay
+    * reproduces the batch oracle exactly; across batches the online
+    * semantics hold (a touch that arrives after its purchase was
+    * processed cannot retro-attribute — the same contract any
+    * at-emission-time attributor has).
+    */
   def streamAttribution(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
@@ -408,24 +408,6 @@ object StreamQueries {
   case class BandArrival(band_idx: Int, band_hash: Long,
     doc_id: Long, sig: Seq[Long], base_members: Seq[LshMember])
 
-  /** CONTINUOUS near-dup detection for an ingest stream — the LSH twin
-    * of `q_stream_delta_dedup`'s exact gate, and the streaming form of
-    * `dedup_delta_lsh`: arriving documents sketch map-side (the native
-    * shingle→minhash→band expressions), probe the STAGED base band
-    * index via a stateless stream-static join, and catch new-vs-new
-    * pairs through per-bucket `flatMapGroupsWithState` (state = the
-    * bucket's arrived members with their signatures — bounded by LSH
-    * bucket occupancy, the same sizing argument as the batch join).
-    *
-    * Exactly-once pair emission WITHOUT a second stateful dedup op
-    * (chaining one after flatMapGroupsWithState is not streaming-legal):
-    * a colliding pair is emitted only by its MINIMAL colliding band —
-    * recomputable from the two signatures alone at emission time, so
-    * every bucket applies the same rule independently and exactly one
-    * emits. Output (normalized pair + signature-estimated Jaccard ≥
-    * 0.7) equals the batch `dedup_delta_lsh` contract, so the SAME
-    * DuckDB sketch replay hash-checks the continuous form.
-    */
   /** The probe+state topology behind [[streamDeltaLsh]], factored so the
     * spec can drive it with its own multi-batch document stream and a
     * synthetic base index. `docs` is a STREAMING documents DF; `base`
@@ -482,6 +464,24 @@ object StreamQueries {
       .toDF("doc_id_a", "doc_id_b", "est_jaccard")
   }
 
+  /** CONTINUOUS near-dup detection for an ingest stream — the LSH twin
+    * of `q_stream_delta_dedup`'s exact gate, and the streaming form of
+    * `dedup_delta_lsh`: arriving documents sketch map-side (the native
+    * shingle→minhash→band expressions), probe the STAGED base band
+    * index via a stateless stream-static join, and catch new-vs-new
+    * pairs through per-bucket `flatMapGroupsWithState` (state = the
+    * bucket's arrived members with their signatures — bounded by LSH
+    * bucket occupancy, the same sizing argument as the batch join).
+    *
+    * Exactly-once pair emission WITHOUT a second stateful dedup op
+    * (chaining one after flatMapGroupsWithState is not streaming-legal):
+    * a colliding pair is emitted only by its MINIMAL colliding band —
+    * recomputable from the two signatures alone at emission time, so
+    * every bucket applies the same rule independently and exactly one
+    * emits. Output (normalized pair + signature-estimated Jaccard ≥
+    * 0.7) equals the batch `dedup_delta_lsh` contract, so the SAME
+    * DuckDB sketch replay hash-checks the continuous form.
+    */
   def streamDeltaLsh(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
