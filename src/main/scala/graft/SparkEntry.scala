@@ -67,6 +67,7 @@ object SparkEntry {
     "q_stream_session" -> (StreamQueries.streamSessionWindow _),
     "q_stream_dedup"   -> (StreamQueries.streamDedup _),
     "q_stream_delta_dedup" -> (StreamQueries.streamDeltaDedup _),
+    "q_stream_decontam" -> (StreamQueries.streamDecontam _),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
     "q_stream_rate_spikes" -> (StreamQueries.streamRateSpikes _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "dedup_minhash"    -> (Dedup.minhashLsh _),
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_chunks"     -> (Dedup.chunkDups _),
+    "dedup_substring"  -> ((s: SparkSession, d: String) => Dedup.substringDedup(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_editdist"   -> (Dedup.editDistVerify _),
     "dedup_delta"      -> (Dedup.deltaDedup _),
@@ -218,6 +220,10 @@ object SparkEntry {
     "q_stream_session" -> Windows.sessionWindowSql, // streaming == batch
     "q_stream_dedup"   -> StreamQueries.streamDedupSql,
     "q_stream_delta_dedup" -> StreamQueries.streamDeltaDedupSql,
+    // q_stream_decontam emits the SAME contract as text_decontam (the
+    // per-row broadcast-set reshape is value-identical to the batch
+    // explode→join→agg) — streaming ≡ batch under the same oracle
+    "q_stream_decontam" -> Decontam.ngramCollisionsSql,
     "q_stream_slide_distinct" -> StreamQueries.streamSlideDistinctSql,
     "q_stream_rate_spikes" -> StreamQueries.streamRateSpikesSql,
     "q_stream_session_paths" -> StreamQueries.streamSessionPathsSql,
@@ -242,6 +248,7 @@ object SparkEntry {
     "dedup_minhash"    -> Dedup.minhashLshSql,
     "dedup_simhash"    -> Dedup.simhashSql,
     "dedup_chunks"     -> Dedup.chunkDupsSql,
+    "dedup_substring"  -> Dedup.substringDedupSql(),
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_editdist"   -> Dedup.editDistVerifySql,
     "dedup_delta"      -> Dedup.deltaDedupSql,

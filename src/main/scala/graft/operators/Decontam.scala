@@ -21,8 +21,8 @@ import graft.sources.Tables
   */
 object Decontam {
 
-  private val EvalSources = Seq("src0", "src1", "src2")
-  private val N = 7 // n-gram length of the collision protocol
+  private[operators] val EvalSources = Seq("src0", "src1", "src2")
+  private[operators] val N = 7 // n-gram length of the collision protocol
 
   /** (doc_id, n_collisions) for every corpus doc sharing ≥ 1 distinct
     * 7-gram with the eval set; n_collisions counts the doc's DISTINCT

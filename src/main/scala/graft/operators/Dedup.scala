@@ -224,6 +224,137 @@ object Dedup {
     FROM ch JOIN fp USING (chunk_md5)
     GROUP BY ch.doc_id"""
 
+  /** Exact SUBSTRING deduplication (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" operation, k-gram
+    * windowed form): every W-token window that occurs more than once
+    * ANYWHERE in the corpus — across documents or repeated within one —
+    * is excised from every occurrence except the globally first. This is
+    * the span-level complement of the document-level ladder above:
+    * [[chunkDups]] *scores* docs by duplicated fixed chunks, this op
+    * *rewrites* them, catching boilerplate headers, license blocks, and
+    * quoted passages pasted inside otherwise-unique documents that no
+    * whole-doc or chunk-grid fingerprint removes.
+    *
+    * Deterministic contract (no RNG, no order dependence):
+    *  1. tokenize with the shared normalizer, window W tokens at
+    *     stride 1, fingerprint each window (md5 of the joined slice);
+    *  2. the first occurrence of each duplicated fingerprint — minimal
+    *     (doc_id, pos) — is the keeper; every OTHER occurrence marks its
+    *     token interval [pos, pos+W) for removal;
+    *  3. per doc, marked intervals union (gaps-and-islands merge with a
+    *     running interval-end max), and the cleaned text is the ordered
+    *     join of uncovered tokens.
+    * An exact-duplicate pair keeps doc A untouched and strips doc B to
+    * the empty string; a W-token quote shared by 5 docs survives once.
+    *
+    * Scale: the window fan-out is ~n_tokens rows of slim
+    * (fp, doc_id, pos) triples (the token array is dropped at the
+    * generate's projection) — one hash shuffle on the fingerprint (the
+    * keeper argmin is a map-side-combined min(struct)), one slim shuffle
+    * of removal intervals on doc_id for the island merge. The rewrite
+    * itself never shuffles token positions: the merged-interval array
+    * (≤ n/W entries) joins back to the doc row and a lambda filter drops
+    * covered tokens map-side. The O(n·W) window hashing is the honest
+    * cost vs a suffix array's O(n) scan; at 100 TB the drop-in upgrade is
+    * the incremental rolling hash (`text_rollhash`'s roll61 chain, one
+    * multiply-add per token) — md5 is kept here because the gate replays
+    * it verbatim.
+    */
+  def substringDedup(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", Text.wordsFast($"text").as("w"))
+
+    // ~n_tokens slim rows; sequence() is guarded (size >= w) because a
+    // start > stop sequence would count DOWN, not produce empty.
+    val wins = toks.filter(size($"w") >= w)
+      .select($"doc_id", $"w",
+        explode(sequence(lit(1), size($"w") - (w - 1))).as("pos"))
+      .select($"doc_id", $"pos",
+        md5(concat_ws(" ", slice($"w", $"pos", lit(w)))).as("fp"))
+
+    val keepers = wins.groupBy($"fp")
+      .agg(min(struct($"doc_id", $"pos")).as("keep"), count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1)
+
+    val removal = wins.join(keepers, "fp")
+      .filter(struct($"doc_id", $"pos") =!= $"keep")
+      .select($"doc_id", $"pos".as("s"), ($"pos" + (w - 1)).as("e"))
+
+    // Gaps-and-islands: a removal interval starts a new island iff it
+    // leaves an uncovered gap after everything before it (running max of
+    // interval ends; (doc_id, s) is unique so the ordering is total).
+    val prev = Window.partitionBy($"doc_id").orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy($"doc_id").orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ivs = removal
+      .withColumn("new_island",
+        when($"s" > coalesce(max($"e").over(prev), lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("isl", sum($"new_island").over(upTo))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"s").as("s"), max($"e").as("e"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"s", $"e"))).as("ivs"))
+
+    val base = toks.select($"doc_id", $"w", size($"w").cast("long").as("n_tokens"))
+    val rewritten = base.join(ivs, "doc_id")
+      .withColumn("kept", expr(
+        """filter(transform(w, (x, i) -> named_struct('tok', x, 'p', i + 1)),
+          |       t -> NOT exists(ivs, iv -> t.p >= iv.s AND t.p <= iv.e))""".stripMargin))
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - size($"kept")).cast("long").as("n_removed"),
+        concat_ws(" ", expr("transform(kept, t -> t.tok)")).as("cleaned_text"))
+    val untouched = base.join(ivs, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_tokens", lit(0L).as("n_removed"),
+        concat_ws(" ", $"w").as("cleaned_text"))
+    rewritten.unionByName(untouched)
+  }
+
+  /** DuckDB oracle for [[substringDedup]]: same windows (DuckDB list
+    * slices are 1-based inclusive like Spark's `slice`), keeper = first
+    * by (doc_id, pos) via row_number, and the rewrite DELIBERATELY takes
+    * the dumb road — explode every removal interval to covered positions,
+    * DISTINCT, anti-join tokens — so the Spark side's island merge +
+    * lambda filter is verified against first-principles set semantics,
+    * not a re-implementation of itself.
+    */
+  def substringDedupSql(w: Int = 20): String = TextAnalysis.sqlWords + s""",
+    wins AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(w[i : i + ${w - 1}], ' ')) AS fp
+      FROM wd, LATERAL (SELECT unnest(range(1, len(w) - ${w - 1} + 1)) AS i)
+    ),
+    occ AS MATERIALIZED (
+      SELECT doc_id, pos,
+             count(*)     OVER (PARTITION BY fp) AS cnt,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+      FROM wins
+    ),
+    removal AS MATERIALIZED (
+      SELECT doc_id, pos AS s, pos + ${w - 1} AS e FROM occ
+      WHERE cnt > 1 AND rn > 1
+    ),
+    covered AS MATERIALIZED (
+      SELECT DISTINCT doc_id, CAST(p AS INT) AS p
+      FROM removal, LATERAL (SELECT unnest(range(s, e + 1)) AS p)
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS INT) AS p, w[i] AS tok
+      FROM wd, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+    ),
+    kept AS MATERIALIZED (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+      WHERE c.p IS NULL
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS n_tokens,
+           CAST(len(d.w) - count(k.p) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS cleaned_text
+    FROM wd d LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id, len(d.w)"""
+
   /** Asymmetric shingle CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ 0.9 —
     * the doc-in-doc signal symmetric Jaccard structurally misses. A
     * 200-word doc pasted verbatim inside a 5000-word doc has Jaccard

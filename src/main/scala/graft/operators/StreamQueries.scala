@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-import graft.sources.TrafficSource
+import graft.sources.{Tables, TrafficSource}
 import graft.streaming.TrafficJobs
 
 /** Queries that push data through REAL Structured Streaming graphs
@@ -148,6 +148,53 @@ object StreamQueries {
     SELECT d.doc_id, d.text_hash, f.keep_id AS base_dup_of
     FROM norm d LEFT JOIN base_fp f USING (text_hash)
     WHERE d.doc_id % 5 = 0"""
+
+  /** CONTINUOUS decontamination — the eval-collision gate (`text_decontam`)
+    * run on the ingest stream: every arriving corpus document is checked
+    * for verbatim 7-gram overlap with the benchmark suite BEFORE
+    * admission, the hygiene step a production trainer runs at ingest
+    * time rather than as a corpus-wide sweep.
+    *
+    * The batch op is explode → broadcast join → per-doc count; streaming
+    * append mode allows no aggregation without a watermark and there is
+    * no event time here, so the twin RESHAPES the plan: the eval-gram
+    * set (benchmark-sized by construction — eval suites are ~10⁵ items
+    * no matter how big the corpus grows, the same bound that justified
+    * the batch broadcast) is collected once at query build and BROADCAST,
+    * and the collision count becomes a stateless per-row map over the
+    * doc's distinct-shingle array. No shuffle, no state store, no
+    * watermark — the gate scales with arrival rate only. A UDF carries
+    * the membership probe because Catalyst has no expression for
+    * broadcast-set lookup (the literal-array `array_intersect`
+    * alternative would inline ~10⁵ strings into the plan).
+    *
+    * Emits exactly the batch contract (docs with ≥ 1 distinct colliding
+    * gram, with the count) — hash-matches `ngramCollisionsSql` verbatim:
+    * streaming ≡ batch.
+    */
+  def streamDecontam(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val evalGrams: Set[String] = Tables.documents(s, dir)
+        .filter($"source".isInCollection(Decontam.EvalSources))
+        .select(explode(graft.functions.Text.shinglesNFastUdf(Decontam.N)($"text")).as("s"))
+        .distinct().as[String].collect().toSet
+      val bc = s.sparkContext.broadcast(evalGrams)
+      val nHits = udf { shingles: Seq[String] =>
+        val set = bc.value
+        if (shingles == null) 0L else shingles.count(set.contains).toLong
+      }
+      val docsRawSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(!$"source".isInCollection(Decontam.EvalSources))
+        .select($"doc_id",
+          nHits(graft.functions.Text.shinglesNFastUdf(Decontam.N)($"text")).as("n_collisions"))
+        .filter($"n_collisions" > 0)
+    }
 
   /** Streaming session windows (complete mode), hash-matching the batch
     * `Windows.sessionWindowSql` oracle — the streaming path of the

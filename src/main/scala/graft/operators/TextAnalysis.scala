@@ -30,7 +30,7 @@ object TextAnalysis {
     s"len(list_filter(w, x -> x IN ($inList))) * 1.0 / len(w)"
   }
 
-  private val sqlWords =
+  private[operators] val sqlWords =
     """WITH d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t, text FROM documents),
       |wd AS (SELECT doc_id, text, t, string_split(t, ' ') w FROM d)""".stripMargin
 

@@ -446,6 +446,40 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Jaccard unexpectedly caught the embedded pair — planting is wrong")
   }
 
+  test("substring dedup: keeper kept, later spans excised, overlap-merge + islands exact") {
+    // Planted corpus for every branch of the contract (W = 20):
+    //  doc 1  u1..u5 S(21) v1..v4      — first occurrence of S: untouched
+    //  doc 2  x1..x5 S(21) y1..y4      — S excised: two OVERLAPPING dup
+    //                                    windows (pos 6,7) merge to [6,26]
+    //  doc 3  = doc 1 verbatim         — every window dup: stripped to ""
+    //  doc 4  five tokens              — shorter than W: untouched
+    //  doc 5  T(20) T(20)              — self-repeat: second copy excised
+    //  doc 6  z1 z2 S g1..g3 T z3      — TWO islands with a kept gap
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => f"$p$i%02d")
+    val S = toks("s", 21); val T = toks("t", 20)
+    val d1 = (toks("u", 5) ++ S ++ toks("v", 4)).mkString(" ")
+    val d2 = (toks("x", 5) ++ S ++ toks("y", 4)).mkString(" ")
+    val d4 = toks("q", 5).mkString(" ")
+    val d5 = (T ++ T).mkString(" ")
+    val d6 = (Seq("z01", "z02") ++ S ++ toks("g", 3) ++ T ++ Seq("z03")).mkString(" ")
+    Seq((1L, d1), (2L, d2), (3L, d1), (4L, d4), (5L, d5), (6L, d6))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Dedup.substringDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((30L, 0L, d1)), s"keeper rewritten: ${got(1L)}")
+    assert(got(2L) === ((30L, 21L, (toks("x", 5) ++ toks("y", 4)).mkString(" "))),
+      s"overlap-merge wrong: ${got(2L)}")
+    assert(got(3L) === ((30L, 30L, "")), s"exact dup not stripped: ${got(3L)}")
+    assert(got(4L) === ((5L, 0L, d4)), s"short doc touched: ${got(4L)}")
+    assert(got(5L) === ((40L, 20L, T.mkString(" "))), s"self-repeat: ${got(5L)}")
+    assert(got(6L) === ((47L, 41L, "z01 z02 g01 g02 g03 z03")),
+      s"island merge wrong: ${got(6L)}")
+  }
+
   test("hll_merge: persisted per-day sketch union == direct sketch; error bounded") {
     import org.apache.spark.sql.functions._
     // merged row from the persisted per-day sketches
