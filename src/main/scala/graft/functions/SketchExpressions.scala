@@ -66,6 +66,54 @@ object SketchNative {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
   }
 
+  /** gram64 hash of EVERY w-word window at stride 1 (one slot per start
+    * position, duplicates kept — unlike [[shingleGramHashes]] this feeds
+    * positional substring dedup, where occurrence order IS the result).
+    * O(n) total via prefix polynomial rolls: pre(j) = roll61 of the
+    * first j normalized chars, pow(k) = 257^k mod M61, and each window
+    * [s, e) evaluates as pre(e) − pre(s)·pow(e−s) — one subtract-multiply
+    * per window instead of re-rolling e−s chars, so hashing cost is
+    * independent of the window width. Bit-identical to
+    * `Text.gram64(windowString)` (spec-pinned).
+    */
+  def wordWindowHashes(u: UTF8String, w: Int): ArrayData = {
+    val norm = TextNative.normalize(u).getBytes
+    var wc = if (norm.length == 0) 0 else 1
+    var i = 0
+    while (i < norm.length) { if (norm(i) == ' ') wc += 1; i += 1 }
+    if (wc < w) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val starts = new Array[Int](wc)
+    val ends = new Array[Int](wc)
+    var k = 0
+    starts(0) = 0
+    i = 0
+    while (i < norm.length) {
+      if (norm(i) == ' ') { ends(k) = i; k += 1; starts(k) = i + 1 }
+      i += 1
+    }
+    ends(k) = norm.length
+    val n = norm.length
+    val pre = new Array[Long](n + 1)
+    val pow = new Array[Long](n + 1)
+    pow(0) = 1L
+    i = 0
+    while (i < n) {
+      pre(i + 1) = (Text.mulMod61(pre(i), 257L) + norm(i)) % M61
+      pow(i + 1) = Text.mulMod61(pow(i), 257L)
+      i += 1
+    }
+    val out = new Array[Long](wc - w + 1)
+    i = 0
+    while (i + w <= wc) {
+      val s = starts(i)
+      val e = ends(i + w - 1)
+      val sub = (pre(e) - Text.mulMod61(pre(s), pow(e - s))) % M61
+      out(i) = Text.mix64(if (sub < 0) sub + M61 else sub)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def minhashSig(a: ArrayData): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Text.minhashSignature(a.toLongArray))
 
@@ -96,6 +144,30 @@ case class ShingleGramHashes(child: Expression) extends UnaryExpression {
 object ShingleGramHashes {
   def apply(c: Column): Column =
     ColumnBridge.column(ShingleGramHashes(ColumnBridge.expression(c)))
+}
+
+/** text → gram64 of every w-word window at stride 1, positional (slot i
+  * = window starting at word i+1). The O(n) prefix-roll core of
+  * `dedup_substring`'s candidate stage.
+  */
+case class WordWindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchNative.wordWindowHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchNative.wordWindowHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordWindowHashes {
+  def apply(c: Column, w: Int): Column =
+    ColumnBridge.column(WordWindowHashes(ColumnBridge.expression(c), w))
 }
 
 /** gram-hash array → 128-perm minhash signature (primitive loop, no

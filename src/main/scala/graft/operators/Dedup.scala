@@ -247,37 +247,52 @@ object Dedup {
     * An exact-duplicate pair keeps doc A untouched and strips doc B to
     * the empty string; a W-token quote shared by 5 docs survives once.
     *
-    * Scale: the window fan-out is ~n_tokens rows of slim
-    * (fp, doc_id, pos) triples (the token array is dropped at the
-    * generate's projection) — one hash shuffle on the fingerprint (the
-    * keeper argmin is a map-side-combined min(struct)), one slim shuffle
-    * of removal intervals on doc_id for the island merge. The rewrite
-    * itself never shuffles token positions: the merged-interval array
-    * (≤ n/W entries) joins back to the doc row and a lambda filter drops
-    * covered tokens map-side. The O(n·W) window hashing is the honest
-    * cost vs a suffix array's O(n) scan; at 100 TB the drop-in upgrade is
-    * the incremental rolling hash (`text_rollhash`'s roll61 chain, one
-    * multiply-add per token) — md5 is kept here because the gate replays
-    * it verbatim.
+    * Scale — the sketch-then-exact-verify ladder AGAIN (the same shape
+    * as `dedup_delta_bloom` / `text_decontam_bloom`), because at 10¹³
+    * windows even a 128-bit fingerprint is trust, not proof:
+    *  1. the native [[graft.functions.WordWindowHashes]] expression
+    *     emits a 64-bit gram64 per window in O(n) TOTAL (prefix
+    *     polynomial rolls — hashing cost independent of W, no md5 over
+    *     rebuilt strings), and the grouping shuffle carries slim
+    *     (fp: long, doc_id, pos) triples;
+    *  2. only fingerprint groups with >1 occurrence — true duplicates
+    *     plus the ~n²/2⁶⁴ collision sliver — rebuild their actual window
+    *     STRINGS (a candidate-sized join back to the token arrays) and
+    *     the keeper/removal decision groups on string equality: EXACT at
+    *     any corpus size, by construction rather than by hash-width
+    *     argument.
+    * After that: one slim doc_id shuffle of removal intervals for the
+    * island merge; the rewrite never shuffles token positions — the
+    * merged-interval array (≤ n/W entries) joins back to the doc row and
+    * a lambda filter drops covered tokens map-side.
     */
   def substringDedup(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", Text.wordsFast($"text").as("w"))
 
-    // ~n_tokens slim rows; sequence() is guarded (size >= w) because a
-    // start > stop sequence would count DOWN, not produce empty.
-    val wins = toks.filter(size($"w") >= w)
-      .select($"doc_id", $"w",
-        explode(sequence(lit(1), size($"w") - (w - 1))).as("pos"))
-      .select($"doc_id", $"pos",
-        md5(concat_ws(" ", slice($"w", $"pos", lit(w)))).as("fp"))
+    // ~n_tokens slim rows straight off the native expression (docs
+    // shorter than W emit an empty array — no explicit guard needed).
+    val wins = Tables.documents(spark, dir)
+      .select($"doc_id",
+        posexplode(graft.functions.WordWindowHashes($"text", w)).as(Seq("i", "fp")))
+      .select($"doc_id", ($"i" + 1).as("pos"), $"fp")
 
-    val keepers = wins.groupBy($"fp")
+    val hot = wins.groupBy($"fp").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1).select($"fp")
+
+    // Exact verify of the candidate sliver: rebuild the window strings
+    // and decide keeper/removal on STRING equality, never on the hash.
+    val candStr = wins.join(hot, "fp")
+      .join(toks, "doc_id")
+      .select($"doc_id", $"pos",
+        concat_ws(" ", slice($"w", $"pos", lit(w))).as("win"))
+
+    val keepers = candStr.groupBy($"win")
       .agg(min(struct($"doc_id", $"pos")).as("keep"), count(lit(1)).as("cnt"))
       .filter($"cnt" > 1)
 
-    val removal = wins.join(keepers, "fp")
+    val removal = candStr.join(keepers, "win")
       .filter(struct($"doc_id", $"pos") =!= $"keep")
       .select($"doc_id", $"pos".as("s"), ($"pos" + (w - 1)).as("e"))
 
@@ -311,24 +326,28 @@ object Dedup {
     rewritten.unionByName(untouched)
   }
 
-  /** DuckDB oracle for [[substringDedup]]: same windows (DuckDB list
-    * slices are 1-based inclusive like Spark's `slice`), keeper = first
-    * by (doc_id, pos) via row_number, and the rewrite DELIBERATELY takes
-    * the dumb road — explode every removal interval to covered positions,
-    * DISTINCT, anti-join tokens — so the Spark side's island merge +
-    * lambda filter is verified against first-principles set semantics,
-    * not a re-implementation of itself.
+  /** DuckDB oracle for [[substringDedup]]: the windows keyed by their
+    * LITERAL STRING (DuckDB list slices are 1-based inclusive like
+    * Spark's `slice`) — legitimate precisely because the Spark side
+    * exact-verifies its fingerprint candidates on string equality, so
+    * string-group semantics IS the contract and the gram64 fingerprint
+    * stays an implementation detail the oracle never needs to replay.
+    * Keeper = first by (doc_id, pos) via row_number; the rewrite
+    * DELIBERATELY takes the dumb road — explode every removal interval
+    * to covered positions, DISTINCT, anti-join tokens — so the Spark
+    * side's island merge + lambda filter is verified against
+    * first-principles set semantics, not a re-implementation of itself.
     */
   def substringDedupSql(w: Int = 20): String = TextAnalysis.sqlWords + s""",
     wins AS MATERIALIZED (
       SELECT doc_id, CAST(i AS INT) AS pos,
-             md5(array_to_string(w[i : i + ${w - 1}], ' ')) AS fp
+             array_to_string(w[i : i + ${w - 1}], ' ') AS win
       FROM wd, LATERAL (SELECT unnest(range(1, len(w) - ${w - 1} + 1)) AS i)
     ),
     occ AS MATERIALIZED (
       SELECT doc_id, pos,
-             count(*)     OVER (PARTITION BY fp) AS cnt,
-             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+             count(*)     OVER (PARTITION BY win) AS cnt,
+             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
       FROM wins
     ),
     removal AS MATERIALIZED (

@@ -53,6 +53,23 @@ class SketchExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("wordWindowHashes: prefix-roll O(n) path equals gram64 of every rebuilt window") {
+    import spark.implicits._
+    val w = 5
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").as[String].collect().toSeq ++ edgeCases
+    val native = docs.toDF("text")
+      .select(graft.functions.WordWindowHashes($"text", w).as("h"))
+      .as[Seq[Long]].collect()
+    docs.zip(native).foreach { case (in, got) =>
+      val words = Text.normalizeString(in).split(" ", -1)
+      val want =
+        if (words.length < w) Seq.empty[Long]
+        else (0 to words.length - w).map(i => Text.gram64(words.slice(i, i + w).mkString(" ")))
+      assert(got === want, s"window hashes diverge on <$in>")
+    }
+  }
+
   test("extensions surface: the sketch pipeline is callable from pure SQL") {
     val row = spark.sql(
       """SELECT size(graft_shingle_hashes('one two three four')) AS n_h,
