@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_chunks"     -> (Dedup.chunkDups _),
     "dedup_substring"  -> ((s: SparkSession, d: String) => Dedup.substringDedup(s, d)),
+    "dedup_substring_delta" -> ((s: SparkSession, d: String) => Dedup.substringDeltaDedup(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_editdist"   -> (Dedup.editDistVerify _),
     "dedup_delta"      -> (Dedup.deltaDedup _),
@@ -249,6 +250,9 @@ object SparkEntry {
     "dedup_simhash"    -> Dedup.simhashSql,
     "dedup_chunks"     -> Dedup.chunkDupsSql,
     "dedup_substring"  -> Dedup.substringDedupSql(),
+    // dedup_substring_delta: from-scratch batch replay with base-first
+    // keeper order, restricted to delta docs — index-probe ≡ recompute
+    "dedup_substring_delta" -> Dedup.substringDeltaSql(),
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_editdist"   -> Dedup.editDistVerifySql,
     "dedup_delta"      -> Dedup.deltaDedupSql,

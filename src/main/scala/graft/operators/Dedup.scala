@@ -296,6 +296,19 @@ object Dedup {
       .filter(struct($"doc_id", $"pos") =!= $"keep")
       .select($"doc_id", $"pos".as("s"), ($"pos" + (w - 1)).as("e"))
 
+    excise(spark, toks, removal)
+  }
+
+  /** The shared rewrite stage of the substring-dedup family: merge a
+    * doc's removal intervals (gaps-and-islands with a running
+    * interval-end max) and rebuild its text map-side by a lambda filter
+    * against the merged-interval array — token positions never shuffle.
+    * `toks` = (doc_id, w) for every doc to OUTPUT; `removal` =
+    * (doc_id, s, e) token intervals to excise.
+    */
+  private def excise(spark: SparkSession, toks: DataFrame,
+      removal: DataFrame): DataFrame = {
+    import spark.implicits._
     // Gaps-and-islands: a removal interval starts a new island iff it
     // leaves an uncovered gap after everything before it (running max of
     // interval ends; (doc_id, s) is unique so the ordering is total).
@@ -338,7 +351,19 @@ object Dedup {
     * side's island merge + lambda filter is verified against
     * first-principles set semantics, not a re-implementation of itself.
     */
-  def substringDedupSql(w: Int = 20): String = TextAnalysis.sqlWords + s""",
+  def substringDedupSql(w: Int = 20): String =
+    substringSqlCore(w, "doc_id, pos", "TRUE")
+
+  /** Oracle for [[substringDeltaDedup]]: the SAME batch replay with the
+    * keeper preference ordered base-first ((doc_id % 5 = 0) sorts false
+    * before true), restricted to delta docs — proving the staged
+    * index-probe computes exactly the batch semantics on base ∪ delta.
+    */
+  def substringDeltaSql(w: Int = 20): String =
+    substringSqlCore(w, "(doc_id % 5 = 0), doc_id, pos", "d.doc_id % 5 = 0")
+
+  private def substringSqlCore(w: Int, keeperOrder: String,
+      outWhere: String): String = TextAnalysis.sqlWords + s""",
     wins AS MATERIALIZED (
       SELECT doc_id, CAST(i AS INT) AS pos,
              array_to_string(w[i : i + ${w - 1}], ' ') AS win
@@ -347,7 +372,7 @@ object Dedup {
     occ AS MATERIALIZED (
       SELECT doc_id, pos,
              count(*)     OVER (PARTITION BY win) AS cnt,
-             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+             row_number() OVER (PARTITION BY win ORDER BY $keeperOrder) AS rn
       FROM wins
     ),
     removal AS MATERIALIZED (
@@ -372,6 +397,7 @@ object Dedup {
            CAST(len(d.w) - count(k.p) AS BIGINT) AS n_removed,
            coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS cleaned_text
     FROM wd d LEFT JOIN kept k USING (doc_id)
+    WHERE $outWhere
     GROUP BY d.doc_id, len(d.w)"""
 
   /** Asymmetric shingle CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ 0.9 —
@@ -752,6 +778,96 @@ object Dedup {
       .select($"doc_id_a", $"doc_id_b",
         simUdf($"sa.sig", $"sb.sig").as("est_jaccard"))
       .filter($"est_jaccard" >= 0.7)
+  }
+
+  /** Window-fingerprint index of the BASE corpus: one slim
+    * (fp, doc_id, pos) row per 20-word window — the substring-dedup
+    * analogue of [[baseFpIndex]], staged once via DumpCache. ALL
+    * occurrences are kept (not a distinct-fp set) because the exact
+    * verify stage must be able to rebuild ANY base occurrence's string
+    * when a probe fingerprint collides. At 100 TB this is the persisted
+    * window index an ingest pipeline maintains; bucketing it by fp
+    * (the `sink_bucketed` pattern) co-partitions the probe join.
+    */
+  private[operators] def baseWindowIndex(spark: SparkSession, dir: String,
+      w: Int = 20): DataFrame = {
+    import spark.implicits._
+    val dump = DumpCache.dirFor(s"graft_base_winfp_$w", dir, "documents.parquet")
+    DumpCache.ensure(dump) { tmp =>
+      Tables.documents(spark, dir).filter(!isDelta($"doc_id"))
+        .select($"doc_id",
+          posexplode(graft.functions.WordWindowHashes($"text", w)).as(Seq("i", "fp")))
+        .select($"fp", $"doc_id", ($"i" + 1).as("pos"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(dump)
+  }
+
+  /** Incremental substring dedup — [[substringDedup]]'s span excision as
+    * an ingest-time gate: every arriving (delta) document has its
+    * 20-token windows probed against the STAGED base window index, and
+    * spans already present in the standing corpus — or earlier in the
+    * delta itself — are excised before admission. Base docs are never
+    * rewritten (they are the standing, already-deduped corpus), so the
+    * keeper preference is base-first; among delta occurrences the usual
+    * min (doc_id, pos) rule applies.
+    *
+    * Work is O(delta windows + index probe): the delta fingerprint set
+    * is delta-sized, so its joins against the index broadcast the delta
+    * side (AQE), and only candidate fingerprints — true base/delta dups
+    * plus the collision sliver — rebuild window strings for the exact
+    * verify (base strings come from a candidate-sized join back to the
+    * base docs). Same sketch-then-exact-verify ladder as the batch op:
+    * removal decisions group on string equality, never on the hash.
+    * The oracle recomputes the whole thing from scratch with base-first
+    * keeper order ([[substringDeltaSql]]), proving index-probe ≡
+    * recompute — the same contract proof as [[deltaDedup]].
+    */
+  def substringDeltaDedup(spark: SparkSession, dir: String,
+      w: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val deltaToks = docs.filter(isDelta($"doc_id"))
+      .select($"doc_id", Text.wordsFast($"text").as("w"))
+
+    val deltaWins = docs.filter(isDelta($"doc_id"))
+      .select($"doc_id",
+        posexplode(graft.functions.WordWindowHashes($"text", w)).as(Seq("i", "fp")))
+      .select($"doc_id", ($"i" + 1).as("pos"), $"fp")
+
+    val baseIdx = baseWindowIndex(spark, dir, w)
+
+    // candidate fps: in the base index, or duplicated within the delta
+    val deltaDupFp = deltaWins.groupBy($"fp").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1).select($"fp")
+    val baseHitFp = baseIdx.join(deltaWins.select($"fp").distinct(), "fp")
+      .select($"fp").distinct()
+    val candFp = deltaDupFp.unionByName(baseHitFp).distinct()
+
+    // exact verify: rebuild candidate window strings on BOTH sides
+    val deltaCand = deltaWins.join(candFp, "fp")
+      .join(deltaToks, "doc_id")
+      .select($"doc_id", $"pos",
+        concat_ws(" ", slice($"w", $"pos", lit(w))).as("win"))
+    val baseToks = docs.filter(!isDelta($"doc_id"))
+      .select($"doc_id", Text.wordsFast($"text").as("w"))
+    val baseWins = baseIdx.join(candFp, "fp")
+      .join(baseToks, "doc_id")
+      .select(concat_ws(" ", slice($"w", $"pos", lit(w))).as("win"))
+      .distinct().withColumn("in_base", lit(true))
+
+    // a delta occurrence is excised iff its span exists in the base
+    // (any base occurrence precedes every delta one), or an earlier
+    // delta occurrence of the same string exists
+    val dKeep = deltaCand.groupBy($"win")
+      .agg(min(struct($"doc_id", $"pos")).as("keep"), count(lit(1)).as("cnt"))
+    val removal = deltaCand.join(dKeep, "win")
+      .join(baseWins, Seq("win"), "left")
+      .filter($"in_base".isNotNull ||
+        ($"cnt" > 1 && struct($"doc_id", $"pos") =!= $"keep"))
+      .select($"doc_id", $"pos".as("s"), ($"pos" + (w - 1)).as("e"))
+
+    excise(spark, deltaToks, removal)
   }
 
   /** DuckDB replay oracle for [[deltaLshCandidates]]: the same sketch

@@ -480,6 +480,33 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"island merge wrong: ${got(6L)}")
   }
 
+  test("incremental substring dedup: base spans excised from arrivals, base never rewritten") {
+    // Base (ids % 5 != 0): doc 1 holds span S; doc 2 is a verbatim copy
+    // of doc 1 (base-internal dup — must NOT appear in the output and
+    // must not perturb delta verdicts). Delta (ids % 5 == 0): doc 5
+    // pastes S (excised via the staged index), doc 10 is a verbatim copy
+    // of doc 5 (fully stripped: every window is in base or earlier
+    // delta), doc 15 is unique (untouched).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr_d").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => f"$p$i%02d")
+    val S = toks("s", 20)
+    val d1 = (toks("u", 5) ++ S ++ toks("v", 5)).mkString(" ")
+    val d5 = (toks("x", 5) ++ S ++ toks("y", 5)).mkString(" ")
+    val d15 = toks("q", 25).mkString(" ")
+    Seq((1L, d1), (2L, d1), (5L, d5), (10L, d5), (15L, d15))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Dedup.substringDeltaDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === Set(5L, 10L, 15L), s"non-delta rows emitted: ${got.keySet}")
+    assert(got(5L) === ((30L, 20L, (toks("x", 5) ++ toks("y", 5)).mkString(" "))),
+      s"base span not excised: ${got(5L)}")
+    assert(got(10L) === ((30L, 30L, "")), s"delta copy not stripped: ${got(10L)}")
+    assert(got(15L) === ((25L, 0L, d15)), s"unique delta touched: ${got(15L)}")
+  }
+
   test("hll_merge: persisted per-day sketch union == direct sketch; error bounded") {
     import org.apache.spark.sql.functions._
     // merged row from the persisted per-day sketches
