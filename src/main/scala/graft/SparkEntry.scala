@@ -109,6 +109,7 @@ object SparkEntry {
     "text_quality"     -> (TextAnalysis.quality _),
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_tokens_bpe"  -> (TextAnalysis.tokensBpe _),
+    "text_bpe_train"   -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rollhash"    -> (TextAnalysis.rollhash _),
     "text_boilerplate" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplate(s, d)),
@@ -297,6 +298,10 @@ object SparkEntry {
     "text_quality"     -> TextAnalysis.qualitySql,
     "text_tokens"      -> TextAnalysis.tokensSql,
     "text_tokens_bpe"  -> TextAnalysis.tokensBpeSql,
+    // text_bpe_train: the FULL training run (pair counts, argmax, greedy
+    // run-parity merge application) unrolled as chained CTEs — the
+    // learned merge table hash-matches bit-for-bit
+    "text_bpe_train"   -> TextAnalysis.bpeTrainSql(),
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_rollhash"    -> TextAnalysis.rollhashSql,
     "text_boilerplate" -> TextAnalysis.boilerplateSql(),

@@ -271,6 +271,119 @@ object TextAnalysis {
     FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id"""
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — the step
+    * [[tokensBpe]]'s fixed vocab comes from: learn the top-k merges from
+    * the corpus itself. Iteration k counts adjacent token pairs weighted
+    * by word frequency, merges the argmax pair (count DESC, then left,
+    * right ASC — fully deterministic), and rewrites the vocabulary's
+    * token sequences. Output: the learned merge table
+    * (rank, left_tok, right_tok, merged, pair_count).
+    *
+    * The CLASSIC scale shape: the corpus is touched exactly ONCE (the
+    * word-frequency groupBy — one shuffle on the word key); the training
+    * loop then runs entirely on the vocab-sized MODEL table, the same
+    * corpus-once/model-iterate split as the k-means codebook. Per
+    * iteration: one map-side pair fan-out + one pair-keyed agg on the
+    * vocab table, a 1-row argmax `collect` (bounded — the same P×k
+    * partials argument as Lloyd's), and the merge application as a
+    * left join of the per-word selected-position sets + a map-side
+    * array rewrite.
+    *
+    * Greedy-leftmost-non-overlapping merge application, DECLARATIVELY:
+    * matched pair positions within a word form consecutive runs (two
+    * adjacent matches always overlap — they share the middle token, and
+    * adjacency forces left==right), and greedy keeps exactly the odd
+    * offsets of each run. That turns the sequential textbook scan into
+    * two window functions, which is also precisely how the DuckDB
+    * oracle replays it — [[bpeTrainSql]] unrolls the full training run
+    * as chained CTEs (the `ann_ivf` device) and hash-matches the merge
+    * table bit-for-bit.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    var cur = Tables.documents(spark, dir)
+      .select(explode(Text.wordsFast($"text")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select($"word", $"freq",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("toks"))
+      .cache()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (k <- 1 to merges) {
+      val px = cur.select($"word", $"freq",
+          posexplode(expr(
+            "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> struct(a AS l, b AS r))"))
+            .as(Seq("i0", "p")))
+        .select($"word", $"freq", ($"i0" + 1).as("i"), $"p.l".as("l"), $"p.r".as("r"))
+      val top = px.groupBy($"l", $"r").agg(sum($"freq").as("c"))
+        .orderBy($"c".desc, $"l".asc, $"r".asc).limit(1).collect()(0)
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      learned += ((k, a, b, a + b, c))
+      val sel = px.filter($"l" === a && $"r" === b)
+        .withColumn("grp", $"i" - row_number().over(w.partitionBy($"word").orderBy($"i")))
+        .withColumn("rnk", row_number().over(w.partitionBy($"word", $"grp").orderBy($"i")))
+        .filter($"rnk" % 2 === 1)
+        .groupBy($"word").agg(sort_array(collect_set($"i")).as("s"))
+      // tokens are [a-z0-9]+ (the normalized alphabet), so the merged
+      // literal is safe to inline in the rewrite expression
+      cur = cur.join(sel, Seq("word"), "left")
+        .withColumn("s", coalesce($"s", expr("CAST(array() AS array<int>)")))
+        .select($"word", $"freq", expr(
+          s"""transform(
+                filter(transform(toks, (x, j0) -> struct(j0 + 1 AS j, x AS x)),
+                       t -> NOT array_contains(s, t.j - 1)),
+                t -> IF(array_contains(s, t.j), '${a + b}', t.x))""").as("toks"))
+        .cache()
+    }
+    spark.createDataFrame(learned.toSeq)
+      .toDF("rank", "left_tok", "right_tok", "merged", "pair_count")
+  }
+
+  /** DuckDB oracle for [[bpeTrain]]: the full training run unrolled as
+    * chained CTEs — per iteration the pair count, the LIMIT-1 argmax,
+    * the run-parity greedy selection (the same two window functions),
+    * and the vocabulary rewrite — then the union of the k argmax rows.
+    */
+  def bpeTrainSql(merges: Int = 8): String = {
+    val iters = (1 to merges).map { k =>
+      val p = k - 1
+      s""",
+    p$k AS (SELECT word, freq, CAST(i AS INT) AS i, toks[i] AS l, toks[i+1] AS r
+         FROM w$p, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+    m$k AS MATERIALIZED (SELECT l, r, l || r AS merged, CAST(sum(freq) AS BIGINT) AS c
+         FROM p$k GROUP BY l, r ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    x$k AS (SELECT p.word, p.i,
+             p.i - row_number() OVER (PARTITION BY p.word ORDER BY p.i) AS grp
+         FROM p$k p, m$k m WHERE p.l = m.l AND p.r = m.r),
+    sel$k AS MATERIALIZED (SELECT word, i FROM (
+             SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rnk
+             FROM x$k) WHERE rnk % 2 = 1),
+    t$k AS (SELECT w.word, w.freq, CAST(j AS INT) AS j, w.toks[j] AS t
+         FROM w$p w, LATERAL (SELECT unnest(range(1, len(w.toks) + 1)) AS j)),
+    n$k AS (SELECT t.word, t.freq, t.j,
+             CASE WHEN s1.i IS NOT NULL THEN (SELECT merged FROM m$k) ELSE t.t END AS t
+         FROM t$k t
+         LEFT JOIN sel$k s1 ON t.word = s1.word AND t.j = s1.i
+         LEFT JOIN sel$k s2 ON t.word = s2.word AND t.j = s2.i + 1
+         WHERE s2.i IS NULL),
+    w$k AS MATERIALIZED (SELECT word, any_value(freq) AS freq, list(t ORDER BY j) AS toks
+         FROM n$k GROUP BY word)"""
+    }.mkString
+    val union = (1 to merges).map { k =>
+      s"SELECT CAST($k AS INT) AS rank, l AS left_tok, r AS right_tok, merged, c AS pair_count FROM m$k"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH d AS (SELECT trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    wrd AS (SELECT unnest(string_split(t, ' ')) AS word FROM d),
+    wf AS (SELECT word, count(*) AS freq FROM wrd WHERE length(word) > 0 GROUP BY 1),
+    w0 AS MATERIALIZED (SELECT word, freq,
+           list_transform(range(1, length(word) + 1), i -> word[i:i]) AS toks FROM wf)
+    $iters
+    SELECT * FROM ($union) ORDER BY rank"""
+  }
+
   /** TF-IDF-style salient terms: top-3 words per document ranked by
     * tf/df (term frequency over corpus document frequency). The ratio
     * needs no transcendentals, so the ordering is bit-deterministic

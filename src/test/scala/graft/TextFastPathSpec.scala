@@ -135,4 +135,27 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalChars / totalTokens > 1.2,
       f"vocab merges should compress text (chars/token = ${totalChars / totalTokens}%.2f)")
   }
+
+  test("BPE training learns the textbook merges on Sennrich's example corpus") {
+    import spark.implicits._
+    // The classic BPE walkthrough: {low:5, lower:2, newest:6, widest:3}.
+    // Hand-derived with the (count DESC, left ASC, right ASC) tie-break:
+    //  1. es:9 (ties st:9, 'es' < 'st')   2. es+t -> est:9
+    //  3. lo:7 (ties ow:7 before the merge; after rank-2 'ow' still 7,
+    //     'lo' < 'ow')                    4. lo+w -> low:7
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((1L, words.mkString(" "), "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.bpeTrain(spark, tmp, merges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got === Array(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L)), s"learned merges: ${got.mkString(", ")}")
+  }
 }
