@@ -15,7 +15,8 @@ for t in region nation customer supplier part orders lineitem; do
   ln -sf /root/testdata/sf0.1/$t.parquet $FIX/$t.parquet
 done
 QUERIES="dedup_ngram_jaccard dedup_containment dedup_minhash dedup_simhash \
-dedup_delta_lsh dedup_substring dedup_embed dedup_embed_lsh dedup_clusters embed_knn_graph \
+dedup_delta_lsh dedup_substring dedup_substring_delta text_bpe_train \
+dedup_embed dedup_embed_lsh dedup_clusters embed_knn_graph \
 ann_ivf ann_pq ann_ivfpq embed_pca q_stream_dgim_tumble q_stream_dgim_slide \
 q_transitions q_stream_ann_probe q_stream_delta_lsh"
 for SF in /root/testdata/sf0.1 $FIX; do

@@ -280,62 +280,64 @@ object TextAnalysis {
     * token sequences. Output: the learned merge table
     * (rank, left_tok, right_tok, merged, pair_count).
     *
-    * The CLASSIC scale shape: the corpus is touched exactly ONCE (the
-    * word-frequency groupBy — one shuffle on the word key); the training
-    * loop then runs entirely on the vocab-sized MODEL table, the same
-    * corpus-once/model-iterate split as the k-means codebook. Per
-    * iteration: one map-side pair fan-out + one pair-keyed agg on the
-    * vocab table, a 1-row argmax `collect` (bounded — the same P×k
-    * partials argument as Lloyd's), and the merge application as a
-    * left join of the per-word selected-position sets + a map-side
-    * array rewrite.
+    * The CLASSIC scale shape, exactly how production BPE trainers run:
+    * the corpus is touched ONCE, distributed (the word-frequency
+    * groupBy — one shuffle on the word key), capped to the top-`maxVocab`
+    * words by (freq DESC, word ASC) — the practical vocabulary bound
+    * every real trainer applies — and the iteration loop runs
+    * DRIVER-SIDE on that collected model table. The collect is
+    * model-sized by construction (the same bound that lets [[BpeVocab]]
+    * ride the task closure); a first cut that kept the loop distributed
+    * paid ~4 s of job-scheduling overhead per merge on a vocab-sized
+    * table — the distributed part of BPE training is the corpus scan,
+    * never the merge loop.
     *
-    * Greedy-leftmost-non-overlapping merge application, DECLARATIVELY:
-    * matched pair positions within a word form consecutive runs (two
-    * adjacent matches always overlap — they share the middle token, and
-    * adjacency forces left==right), and greedy keeps exactly the odd
-    * offsets of each run. That turns the sequential textbook scan into
-    * two window functions, which is also precisely how the DuckDB
-    * oracle replays it — [[bpeTrainSql]] unrolls the full training run
-    * as chained CTEs (the `ann_ivf` device) and hash-matches the merge
-    * table bit-for-bit.
+    * Greedy merge application is the textbook leftmost scan; the DuckDB
+    * oracle replays it DECLARATIVELY — matched pair positions form
+    * consecutive runs (adjacent matches force left==right), greedy keeps
+    * the odd offsets of each run — and [[bpeTrainSql]] unrolls the full
+    * training run as chained CTEs (the `ann_ivf` device), hash-matching
+    * the merge table bit-for-bit.
     */
-  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 8,
+      maxVocab: Int = 65536): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-    var cur = Tables.documents(spark, dir)
+    val wf: Array[(String, Long)] = Tables.documents(spark, dir)
       .select(explode(Text.wordsFast($"text")).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .select($"word", $"freq",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("toks"))
-      .cache()
+      .orderBy($"freq".desc, $"word".asc).limit(maxVocab)
+      .as[(String, Long)].collect()
+    var vocab: Array[(Array[String], Long)] =
+      wf.map { case (word, f) => (word.map(_.toString).toArray, f) }
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     for (k <- 1 to merges) {
-      val px = cur.select($"word", $"freq",
-          posexplode(expr(
-            "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> struct(a AS l, b AS r))"))
-            .as(Seq("i0", "p")))
-        .select($"word", $"freq", ($"i0" + 1).as("i"), $"p.l".as("l"), $"p.r".as("r"))
-      val top = px.groupBy($"l", $"r").agg(sum($"freq").as("c"))
-        .orderBy($"c".desc, $"l".asc, $"r".asc).limit(1).collect()(0)
-      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (t, f) =>
+        var i = 0
+        while (i < t.length - 1) {
+          counts.merge((t(i), t(i + 1)), f, Long.box(_) + Long.box(_))
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.forEach { (p, c) =>
+        if (best == null || c > best._2 ||
+          (c == best._2 && (p._1 < best._1._1 ||
+            (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+      }
+      val ((a, b), c) = best
       learned += ((k, a, b, a + b, c))
-      val sel = px.filter($"l" === a && $"r" === b)
-        .withColumn("grp", $"i" - row_number().over(w.partitionBy($"word").orderBy($"i")))
-        .withColumn("rnk", row_number().over(w.partitionBy($"word", $"grp").orderBy($"i")))
-        .filter($"rnk" % 2 === 1)
-        .groupBy($"word").agg(sort_array(collect_set($"i")).as("s"))
-      // tokens are [a-z0-9]+ (the normalized alphabet), so the merged
-      // literal is safe to inline in the rewrite expression
-      cur = cur.join(sel, Seq("word"), "left")
-        .withColumn("s", coalesce($"s", expr("CAST(array() AS array<int>)")))
-        .select($"word", $"freq", expr(
-          s"""transform(
-                filter(transform(toks, (x, j0) -> struct(j0 + 1 AS j, x AS x)),
-                       t -> NOT array_contains(s, t.j - 1)),
-                t -> IF(array_contains(s, t.j), '${a + b}', t.x))""").as("toks"))
-        .cache()
+      vocab = vocab.map { case (t, f) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < t.length) {
+          if (i < t.length - 1 && t(i) == a && t(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += t(i); i += 1 }
+        }
+        (out.toArray, f)
+      }
     }
     spark.createDataFrame(learned.toSeq)
       .toDF("rank", "left_tok", "right_tok", "merged", "pair_count")
@@ -346,7 +348,7 @@ object TextAnalysis {
     * the run-parity greedy selection (the same two window functions),
     * and the vocabulary rewrite — then the union of the k argmax rows.
     */
-  def bpeTrainSql(merges: Int = 8): String = {
+  def bpeTrainSql(merges: Int = 8, maxVocab: Int = 65536): String = {
     val iters = (1 to merges).map { k =>
       val p = k - 1
       s""",
@@ -377,7 +379,8 @@ object TextAnalysis {
     s"""
     WITH d AS (SELECT trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
     wrd AS (SELECT unnest(string_split(t, ' ')) AS word FROM d),
-    wf AS (SELECT word, count(*) AS freq FROM wrd WHERE length(word) > 0 GROUP BY 1),
+    wf AS (SELECT word, count(*) AS freq FROM wrd WHERE length(word) > 0 GROUP BY 1
+           QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC) <= $maxVocab),
     w0 AS MATERIALIZED (SELECT word, freq,
            list_transform(range(1, length(word) + 1), i -> word[i:i]) AS toks FROM wf)
     $iters
