@@ -268,8 +268,11 @@ object Dedup {
     */
   def substringDedup(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
     import spark.implicits._
+    // cached: three consumers (candidate-string rebuild, rewrite base)
+    // would each re-tokenize the corpus (the containment precedent; at
+    // 100 TB this is the DumpCache-staged tokenized corpus instead)
     val toks = Tables.documents(spark, dir)
-      .select($"doc_id", Text.wordsFast($"text").as("w"))
+      .select($"doc_id", Text.wordsFast($"text").as("w")).cache()
 
     // ~n_tokens slim rows straight off the native expression (docs
     // shorter than W emit an empty array — no explicit guard needed).
@@ -828,7 +831,7 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val deltaToks = docs.filter(isDelta($"doc_id"))
-      .select($"doc_id", Text.wordsFast($"text").as("w"))
+      .select($"doc_id", Text.wordsFast($"text").as("w")).cache()
 
     val deltaWins = docs.filter(isDelta($"doc_id"))
       .select($"doc_id",

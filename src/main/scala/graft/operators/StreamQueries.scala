@@ -24,6 +24,14 @@ object StreamQueries {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** documents.parquet schema for file-stream sources (readStream needs
+    * it declared up front; shared by every document-ingest query).
+    */
+  private val docsRawSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   /** Last finished harness query's final progress JSON — dev observability
     * for state-size audits (SURVEY §6's O(log²W) state measurement reads
     * `stateOperators.numRowsTotal` / `stateMemory` from here after a run).
@@ -100,10 +108,6 @@ object StreamQueries {
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
-      val docsRawSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
       s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(md5(graft.functions.Text.normalizeFast($"text")).as("text_hash"))
@@ -127,10 +131,6 @@ object StreamQueries {
   def streamDeltaDedup(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
-      val docsRawSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
       val idx = Dedup.baseFpIndex(s, dir)
         .select($"text_hash", $"keep_id".as("base_dup_of"))
       s.readStream.schema(docsRawSchema)
@@ -184,10 +184,6 @@ object StreamQueries {
         val set = bc.value
         if (shingles == null) 0L else shingles.count(set.contains).toLong
       }
-      val docsRawSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
       s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(!$"source".isInCollection(Decontam.EvalSources))
@@ -532,10 +528,6 @@ object StreamQueries {
   def streamDeltaLsh(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
-      val docsRawSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
       val docs = s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter($"doc_id" % 5 === 0)
@@ -648,10 +640,6 @@ object StreamQueries {
   def streamHotLines(spark: SparkSession, dir: String, maxDf: Int = 2): DataFrame =
     runToTable(spark) { s =>
       import s.implicits._
-      val docsRawSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
       val words = s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select($"doc_id", graft.functions.Text.wordsFast($"text").as("w"))

@@ -311,7 +311,9 @@ object TextAnalysis {
     var vocab: Array[(Array[String], Long)] =
       wf.map { case (word, f) => (word.map(_.toString).toArray, f) }
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
-    for (k <- 1 to merges) {
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
       val counts = new java.util.HashMap[(String, String), Long]()
       vocab.foreach { case (t, f) =>
         var i = 0
@@ -320,24 +322,31 @@ object TextAnalysis {
           i += 1
         }
       }
+      // Pair space exhausted (every word is one token): stop with the
+      // merges learned so far — the oracle agrees, since its pair CTE
+      // goes empty and every later argmax CTE emits no row.
+      exhausted = counts.isEmpty
       var best: ((String, String), Long) = null
       counts.forEach { (p, c) =>
         if (best == null || c > best._2 ||
           (c == best._2 && (p._1 < best._1._1 ||
             (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
       }
-      val ((a, b), c) = best
-      learned += ((k, a, b, a + b, c))
-      vocab = vocab.map { case (t, f) =>
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        var i = 0
-        while (i < t.length) {
-          if (i < t.length - 1 && t(i) == a && t(i + 1) == b) {
-            out += (a + b); i += 2
-          } else { out += t(i); i += 1 }
+      if (!exhausted) {
+        val ((a, b), c) = best
+        learned += ((k, a, b, a + b, c))
+        vocab = vocab.map { case (t, f) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < t.length) {
+            if (i < t.length - 1 && t(i) == a && t(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += t(i); i += 1 }
+          }
+          (out.toArray, f)
         }
-        (out.toArray, f)
       }
+      k += 1
     }
     spark.createDataFrame(learned.toSeq)
       .toDF("rank", "left_tok", "right_tok", "merged", "pair_count")
