@@ -309,6 +309,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dim side must broadcast (DPP reuses the broadcast build side)")
   }
 
+  test("dedup_substring: native fingerprint in-plan, pruned scans, no cartesian") {
+    val df = Dedup.substringDedup(spark, sf)
+    val nodes = physical(df)
+    val plan = nodes.mkString("\n")
+    // the window fingerprints come from the codegen'd native expression,
+    // not a row UDF
+    assert(plan.contains("graft_window_hashes"), "native expression missing")
+    assert(!plan.contains("UDF"), "a UDF crept into the fingerprint path")
+    // every parquet scan reads at most (doc_id, text) — the rewrite never
+    // drags lang/source/n_chars through the pipeline
+    val scans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val cols = s.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("doc_id", "text")), s"unpruned scan: $cols")
+    }
+    assert(!plan.contains("CartesianProduct"), "cartesian product appeared")
+  }
+
   test("decontamination pushes both source filters into the parquet scans") {
     val plan = Decontam.ngramCollisions(spark, sf)
       .queryExecution.executedPlan.toString
