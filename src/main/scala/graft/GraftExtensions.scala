@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{FloatDotProduct, MinhashBands, MinhashSig, NormalizeText, ShingleGramHashes, SimHash64}
+import graft.functions.{FloatDotProduct, MinhashBands, MinhashSig, NormalizeText, ShingleGramHashes, SimHash64, WordWindowHashes}
 
 /** Optimizer rule: `graft_normalize` is idempotent (its output alphabet
   * [a-z0-9 ], single-spaced, trimmed, is a fixpoint of the transform),
@@ -92,6 +92,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject1("graft_minhash_sig", classOf[MinhashSig], MinhashSig(_))
     inject1("graft_minhash_bands", classOf[MinhashBands], MinhashBands(_))
     inject1("graft_simhash64", classOf[SimHash64], SimHash64(_))
+    // graft_window_hashes(text, w): the positional window fingerprints
+    // behind dedup_substring; w must be an integer literal (it shapes
+    // the expression, not a per-row input)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_window_hashes"),
+      new ExpressionInfo(classOf[WordWindowHashes].getName, "graft_window_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_window_hashes takes (text, w), got ${args.length} args")
+        val w = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_window_hashes: w must be an INT literal, got $other")
+        }
+        WordWindowHashes(args.head, w)
+      }))
     // Spark's internal Bloom pair (what its runtime-filter rewrite
     // injects for shuffle-join pruning), surfaced to SQL users for
     // explicit sketch-side pre-filters (see Decontam.bloomDecontam):

@@ -82,6 +82,10 @@ class SketchExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Int]("n_bands") === 16)
     assert(row.getAs[Long]("sh") ===
       Text.simhash64(Array("one two three", "two three four").map(Text.gram64)))
+    val wh = spark.sql(
+      "SELECT graft_window_hashes('one two three four', 3) AS h").head()
+      .getSeq[Long](0)
+    assert(wh === Seq("one two three", "two three four").map(Text.gram64))
   }
 
   test("the sketch scan stage stays inside whole-stage codegen") {
