@@ -110,6 +110,7 @@ object SparkEntry {
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_tokens_bpe"  -> (TextAnalysis.tokensBpe _),
     "text_bpe_train"   -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
+    "text_cms"         -> ((s: SparkSession, d: String) => TextAnalysis.cms(s, d)),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rollhash"    -> (TextAnalysis.rollhash _),
     "text_boilerplate" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplate(s, d)),
@@ -302,6 +303,10 @@ object SparkEntry {
     // run-parity merge application) unrolled as chained CTEs — the
     // learned merge table hash-matches bit-for-bit
     "text_bpe_train"   -> TextAnalysis.bpeTrainSql(),
+    // text_cms: the WHOLE 4x1024-counter sketch replayed (splitmix64
+    // row seeds, gram64 word hashes, counters as group-bys) — the
+    // overcount column is the sketch's measured error, hash-verified
+    "text_cms"         -> TextAnalysis.cmsSql(),
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_rollhash"    -> TextAnalysis.rollhashSql,
     "text_boilerplate" -> TextAnalysis.boilerplateSql(),

@@ -563,6 +563,128 @@ object TextAnalysis {
     SELECT word, count(*) AS n FROM f GROUP BY word
     ORDER BY n DESC, word ASC LIMIT 10"""
 
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005) over the corpus
+    * word frequencies — the canonical MERGEABLE frequency sketch: d=4
+    * hash rows × w=1024 counters (32 KB regardless of corpus size),
+    * point estimate = min over rows, one-sided (never under-counts),
+    * error ≤ εN with ε = e/w at δ = e⁻⁴. Complements
+    * [[heavyHitters]]'s Misra–Gries: MG answers "who is frequent", CMS
+    * answers "how frequent is X" for ANY x — and being LINEAR
+    * (counters of A ∪ B = counters of A + counters of B, exactly — the
+    * property SketchSpec pins), shard sketches merge by addition, the
+    * reason production telemetry pipelines ship CMS segments.
+    *
+    * Determinism & replay: row seeds come off the splitmix64 stream at
+    * seed 11, bucket(x, r) = top-10 bits of mix64(gram64(x) + seed_r) —
+    * every step is mod-2^64/2^61 integer arithmetic, so the ENTIRE
+    * sketch (all 4096 counters) and the estimates replay bit-exactly in
+    * DuckDB ([[cmsSql]]). Emits (word, true_count, cms_estimate) for
+    * the top-k words — the overcount column IS the sketch's measured
+    * error, under the hash gate.
+    *
+    * Scale: counters build from the word-frequency table (corpus
+    * touched once, the same shuffle `text_tokens` already pays), ×d
+    * fan-out on the VOCAB table, then a 4096-group agg; per-word hash
+    * work rides a UDF on the vocab table, never the corpus. Query-side:
+    * top-k is TakeOrdered; estimates join the counter table (KBs —
+    * broadcast by construction).
+    */
+  private val CmsD = 4
+  private val bucketUdf = udf((word: String, r: Int) =>
+    ((Text.mix64(Text.gram64(word) + Text.splitmix64(11L, r.toLong)) >>> 54)).toInt)
+
+  private def cmsWordCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(Text.wordsFast($"text")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("true_count"))
+  }
+
+  /** The sketch itself: (r, bucket, c) counters — exposed so SketchSpec
+    * can pin LINEARITY (counters of A ∪ B == counters of A + counters
+    * of B, exactly).
+    */
+  private[graft] def cmsCounters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cmsWordCounts(spark, dir)
+      .select($"word", $"true_count", explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+      .select($"r", bucketUdf($"word", $"r").as("bucket"), $"true_count")
+      .groupBy($"r", $"bucket").agg(sum($"true_count").as("c"))
+  }
+
+  def cms(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val wordCounts = cmsWordCounts(spark, dir).cache()
+    val counters = wordCounts
+      .select($"word", $"true_count", explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+      .select($"r", bucketUdf($"word", $"r").as("bucket"), $"true_count")
+      .groupBy($"r", $"bucket").agg(sum($"true_count").as("c"))
+    val top = wordCounts.orderBy($"true_count".desc, $"word".asc).limit(topK)
+    top
+      .select($"word", $"true_count", explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+      .select($"word", $"true_count", $"r", bucketUdf($"word", $"r").as("bucket"))
+      .join(counters, Seq("r", "bucket"))
+      .groupBy($"word")
+      .agg(any_value($"true_count").as("true_count"), min($"c").as("cms_estimate"))
+  }
+
+  /** DuckDB replay of the WHOLE sketch: word gram64 via the closed
+    * polynomial roll + mix64, row seeds off the splitmix64 stream at
+    * seed 11, counters as (r, bucket) group-bys over the word-frequency
+    * table, estimates as min-over-rows — all HUGEINT arithmetic.
+    */
+  def cmsSql(topK: Int = 50): String = {
+    val M64 = "CAST(18446744073709551616 AS HUGEINT)"
+    val M61 = "CAST(2305843009213693951 AS HUGEINT)"
+    val Golden = "CAST(11400714819323198485 AS HUGEINT)"
+    s"""
+    WITH RECURSIVE d AS (SELECT trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    wrd AS (SELECT unnest(string_split(t, ' ')) AS word FROM d),
+    wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM wrd WHERE length(word) > 0 GROUP BY 1),
+    maxn AS (SELECT max(length(word)) AS mx FROM wf),
+    powlist AS (
+      SELECT [CAST(1 AS HUGEINT)] AS ps, CAST(257 AS HUGEINT) AS mult, 1 AS sz
+      UNION ALL
+      SELECT ps || list_transform(ps, x -> (x * mult) % $M61), (mult * mult) % $M61, sz * 2
+      FROM powlist WHERE sz < (SELECT mx FROM maxn)
+    ),
+    pows AS MATERIALIZED (
+      SELECT i - 1 AS k, ps[i] AS p
+      FROM (SELECT ps FROM powlist ORDER BY sz DESC LIMIT 1),
+           unnest(range(1, len(ps) + 1)) AS u(i)
+    ),
+    wchars AS (SELECT word, length(word) AS n, i, ascii(word[i]) AS c
+               FROM wf, unnest(range(1, length(word) + 1)) AS u(i)),
+    roll AS (SELECT word, SUM((CAST(c AS HUGEINT) * p) % $M61) % $M61 AS r
+             FROM wchars JOIN pows ON pows.k = wchars.n - wchars.i
+             GROUP BY word),
+    ${SketchSql.mix64Ctes("cg", "roll", "word", "r")},
+    g AS MATERIALIZED (SELECT word, x AS g FROM cgmix),
+    sbase AS (SELECT r, (11 + (r + 1) * $Golden) % $M64 AS z0
+              FROM (SELECT unnest(range(0, 4)) AS r)),
+    ${SketchSql.mix64Ctes("cs", "sbase", "r", "z0")},
+    seeds AS MATERIALIZED (SELECT r, x AS seed FROM csmix),
+    bbase AS (SELECT g.word, s.r, (g.g + s.seed) % $M64 AS z0 FROM g CROSS JOIN seeds s),
+    ${SketchSql.mix64Ctes("cb", "bbase", "word, r", "z0")},
+    buckets AS MATERIALIZED (
+      SELECT word, r, CAST(x // 18014398509481984 AS INT) AS bucket FROM cbmix),
+    counters AS MATERIALIZED (
+      SELECT b.r, b.bucket, SUM(wf.freq) AS c
+      FROM buckets b JOIN wf USING (word)
+      GROUP BY b.r, b.bucket),
+    top AS MATERIALIZED (
+      SELECT word, freq FROM wf
+      QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC) <= $topK)
+    SELECT t.word,
+           CAST(any_value(t.freq) AS BIGINT) AS true_count,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate
+    FROM top t
+    JOIN buckets b ON b.word = t.word
+    JOIN counters c ON c.r = b.r AND c.bucket = b.bucket
+    GROUP BY t.word"""
+  }
+
   /** Content fingerprint: md5 of the normalized text (SQL-oracled). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

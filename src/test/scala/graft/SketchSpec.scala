@@ -480,6 +480,39 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"island merge wrong: ${got(6L)}")
   }
 
+  test("CMS: estimates one-sided and bounded; the sketch is LINEAR under shard merge") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // one-sided + bounded on the real corpus: true <= est <= true + 2N/w
+    // (the e/w expectation bound with generous slack; exact at this
+    // vocab since 31 words rarely collide in 1024 buckets)
+    val rows = TextAnalysis.cms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("sum(size(filter(split(trim(regexp_replace(regexp_replace(lower(text)," +
+        "'[^a-z0-9 ]',' '),' +',' ')),' '), x -> x != ''))) n")
+      .head().getLong(0)
+    rows.foreach { case (w, t, e) =>
+      assert(e >= t, s"CMS under-counted <$w>: $e < $t")
+      assert(e - t <= 2 * n / 1024 + 1, s"CMS error blown on <$w>: $e vs $t (N=$n)")
+    }
+    // LINEARITY: split the corpus into two shards by doc parity; the
+    // union's counters equal the elementwise SUM of the shard counters —
+    // exactly, the property that makes CMS segments mergeable
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmpA = java.nio.file.Files.createTempDirectory("graft_cms_a").toString
+    val tmpB = java.nio.file.Files.createTempDirectory("graft_cms_b").toString
+    docs.filter($"doc_id" % 2 === 0).write.mode("overwrite").parquet(s"$tmpA/documents.parquet")
+    docs.filter($"doc_id" % 2 =!= 0).write.mode("overwrite").parquet(s"$tmpB/documents.parquet")
+    def cmap(dir: String) = TextAnalysis.cmsCounters(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val (whole, a, b) = (cmap(sf), cmap(tmpA), cmap(tmpB))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged === whole, "CMS linearity broken: shard-sum != whole-corpus counters")
+  }
+
   test("incremental substring dedup: base spans excised from arrivals, base never rewritten") {
     // Base (ids % 5 != 0): doc 1 holds span S; doc 2 is a verbatim copy
     // of doc 1 (base-internal dup — must NOT appear in the output and
