@@ -68,6 +68,7 @@ object SparkEntry {
     "q_stream_dedup"   -> (StreamQueries.streamDedup _),
     "q_stream_delta_dedup" -> (StreamQueries.streamDeltaDedup _),
     "q_stream_decontam" -> (StreamQueries.streamDecontam _),
+    "q_stream_cms"     -> (StreamQueries.streamCms _),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
     "q_stream_rate_spikes" -> (StreamQueries.streamRateSpikes _),
@@ -227,6 +228,9 @@ object SparkEntry {
     // per-row broadcast-set reshape is value-identical to the batch
     // explode→join→agg) — streaming ≡ batch under the same oracle
     "q_stream_decontam" -> Decontam.ngramCollisionsSql,
+    // q_stream_cms: CMS counters are sum-mergeable streaming state —
+    // streaming counters ≡ batch counters ≡ the same HUGEINT replay
+    "q_stream_cms"     -> TextAnalysis.cmsCountersSql,
     "q_stream_slide_distinct" -> StreamQueries.streamSlideDistinctSql,
     "q_stream_rate_spikes" -> StreamQueries.streamRateSpikesSql,
     "q_stream_session_paths" -> StreamQueries.streamSessionPathsSql,

@@ -192,6 +192,29 @@ object StreamQueries {
         .filter($"n_collisions" > 0)
     }
 
+  /** CONTINUOUS Count-Min Sketch — `text_cms`'s counter array maintained
+    * as a streaming aggregation over the document ingest. CMS is LINEAR
+    * (counters add under union — SketchSpec pins it exactly), which
+    * makes its counters a textbook sum-mergeable streaming state:
+    * explode words map-side, fan out ×4 hash rows, and ONE streaming
+    * groupBy((r, bucket)) keeps the whole sketch live with 4096 state
+    * rows TOTAL, forever, at any arrival rate — the fixed-size-state
+    * frequency twin of `q_stream_approx_distinct`'s HLL cardinality.
+    * Streaming counters ≡ batch counters ≡ the DuckDB HUGEINT replay
+    * (same oracle), so the continuous sketch is hash-verified.
+    */
+  def streamCms(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark) { s =>
+      import s.implicits._
+      s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(explode(graft.functions.Text.wordsFast($"text")).as("word"))
+        .filter(length($"word") > 0)
+        .select($"word", explode(sequence(lit(0), lit(TextAnalysis.CmsD - 1))).as("r"))
+        .select($"r", TextAnalysis.bucketUdf($"word", $"r").as("bucket"))
+        .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
+    }
+
   /** Streaming session windows (complete mode), hash-matching the batch
     * `Windows.sessionWindowSql` oracle — the streaming path of the
     * merge-on-overlap session state machine.

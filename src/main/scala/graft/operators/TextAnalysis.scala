@@ -589,8 +589,8 @@ object TextAnalysis {
     * top-k is TakeOrdered; estimates join the counter table (KBs —
     * broadcast by construction).
     */
-  private val CmsD = 4
-  private val bucketUdf = udf((word: String, r: Int) =>
+  private[operators] val CmsD = 4
+  private[operators] val bucketUdf = udf((word: String, r: Int) =>
     ((Text.mix64(Text.gram64(word) + Text.splitmix64(11L, r.toLong)) >>> 54)).toInt)
 
   private def cmsWordCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -634,7 +634,26 @@ object TextAnalysis {
     * seed 11, counters as (r, bucket) group-bys over the word-frequency
     * table, estimates as min-over-rows — all HUGEINT arithmetic.
     */
-  def cmsSql(topK: Int = 50): String = {
+  def cmsSql(topK: Int = 50): String = cmsCtes + s""",
+    top AS MATERIALIZED (
+      SELECT word, freq FROM wf
+      QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC) <= $topK)
+    SELECT t.word,
+           CAST(any_value(t.freq) AS BIGINT) AS true_count,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate
+    FROM top t
+    JOIN buckets b ON b.word = t.word
+    JOIN counters c ON c.r = b.r AND c.bucket = b.bucket
+    GROUP BY t.word"""
+
+  /** Counter-table view of the same replay — the oracle of
+    * [[StreamQueries.streamCms]] (streaming counters ≡ batch counters
+    * ≡ this SQL).
+    */
+  val cmsCountersSql: String = cmsCtes + """
+    SELECT CAST(r AS INT) AS r, bucket, CAST(c AS BIGINT) AS c FROM counters"""
+
+  private lazy val cmsCtes: String = {
     val M64 = "CAST(18446744073709551616 AS HUGEINT)"
     val M61 = "CAST(2305843009213693951 AS HUGEINT)"
     val Golden = "CAST(11400714819323198485 AS HUGEINT)"
@@ -672,17 +691,7 @@ object TextAnalysis {
     counters AS MATERIALIZED (
       SELECT b.r, b.bucket, SUM(wf.freq) AS c
       FROM buckets b JOIN wf USING (word)
-      GROUP BY b.r, b.bucket),
-    top AS MATERIALIZED (
-      SELECT word, freq FROM wf
-      QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC) <= $topK)
-    SELECT t.word,
-           CAST(any_value(t.freq) AS BIGINT) AS true_count,
-           CAST(min(c.c) AS BIGINT) AS cms_estimate
-    FROM top t
-    JOIN buckets b ON b.word = t.word
-    JOIN counters c ON c.r = b.r AND c.bucket = b.bucket
-    GROUP BY t.word"""
+      GROUP BY b.r, b.bucket)"""
   }
 
   /** Content fingerprint: md5 of the normalized text (SQL-oracled). */
