@@ -106,6 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_window_hashes: w must be an INT literal, got $other")
         }
+        require(w >= 1, s"graft_window_hashes: w must be >= 1, got $w")
         WordWindowHashes(args.head, w)
       }))
     // Spark's internal Bloom pair (what its runtime-filter rewrite

@@ -210,8 +210,7 @@ object StreamQueries {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(explode(graft.functions.Text.wordsFast($"text")).as("word"))
         .filter(length($"word") > 0)
-        .select($"word", explode(sequence(lit(0), lit(TextAnalysis.CmsD - 1))).as("r"))
-        .select($"r", TextAnalysis.bucketUdf($"word", $"r").as("bucket"))
+        .select(posexplode(TextAnalysis.allBucketsUdf($"word")).as(Seq("r", "bucket")))
         .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
     }
 

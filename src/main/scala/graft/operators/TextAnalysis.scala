@@ -590,8 +590,19 @@ object TextAnalysis {
     * broadcast by construction).
     */
   private[operators] val CmsD = 4
-  private[operators] val bucketUdf = udf((word: String, r: Int) =>
-    ((Text.mix64(Text.gram64(word) + Text.splitmix64(11L, r.toLong)) >>> 54)).toInt)
+  private[operators] val CmsBits = 10 // w = 2^10 = 1024 buckets per row
+
+  /** All CmsD buckets of one word in one call: gram64 rolls the word's
+    * characters ONCE, then each row derives its bucket from the shared
+    * hash + its stream seed — posexplode's index IS the row id. (A
+    * per-(word, r) UDF would redo the character roll CmsD times — cheap
+    * on the vocab table, corpus-rate waste on the streaming path.)
+    */
+  private[operators] val allBucketsUdf = udf { word: String =>
+    val g = Text.gram64(word)
+    Array.tabulate(CmsD)(r =>
+      (Text.mix64(g + Text.splitmix64(11L, r.toLong)) >>> (64 - CmsBits)).toInt)
+  }
 
   private def cmsWordCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -601,29 +612,33 @@ object TextAnalysis {
       .groupBy($"word").agg(count(lit(1)).as("true_count"))
   }
 
+  /** The counter pipeline over a (word, true_count) table — ONE shared
+    * definition for the gate query, [[cmsCounters]] (what SketchSpec's
+    * linearity proof pins), and the streaming twin's oracle.
+    */
+  private def cmsCountersFrom(wordCounts: DataFrame): DataFrame = {
+    import wordCounts.sparkSession.implicits._
+    wordCounts
+      .select($"word", $"true_count",
+        posexplode(allBucketsUdf($"word")).as(Seq("r", "bucket")))
+      .groupBy($"r", $"bucket").agg(sum($"true_count").as("c"))
+  }
+
   /** The sketch itself: (r, bucket, c) counters — exposed so SketchSpec
     * can pin LINEARITY (counters of A ∪ B == counters of A + counters
     * of B, exactly).
     */
-  private[graft] def cmsCounters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    cmsWordCounts(spark, dir)
-      .select($"word", $"true_count", explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
-      .select($"r", bucketUdf($"word", $"r").as("bucket"), $"true_count")
-      .groupBy($"r", $"bucket").agg(sum($"true_count").as("c"))
-  }
+  private[graft] def cmsCounters(spark: SparkSession, dir: String): DataFrame =
+    cmsCountersFrom(cmsWordCounts(spark, dir))
 
   def cms(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
     import spark.implicits._
     val wordCounts = cmsWordCounts(spark, dir).cache()
-    val counters = wordCounts
-      .select($"word", $"true_count", explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
-      .select($"r", bucketUdf($"word", $"r").as("bucket"), $"true_count")
-      .groupBy($"r", $"bucket").agg(sum($"true_count").as("c"))
+    val counters = cmsCountersFrom(wordCounts)
     val top = wordCounts.orderBy($"true_count".desc, $"word".asc).limit(topK)
     top
-      .select($"word", $"true_count", explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
-      .select($"word", $"true_count", $"r", bucketUdf($"word", $"r").as("bucket"))
+      .select($"word", $"true_count",
+        posexplode(allBucketsUdf($"word")).as(Seq("r", "bucket")))
       .join(counters, Seq("r", "bucket"))
       .groupBy($"word")
       .agg(any_value($"true_count").as("true_count"), min($"c").as("cms_estimate"))
@@ -681,13 +696,13 @@ object TextAnalysis {
     ${SketchSql.mix64Ctes("cg", "roll", "word", "r")},
     g AS MATERIALIZED (SELECT word, x AS g FROM cgmix),
     sbase AS (SELECT r, (11 + (r + 1) * $Golden) % $M64 AS z0
-              FROM (SELECT unnest(range(0, 4)) AS r)),
+              FROM (SELECT unnest(range(0, $CmsD)) AS r)),
     ${SketchSql.mix64Ctes("cs", "sbase", "r", "z0")},
     seeds AS MATERIALIZED (SELECT r, x AS seed FROM csmix),
     bbase AS (SELECT g.word, s.r, (g.g + s.seed) % $M64 AS z0 FROM g CROSS JOIN seeds s),
     ${SketchSql.mix64Ctes("cb", "bbase", "word, r", "z0")},
     buckets AS MATERIALIZED (
-      SELECT word, r, CAST(x // 18014398509481984 AS INT) AS bucket FROM cbmix),
+      SELECT word, r, CAST(x // ${BigInt(1) << (64 - CmsBits)} AS INT) AS bucket FROM cbmix),
     counters AS MATERIALIZED (
       SELECT b.r, b.bucket, SUM(wf.freq) AS c
       FROM buckets b JOIN wf USING (word)
