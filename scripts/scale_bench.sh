@@ -1,16 +1,20 @@
 #!/bin/bash
 # SURVEY §6 scaling-curve methodology, reproducible:
-#  1. build the structure-preserving 10x fixture of sf0.1;
+#  1. build the structure-preserving COPIES-x fixture of sf0.1;
 #  2. time each heavy query isolated (fresh JVM, one warmup run that
 #     stages the DumpCache artifacts, one measured run) at sf0.1 and at
 #     the fixture.
-# Usage: scripts/scale_bench.sh [outdir]   (default /tmp/graft_scale)
+# Usage: scripts/scale_bench.sh [outdir]       (default /tmp/graft_scale)
+#        COPIES=100 scripts/scale_bench.sh     (second decade; restrict
+#        QUERIES to the scale-safe set — the exact-Θ(n²) contract rows
+#        grow 10,000x in compares at 100x)
 set -e
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/graft_scale}
-FIX=/tmp/graft_sf1
+COPIES=${COPIES:-10}
+if [ "$COPIES" = 10 ]; then FIX=/tmp/graft_sf1; else FIX=/tmp/graft_sf_${COPIES}x; fi
 mkdir -p "$OUT"
-sbt -batch "runMain graft.ScaleFixture /root/testdata/sf0.1 $FIX 10"
+sbt -batch "runMain graft.ScaleFixture /root/testdata/sf0.1 $FIX $COPIES"
 for t in region nation customer supplier part orders lineitem; do
   ln -sf /root/testdata/sf0.1/$t.parquet $FIX/$t.parquet
 done
