@@ -513,6 +513,47 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged === whole, "CMS linearity broken: shard-sum != whole-corpus counters")
   }
 
+  test("substring dedup equals an independent reference on random tiny-vocab corpora") {
+    // Tiny vocab (4 words) + short docs force dense window collisions,
+    // overlapping removals, self-repeats and cross-doc spans the planted
+    // corpus can't enumerate; the reference is a direct transliteration
+    // of the CONTRACT (window map -> min-(doc,pos) keeper -> covered
+    // union -> rebuild), sharing no code with the operator.
+    import spark.implicits._
+    val W = 4
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val docs = (1L to 12L).map { id =>
+        val n = 2 + rnd.nextInt(14)
+        id -> Seq.fill(n)(s"w${rnd.nextInt(4)}").mkString(" ")
+      }
+      val expected: Map[Long, (Long, Long, String)] = {
+        val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+        val occ = for {
+          (id, w) <- toks.toSeq; p <- 1 to w.length - W + 1
+        } yield (w.slice(p - 1, p - 1 + W).mkString(" "), id, p)
+        val keeper = occ.groupBy(_._1).map { case (win, os) =>
+          win -> os.map(o => (o._2, o._3)).min }
+        val covered: Map[Long, Set[Int]] = occ
+          .filter(o => keeper(o._1) != ((o._2, o._3)))
+          .flatMap(o => (o._3 until o._3 + W).map(p => o._2 -> p))
+          .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+        toks.map { case (id, w) =>
+          val cov = covered.getOrElse(id, Set.empty)
+          val kept = w.zipWithIndex.collect { case (t, i) if !cov(i + 1) => t }
+          id -> ((w.length.toLong, cov.size.toLong, kept.mkString(" ")))
+        }
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_substr_rnd$trial").toString
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = graft.operators.Dedup.substringDedup(spark, tmp, w = W).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got === expected, s"trial $trial diverged from the reference")
+    }
+  }
+
   test("incremental substring dedup: base spans excised from arrivals, base never rewritten") {
     // Base (ids % 5 != 0): doc 1 holds span S; doc 2 is a verbatim copy
     // of doc 1 (base-internal dup — must NOT appear in the output and

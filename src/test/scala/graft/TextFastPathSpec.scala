@@ -157,5 +157,16 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2, "es", "t", "est", 9L),
       (3, "l", "o", "lo", 7L),
       (4, "lo", "w", "low", 7L)), s"learned merges: ${got.mkString(", ")}")
+    // structural property on the real corpus: the argmax pair count is
+    // non-increasing across ranks (old pair counts only shrink under a
+    // merge, and any NEW pair (x, ab)/(ab, y) occurs at most as often
+    // as ab itself was just created)
+    val corpus = graft.operators.TextAnalysis
+      .bpeTrain(spark, "/root/testdata/sf0.001", merges = 8)
+      .orderBy("rank").collect().map(_.getLong(4))
+    assert(corpus.length === 8)
+    corpus.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"pair counts increased across ranks: ${corpus.mkString(",")}")
+    }
   }
 }
