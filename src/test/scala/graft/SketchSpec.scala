@@ -554,6 +554,47 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental substring dedup equals the base-first batch reference on random corpora") {
+    // Same device as above with the DELTA contract: keeper preference
+    // (is_delta, doc_id, pos) — any base occurrence beats any delta one —
+    // and only delta docs in the output. Random ids mix base (%5 != 0)
+    // and delta (%5 == 0) so base-vs-delta, delta-vs-delta and
+    // base-internal-dup cases all occur.
+    import spark.implicits._
+    val W = 4
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val docs = (1L to 15L).map { id =>
+        val n = 2 + rnd.nextInt(14)
+        id -> Seq.fill(n)(s"w${rnd.nextInt(4)}").mkString(" ")
+      }
+      val expected: Map[Long, (Long, Long, String)] = {
+        val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+        val occ = for {
+          (id, w) <- toks.toSeq; p <- 1 to w.length - W + 1
+        } yield (w.slice(p - 1, p - 1 + W).mkString(" "), id, p)
+        val keeper = occ.groupBy(_._1).map { case (win, os) =>
+          win -> os.map(o => (o._2 % 5 == 0, o._2, o._3)).min }
+        val covered: Map[Long, Set[Int]] = occ
+          .filter(o => keeper(o._1) != ((o._2 % 5 == 0, o._2, o._3)))
+          .flatMap(o => (o._3 until o._3 + W).map(p => o._2 -> p))
+          .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+        toks.collect { case (id, w) if id % 5 == 0 =>
+          val cov = covered.getOrElse(id, Set.empty)
+          val kept = w.zipWithIndex.collect { case (t, i) if !cov(i + 1) => t }
+          id -> ((w.length.toLong, cov.size.toLong, kept.mkString(" ")))
+        }
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_sdelta_rnd$trial").toString
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = graft.operators.Dedup.substringDeltaDedup(spark, tmp, w = W).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got === expected, s"trial $trial diverged from the base-first reference")
+    }
+  }
+
   test("incremental substring dedup: base spans excised from arrivals, base never rewritten") {
     // Base (ids % 5 != 0): doc 1 holds span S; doc 2 is a verbatim copy
     // of doc 1 (base-internal dup — must NOT appear in the output and
