@@ -69,6 +69,7 @@ object SparkEntry {
     "q_stream_delta_dedup" -> (StreamQueries.streamDeltaDedup _),
     "q_stream_decontam" -> (StreamQueries.streamDecontam _),
     "q_stream_cms"     -> (StreamQueries.streamCms _),
+    "q_stream_substring" -> ((s: SparkSession, d: String) => StreamQueries.streamSubstring(s, d)),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
     "q_stream_rate_spikes" -> (StreamQueries.streamRateSpikes _),
@@ -231,6 +232,9 @@ object SparkEntry {
     // q_stream_cms: CMS counters are sum-mergeable streaming state —
     // streaming counters ≡ batch counters ≡ the same HUGEINT replay
     "q_stream_cms"     -> TextAnalysis.cmsCountersSql,
+    // q_stream_substring: staged-index probe + string verify on the
+    // ingest stream ≡ the batch delta-vs-base interval set
+    "q_stream_substring" -> StreamQueries.streamSubstringSql(),
     "q_stream_slide_distinct" -> StreamQueries.streamSlideDistinctSql,
     "q_stream_rate_spikes" -> StreamQueries.streamRateSpikesSql,
     "q_stream_session_paths" -> StreamQueries.streamSessionPathsSql,

@@ -149,6 +149,62 @@ object StreamQueries {
     FROM norm d LEFT JOIN base_fp f USING (text_hash)
     WHERE d.doc_id % 5 = 0"""
 
+  /** CONTINUOUS substring-dedup gate — `dedup_substring_delta`'s
+    * base-vs-arrival half as an ingest stream: every arriving document's
+    * 20-token windows probe the STAGED base window-fingerprint index
+    * (stateless stream-static join), candidates verify on STRING
+    * equality against the base docs (a second stream-static join — the
+    * same sketch-then-exact-verify ladder as the batch op), and the gate
+    * emits verified REMOVAL INTERVALS (doc_id, s, e): the excision
+    * directives a downstream rewrite applies. The contract is
+    * deliberately the interval SET, not the rewritten text — per-doc
+    * interval aggregation would be a second stateful op, and the
+    * batch compactor (`dedup_substring_delta`) already owns the
+    * rewrite plus the arrival-vs-arrival half.
+    *
+    * Exactly-once interval emission via the engine's standard streaming
+    * dedup (`dropDuplicates` on (doc_id, s) — multiple base occurrences
+    * of the same span would otherwise re-emit it). Hash-matches a batch
+    * replay: delta windows string-joined to the distinct base window
+    * set — streaming ≡ batch.
+    */
+  def streamSubstring(spark: SparkSession, dir: String, w: Int = 20): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val baseIdx = Dedup.baseWindowIndex(s, dir, w)
+        .select($"fp", $"doc_id".as("base_id"), $"pos".as("base_pos"))
+      val baseToks = Tables.documents(s, dir).filter($"doc_id" % 5 =!= 0)
+        .select($"doc_id".as("base_id"),
+          graft.functions.Text.wordsFast($"text").as("w_base"))
+      s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter($"doc_id" % 5 === 0)
+        .select($"doc_id", graft.functions.Text.wordsFast($"text").as("w_arr"),
+          posexplode(graft.functions.WordWindowHashes($"text", w)).as(Seq("i", "fp")))
+        .select($"doc_id", ($"i" + 1).as("pos"), $"fp", $"w_arr")
+        .join(baseIdx, "fp")
+        .join(baseToks, "base_id")
+        .filter(concat_ws(" ", slice($"w_arr", $"pos", lit(w))) ===
+          concat_ws(" ", slice($"w_base", $"base_pos", lit(w))))
+        .select($"doc_id", $"pos".as("s"), ($"pos" + (w - 1)).as("e"))
+        .dropDuplicates("doc_id", "s")
+    }
+
+  def streamSubstringSql(w: Int = 20): String = TextAnalysis.sqlWords + s""",
+    dwins AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(w[i : i + ${w - 1}], ' ') AS win
+      FROM wd, LATERAL (SELECT unnest(range(1, len(w) - ${w - 1} + 1)) AS i)
+      WHERE doc_id % 5 = 0
+    ),
+    bwins AS (
+      SELECT DISTINCT array_to_string(w[i : i + ${w - 1}], ' ') AS win
+      FROM wd, LATERAL (SELECT unnest(range(1, len(w) - ${w - 1} + 1)) AS i)
+      WHERE doc_id % 5 != 0
+    )
+    SELECT DISTINCT d.doc_id, d.pos AS s, CAST(d.pos + ${w - 1} AS INT) AS e
+    FROM dwins d JOIN bwins USING (win)"""
+
   /** CONTINUOUS decontamination — the eval-collision gate (`text_decontam`)
     * run on the ingest stream: every arriving corpus document is checked
     * for verbatim 7-gram overlap with the benchmark suite BEFORE
