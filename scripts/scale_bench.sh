@@ -18,11 +18,14 @@ sbt -batch "runMain graft.ScaleFixture /root/testdata/sf0.1 $FIX $COPIES"
 for t in region nation customer supplier part orders lineitem; do
   ln -sf /root/testdata/sf0.1/$t.parquet $FIX/$t.parquet
 done
-QUERIES="dedup_ngram_jaccard dedup_containment dedup_minhash dedup_simhash \
-dedup_delta_lsh dedup_substring dedup_substring_delta text_bpe_train \
+# override with QUERIES=... (the COPIES=100 decade used:
+#   "dedup_ngram_jaccard dedup_minhash dedup_simhash dedup_substring
+#    text_bpe_train text_cms ann_ivf")
+QUERIES="${QUERIES:-dedup_ngram_jaccard dedup_containment dedup_minhash dedup_simhash \
+dedup_delta_lsh dedup_substring dedup_substring_delta text_bpe_train text_cms \
 dedup_embed dedup_embed_lsh dedup_clusters embed_knn_graph \
 ann_ivf ann_pq ann_ivfpq embed_pca q_stream_dgim_tumble q_stream_dgim_slide \
-q_transitions q_stream_ann_probe q_stream_delta_lsh"
+q_transitions q_stream_ann_probe q_stream_delta_lsh}"
 for SF in /root/testdata/sf0.1 $FIX; do
   TAG=$(basename "$SF")
   : > "$OUT/$TAG.txt"

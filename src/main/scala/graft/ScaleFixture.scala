@@ -90,11 +90,21 @@ object ScaleFixture {
     val emb = graft.sources.Tables.embeddings(spark, src)
     requireIdsUnderStride(emb, Seq("vec_id"), "embeddings")
     val dim = emb.select($"embedding").head().getSeq[Float](0).length
+    // Circular shifts alone give only `dim` distinct transforms — copy
+    // dim would silently be a VERBATIM duplicate of copy 0 (k % dim
+    // wraps), recreating the exact-dup pair explosion this fixture
+    // exists to prevent. Copies in the second dim-block compose a
+    // REVERSAL with the shift (another norm/within-copy-cosine
+    // preserving permutation, near-background across blocks); beyond
+    // 2·dim fail loudly rather than duplicate.
+    require(copies <= 2 * dim,
+      s"only ${2 * dim} distinct embedding transforms at dim=$dim; got copies=$copies")
     val embCopies = (0 until copies).map { k =>
-      val shifted =
-        if (k == 0) $"embedding"
+      val rolled =
+        if (k % dim == 0) $"embedding"
         else concat(slice($"embedding", k % dim + 1, dim - k % dim),
           slice($"embedding", 1, k % dim))
+      val shifted = if (k < dim) rolled else reverse(rolled)
       val cols = Seq(($"vec_id" + lit(k * Stride)).as("vec_id"),
         shifted.as("embedding")) ++
         emb.columns.filter(c => c != "vec_id" && c != "embedding").map(col)

@@ -365,13 +365,19 @@ object Dedup {
   def substringDeltaSql(w: Int = 20): String =
     substringSqlCore(w, "(doc_id % 5 = 0), doc_id, pos", "d.doc_id % 5 = 0")
 
-  private def substringSqlCore(w: Int, keeperOrder: String,
-      outWhere: String): String = TextAnalysis.sqlWords + s""",
-    wins AS MATERIALIZED (
+  /** The window-string build every substring oracle shares (1-based
+    * inclusive DuckDB slices == Spark's `slice`); expects the
+    * `TextAnalysis.sqlWords` CTEs in scope.
+    */
+  private[operators] def substringWinsSql(w: Int, where: String = "TRUE"): String = s"""
       SELECT doc_id, CAST(i AS INT) AS pos,
              array_to_string(w[i : i + ${w - 1}], ' ') AS win
       FROM wd, LATERAL (SELECT unnest(range(1, len(w) - ${w - 1} + 1)) AS i)
-    ),
+      WHERE $where"""
+
+  private def substringSqlCore(w: Int, keeperOrder: String,
+      outWhere: String): String = TextAnalysis.sqlWords + s""",
+    wins AS MATERIALIZED (${substringWinsSql(w)}),
     occ AS MATERIALIZED (
       SELECT doc_id, pos,
              count(*)     OVER (PARTITION BY win) AS cnt,

@@ -164,9 +164,13 @@ object StreamQueries {
     *
     * Exactly-once interval emission via the engine's standard streaming
     * dedup (`dropDuplicates` on (doc_id, s) — multiple base occurrences
-    * of the same span would otherwise re-emit it). Hash-matches a batch
-    * replay: delta windows string-joined to the distinct base window
-    * set — streaming ≡ batch.
+    * of the same span would otherwise re-emit it). That dedup keeps one
+    * state row per EMITTED interval — unbounded over an infinite
+    * ingest; a production deployment bounds it with
+    * `dropDuplicatesWithinWatermark` (arrivals only collide with
+    * themselves, never with later docs, so any watermark ≥ the batch
+    * interval is safe). Hash-matches a batch replay: delta windows
+    * string-joined to the distinct base window set — streaming ≡ batch.
     */
   def streamSubstring(spark: SparkSession, dir: String, w: Int = 20): DataFrame =
     runToTable(spark, mode = "append") { s =>
@@ -176,32 +180,31 @@ object StreamQueries {
       val baseToks = Tables.documents(s, dir).filter($"doc_id" % 5 =!= 0)
         .select($"doc_id".as("base_id"),
           graft.functions.Text.wordsFast($"text").as("w_base"))
+      // The window STRING is built map-side per window and the token
+      // array dropped before the join — slim ~(doc_id, pos, fp, win)
+      // rows through the shuffle instead of the whole token array per
+      // window row. (The batch op rebuilds strings candidate-sized
+      // instead, but a stream cannot re-join itself to fetch arrays for
+      // candidates — the map-side build is the streaming trade-off.)
       s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter($"doc_id" % 5 === 0)
         .select($"doc_id", graft.functions.Text.wordsFast($"text").as("w_arr"),
           posexplode(graft.functions.WordWindowHashes($"text", w)).as(Seq("i", "fp")))
-        .select($"doc_id", ($"i" + 1).as("pos"), $"fp", $"w_arr")
+        .select($"doc_id", ($"i" + 1).as("pos"), $"fp",
+          concat_ws(" ", slice($"w_arr", $"i" + 1, lit(w))).as("win"))
         .join(baseIdx, "fp")
         .join(baseToks, "base_id")
-        .filter(concat_ws(" ", slice($"w_arr", $"pos", lit(w))) ===
+        .filter($"win" ===
           concat_ws(" ", slice($"w_base", $"base_pos", lit(w))))
         .select($"doc_id", $"pos".as("s"), ($"pos" + (w - 1)).as("e"))
         .dropDuplicates("doc_id", "s")
     }
 
   def streamSubstringSql(w: Int = 20): String = TextAnalysis.sqlWords + s""",
-    dwins AS (
-      SELECT doc_id, CAST(i AS INT) AS pos,
-             array_to_string(w[i : i + ${w - 1}], ' ') AS win
-      FROM wd, LATERAL (SELECT unnest(range(1, len(w) - ${w - 1} + 1)) AS i)
-      WHERE doc_id % 5 = 0
-    ),
-    bwins AS (
-      SELECT DISTINCT array_to_string(w[i : i + ${w - 1}], ' ') AS win
-      FROM wd, LATERAL (SELECT unnest(range(1, len(w) - ${w - 1} + 1)) AS i)
-      WHERE doc_id % 5 != 0
-    )
+    dwins AS (${Dedup.substringWinsSql(w, "doc_id % 5 = 0")}),
+    bwins AS (SELECT DISTINCT win
+              FROM (${Dedup.substringWinsSql(w, "doc_id % 5 != 0")}))
     SELECT DISTINCT d.doc_id, d.pos AS s, CAST(d.pos + ${w - 1} AS INT) AS e
     FROM dwins d JOIN bwins USING (win)"""
 
