@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *    38× on dedup_embed_lsh before this fix).
   *  - `events`: ids and user_ids shift (10× users, same time range —
   *    a 10×-busier service: window count constant, rows per window
-  *    10×). `ts` stays raw INT64 nanos so `Tables.events` and the
-  *    file-stream schema read the fixture exactly like the original.
+  *    10×). `ts` passes through unconverted (whatever the source
+  *    generation stores) so `Tables.events` and the file-stream
+  *    schema read the fixture exactly like the original.
   *
   * Usage: runMain graft.ScaleFixture <srcDir> <outDir> <copies>
   */
@@ -113,7 +114,11 @@ object ScaleFixture {
     writeSingleFile(embCopies, out, "embeddings")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$src/events.parquet") // ts stays raw nanos
+    // ts passes through UNCONVERTED (raw nanos-long in older testdata
+    // generations, TIMESTAMP(MICROS) in current ones) so the fixture's
+    // events file reads through the schema-adaptive loaders exactly like
+    // the original
+    val ev = spark.read.parquet(s"$src/events.parquet")
     requireIdsUnderStride(ev, Seq("event_id", "user_id"), "events")
     val evCopies = (0 until copies).map { k =>
       ev.select(($"event_id" + lit(k * Stride)).as("event_id"), $"ts",

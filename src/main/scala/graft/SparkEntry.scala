@@ -112,6 +112,7 @@ object SparkEntry {
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_tokens_bpe"  -> (TextAnalysis.tokensBpe _),
     "text_bpe_train"   -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
+    "text_tokens_bpe_trained" -> ((s: SparkSession, d: String) => TextAnalysis.tokensBpeTrained(s, d)),
     "text_cms"         -> ((s: SparkSession, d: String) => TextAnalysis.cms(s, d)),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rollhash"    -> (TextAnalysis.rollhash _),
@@ -211,14 +212,18 @@ object SparkEntry {
     "q_session_window" -> Windows.sessionWindowSql,
     "q_events_parse"   -> Windows.eventsParseSql,
     "q_resample"       -> Windows.resampleSql,
-    // q_dgim_tumble / q_dgim_slide run the DETERMINISTIC sort-then-fold
-    // exec, so a DuckDB recursive CTE replays the fold exactly (hash
-    // oracle). q_dgim_sql / q_dgim_sum* go through the mergeable UDAF
-    // whose canonical cross-partition bucket-merge is NOT associative
-    // with the fold (estimates legally differ within the bound) →
+    // q_dgim_tumble / q_dgim_slide / q_dgim_sum / q_dgim_sum_slide run
+    // the DETERMINISTIC sort-then-fold execs, so a DuckDB recursive CTE
+    // replays each fold exactly (hash oracles — the sum form is 17
+    // per-bit instance folds + the 2^j-weighted rollup). q_dgim_sql and
+    // the streaming DGIM rows go through the mergeable UDAF whose
+    // canonical cross-partition bucket-merge is NOT associative with
+    // the fold (estimates legally differ within the bound) →
     // rows-only + DgimSpec/DgimPlanSpec bound pins for those.
     "q_dgim_tumble"    -> DgimQueries.dgimTumbleSql,
     "q_dgim_slide"     -> DgimQueries.dgimSlideSql,
+    "q_dgim_sum"       -> DgimQueries.dgimSumTumbleSql,
+    "q_dgim_sum_slide" -> DgimQueries.dgimSumSlideSql,
     "q_pivot"          -> Analytics.qPivotSql,
     "q_stream_tumble"  -> Windows.tumbleCountSql, // streaming == batch
     "q_stream_slide"   -> Windows.slideCountSql,  // streaming == batch
@@ -311,6 +316,10 @@ object SparkEntry {
     // run-parity merge application) unrolled as chained CTEs — the
     // learned merge table hash-matches bit-for-bit
     "text_bpe_train"   -> TextAnalysis.bpeTrainSql(),
+    // text_tokens_bpe_trained: the closed train+apply loop — the same
+    // training CTE chain extended with the run-parity application
+    // rewrite over every distinct corpus word
+    "text_tokens_bpe_trained" -> TextAnalysis.tokensBpeTrainedSql(),
     // text_cms: the WHOLE 4x1024-counter sketch replayed (splitmix64
     // row seeds, gram64 word hashes, counters as group-bys) — the
     // overcount column is the sketch's measured error, hash-verified

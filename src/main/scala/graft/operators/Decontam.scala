@@ -24,6 +24,27 @@ object Decontam {
   private[operators] val EvalSources = Seq("src0", "src1", "src2")
   private[operators] val N = 7 // n-gram length of the collision protocol
 
+  /** The distinct eval-suite 7-gram set, staged ONCE per source
+    * generation through DumpCache: the shingle explode over the eval
+    * slice is real work (a documents scan + per-doc UDF pass), and the
+    * continuous gate ([[StreamQueries.streamDecontam]]) needs the SET at
+    * every query build — re-deriving it per build was the same
+    * double-derivation class the r9 bench flagged on
+    * `text_decontam_bloom`. The staged artifact is benchmark-sized by
+    * construction, so reading it back is a single small parquet scan.
+    */
+  private[operators] def evalGramsDump(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    graft.sources.DumpCache.ensure(
+      graft.sources.DumpCache.dirFor("graft_eval_grams", dir, "documents.parquet")) { tmp =>
+      Tables.documents(spark, dir)
+        .filter($"source".isInCollection(EvalSources))
+        .select(explode(Text.shinglesNFastUdf(N)($"text")).as("s"))
+        .distinct()
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** (doc_id, n_collisions) for every corpus doc sharing ≥ 1 distinct
     * 7-gram with the eval set; n_collisions counts the doc's DISTINCT
     * colliding 7-grams.

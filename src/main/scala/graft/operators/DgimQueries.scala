@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.plans.{DgimStrategy, DgimWindowAggPlan}
+import graft.plans.{DgimStrategy, DgimSumWindowAggPlan, DgimWindowAggPlan}
 import graft.sources.Tables
 
 /** DGIM approximate 1-bit counting per event-time window — the reference's
@@ -165,20 +165,24 @@ object DgimQueries {
     * feeds its set bits into 17 independent DGIM instances; the estimate
     * is the 2^j-weighted instance total, state 17×O(log²W) per window.
     * This answers "approximate revenue/bytes in the last W" the way the
-    * reference answers "approximate request count in the last W" —
-    * mergeable partial aggregation across partitions included.
+    * reference answers "approximate request count in the last W".
     *
-    * Rows-only driver check (merge order may legally shift bucket
-    * boundaries, like `q_dgim_sql`); DgimSpec pins hand-computed exact
-    * vectors, window expiry, and the ≤ 50% published bound against the
-    * in-query exact twin.
+    * Batch execution routes through the DETERMINISTIC sort-then-fold
+    * [[graft.plans.DgimSumWindowAggExec]] (same shuffle + spillable-sort
+    * shape as the count exec), so the full run replays in DuckDB as 17
+    * per-bit recursive-CTE folds — an exact hash oracle
+    * ([[dgimSumTumbleSql]]). The mergeable
+    * [[graft.functions.DgimSumAggregator]] remains the incremental
+    * streaming form (`q_stream_dgim_sum`) — its cross-partition bucket
+    * merge is legally non-associative with the fold, so only the
+    * sort-then-fold path admits estimate-equality oracles.
     */
   def dgimSumTumble(spark: SparkSession, dir: String): DataFrame =
     dgimSumOver(spark, dir, window(org.apache.spark.sql.functions.col("ts"), "1 hour"))
 
   /** Hop-window (1 h / 15 min) twin of [[dgimSumTumble]] — the sum
-    * sketch in the reference Job 2's sliding shape; same mergeable
-    * per-bit state, ×4 hop fan-out before the partial agg.
+    * sketch in the reference Job 2's sliding shape; ×4 hop fan-out
+    * before the same deterministic per-window fold.
     */
   def dgimSumSlide(spark: SparkSession, dir: String): DataFrame =
     dgimSumOver(spark, dir,
@@ -187,16 +191,91 @@ object DgimQueries {
   private def dgimSumOver(spark: SparkSession, dir: String,
       win: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
-    val agg = udaf(new graft.functions.DgimSumAggregator(3600L))
-    Tables.events(spark, dir)
+    val windowSeconds = 3600L
+    val child = Tables.events(spark, dir)
       .filter($"event_type" === "click" && $"ts".isNotNull)
       .select(win.as("w"),
-        round($"value" * 100).cast("long").as("cents"),
+        coalesce(round($"value" * 100).cast("long"), lit(0L)).as("cents"),
         unix_timestamp($"ts").as("ts_sec"))
-      .groupBy($"w")
-      .agg(agg($"cents", $"ts_sec").as("sum_estimate"),
-        sum($"cents").as("exact_cents"))
-      .select($"w.start".as("window_start"), $"w.end".as("window_end"),
-        $"sum_estimate", $"exact_cents")
+      .select($"w.start".cast("long").as("ws"), $"w.end".cast("long").as("we"),
+        $"ts_sec", $"cents")
+    DgimStrategy.ensureRegistered(spark)
+    ColumnBridge.ofRows(spark,
+      DgimSumWindowAggPlan(windowSeconds, 17, ColumnBridge.logicalPlan(child)))
   }
+
+  /** DuckDB replay of the deterministic SUM fold: the count fold's
+    * recursive CTE ([[dgimFoldSql]]'s device) generalized to a
+    * (window, bit) group key — each amount fans its set bits into the
+    * 17 instance folds, each instance folds exactly like the count
+    * sketch, and the final rollup is the 2^j-weighted instance total
+    * next to the exact cents sum. Expiry needs no replay for the same
+    * reason as the count fold: window span == W, so no bucket can
+    * expire within a group.
+    */
+  private def dgimSumFoldSql(windowAssign: String, windowSpan: String): String = s"""
+    WITH RECURSIVE clicks AS (
+      $windowAssign
+    ),
+    exact AS (
+      SELECT window_start, CAST(sum(cents) AS BIGINT) AS exact_cents
+      FROM clicks GROUP BY 1
+    ),
+    bits AS (
+      SELECT window_start, j, tsec
+      FROM clicks CROSS JOIN (SELECT unnest(range(0, 17)) AS j) u
+      WHERE cents > 0 AND ((least(cents, 131071) >> j) & 1) = 1
+    ),
+    grouped AS (
+      SELECT window_start, j, list(tsec ORDER BY tsec) AS rest
+      FROM bits GROUP BY 1, 2
+    ),
+    fold AS (
+      SELECT window_start, j, rest,
+             CAST([] AS BIGINT[]) AS bts, CAST([] AS BIGINT[]) AS bsz
+      FROM grouped
+      UNION ALL
+      SELECT window_start, j,
+             CASE WHEN tri IS NOT NULL THEN rest ELSE rest[2:] END,
+             CASE WHEN tri IS NOT NULL THEN bts[1:tri+1] || bts[tri+3:]
+                  ELSE [rest[1]] || bts END,
+             CASE WHEN tri IS NOT NULL THEN bsz[1:tri] || [2*bsz[tri+1]] || bsz[tri+3:]
+                  ELSE [CAST(1 AS BIGINT)] || bsz END
+      FROM (SELECT *,
+              list_filter(range(1, len(bsz)-1),
+                          i -> bsz[i] = bsz[i+1] AND bsz[i+1] = bsz[i+2])[1] AS tri
+            FROM fold)
+      WHERE tri IS NOT NULL OR len(rest) > 0
+    ),
+    inst AS (
+      SELECT window_start, j,
+             CAST(CASE WHEN len(bsz) = 1 THEN bsz[1]
+                  ELSE list_aggregate(bsz[1:len(bsz)-1], 'sum') + (bsz[len(bsz)] + 1) // 2
+             END AS BIGINT) AS est
+      FROM (SELECT *,
+              list_filter(range(1, len(bsz)-1),
+                          i -> bsz[i] = bsz[i+1] AND bsz[i+1] = bsz[i+2])[1] AS tri
+            FROM fold)
+      WHERE len(rest) = 0 AND tri IS NULL
+    ),
+    est AS (
+      SELECT window_start, CAST(sum((CAST(1 AS BIGINT) << j) * est) AS BIGINT) AS sum_estimate
+      FROM inst GROUP BY 1
+    )
+    SELECT e.window_start, e.window_start + INTERVAL '$windowSpan' AS window_end,
+           COALESCE(s.sum_estimate, 0) AS sum_estimate, e.exact_cents
+    FROM exact e LEFT JOIN est s USING (window_start)"""
+
+  val dgimSumTumbleSql: String = dgimSumFoldSql("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             CAST(coalesce(round(value * 100), 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL""", "1 hour")
+
+  val dgimSumSlideSql: String = dgimSumFoldSql("""
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS window_start,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             CAST(coalesce(round(value * 100), 0) AS BIGINT) AS cents
+      FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
+      WHERE event_type = 'click' AND ts IS NOT NULL""", "1 hour")
 }

@@ -352,12 +352,12 @@ object TextAnalysis {
       .toDF("rank", "left_tok", "right_tok", "merged", "pair_count")
   }
 
-  /** DuckDB oracle for [[bpeTrain]]: the full training run unrolled as
-    * chained CTEs — per iteration the pair count, the LIMIT-1 argmax,
-    * the run-parity greedy selection (the same two window functions),
-    * and the vocabulary rewrite — then the union of the k argmax rows.
+  /** The training run's CTE chain (shared by [[bpeTrainSql]] and
+    * [[tokensBpeTrainedSql]]): per iteration the pair count, the
+    * LIMIT-1 argmax, the run-parity greedy selection (the same two
+    * window functions), and the vocabulary rewrite.
     */
-  def bpeTrainSql(merges: Int = 8, maxVocab: Int = 65536): String = {
+  private def bpeTrainCtes(merges: Int, maxVocab: Int): String = {
     val iters = (1 to merges).map { k =>
       val p = k - 1
       s""",
@@ -382,18 +382,130 @@ object TextAnalysis {
     w$k AS MATERIALIZED (SELECT word, any_value(freq) AS freq, list(t ORDER BY j) AS toks
          FROM n$k GROUP BY word)"""
     }.mkString
-    val union = (1 to merges).map { k =>
-      s"SELECT CAST($k AS INT) AS rank, l AS left_tok, r AS right_tok, merged, c AS pair_count FROM m$k"
-    }.mkString(" UNION ALL ")
-    s"""
-    WITH d AS (SELECT trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    s"""d AS (SELECT trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
     wrd AS (SELECT unnest(string_split(t, ' ')) AS word FROM d),
     wf AS (SELECT word, count(*) AS freq FROM wrd WHERE length(word) > 0 GROUP BY 1
            QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC) <= $maxVocab),
     w0 AS MATERIALIZED (SELECT word, freq,
            list_transform(range(1, length(word) + 1), i -> word[i:i]) AS toks FROM wf)
-    $iters
+    $iters"""
+  }
+
+  /** DuckDB oracle for [[bpeTrain]]: the full training run unrolled as
+    * chained CTEs ([[bpeTrainCtes]]), then the union of the k argmax
+    * rows.
+    */
+  def bpeTrainSql(merges: Int = 8, maxVocab: Int = 65536): String = {
+    val union = (1 to merges).map { k =>
+      s"SELECT CAST($k AS INT) AS rank, l AS left_tok, r AS right_tok, merged, c AS pair_count FROM m$k"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH ${bpeTrainCtes(merges, maxVocab)}
     SELECT * FROM ($union) ORDER BY rank"""
+  }
+
+  /** The closed tokenizer loop — train once, apply corpus-wide: the
+    * merge table [[bpeTrain]] learns is APPLIED to the whole corpus
+    * (Sennrich et al. 2016's inference step: each word starts as
+    * characters and replays the learned merges in rank order, leftmost
+    * greedy), emitting per-doc word/token counts like [[tokensBpe]] —
+    * but against the CORPUS-LEARNED vocabulary instead of a hand-fixed
+    * one. This is the operator a production pipeline actually runs.
+    *
+    * Scale shape: training is the corpus-once/model-iterate split
+    * ([[bpeTrain]]); application is word-TYPE bounded — each DISTINCT
+    * word is tokenized once (UDF carrying the broadcast merge list),
+    * then the per-type token counts broadcast-join back to the per-doc
+    * occurrence explode. The corpus is scanned twice (train wf +
+    * apply), never per-merge; merge application never touches a
+    * reducer. Oracle: the training CTE chain extended with the SAME
+    * run-parity rewrite device applied to every distinct corpus word —
+    * the full train+apply run replayed declaratively, exact hash match.
+    */
+  def tokensBpeTrained(spark: SparkSession, dir: String, merges: Int = 8,
+      maxVocab: Int = 65536): DataFrame = {
+    import spark.implicits._
+    val learned: Array[(String, String)] = bpeTrain(spark, dir, merges, maxVocab)
+      .orderBy($"rank").select($"left_tok", $"right_tok")
+      .as[(String, String)].collect()
+    val bc = spark.sparkContext.broadcast(learned)
+    val nToksUdf = udf { (w: String) =>
+      var toks: Array[String] = w.map(_.toString).toArray
+      bc.value.foreach { case (a, b) =>
+        if (toks.length > 1) {
+          val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+          var i = 0
+          while (i < toks.length) {
+            if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.toArray
+        }
+      }
+      toks.length.toLong
+    }
+    val docWords = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Text.wordsFast($"text")).as("word"))
+      .filter(length($"word") > 0)
+    val wordToks = docWords.select($"word").distinct()
+      .select($"word", nToksUdf($"word").as("n_toks"))
+    val perDoc = docWords.join(broadcast(wordToks), "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nw"), sum($"n_toks").as("nt"))
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"nw", lit(0L)).as("n_words"),
+        coalesce($"nt", lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** DuckDB oracle for [[tokensBpeTrained]]: the training CTE chain
+    * ([[bpeTrainCtes]]) extended with an APPLICATION chain — every
+    * distinct corpus word (not just the capped training vocab) starts
+    * as characters (`a0`) and replays merge k via the same run-parity
+    * greedy rewrite (`ap/ax/asel/at/an/a$k`), then per-type token
+    * counts join back to per-doc occurrences.
+    */
+  def tokensBpeTrainedSql(merges: Int = 8, maxVocab: Int = 65536): String = {
+    val apply = (1 to merges).map { k =>
+      val p = k - 1
+      s""",
+    ap$k AS (SELECT word, CAST(i AS INT) AS i, toks[i] AS l, toks[i+1] AS r
+         FROM a$p, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+    ax$k AS (SELECT p.word, p.i,
+             p.i - row_number() OVER (PARTITION BY p.word ORDER BY p.i) AS grp
+         FROM ap$k p, m$k m WHERE p.l = m.l AND p.r = m.r),
+    asel$k AS MATERIALIZED (SELECT word, i FROM (
+             SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rnk
+             FROM ax$k) WHERE rnk % 2 = 1),
+    at$k AS (SELECT w.word, CAST(j AS INT) AS j, w.toks[j] AS t
+         FROM a$p w, LATERAL (SELECT unnest(range(1, len(w.toks) + 1)) AS j)),
+    an$k AS (SELECT t.word, t.j,
+             CASE WHEN s1.i IS NOT NULL THEN (SELECT merged FROM m$k) ELSE t.t END AS t
+         FROM at$k t
+         LEFT JOIN asel$k s1 ON t.word = s1.word AND t.j = s1.i
+         LEFT JOIN asel$k s2 ON t.word = s2.word AND t.j = s2.i + 1
+         WHERE s2.i IS NULL),
+    a$k AS MATERIALIZED (SELECT word, list(t ORDER BY j) AS toks
+         FROM an$k GROUP BY word)"""
+    }.mkString
+    s"""
+    WITH ${bpeTrainCtes(merges, maxVocab)},
+    a0 AS MATERIALIZED (SELECT word,
+           list_transform(range(1, length(word) + 1), i -> word[i:i]) AS toks
+         FROM (SELECT DISTINCT word FROM wrd WHERE length(word) > 0))
+    $apply,
+    dd AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    dwords AS (SELECT doc_id, word FROM (
+           SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM dd)
+         WHERE length(word) > 0),
+    cnt AS (SELECT word, len(toks) AS n_toks FROM a$merges),
+    agg AS (SELECT doc_id, count(*) AS nw, sum(n_toks) AS nt
+         FROM dwords JOIN cnt USING (word) GROUP BY doc_id)
+    SELECT doc.doc_id,
+           CAST(COALESCE(a.nw, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(a.nt, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id"""
   }
 
   /** TF-IDF-style salient terms: top-3 words per document ranked by

@@ -60,6 +60,36 @@ object DgimWindowAggPlan {
       AttributeReference("exact_count", LongType, nullable = false)()), child)
 }
 
+/** The SUM sketch's deterministic twin (Datar et al. 2002 §5 binary
+  * decomposition): same shuffle + spillable-sort shape as the count
+  * plan, but the per-group fold feeds each amount's set bits into 17
+  * independent DGIM builders and emits the 2^j-weighted instance total.
+  * This is the sort-then-fold device that admits an exact SQL replay
+  * (the mergeable [[graft.functions.DgimSumAggregator]] stays the
+  * incremental streaming path — its cross-partition bucket merge is
+  * provably not associative with the fold).
+  *
+  * Child contract: exactly 4 non-null LONG columns
+  * (ws_sec, we_sec, ts_sec, cents).
+  * Output: (window_start TS, window_end TS, sum_estimate L, exact_cents L).
+  */
+case class DgimSumWindowAggPlan(windowSeconds: Long, bits: Int,
+    output: Seq[Attribute], child: LogicalPlan) extends UnaryNode {
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  override def references: AttributeSet = child.outputSet
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+object DgimSumWindowAggPlan {
+  def apply(windowSeconds: Long, bits: Int, child: LogicalPlan): DgimSumWindowAggPlan =
+    DgimSumWindowAggPlan(windowSeconds, bits, Seq(
+      AttributeReference("window_start", TimestampType, nullable = false)(),
+      AttributeReference("window_end", TimestampType, nullable = false)(),
+      AttributeReference("sum_estimate", LongType, nullable = false)(),
+      AttributeReference("exact_cents", LongType, nullable = false)()), child)
+}
+
 object DgimStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: DgimWindowAggPlan =>
@@ -67,6 +97,9 @@ object DgimStrategy extends SparkStrategy {
       // PlanLater placeholder with empty output until planning finishes,
       // so required* must not read child.output lazily
       DgimWindowAggExec(p.windowSeconds, p.output, p.child.output,
+        planLater(p.child)) :: Nil
+    case p: DgimSumWindowAggPlan =>
+      DgimSumWindowAggExec(p.windowSeconds, p.bits, p.output, p.child.output,
         planLater(p.child)) :: Nil
     case _ => Nil
   }
@@ -142,6 +175,110 @@ case class DgimWindowAggExec(windowSeconds: Long, output: Seq[Attribute],
             }
             builder.add(ts)
             exact += 1
+          }
+          if (pending == null && hasGroup && !iter.hasNext) {
+            pending = emit()
+            hasGroup = false
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): InternalRow = {
+          advance()
+          val r = pending; pending = null; r
+        }
+      }
+    }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Physical operator for [[DgimSumWindowAggPlan]]: identical planner
+  * contract to [[DgimWindowAggExec]] (clustered by window, sorted by
+  * (window, ts) — EnsureRequirements plans the shuffle + spillable
+  * external sort), with a per-group fold over `bits` independent DGIM
+  * builders. Amounts ≤ 0 skip the sketch (lenient, like the streaming
+  * aggregator); oversized amounts saturate at 2^bits − 1; the exact
+  * twin sums every row's cents. Group state is bits × O(log² W) —
+  * group size never bounds task memory.
+  */
+case class DgimSumWindowAggExec(windowSeconds: Long, bits: Int,
+    output: Seq[Attribute], childAttrs: Seq[Attribute], child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(childAttrs(0), childAttrs(1))) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(Seq(
+    SortOrder(childAttrs(0), Ascending),
+    SortOrder(childAttrs(1), Ascending),
+    SortOrder(childAttrs(2), Ascending)))
+
+  override def outputPartitioning: Partitioning =
+    UnknownPartitioning(child.outputPartitioning.numPartitions)
+
+  private val maxAmount = (1L << bits) - 1
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { iter =>
+      new Iterator[InternalRow] {
+        private val writer = new UnsafeRowWriter(4)
+        private var hasGroup = false
+        private var curWs = 0L
+        private var curWe = 0L
+        private var builders: Array[Dgim.Builder] = _
+        private var exact = 0L
+        private var latest = 0L
+        private var pending: InternalRow = _
+
+        private def emit(): InternalRow = {
+          var total = 0L
+          var j = 0
+          while (j < bits) {
+            total += (1L << j) * builders(j).state.estimateAt(latest, roundUp = true)
+            j += 1
+          }
+          writer.reset()
+          writer.write(0, curWs * 1000000L) // epoch seconds -> micros
+          writer.write(1, curWe * 1000000L)
+          writer.write(2, total)
+          writer.write(3, exact)
+          writer.getRow
+        }
+
+        private def startGroup(ws: Long, we: Long): Unit = {
+          curWs = ws; curWe = we
+          builders = Array.fill(bits)(new Dgim.Builder(windowSeconds))
+          exact = 0L
+          latest = 0L
+          hasGroup = true
+        }
+
+        private def advance(): Unit = {
+          while (pending == null && iter.hasNext) {
+            val r = iter.next()
+            require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3),
+              "DgimSumWindowAggExec child emitted a null window/ts/cents column")
+            val ws = r.getLong(0); val we = r.getLong(1)
+            val ts = r.getLong(2); val cents = r.getLong(3)
+            if (!hasGroup) startGroup(ws, we)
+            else if (ws != curWs || we != curWe) {
+              pending = emit()
+              startGroup(ws, we)
+            }
+            exact += cents
+            if (cents > 0L) {
+              val v = math.min(cents, maxAmount)
+              latest = math.max(latest, ts)
+              var j = 0
+              while (j < bits) {
+                if (((v >> j) & 1L) == 1L) builders(j).add(ts)
+                j += 1
+              }
+            }
           }
           if (pending == null && hasGroup && !iter.hasNext) {
             pending = emit()

@@ -19,15 +19,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType. Read it as raw nanos (legacy conf) and floor-divide
-    * to microseconds — identical to DuckDB's ns→µs truncation, so oracle
-    * comparisons stay exact.
+  /** `events.ts` is SCHEMA-ADAPTIVE across testdata generations: older
+    * driver data stored parquet TIMESTAMP(NANOS) — which Spark 4 refuses
+    * to map to TimestampType, so it reads as raw INT64 nanos under the
+    * legacy conf and floor-divides to microseconds (identical to DuckDB's
+    * ns→µs truncation) — while current data stores TIMESTAMP(MICROS)
+    * without UTC adjustment, which reads as TIMESTAMP_NTZ and casts
+    * 1:1 to TimestampType under the UTC session timezone every graft
+    * main sets. Both paths emit the SAME TimestampType micros column,
+    * so every downstream operator and oracle is generation-agnostic.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

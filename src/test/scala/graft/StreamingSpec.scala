@@ -785,4 +785,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bits = parsed.map(_.getAs[String]("value")).toSet
     assert(bits === Set("0", "1"))
   }
+
+  test("exactOnceByKey: duplicates dropped within watermark, state evicted once it passes") {
+    // The r10 verdict's unbounded-state gap: q_stream_substring's
+    // exactly-once dedup kept one state row per EMITTED interval,
+    // forever. The fix (dropDuplicatesWithinWatermark over an
+    // arrival-time watermark) must (a) still drop duplicates that land
+    // within the watermark window and (b) EVICT each emitted key once
+    // the watermark passes it — state tracks the live arrival window,
+    // not the lifetime of the ingest.
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_xobk_src").toString
+    val ckpt = Files.createTempDirectory("graft_xobk_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_xobk_out").toString
+    def writeBatch(rows: Seq[(Long, Int, Long)]): Unit =
+      rows.toDF("doc_id", "s", "sec")
+        .select($"doc_id", $"s", timestamp_seconds($"sec").as("arr"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): (Seq[(Long, Int)], Long) = {
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, s INT, arr TIMESTAMP").parquet(srcDir)
+      val deduped = graft.operators.StreamQueries.exactOnceByKey(
+        stream, col("arr"), "10 minutes", "doc_id", "s")
+        .select($"doc_id", $"s")
+      val q = deduped.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+      val out = spark.read.schema("doc_id BIGINT, s INT").parquet(outDir)
+        .as[(Long, Int)].collect().toSeq
+      (out, stateRows)
+    }
+    // batch 1: key A arrives 3x within seconds -> ONE emission, 1 state row
+    writeBatch(Seq((1L, 1, 1000L), (1L, 1, 1001L), (1L, 1, 1002L)))
+    val (out1, state1) = run()
+    assert(out1 === Seq((1L, 1)), s"expected one A emission, got $out1")
+    assert(state1 === 1L, s"expected 1 state row after batch 1, got $state1")
+    // batch 2: key B far ahead (watermark jumps past A) -> A's state is
+    // EVICTED at batch end; state holds only the live key B
+    writeBatch(Seq((2L, 1, 20000L)))
+    val (out2, state2) = run()
+    assert(out2.toSet === Set((1L, 1), (2L, 1)), s"got $out2")
+    assert(state2 === 1L,
+      s"expected A evicted (1 live state row), got $state2")
+    // batch 3: A re-arrives AFTER eviction, within the new watermark
+    // window -> re-emits (the documented bounded-state trade-off), and
+    // state stays at the live-window level, never the all-time key count
+    writeBatch(Seq((1L, 1, 20500L), (1L, 1, 20501L)))
+    val (out3, state3) = run()
+    assert(out3.count(_ == (1L, 1)) === 2,
+      s"expected evicted key to re-emit once, got $out3")
+    assert(state3 === 2L,
+      s"expected 2 live state rows (A re-added + B), got $state3")
+  }
 }
