@@ -69,6 +69,7 @@ object SparkEntry {
     "q_stream_delta_dedup" -> (StreamQueries.streamDeltaDedup _),
     "q_stream_decontam" -> (StreamQueries.streamDecontam _),
     "q_stream_cms"     -> (StreamQueries.streamCms _),
+    "q_stream_tokens_bpe" -> (StreamQueries.streamTokensBpe _),
     "q_stream_substring" -> ((s: SparkSession, d: String) => StreamQueries.streamSubstring(s, d)),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
@@ -234,6 +235,10 @@ object SparkEntry {
     // per-row broadcast-set reshape is value-identical to the batch
     // explode→join→agg) — streaming ≡ batch under the same oracle
     "q_stream_decontam" -> Decontam.ngramCollisionsSql,
+    // q_stream_tokens_bpe: stateless per-arrival application of the
+    // STAGED trained merge table — emits the batch train+apply contract
+    // verbatim, so the same full-replay oracle hash-checks it
+    "q_stream_tokens_bpe" -> TextAnalysis.tokensBpeTrainedSql(),
     // q_stream_cms: CMS counters are sum-mergeable streaming state —
     // streaming counters ≡ batch counters ≡ the same HUGEINT replay
     "q_stream_cms"     -> TextAnalysis.cmsCountersSql,

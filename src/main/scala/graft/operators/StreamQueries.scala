@@ -295,6 +295,46 @@ object StreamQueries {
         .filter($"n_collisions" > 0)
     }
 
+  /** CONTINUOUS token metering with the TRAINED tokenizer —
+    * `text_tokens_bpe_trained` split into its production shape: the
+    * merge table is trained OFFLINE and staged
+    * ([[TextAnalysis.bpeModelDump]], the same staged-artifact pattern
+    * as the IVF serving index); arriving documents are tokenized
+    * against the BROADCAST model as a stateless per-row map — the
+    * token-budget meter a production ingest pipeline runs per arrival
+    * (no shuffle, no state store, scales with arrival rate only). The
+    * batch op's distinct-word dictionary join is not available to a
+    * stream (new words arrive forever), so the per-row application IS
+    * the streaming trade-off; per-word work is identical, shared code
+    * ([[TextAnalysis.applyMergesCount]]). Emits the batch contract
+    * verbatim — hash-matches `tokensBpeTrainedSql`: streaming ≡ batch.
+    */
+  def streamTokensBpe(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val learned: Array[(String, String)] = s.read
+        .parquet(TextAnalysis.bpeModelDump(s, dir))
+        .orderBy($"rank").select($"left_tok", $"right_tok")
+        .as[(String, String)].collect()
+      val bc = s.sparkContext.broadcast(learned)
+      val meterUdf = udf { (words: Seq[String]) =>
+        val m = bc.value
+        var nw = 0L
+        var nt = 0L
+        if (words != null) words.foreach { w =>
+          if (w != null && w.nonEmpty) {
+            nw += 1; nt += TextAnalysis.applyMergesCount(w, m)
+          }
+        }
+        (nw, nt)
+      }
+      s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select($"doc_id",
+          meterUdf(graft.functions.Text.wordsFast($"text")).as("r"))
+        .select($"doc_id", $"r._1".as("n_words"), $"r._2".as("n_bpe_tokens"))
+    }
+
   /** CONTINUOUS Count-Min Sketch — `text_cms`'s counter array maintained
     * as a streaming aggregation over the document ingest. CMS is LINEAR
     * (counters add under union — SketchSpec pins it exactly), which
@@ -579,16 +619,32 @@ object StreamQueries {
     * synthetic base index. `docs` is a STREAMING documents DF; `base`
     * is the standing (doc_id, sig, bands) index.
     */
-  private[graft] def deltaLshTopology(docs: DataFrame, base: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  private[graft] def deltaLshTopology(docs: DataFrame, base: DataFrame): DataFrame =
+    deltaLshTopologyOnBuckets(docs, groupBandBuckets(base))
+
+  /** (band_idx, band_hash) → member list grouping of a (doc_id, sig,
+    * bands) index — the serving-side layout of the standing LSH index.
+    * [[streamDeltaLsh]] STAGES this grouped form through DumpCache (one
+    * groupBy per source generation instead of per query build — the
+    * same staged-artifact move as the IVF serving index); the spec's
+    * synthetic bases group inline via [[deltaLshTopology]].
+    */
+  private[graft] def groupBandBuckets(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    import graft.functions.{MinhashBands, MinhashSig, ShingleGramHashes, Text}
-    val baseBuckets = base
+    base
       .select($"doc_id", $"sig",
         posexplode($"bands").as(Seq("band_idx", "band_hash")))
       .groupBy($"band_idx", $"band_hash")
       .agg(collect_list(struct($"doc_id", $"sig")).as("base_members"))
+  }
+
+  private[graft] def deltaLshTopologyOnBuckets(docs: DataFrame,
+      baseBuckets: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.functions.{MinhashBands, MinhashSig, ShingleGramHashes, Text}
     val arriving = docs
       .select($"doc_id", ShingleGramHashes($"text").as("hashes"))
       .filter(size($"hashes") > 0)
@@ -651,10 +707,20 @@ object StreamQueries {
   def streamDeltaLsh(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
+      // the GROUPED bucket layout is staged once per source generation:
+      // the static side of the stream-static probe is then a plain
+      // parquet read per micro-batch (a newly committed index
+      // generation is still picked up between batches), instead of
+      // re-running the explode+groupBy at every query build
+      val bucketsDump = graft.sources.DumpCache.ensure(
+        graft.sources.DumpCache.dirFor("graft_base_lsh_buckets", dir, "documents.parquet")) { tmp =>
+        groupBandBuckets(Dedup.baseMinhashIndex(s, dir))
+          .write.mode("overwrite").parquet(tmp)
+      }
       val docs = s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter($"doc_id" % 5 === 0)
-      deltaLshTopology(docs, Dedup.baseMinhashIndex(s, dir))
+      deltaLshTopologyOnBuckets(docs, s.read.parquet(bucketsDump))
     }
 
   /** Staged IVF serving index: the deterministic Lloyd's codebook plus

@@ -422,6 +422,44 @@ object TextAnalysis {
     * run-parity rewrite device applied to every distinct corpus word —
     * the full train+apply run replayed declaratively, exact hash match.
     */
+  /** Token count of one word under a learned merge table: chars, then
+    * each merge in rank order as a leftmost-greedy scan — the exact
+    * rewrite loop [[bpeTrain]] trains with. Shared by the batch
+    * ([[tokensBpeTrained]]) and streaming
+    * ([[StreamQueries.streamTokensBpe]]) application paths.
+    */
+  private[operators] def applyMergesCount(w: String,
+      merges: Array[(String, String)]): Long = {
+    var toks: Array[String] = w.map(_.toString).toArray
+    merges.foreach { case (a, b) =>
+      if (toks.length > 1) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        var i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.toArray
+      }
+    }
+    toks.length.toLong
+  }
+
+  /** The staged trained-merge table (rank, left_tok, right_tok, ...)
+    * — trained ONCE per source generation and published through
+    * DumpCache: the model artifact an online tokenizer service loads,
+    * while training stays an offline batch job.
+    */
+  private[operators] def bpeModelDump(spark: SparkSession, dir: String,
+      merges: Int = 8, maxVocab: Int = 65536): String = {
+    graft.sources.DumpCache.ensure(
+      graft.sources.DumpCache.dirFor("graft_bpe_model", dir, "documents.parquet")) { tmp =>
+      bpeTrain(spark, dir, merges, maxVocab)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   def tokensBpeTrained(spark: SparkSession, dir: String, merges: Int = 8,
       maxVocab: Int = 65536): DataFrame = {
     import spark.implicits._
@@ -429,22 +467,7 @@ object TextAnalysis {
       .orderBy($"rank").select($"left_tok", $"right_tok")
       .as[(String, String)].collect()
     val bc = spark.sparkContext.broadcast(learned)
-    val nToksUdf = udf { (w: String) =>
-      var toks: Array[String] = w.map(_.toString).toArray
-      bc.value.foreach { case (a, b) =>
-        if (toks.length > 1) {
-          val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
-          var i = 0
-          while (i < toks.length) {
-            if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += toks(i); i += 1 }
-          }
-          toks = out.toArray
-        }
-      }
-      toks.length.toLong
-    }
+    val nToksUdf = udf { (w: String) => applyMergesCount(w, bc.value) }
     val docWords = Tables.documents(spark, dir)
       .select($"doc_id", explode(Text.wordsFast($"text")).as("word"))
       .filter(length($"word") > 0)

@@ -34,6 +34,47 @@ class DgimPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Sort"))
   }
 
+  test("physical plan is DgimSumWindowAgg over planner-inserted Exchange + Sort") {
+    val plan = DgimQueries.dgimSumTumble(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("DgimSumWindowAgg"))
+    assert(plan.contains("Exchange"))
+    assert(plan.contains("Sort"))
+  }
+
+  test("sum exec output equals an independent 17-instance sort-then-fold reference") {
+    import spark.implicits._
+    val got = DgimQueries.dgimSumTumble(spark, sf)
+      .select($"window_start".cast("long"), $"sum_estimate", $"exact_cents")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val rows = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "click" && $"ts".isNotNull)
+      .select($"ts".cast("long"),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.round($"value" * 100).cast("long"),
+          org.apache.spark.sql.functions.lit(0L)).as("cents"))
+      .as[(Long, Long)].collect()
+    val expected = rows.groupBy(_._1 / 3600 * 3600).map { case (ws, grp) =>
+      val sorted = grp.sortBy(_._1)
+      val exact = grp.map(_._2).sum
+      val builders = Array.fill(17)(new Dgim.Builder(3600L))
+      var latest = 0L
+      sorted.foreach { case (ts, cents) =>
+        if (cents > 0L) {
+          val v = math.min(cents, (1L << 17) - 1)
+          latest = math.max(latest, ts)
+          (0 until 17).foreach { j =>
+            if (((v >> j) & 1L) == 1L) builders(j).add(ts)
+          }
+        }
+      }
+      val est = (0 until 17).map(j =>
+        (1L << j) * builders(j).state.estimateAt(latest, roundUp = true)).sum
+      ws -> (est, exact)
+    }
+    assert(got === expected)
+  }
+
   test("custom exec output equals independent sort-then-fold reference (tumble + hop)") {
     import spark.implicits._
     for (q <- Seq(DgimQueries.dgimTumble _, DgimQueries.dgimSlide _)) {
