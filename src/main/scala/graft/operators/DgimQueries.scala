@@ -22,6 +22,13 @@ import graft.sources.Tables
   */
 object DgimQueries {
 
+  /** Bit width of the DGIM sum sketch's binary decomposition — covers
+    * the events table's cents domain at every SF. The ONE constant the
+    * exec, the SQL replay, and the streaming aggregator all derive
+    * from (the saturation cap is (1 << SumBits) - 1).
+    */
+  val SumBits = 17
+
   private def dgimOverWindows(spark: SparkSession, dir: String,
       duration: String, slide: Option[String]): DataFrame = {
     import spark.implicits._
@@ -201,7 +208,7 @@ object DgimQueries {
         $"ts_sec", $"cents")
     DgimStrategy.ensureRegistered(spark)
     ColumnBridge.ofRows(spark,
-      DgimSumWindowAggPlan(windowSeconds, 17, ColumnBridge.logicalPlan(child)))
+      DgimSumWindowAggPlan(windowSeconds, SumBits, ColumnBridge.logicalPlan(child)))
   }
 
   /** DuckDB replay of the deterministic SUM fold: the count fold's
@@ -213,7 +220,8 @@ object DgimQueries {
     * reason as the count fold: window span == W, so no bucket can
     * expire within a group.
     */
-  private def dgimSumFoldSql(windowAssign: String, windowSpan: String): String = s"""
+  private def dgimSumFoldSql(windowAssign: String, windowSpan: String,
+      bits: Int = SumBits): String = s"""
     WITH RECURSIVE clicks AS (
       $windowAssign
     ),
@@ -223,8 +231,8 @@ object DgimQueries {
     ),
     bits AS (
       SELECT window_start, j, tsec
-      FROM clicks CROSS JOIN (SELECT unnest(range(0, 17)) AS j) u
-      WHERE cents > 0 AND ((least(cents, 131071) >> j) & 1) = 1
+      FROM clicks CROSS JOIN (SELECT unnest(range(0, $bits)) AS j) u
+      WHERE cents > 0 AND ((least(cents, ${(1L << bits) - 1}) >> j) & 1) = 1
     ),
     grouped AS (
       SELECT window_start, j, list(tsec ORDER BY tsec) AS rest

@@ -38,12 +38,11 @@ object StreamQueries {
   }
 
   /** Normalize a raw events frame's ts to TimestampType micros — the
-    * same two-generation dispatch as [[Tables.events]].
+    * ONE shared two-generation dispatch ([[Tables.normalizeTs]]), so
+    * the batch oracles and the file-stream queries can never read the
+    * same file differently.
     */
-  private def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    case _        => df.withColumn("ts", col("ts").cast("timestamp"))
-  }
+  private def normalizeTs(df: DataFrame): DataFrame = Tables.normalizeTs(df)
 
   /** documents.parquet schema for file-stream sources (readStream needs
     * it declared up front; shared by every document-ingest query).
@@ -864,7 +863,10 @@ object StreamQueries {
   private def sentinelEventsDump(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     graft.sources.DumpCache.ensure(
-      graft.sources.DumpCache.dirFor("graft_events_sentinel", dir, "events.parquet")) { tmp =>
+      // _v2: the dump's on-disk schema changed in r11 (raw nanos ts ->
+      // TimestampType) while the source file can stay byte-identical, so
+      // the format generation must be part of the cache key
+      graft.sources.DumpCache.dirFor("graft_events_sentinel_v2", dir, "events.parquet")) { tmp =>
       // normalized (TimestampType) events regardless of source generation;
       // the dump is always written in eventsNormSchema shape
       val raw = Tables.events(spark, dir)
@@ -990,7 +992,7 @@ object StreamQueries {
   def streamDgimSum(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark) { s =>
       import s.implicits._
-      val agg = udaf(new graft.functions.DgimSumAggregator(3600L))
+      val agg = udaf(new graft.functions.DgimSumAggregator(3600L, bits = DgimQueries.SumBits))
       eventsStream(s, dir)
         .filter($"event_type" === "click" && $"ts".isNotNull)
         .withWatermark("ts", "1 hour")

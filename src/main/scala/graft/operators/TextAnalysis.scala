@@ -454,7 +454,10 @@ object TextAnalysis {
   private[operators] def bpeModelDump(spark: SparkSession, dir: String,
       merges: Int = 8, maxVocab: Int = 65536): String = {
     graft.sources.DumpCache.ensure(
-      graft.sources.DumpCache.dirFor("graft_bpe_model", dir, "documents.parquet")) { tmp =>
+      // parameters are part of the key (the graft_base_winfp_$w convention):
+      // a dump trained with different merges/maxVocab must never be reused
+      graft.sources.DumpCache.dirFor(s"graft_bpe_model_${merges}_$maxVocab",
+        dir, "documents.parquet")) { tmp =>
       bpeTrain(spark, dir, merges, maxVocab)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
     }

@@ -114,8 +114,29 @@ object DgimStrategy extends SparkStrategy {
     }
 }
 
-case class DgimWindowAggExec(windowSeconds: Long, output: Seq[Attribute],
-    childAttrs: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
+/** Shared skeleton of the window-group fold execs: the planner
+  * contract (clustered by (ws, we), sorted by (ws, we, ts) — so
+  * EnsureRequirements plans the shuffle + SPILLABLE external sort) and
+  * the streaming group-boundary iterator. Subclasses supply only the
+  * per-group fold: reset state, accumulate one row, write the value
+  * columns. Child contract: `childArity` non-null LONG columns led by
+  * (ws_sec, we_sec, ts_sec); output: (window_start TS, window_end TS,
+  * <value columns>).
+  */
+abstract class WindowGroupFoldExec extends UnaryExecNode {
+  def childAttrs: Seq[Attribute]
+
+  /** Number of child columns the null-contract check covers. */
+  protected def childArity: Int
+
+  /** Reset per-group fold state (a fresh group begins). */
+  protected def resetGroup(): Unit
+
+  /** Accumulate one sorted child row into the group state. */
+  protected def accumulate(r: InternalRow): Unit
+
+  /** Write the group's value columns (slots 2..) into `writer`. */
+  protected def writeValues(writer: UnsafeRowWriter): Unit
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
@@ -135,46 +156,45 @@ case class DgimWindowAggExec(windowSeconds: Long, output: Seq[Attribute],
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { iter =>
       new Iterator[InternalRow] {
-        private val writer = new UnsafeRowWriter(4)
+        private val writer = new UnsafeRowWriter(output.length)
         private var hasGroup = false
         private var curWs = 0L
         private var curWe = 0L
-        private var builder: Dgim.Builder = _
-        private var exact = 0L
         private var pending: InternalRow = _
 
         private def emit(): InternalRow = {
           writer.reset()
           writer.write(0, curWs * 1000000L) // epoch seconds -> micros
           writer.write(1, curWe * 1000000L)
-          writer.write(2, builder.state.estimate)
-          writer.write(3, exact)
+          writeValues(writer)
           writer.getRow
         }
 
         private def startGroup(ws: Long, we: Long): Unit = {
           curWs = ws; curWe = we
-          builder = new Dgim.Builder(windowSeconds)
-          exact = 0L
+          resetGroup()
           hasGroup = true
         }
 
         private def advance(): Unit = {
           while (pending == null && iter.hasNext) {
             val r = iter.next()
-            // enforce the documented child contract (3 non-null LONGs):
+            // enforce the documented child contract (non-null LONGs):
             // getLong on a null slot silently reads 0 and would group the
             // row into the 1970 epoch window instead of failing
-            require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
-              "DgimWindowAggExec child emitted a null window/ts column")
-            val ws = r.getLong(0); val we = r.getLong(1); val ts = r.getLong(2)
+            var c = 0
+            while (c < childArity) {
+              require(!r.isNullAt(c),
+                s"$nodeName child emitted a null column at position $c")
+              c += 1
+            }
+            val ws = r.getLong(0); val we = r.getLong(1)
             if (!hasGroup) startGroup(ws, we)
             else if (ws != curWs || we != curWe) {
               pending = emit()
               startGroup(ws, we)
             }
-            builder.add(ts)
-            exact += 1
+            accumulate(r)
           }
           if (pending == null && hasGroup && !iter.hasNext) {
             pending = emit()
@@ -189,6 +209,30 @@ case class DgimWindowAggExec(windowSeconds: Long, output: Seq[Attribute],
         }
       }
     }
+}
+
+case class DgimWindowAggExec(windowSeconds: Long, output: Seq[Attribute],
+    childAttrs: Seq[Attribute], child: SparkPlan) extends WindowGroupFoldExec {
+
+  override protected def childArity: Int = 3
+
+  @transient private var builder: Dgim.Builder = _
+  @transient private var exact = 0L
+
+  override protected def resetGroup(): Unit = {
+    builder = new Dgim.Builder(windowSeconds)
+    exact = 0L
+  }
+
+  override protected def accumulate(r: InternalRow): Unit = {
+    builder.add(r.getLong(2))
+    exact += 1
+  }
+
+  override protected def writeValues(writer: UnsafeRowWriter): Unit = {
+    writer.write(2, builder.state.estimate)
+    writer.write(3, exact)
+  }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
@@ -205,94 +249,46 @@ case class DgimWindowAggExec(windowSeconds: Long, output: Seq[Attribute],
   */
 case class DgimSumWindowAggExec(windowSeconds: Long, bits: Int,
     output: Seq[Attribute], childAttrs: Seq[Attribute], child: SparkPlan)
-    extends UnaryExecNode {
+    extends WindowGroupFoldExec {
 
-  override def producedAttributes: AttributeSet = AttributeSet(output)
-
-  override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(childAttrs(0), childAttrs(1))) :: Nil
-
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(Seq(
-    SortOrder(childAttrs(0), Ascending),
-    SortOrder(childAttrs(1), Ascending),
-    SortOrder(childAttrs(2), Ascending)))
-
-  override def outputPartitioning: Partitioning =
-    UnknownPartitioning(child.outputPartitioning.numPartitions)
+  override protected def childArity: Int = 4
 
   private val maxAmount = (1L << bits) - 1
 
-  override protected def doExecute(): RDD[InternalRow] =
-    child.execute().mapPartitions { iter =>
-      new Iterator[InternalRow] {
-        private val writer = new UnsafeRowWriter(4)
-        private var hasGroup = false
-        private var curWs = 0L
-        private var curWe = 0L
-        private var builders: Array[Dgim.Builder] = _
-        private var exact = 0L
-        private var latest = 0L
-        private var pending: InternalRow = _
+  @transient private var builders: Array[Dgim.Builder] = _
+  @transient private var exact = 0L
+  @transient private var latest = 0L
 
-        private def emit(): InternalRow = {
-          var total = 0L
-          var j = 0
-          while (j < bits) {
-            total += (1L << j) * builders(j).state.estimateAt(latest, roundUp = true)
-            j += 1
-          }
-          writer.reset()
-          writer.write(0, curWs * 1000000L) // epoch seconds -> micros
-          writer.write(1, curWe * 1000000L)
-          writer.write(2, total)
-          writer.write(3, exact)
-          writer.getRow
-        }
+  override protected def resetGroup(): Unit = {
+    builders = Array.fill(bits)(new Dgim.Builder(windowSeconds))
+    exact = 0L
+    latest = 0L
+  }
 
-        private def startGroup(ws: Long, we: Long): Unit = {
-          curWs = ws; curWe = we
-          builders = Array.fill(bits)(new Dgim.Builder(windowSeconds))
-          exact = 0L
-          latest = 0L
-          hasGroup = true
-        }
-
-        private def advance(): Unit = {
-          while (pending == null && iter.hasNext) {
-            val r = iter.next()
-            require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3),
-              "DgimSumWindowAggExec child emitted a null window/ts/cents column")
-            val ws = r.getLong(0); val we = r.getLong(1)
-            val ts = r.getLong(2); val cents = r.getLong(3)
-            if (!hasGroup) startGroup(ws, we)
-            else if (ws != curWs || we != curWe) {
-              pending = emit()
-              startGroup(ws, we)
-            }
-            exact += cents
-            if (cents > 0L) {
-              val v = math.min(cents, maxAmount)
-              latest = math.max(latest, ts)
-              var j = 0
-              while (j < bits) {
-                if (((v >> j) & 1L) == 1L) builders(j).add(ts)
-                j += 1
-              }
-            }
-          }
-          if (pending == null && hasGroup && !iter.hasNext) {
-            pending = emit()
-            hasGroup = false
-          }
-        }
-
-        override def hasNext: Boolean = { advance(); pending != null }
-        override def next(): InternalRow = {
-          advance()
-          val r = pending; pending = null; r
-        }
+  override protected def accumulate(r: InternalRow): Unit = {
+    val ts = r.getLong(2); val cents = r.getLong(3)
+    exact += cents
+    if (cents > 0L) {
+      val v = math.min(cents, maxAmount)
+      latest = math.max(latest, ts)
+      var j = 0
+      while (j < bits) {
+        if (((v >> j) & 1L) == 1L) builders(j).add(ts)
+        j += 1
       }
     }
+  }
+
+  override protected def writeValues(writer: UnsafeRowWriter): Unit = {
+    var total = 0L
+    var j = 0
+    while (j < bits) {
+      total += (1L << j) * builders(j).state.estimateAt(latest, roundUp = true)
+      j += 1
+    }
+    writer.write(2, total)
+    writer.write(3, exact)
+  }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)

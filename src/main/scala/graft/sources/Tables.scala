@@ -30,9 +30,18 @@ object Tables {
     * so every downstream operator and oracle is generation-agnostic.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(spark, dir, "events")
+    normalizeTs(table(spark, dir, "events"))
+  }
+
+  /** The two-generation `ts` dispatch, shared by the batch loader and
+    * the file-stream readers so both paths can never read the same file
+    * differently: raw INT64 nanos floor-divide to micros; native
+    * timestamp columns (NTZ in current testdata) cast 1:1 under the
+    * UTC session timezone.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -142,7 +142,7 @@ class DgimPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception] { df.collect() }
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).toSeq
-    assert(chain(e).exists(_.contains("null window/ts")), s"got: ${chain(e).take(3)}")
+    assert(chain(e).exists(_.contains("emitted a null column")), s"got: ${chain(e).take(3)}")
   }
 
   test("operator streams groups (no OOM-prone per-group materialization): many tiny groups") {
