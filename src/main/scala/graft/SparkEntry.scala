@@ -69,6 +69,7 @@ object SparkEntry {
     "q_stream_delta_dedup" -> (StreamQueries.streamDeltaDedup _),
     "q_stream_decontam" -> (StreamQueries.streamDecontam _),
     "q_stream_cms"     -> (StreamQueries.streamCms _),
+    "q_stream_pii"     -> (StreamQueries.streamPii _),
     "q_stream_tokens_bpe" -> (StreamQueries.streamTokensBpe _),
     "q_stream_substring" -> ((s: SparkSession, d: String) => StreamQueries.streamSubstring(s, d)),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "pipeline_interleave" -> (Curation.interleave _),
     "mm_simhash"       -> (Multimodal.payloadSimhash _),
     "pipeline_mix"     -> (Curation.mixSources _),
+    "pipeline_anneal"  -> (Curation.annealMix _),
     "graph_pagerank"   -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles"  -> (Graph.triangles _),
     "sink_scd2"        -> (graft.sources.Sinks.scd2Build _),
@@ -239,6 +241,9 @@ object SparkEntry {
     // STAGED trained merge table — emits the batch train+apply contract
     // verbatim, so the same full-replay oracle hash-checks it
     "q_stream_tokens_bpe" -> TextAnalysis.tokensBpeTrainedSql(),
+    // q_stream_pii: stateless per-arrival scrub scoring, shared
+    // expressions with the batch op -> same oracle, streaming = batch
+    "q_stream_pii"     -> TextAnalysis.piiSql,
     // q_stream_cms: CMS counters are sum-mergeable streaming state —
     // streaming counters ≡ batch counters ≡ the same HUGEINT replay
     "q_stream_cms"     -> TextAnalysis.cmsCountersSql,
@@ -395,6 +400,7 @@ object SparkEntry {
     // in HUGEINT; SketchSpec still plants a one-byte-flipped copy.
     "mm_simhash"       -> Multimodal.payloadSimhashSql,
     "pipeline_mix"     -> Curation.mixSourcesSql,
+    "pipeline_anneal"  -> Curation.annealMixSql,
     "graph_pagerank"   -> Graph.pagerankSql(),
     "graph_triangles"  -> Graph.trianglesSql,
     "sink_scd2"        -> graft.sources.Sinks.scd2BuildSql,

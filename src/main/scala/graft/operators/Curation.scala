@@ -661,4 +661,83 @@ object Curation {
       FROM docs d JOIN quotas q USING (source))
     SELECT doc_id, source, CAST(rk AS INT) AS rk
     FROM ranked WHERE rk <= k"""
+
+  /** Curriculum mixture ANNEALING — the phase-dependent form of
+    * [[mixSources]]: modern training recipes shift the domain mixture
+    * over the run (web-heavy early for coverage, curated/quality-heavy
+    * late — the "anneal" phase of e.g. data-mixture curricula), so the
+    * mix is a SCHEDULE, not one static set of weights. Per phase
+    * (epoch), the same integer-exact construction as the static mix —
+    * output size pinned by that phase's binding source, quotas
+    * k = w·N_out div denom — against that phase's weight row.
+    *
+    * The per-source pick ORDER (md5(doc_id), doc_id) is shared across
+    * phases, which buys the auditable stable-prefix property: a
+    * source's phase-p selection is a PREFIX of any phase where its
+    * quota is larger, so documents enter/leave the mix monotonically
+    * as their domain anneals up/down — no churn beyond the quota
+    * delta (what an incremental data loader actually wants to ship
+    * between phases).
+    *
+    * Scale shape: ONE corpus scan, ONE rank window per source (rank is
+    * phase-independent, computed once), counts = a #sources-row agg;
+    * the phase schedule and quotas ride broadcast joins, and the
+    * #phases fan-out happens on the quota table (phases × sources
+    * rows), never on the corpus. All integer math — exact hash oracle.
+    */
+  def annealMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // (epoch, w_src0, w_src1, w_src2) out of denom 10: web-heavy -> flat
+    // -> curated-heavy
+    val phases = AnnealSchedule.zipWithIndex.flatMap { case ((w0, w1, w2), e) =>
+      Seq((e, "src0", w0), (e, "src1", w1), (e, "src2", w2))
+    }.toDF("epoch", "source", "wnum")
+    val docs = Tables.documents(spark, dir)
+      .filter($"source".isin("src0", "src1", "src2"))
+      .select($"doc_id", $"source",
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val nOut = counts.join(broadcast(phases), "source")
+      .groupBy($"epoch").agg(min(expr("(n * 10) div wnum")).as("n_out"))
+    val quotas = phases.join(broadcast(counts), "source")
+      .join(broadcast(nOut), "epoch")
+      .select($"epoch", $"source", expr("(wnum * n_out) div 10").as("k"))
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+      .join(broadcast(quotas), "source")
+      .filter($"rk" <= $"k")
+      .select($"epoch", $"doc_id", $"source", $"rk")
+  }
+
+  /** The anneal schedule (weights per phase out of denom 10), shared by
+    * the operator and its oracle so they can never desynchronize.
+    */
+  private val AnnealSchedule: Seq[(Long, Long, Long)] =
+    Seq((6L, 3L, 1L), (4L, 4L, 2L), (2L, 4L, 4L))
+
+  def annealMixSql: String = {
+    val values = AnnealSchedule.zipWithIndex.flatMap { case ((w0, w1, w2), e) =>
+      Seq(s"($e,'src0',$w0)", s"($e,'src1',$w1)", s"($e,'src2',$w2)")
+    }.mkString(",")
+    s"""
+    WITH docs AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    phases(epoch, source, wnum) AS (VALUES $values),
+    counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM docs GROUP BY source),
+    nout AS (
+      SELECT epoch, MIN((n * 10) // wnum) AS n_out
+      FROM phases JOIN counts USING (source) GROUP BY epoch),
+    quotas AS (
+      SELECT epoch, source, CAST((wnum * n_out) // 10 AS BIGINT) AS k
+      FROM phases JOIN nout USING (epoch)),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      FROM docs)
+    SELECT q.epoch, r.doc_id, r.source, CAST(r.rk AS INT) AS rk
+    FROM ranked r JOIN quotas q USING (source) WHERE r.rk <= q.k"""
+  }
 }

@@ -334,6 +334,26 @@ object StreamQueries {
         .select($"doc_id", $"r._1".as("n_words"), $"r._2".as("n_bpe_tokens"))
     }
 
+  /** CONTINUOUS PII gate — `text_pii` run per arrival: every ingested
+    * document is scanned for emails / IPv4s / long digit runs and
+    * fingerprinted in REDACTED form BEFORE admission — the scrubbing
+    * step a production trainer runs at ingest time rather than as a
+    * corpus-wide sweep (the same gate family as
+    * [[streamDecontam]] / [[streamTokensBpe]]). A stateless per-row
+    * expression map, shared code with the batch op
+    * ([[TextAnalysis.piiOn]]): no shuffle, no state store, no
+    * broadcast — scales with arrival rate only. Emits the batch
+    * contract verbatim — hash-matches `piiSql`: streaming ≡ batch.
+    */
+  def streamPii(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      TextAnalysis.piiOn(
+        s.readStream.schema(docsRawSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select($"doc_id", $"text"))
+    }
+
   /** CONTINUOUS Count-Min Sketch — `text_cms`'s counter array maintained
     * as a streaming aggregation over the document ingest. CMS is LINEAR
     * (counters add under union — SketchSpec pins it exactly), which

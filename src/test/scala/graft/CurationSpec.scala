@@ -60,6 +60,39 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       supply(s) * 10L / w == nOut && expected(s) == w * nOut / 10L })
   }
 
+  test("pipeline_anneal: per-phase quotas are integer-exact and selections are stable prefixes") {
+    import org.apache.spark.sql.functions.col
+    val schedule = Seq(
+      Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L),
+      Map("src0" -> 4L, "src1" -> 4L, "src2" -> 2L),
+      Map("src0" -> 2L, "src1" -> 4L, "src2" -> 4L))
+    val supply = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source").isin("src0", "src1", "src2"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Curation.annealMix(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    // per-phase counts match the integer quota construction
+    val gotCounts = rows.groupBy(r => (r._1, r._3)).view.mapValues(_.size.toLong).toMap
+    schedule.zipWithIndex.foreach { case (w, e) =>
+      val nOut = w.map { case (s, wn) => supply(s) * 10L / wn }.min
+      w.foreach { case (s, wn) =>
+        assert(gotCounts.getOrElse((e, s), 0L) === wn * nOut / 10L,
+          s"phase $e source $s")
+      }
+    }
+    // stable-prefix property: a source's smaller-quota phase selection
+    // is a subset of its larger-quota phase selection
+    val bySrcPhase = rows.groupBy(r => (r._3, r._1))
+      .view.mapValues(_.map(_._2).toSet).toMap
+    for (s <- Seq("src0", "src1", "src2");
+         e1 <- schedule.indices; e2 <- schedule.indices) {
+      val (a, b) = (bySrcPhase.getOrElse((s, e1), Set.empty),
+        bySrcPhase.getOrElse((s, e2), Set.empty))
+      if (a.size <= b.size) assert(a.subsetOf(b), s"$s: phase $e1 not prefix of $e2")
+    }
+  }
+
   test("pipeline_mix reruns pick the identical rows") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
       df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
