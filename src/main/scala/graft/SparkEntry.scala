@@ -166,6 +166,7 @@ object SparkEntry {
     "mm_simhash"       -> (Multimodal.payloadSimhash _),
     "pipeline_mix"     -> (Curation.mixSources _),
     "pipeline_anneal"  -> (Curation.annealMix _),
+    "pipeline_cluster_balance" -> ((s: SparkSession, d: String) => Curation.clusterBalance(s, d)),
     "graph_pagerank"   -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles"  -> (Graph.triangles _),
     "sink_scd2"        -> (graft.sources.Sinks.scd2Build _),
@@ -401,6 +402,10 @@ object SparkEntry {
     "mm_simhash"       -> Multimodal.payloadSimhashSql,
     "pipeline_mix"     -> Curation.mixSourcesSql,
     "pipeline_anneal"  -> Curation.annealMixSql,
+    // pipeline_cluster_balance: the full Lloyd's replay (shared with
+    // ann_ivf) + the capped per-cell pick -> train-assign-balance
+    // hash-verified end to end
+    "pipeline_cluster_balance" -> Curation.clusterBalanceSql(),
     "graph_pagerank"   -> Graph.pagerankSql(),
     "graph_triangles"  -> Graph.trianglesSql,
     "sink_scd2"        -> graft.sources.Sinks.scd2BuildSql,

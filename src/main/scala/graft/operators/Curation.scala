@@ -740,4 +740,48 @@ object Curation {
     SELECT q.epoch, r.doc_id, r.source, CAST(r.rk AS INT) AS rk
     FROM ranked r JOIN quotas q USING (source) WHERE r.rk <= q.k"""
   }
+
+  /** Cluster-balanced corpus curation — the TOPIC-BALANCE step a
+    * semantic-curation pipeline runs after learning an embedding
+    * clustering (the DataComp/SemDeDup-family practice: cap each
+    * semantic cluster so over-represented topics cannot dominate the
+    * training mix): documents (joined 1:1 to their embedding row)
+    * assign to their learned k-means cell, and each cell keeps at most
+    * `cap` members by the deterministic md5 pick order. The capped SET
+    * is auditable and stable under partitioning, and — because the
+    * pick order matches [[mixSources]]/[[annealMix]] — a smaller cap's
+    * selection is always a prefix of a larger cap's.
+    *
+    * Scale shape: training is [[Similarity.kmeansCodebook]]'s
+    * corpus-once/model-iterate split; assignment is a per-row map
+    * against the broadcast codebook inside the scan; the cap is one
+    * rank window per cell (k cells — bounded partitions; huge cells
+    * route through the same local-top-k plan as the other capped
+    * picks). Oracle: the full Lloyd's replay (`ivfTrainedCorpusSql`,
+    * shared with `ann_ivf`) + the capped pick — train→assign→balance
+    * hash-verified end to end.
+    */
+  def clusterBalance(spark: SparkSession, dir: String, cap: Int = 30): DataFrame = {
+    import spark.implicits._
+    val (codebook, _) = Similarity.kmeansCodebook(spark, dir)
+    val bc = spark.sparkContext.broadcast(codebook)
+    val cellUdf = udf((v: Seq[Float]) => Similarity.nearestCell(v.toArray, bc.value)._1)
+    Tables.embeddings(spark, dir)
+      .select($"vec_id".as("doc_id"), cellUdf($"embedding").as("cell"),
+        md5($"vec_id".cast("string").cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cell").orderBy($"h", $"doc_id")))
+      .filter($"rk" <= cap)
+      .select($"doc_id", $"cell", $"rk")
+  }
+
+  def clusterBalanceSql(cap: Int = 30, k: Int = 10, iters: Int = 4): String =
+    Similarity.ivfTrainedCorpusSql(k, iters) + s""",
+    picked AS (
+      SELECT vec_id AS doc_id, cell,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM corpus)
+    SELECT doc_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk
+    FROM picked WHERE rk <= $cap"""
 }

@@ -963,7 +963,7 @@ object Similarity {
     * distances, and the assigned corpus with norms — consumed by both
     * [[annIvfSql]] and [[semDedupSql]].
     */
-  private def ivfTrainedCorpusSql(k: Int, iters: Int): String = s"""
+  private[operators] def ivfTrainedCorpusSql(k: Int, iters: Int): String = s"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
       FROM embeddings
