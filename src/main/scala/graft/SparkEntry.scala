@@ -47,6 +47,7 @@ object SparkEntry {
     "stats_corr"   -> (Profile.statsCorr _),
     "stats_ttest"  -> (Profile.statsTtest _),
     "stats_drift"  -> (Profile.statsDrift _),
+    "stats_ks"     -> (Profile.statsKs _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_slide_distinct" -> (Windows.slideDistinct _),
@@ -210,6 +211,7 @@ object SparkEntry {
     "stats_corr"   -> Profile.statsCorrSql,
     "stats_ttest"  -> Profile.statsTtestSql,
     "stats_drift"  -> Profile.statsDriftSql,
+    "stats_ks"     -> Profile.statsKsSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_slide_distinct" -> Windows.slideDistinctSql,

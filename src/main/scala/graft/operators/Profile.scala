@@ -306,4 +306,65 @@ object Profile {
            (cents - median_cents) / mad_cents AS mad_score
     FROM c, s
     WHERE abs(cents - median_cents) > ${k}e0 * mad_cents"""
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic — the
+    * DISTRIBUTION-level companion of [[statsTtest]]'s mean test and
+    * [[statsDrift]]'s categorical total-variation: did an experiment
+    * arm (users split by id parity — the A/B shape) shift the whole
+    * click-value distribution, not just its mean? D = max over the
+    * value grid of |ECDF_A − ECDF_B|.
+    *
+    * Exactness device: values compare on the integer CENTS grid
+    * (round(value·100) — the same scaled-integer move as the moment
+    * statistics), so per-grid-point counts are exact BIGINTs and
+    * D = max |ca·nb − cb·na| / (na·nb) is computed as an integer
+    * numerator with ONE final double division — engine-exact hash.
+    *
+    * Scale shape: one groupBy on the BOUNDED cents grid (domain-sized,
+    * not corpus-sized — ~10⁵ distinct points regardless of row count),
+    * then one ordered window over that bounded grid for the cumulative
+    * counts; the corpus-sized input only ever passes through the
+    * map-side-combined grid aggregation. At an unbounded value domain
+    * the documented swap is a fixed-width binned ECDF (the
+    * `q_histogram` grid) — same query shape.
+    */
+  def statsKs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.events(spark, dir)
+      .filter($"event_type" === "click" && $"value".isNotNull)
+      .select(($"user_id" % 2).as("g"), round($"value" * 100).cast("long").as("cents"))
+    val grid = vals.groupBy($"cents")
+      .agg(sum(when($"g" === 0, 1L).otherwise(0L)).as("a"),
+        sum(when($"g" === 1, 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy($"cents").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.select($"cents", sum($"a").over(w).as("ca"), sum($"b").over(w).as("cb"))
+    val tot = grid.agg(sum($"a").as("na"), sum($"b").as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select($"na", $"nb", abs($"ca" * $"nb" - $"cb" * $"na").as("dn"))
+      .groupBy($"na", $"nb")
+      .agg(max($"dn").as("d_num"))
+      .select($"na", $"nb", $"d_num",
+        ($"d_num".cast("double") / ($"na".cast("double") * $"nb".cast("double"))).as("ks_d"))
+  }
+
+  val statsKsSql: String = """
+    WITH v AS (
+      SELECT user_id % 2 AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+    grid AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM v GROUP BY 1),
+    cum AS (
+      SELECT cents,
+             SUM(a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cb
+      FROM grid),
+    t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM grid)
+    SELECT na, nb, CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+           CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE) /
+           (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d
+    FROM cum, t GROUP BY na, nb"""
 }
