@@ -135,6 +135,7 @@ object SparkEntry {
     "text_lm_score"    -> (TextAnalysis.lmScore _),
     "text_pii"         -> (TextAnalysis.pii _),
     "text_decontam"    -> (Decontam.ngramCollisions _),
+    "text_decontam_frac" -> (Decontam.fracDecontam _),
     "text_decontam_bloom" -> ((s: SparkSession, d: String) => Decontam.bloomDecontam(s, d)),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "sink_csv"         -> (graft.sources.Sinks.csvRoundTrip _),
@@ -366,6 +367,7 @@ object SparkEntry {
     // precision + co-celled-pair recall against embedPairs.
     "text_lm_score"    -> TextAnalysis.lmScoreSql,
     "text_decontam"    -> Decontam.ngramCollisionsSql,
+    "text_decontam_frac" -> Decontam.fracDecontamSql,
     // identical output contract via the Bloom pre-filter path (exact
     // verify behind the sketch) — same oracle as text_decontam
     "text_decontam_bloom" -> Decontam.ngramCollisionsSql,

@@ -128,4 +128,54 @@ object Decontam {
     FROM sh JOIN ev USING (s)
     WHERE source NOT IN ('src0','src1','src2')
     GROUP BY 1"""
+
+  /** Contamination-RATIO decontamination — the fuzzy companion of
+    * [[ngramCollisions]]'s verbatim 7-gram protocol: what FRACTION of
+    * each corpus document's distinct 3-gram shingles appears anywhere
+    * in the eval suite's shingle union. The verbatim gate catches
+    * copied spans (7 consecutive words survive no paraphrase); the
+    * ratio catches documents substantially COMPOSED of benchmark text
+    * even when reordering/light paraphrase breaks every long n-gram —
+    * the contamination-analysis metric decontamination reports are
+    * built on, and the signal a threshold policy (drop at frac ≥ t)
+    * consumes. Emits every corpus doc with ≥ 1 shared shingle:
+    * (doc_id, n_shingles, n_eval_shingles, frac) — exact integer
+    * counts, ONE final double division.
+    *
+    * Scale shape: same as the verbatim gate — the eval shingle union
+    * is benchmark-sized (broadcast), the corpus side is one scan +
+    * per-row shingle fan-out, the collision count is a map-side
+    * broadcast join, and the only shuffles are the two doc_id counts
+    * (combined map-side). Corpus size never reaches a reducer except
+    * as per-doc count rows.
+    */
+  def fracDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        explode(Text.shinglesFastUdf($"text")).as("s"))
+    val evalSh = sh.filter($"source".isInCollection(EvalSources))
+      .select($"s").distinct()
+    val corpus = sh.filter(!$"source".isInCollection(EvalSources))
+    val n = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.join(broadcast(evalSh), "s")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_eval_shingles"))
+    n.join(hits, "doc_id")
+      .select($"doc_id", $"n_shingles", $"n_eval_shingles",
+        ($"n_eval_shingles".cast("double") / $"n_shingles".cast("double")).as("frac"))
+  }
+
+  val fracDecontamSql: String = """
+    WITH docs AS (SELECT doc_id, source, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    wrds AS (SELECT doc_id, source, string_split(t,' ') w FROM docs),
+    idx AS (SELECT doc_id, source, w, unnest(range(1, greatest(len(w)-1,1))) i FROM wrds),
+    sh AS (SELECT DISTINCT doc_id, source, w[i]||' '||w[i+1]||' '||w[i+2] s FROM idx),
+    ev AS (SELECT DISTINCT s FROM sh WHERE source IN ('src0','src1','src2')),
+    corpus AS (SELECT doc_id, s FROM sh WHERE source NOT IN ('src0','src1','src2')),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM corpus GROUP BY 1),
+    hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_shingles
+             FROM corpus JOIN ev USING (s) GROUP BY 1)
+    SELECT doc_id, n_shingles, n_eval_shingles,
+           CAST(n_eval_shingles AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS frac
+    FROM n JOIN hits USING (doc_id)"""
 }
