@@ -144,10 +144,13 @@ object Decontam {
     *
     * Scale shape: same as the verbatim gate — the eval shingle union
     * is benchmark-sized (broadcast), the corpus side is one scan +
-    * per-row shingle fan-out, the collision count is a map-side
-    * broadcast join, and the only shuffles are the two doc_id counts
-    * (combined map-side). Corpus size never reaches a reducer except
-    * as per-doc count rows.
+    * per-row shingle fan-out, membership is marked by a map-side
+    * broadcast LEFT join, and both counts come out of ONE conditional
+    * doc_id aggregation (count(*) + count(hit)) — a single shuffle,
+    * no per-doc join. Corpus size never reaches a reducer except as
+    * per-doc count rows. (A first cut with two separate doc_id aggs +
+    * a doc_id join was plan-audited at 2 shuffles + an SMJ and
+    * replaced by this form — result-identical.)
     */
   def fracDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -155,12 +158,12 @@ object Decontam {
       .select($"doc_id", $"source",
         explode(Text.shinglesFastUdf($"text")).as("s"))
     val evalSh = sh.filter($"source".isInCollection(EvalSources))
-      .select($"s").distinct()
-    val corpus = sh.filter(!$"source".isInCollection(EvalSources))
-    val n = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = corpus.join(broadcast(evalSh), "s")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_eval_shingles"))
-    n.join(hits, "doc_id")
+      .select($"s").distinct().withColumn("hit", lit(1))
+    sh.filter(!$"source".isInCollection(EvalSources))
+      .join(broadcast(evalSh), Seq("s"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_eval_shingles"))
+      .filter($"n_eval_shingles" > 0)
       .select($"doc_id", $"n_shingles", $"n_eval_shingles",
         ($"n_eval_shingles".cast("double") / $"n_shingles".cast("double")).as("frac"))
   }
