@@ -15,9 +15,13 @@ import org.apache.spark.sql.SparkSession
   *    parquet footers, so the old warmup left all data-column IO on the
   *    first query touching each table — mm_meta's 4× r03 "regression"
   *    was the documents `payload` binary column's first read).
-  *  - The shared Jaccard pair dump is NOT pre-warmed: its one-time
-  *    derivation is real operator work and is deliberately billed to
-  *    dedup_ngram_jaccard (the pair-derivation query) by the run order.
+  *  - Every DumpCache artifact (shared pair dump, staged indexes,
+  *    trained models, sink materializations) is published in an explicit
+  *    [[Staging]] pre-pass and itemized in a separate `staging` map
+  *    (r11 verdict item 2), so per-query numbers measure query
+  *    execution against already-published artifacts — the steady state
+  *    of a deployment — instead of billing one-time derivations to
+  *    whichever query first touches each dump.
   *  - SPARK_GRAFT_PASSES=n (default 1) re-runs the suite n times and
   *    reports the LAST pass — local warm-vs-cold attribution; the driver
   *    sets nothing and always measures the default cold pass.
@@ -76,6 +80,9 @@ object Bench {
       ds.groupByKey(_._1 % 7)
         .flatMapGroups((k, it) => Iterator.single((k, it.size))).count()
     }
+    // explicit staging pre-pass: publish every shared artifact before
+    // any query is timed; itemized separately in the output line
+    val staging = Staging.stageAll(spark, sfDir)
     // optional comma-separated subset for targeted local timing; the
     // driver sets no filter and always measures the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -84,11 +91,9 @@ object Bench {
       case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
       case None => SparkEntry.queries
     }
-    // pinned order: alphabetical, except the pair-dump derivation query
-    // sorts before its dump's other consumers (dedup_apply/dedup_clusters)
-    val ordered = selected.toSeq.sortBy {
-      case (k, _) => if (k == "dedup_ngram_jaccard") "dedup_a0" else k
-    }
+    // pinned order: alphabetical (first-touch costs are now absorbed by
+    // the staging pre-pass, so no query needs force-ordering)
+    val ordered = selected.toSeq.sortBy(_._1)
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(1)
     var results = Seq.empty[(String, Double)]
     for (_ <- 1 to passes) {
@@ -106,14 +111,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val st = staging.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val stagingTotal = staging.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""staging":$st,"staging_total":$stagingTotal,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_rN.json keeps only a truncated stdout tail, so
     // also persist the FULL per-query map to a parseable file (committed
-    // as bench_local_rN.json each round for the judge to diff every row)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local_latest.json")
+    // as bench_local_rN.json each round for the judge to diff every row).
+    // Default under tmpdir — a library-style invocation should not drop
+    // files into the process CWD; set SPARK_GRAFT_BENCH_OUT to persist.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"${System.getProperty("java.io.tmpdir")}/bench_local_latest.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))

@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_delta"      -> (Dedup.deltaDedup _),
     "dedup_delta_lsh"  -> (Dedup.deltaLshCandidates _),
     "dedup_delta_commit" -> (Dedup.deltaCommit _),
+    "dedup_delta_lsh_commit" -> (Dedup.lshCommit _),
     "dedup_delta_bloom" -> ((s: SparkSession, d: String) => Dedup.deltaBloomDedup(s, d)),
     "dedup_clusters"   -> (Clusters.dedupClusters _),
     "dedup_apply"      -> (Clusters.dedupApply _),
@@ -288,6 +289,7 @@ object SparkEntry {
     // dedup_delta_commit emits the SAME contract as dedup_exact, so the
     // from-scratch oracle proves incremental index merge ≡ recompute
     "dedup_delta_commit" -> Dedup.exactSql,
+    "dedup_delta_lsh_commit" -> Dedup.lshCommitSql,
     // Bloom-gated ingest emits the SAME contract as the plain index
     // probe (exact verify behind the sketch) — same oracle as the
     // streaming delta dedup's left join

@@ -42,7 +42,7 @@ object Clusters {
     * parquet. Deterministic by construction (min-label fixpoint), so
     * the dump is a pure cache, never a semantic change.
     */
-  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dump = graft.sources.DumpCache.dirFor(
       "graft_cc_labels", dir, "documents.parquet")

@@ -33,7 +33,7 @@ object Decontam {
     * `text_decontam_bloom`. The staged artifact is benchmark-sized by
     * construction, so reading it back is a single small parquet scan.
     */
-  private[operators] def evalGramsDump(spark: SparkSession, dir: String): String = {
+  private[graft] def evalGramsDump(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     graft.sources.DumpCache.ensure(
       graft.sources.DumpCache.dirFor("graft_eval_grams", dir, "documents.parquet")) { tmp =>

@@ -562,7 +562,7 @@ object Dedup {
     * DumpCache — the persisted index a production pipeline maintains
     * between ingest runs; [[deltaDedup]] only ever reads it back.
     */
-  private[operators] def baseFpIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def baseFpIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dump = DumpCache.dirFor("graft_base_fp", dir, "documents.parquet")
     DumpCache.ensure(dump) { tmp =>
@@ -579,7 +579,7 @@ object Dedup {
     * set (32-word / 24-stride windows, [[TextAnalysis.chunks]]). Slim
     * one-column parquet, staged once like [[baseFpIndex]].
     */
-  private def baseChunkIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def baseChunkIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dump = DumpCache.dirFor("graft_base_chunks", dir, "documents.parquet")
     DumpCache.ensure(dump) { tmp =>
@@ -598,7 +598,7 @@ object Dedup {
     * only, so a derivation change MUST bump the name or a warm /tmp
     * silently serves the previous algorithm's signatures.
     */
-  private[operators] def baseMinhashIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def baseMinhashIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dump = DumpCache.dirFor("graft_base_minhash_g64", dir, "documents.parquet")
     DumpCache.ensure(dump) { tmp =>
@@ -748,6 +748,47 @@ object Dedup {
       .agg(min($"keep_id").as("keep_id"), sum($"n_copies").as("n_copies"))
   }
 
+  /** LSH index commit (`dedup_delta_lsh_commit`): the NEXT GENERATION
+    * of the standing band index after an ingest window — the staged
+    * base (doc_id, sig, bands) rows unioned with the arriving delta's
+    * freshly sketched ones, emitted as flat (doc_id, band_idx,
+    * band_hash) band rows. This is [[deltaCommit]]'s move for the LSH
+    * index, and the COMPACTOR that bounds `q_stream_delta_lsh`'s bucket
+    * state: publishing this generation (grouped via
+    * `StreamQueries.groupBandBuckets` at write time) is what lets the
+    * stream's handoff eviction drop the folded members.
+    *
+    * Work is O(delta sketch + index): base text is never re-read — its
+    * signatures come from the staged index rows. The oracle recomputes
+    * the whole corpus's sketch from scratch ([[lshCommitSql]]), proving
+    * incremental index maintenance ≡ full recompute — the exact
+    * contract proof [[deltaCommit]] carries for the fingerprint index.
+    */
+  def lshCommit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = baseMinhashIndex(spark, dir)
+    val delta = Tables.documents(spark, dir).filter(isDelta($"doc_id"))
+      .select($"doc_id", graft.functions.ShingleGramHashes($"text").as("hashes"))
+      .filter(size($"hashes") > 0)
+      .select($"doc_id", graft.functions.MinhashSig($"hashes").as("sig"))
+      .select($"doc_id", $"sig", graft.functions.MinhashBands($"sig").as("bands"))
+    idx.unionByName(delta)
+      .select($"doc_id", posexplode($"bands").as(Seq("band_idx", "band_hash")))
+  }
+
+  /** From-scratch full-corpus band replay for [[lshCommit]] — the same
+    * splitmix64 sketch CTEs as every LSH oracle; band_hash maps from
+    * the replay's unsigned 2^64 domain onto Spark's signed Long.
+    */
+  val lshCommitSql: String = s"""
+    WITH RECURSIVE ${SketchSql.gramsCtes},
+    ${SketchSql.minhashSigsCtes},
+    ${SketchSql.bandsCtes}
+    SELECT doc_id, CAST(band_idx AS INT) AS band_idx,
+           CAST(band_hash - CASE WHEN band_hash >= CAST(9223372036854775808 AS HUGEINT)
+                THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS band_hash
+    FROM bands"""
+
   /** Near-dup candidates for the arriving delta (`dedup_delta_lsh`): the
     * delta's MinHash bands joined against the staged base band index PLUS
     * the delta's own bands (new-vs-index and new-vs-new) — never
@@ -798,7 +839,7 @@ object Dedup {
     * window index an ingest pipeline maintains; bucketing it by fp
     * (the `sink_bucketed` pattern) co-partitions the probe join.
     */
-  private[operators] def baseWindowIndex(spark: SparkSession, dir: String,
+  private[graft] def baseWindowIndex(spark: SparkSession, dir: String,
       w: Int = 20): DataFrame = {
     import spark.implicits._
     val dump = DumpCache.dirFor(s"graft_base_winfp_$w", dir, "documents.parquet")

@@ -451,7 +451,7 @@ object TextAnalysis {
     * DumpCache: the model artifact an online tokenizer service loads,
     * while training stays an offline batch job.
     */
-  private[operators] def bpeModelDump(spark: SparkSession, dir: String,
+  private[graft] def bpeModelDump(spark: SparkSession, dir: String,
       merges: Int = 8, maxVocab: Int = 65536): String = {
     graft.sources.DumpCache.ensure(
       // parameters are part of the key (the graft_base_winfp_$w convention):

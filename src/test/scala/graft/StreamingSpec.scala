@@ -765,6 +765,134 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runOnce() === Set((200L, 400L)))
   }
 
+  test("lshBucketStep: overlap-skip emits once and handoff evicts folded members") {
+    import graft.functions.Text
+    import graft.operators.StreamQueries
+    import graft.operators.StreamQueries.{BandArrival, LshMember}
+
+    val words = (0 until 50).map(i => s"word$i")
+    def sig(text: String): Seq[Long] =
+      Text.minhashSignature(Text.shingleSet(text, 3).map(Text.gram64)).toSeq
+    val sigB = sig(words.mkString(" "))
+    val sigD = sig(words.updated(20, "changedd").mkString(" "))
+    // the bucket both docs collide in, under the minimal-band rule
+    val bB = Text.bandHashesFromSig(sigB.toArray)
+    val bD = Text.bandHashesFromSig(sigD.toArray)
+    val band = bB.indices.find(i => bB(i) == bD(i)).get
+
+    // B live in state AND visible in the probed generation (compaction
+    // just published it); D arrives
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val arrival = BandArrival(band, bB(band), 400L, sigD,
+      base_members = Seq(LshMember(200L, sigB)), ingest_ts = ts)
+    val (members, out, maxMs) =
+      StreamQueries.lshBucketStep(band, Iterator(arrival), Seq(LshMember(200L, sigB)))
+    // exactly one (B,D) emission: the base-side match owns it, the
+    // state-side duplicate is overlap-skipped
+    assert(out.map(t => (t._1, t._2)) === Vector((200L, 400L)))
+    // handoff eviction: B left state (the generation owns it); D admitted
+    assert(members.map(_.doc_id) === Seq(400L))
+    assert(maxMs === ts.getTime) // the TTL anchor
+
+    // same arrival against a PRE-compaction generation (B only in state):
+    // the state side emits, B stays live
+    val arrival0 = BandArrival(band, bB(band), 400L, sigD,
+      base_members = Seq.empty, ingest_ts = ts)
+    val (members0, out0, _) =
+      StreamQueries.lshBucketStep(band, Iterator(arrival0), Seq(LshMember(200L, sigB)))
+    assert(out0.map(t => (t._1, t._2)) === Vector((200L, 400L)))
+    assert(members0.map(_.doc_id) === Seq(200L, 400L))
+  }
+
+  test("streaming delta LSH generation swap keeps pairs exactly-once across compaction") {
+    import spark.implicits._
+    import graft.functions.Text
+    import graft.operators.StreamQueries
+
+    val words = (0 until 50).map(i => s"word$i")
+    val textB = words.updated(20, "changedb").mkString(" ")
+    val textD = words.updated(22, "changedd").mkString(" ")
+    val textE = words.updated(24, "changede").mkString(" ")
+
+    def mkIndex(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
+      val df = if (rows.isEmpty) spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+               else rows.toDF("doc_id", "text")
+      df.select($"doc_id", Text.shingleHashesFastUdf($"text").as("hashes"))
+        .select($"doc_id", Text.minhashSigUdf($"hashes").as("sig"))
+        .select($"doc_id", $"sig", Text.bandsFromSigUdf($"sig").as("bands"))
+    }
+
+    val srcDir = Files.createTempDirectory("graft_sdlg_src").toString
+    val outDir = Files.createTempDirectory("graft_sdlg_out").toString
+    val ckpt = Files.createTempDirectory("graft_sdlg_ckpt").toString
+    def feed(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(base: org.apache.spark.sql.DataFrame): List[(Long, Long)] = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(srcDir)
+      val q = StreamQueries.deltaLshTopology(docs, base)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    }
+
+    // generation g0 is empty; B arrives and lives only in bucket state
+    feed(Seq((200L, textB)))
+    assert(runOnce(mkIndex(Seq.empty)) === Nil)
+    // compaction publishes g1 ∋ B; stream restarts from checkpoint, so B
+    // is in BOTH recovered state and g1 — D must pair with it ONCE
+    feed(Seq((400L, textD)))
+    assert(runOnce(mkIndex(Seq(200L -> textB))) === List((200L, 400L)))
+    // E then pairs with B via g1 and with D via live state, once each
+    feed(Seq((600L, textE)))
+    assert(runOnce(mkIndex(Seq(200L -> textB))) ===
+      List((200L, 400L), (200L, 600L), (400L, 600L)))
+  }
+
+  test("streaming delta LSH bucket state plateaus under continued arrivals (TTL eviction)") {
+    import spark.implicits._
+    import graft.operators.StreamQueries
+
+    val srcDir = Files.createTempDirectory("graft_sdlt_src").toString
+    val outDir = Files.createTempDirectory("graft_sdlt_out").toString
+    val ckpt = Files.createTempDirectory("graft_sdlt_ckpt").toString
+    val base = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.ShingleGramHashes($"text").as("hashes"))
+      .select($"doc_id", graft.functions.MinhashSig($"hashes").as("sig"))
+      .select($"doc_id", $"sig", graft.functions.MinhashBands($"sig").as("bands"))
+    def feed(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Long = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(srcDir)
+      val q = StreamQueries.deltaLshTopologyOnBuckets(docs,
+          StreamQueries.groupBandBuckets(base), bucketTtl = "1 second")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    }
+
+    // distinct unrelated docs: every cycle lands ~16 fresh bucket keys;
+    // without eviction state rows grow by a batch's bands EVERY cycle
+    def doc(i: Int): String = (0 until 50).map(j => s"cyc${i}w$j").mkString(" ")
+    feed(Seq((1000L, doc(1))))
+    val afterFirst = runOnce()
+    assert(afterFirst > 0)
+    val perCycle = (2 to 5).map { i =>
+      Thread.sleep(1500) // let cycle i-1's buckets pass the 1 s TTL
+      feed(Seq((1000L + i, doc(i))))
+      runOnce()
+    }
+    // plateau: the ingest-time watermark lags one batch, so live state
+    // covers at most the last TWO cycles' buckets — never the
+    // accumulated history (~5× the first batch by cycle 5 pre-fix)
+    perCycle.foreach(rows => assert(rows <= 2 * afterFirst,
+      s"state rows $rows vs first-cycle $afterFirst — TTL eviction not bounding state"))
+  }
+
   /** Append-mode variant of [[runComplete]] for stateful-append graphs. */
   private def runComplete2(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val name = "spec_" + java.util.UUID.randomUUID().toString.replace("-", "")
