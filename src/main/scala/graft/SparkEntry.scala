@@ -103,6 +103,7 @@ object SparkEntry {
     "dedup_delta_lsh_commit" -> (Dedup.lshCommit _),
     "dedup_delta_bloom" -> ((s: SparkSession, d: String) => Dedup.deltaBloomDedup(s, d)),
     "dedup_clusters"   -> (Clusters.dedupClusters _),
+    "dedup_clusters_delta" -> (Clusters.clustersDelta _),
     "dedup_apply"      -> (Clusters.dedupApply _),
     "dedup_embed"      -> ((s: SparkSession, d: String) => Similarity.embedPairs(s, d)),
     "dedup_embed_lsh"  -> (Similarity.embedPairsLsh _),
@@ -303,6 +304,7 @@ object SparkEntry {
     // sketch replay hash-checks the streaming form too
     "q_stream_delta_lsh" -> Dedup.deltaLshSql,
     "dedup_clusters"   -> Clusters.dedupClustersSql,
+    "dedup_clusters_delta" -> Clusters.clustersDeltaSql,
     "dedup_apply"      -> Clusters.dedupApplySql,
     "dedup_embed"      -> Similarity.embedPairsSql,
     // dedup_embed_lsh (round 10): recall < 1 vs the exact twin, but the

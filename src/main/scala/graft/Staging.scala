@@ -36,8 +36,10 @@ object Staging {
     "base_chunks" -> ((s: SparkSession, d: String) => ops.Dedup.baseChunkIndex(s, d)),
     "base_minhash" -> ((s: SparkSession, d: String) => ops.Dedup.baseMinhashIndex(s, d)),
     "base_winfp" -> ((s: SparkSession, d: String) => ops.Dedup.baseWindowIndex(s, d)),
-    // connected-component labels over the verified pair set
+    // connected-component labels over the verified pair set (full
+    // corpus + the standing base-only generation the delta merge reads)
     "cc_labels" -> ((s: SparkSession, d: String) => ops.Clusters.clusterLabels(s, d)),
+    "cc_labels_base" -> ((s: SparkSession, d: String) => ops.Clusters.baseClusterLabels(s, d)),
     // trained / derived model artifacts
     "bpe_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.bpeModelDump(s, d)),
     "eval_grams" -> ((s: SparkSession, d: String) => ops.Decontam.evalGramsDump(s, d)),

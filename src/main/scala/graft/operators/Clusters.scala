@@ -208,6 +208,100 @@ object Clusters {
     (labels, round)
   }
 
+  /** The STANDING per-generation label artifact: connected components
+    * over BASE-corpus pairs only (both endpoints outside the delta),
+    * staged like [[clusterLabels]]. This is what a previous ingest
+    * generation's `dedup_clusters_delta` commit published; the
+    * incremental merge reads it and never re-propagates inside it.
+    */
+  private[graft] def baseClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dump = graft.sources.DumpCache.dirFor(
+      "graft_cc_labels_base", dir, "documents.parquet")
+    graft.sources.DumpCache.ensure(dump) { tmp =>
+      val pairs = Dedup.ngramJaccard(spark, dir)
+        .filter(!Dedup.isDelta($"doc_id_a") && !Dedup.isDelta($"doc_id_b"))
+        .select($"doc_id_a".as("a"), $"doc_id_b".as("b"))
+      propagateMinLabels(pairs)
+        .select($"node".as("doc_id"), $"label".as("cluster_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(dump)
+  }
+
+  /** Incremental connected components for an ingest delta
+    * (`dedup_clusters_delta`) — the r11 verdict's last non-incremental
+    * ingest stage, closed. The standing corpus's labels are READ from
+    * the staged generation ([[baseClusterLabels]]), never recomputed;
+    * the delta's new verified pairs are contracted onto them:
+    *
+    *  1. every new pair maps its endpoints to their CURRENT labels
+    *     (base label when the endpoint is a clustered base doc, own id
+    *     otherwise) — the condensed graph's edge list;
+    *  2. min-label propagation runs ON THE CONDENSED GRAPH ONLY —
+    *     cardinality = touched components + delta docs, not the corpus
+    *     (a base component collapses to ONE node regardless of size);
+    *  3. members of touched base components re-label through the
+    *     old-label → merged-label map; new-pair endpoints label
+    *     directly.
+    *
+    * Output: (doc_id, cluster_id) for every AFFECTED doc — exactly the
+    * full-corpus recompute restricted to components containing a
+    * delta-paired doc, which is what the DuckDB oracle checks (the
+    * index-probe ≡ recompute contract of `dedup_delta`). Handles a
+    * delta pair BRIDGING two existing base components transitively
+    * (both labels land in one condensed component; HygieneSpec pins
+    * it), because contraction preserves connectivity.
+    *
+    * Scale: work is O(new pairs + touched-component membership). At a
+    * continuous 100 TB ingest this replaces the from-scratch corpus CC
+    * per delta — the propagation input shrinks from corpus-pair
+    * cardinality to the delta's blast radius.
+    */
+  def clustersDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val newPairs = Dedup.ngramJaccard(spark, dir)
+      .filter(Dedup.isDelta($"doc_id_a") || Dedup.isDelta($"doc_id_b"))
+      .select($"doc_id_a".as("a"), $"doc_id_b".as("b"))
+    mergeDeltaPairs(baseClusterLabels(spark, dir), newPairs)
+  }
+
+  /** The merge behind [[clustersDelta]], factored so specs can drive
+    * synthetic base labelings and delta pair sets (the bridging case).
+    * `baseLabels`: (doc_id, cluster_id) of the standing generation;
+    * `newPairs`: (a, b) pairs each touching ≥ 1 non-base doc.
+    */
+  private[graft] def mergeDeltaPairs(baseLabels: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val spark = baseLabels.sparkSession
+    import spark.implicits._
+    // endpoints → current labels; base labels are near-dup-density
+    // sized and broadcastable at typical delta scale (AQE decides)
+    val la = baseLabels.select($"doc_id".as("a"), $"cluster_id".as("lbl_a"))
+    val lb = baseLabels.select($"doc_id".as("b"), $"cluster_id".as("lbl_b"))
+    val condensed = newPairs
+      .join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+      .select(coalesce($"lbl_a", $"a").as("a"), coalesce($"lbl_b", $"b").as("b"))
+    // CC on the condensed graph only: (old label ∪ endpoint id) nodes
+    val merged = propagateMinLabels(condensed)
+      .select($"node".as("old_label"), $"label".as("new_label"))
+    // touched base components re-label wholesale through the map
+    val relabeled = baseLabels
+      .join(merged, baseLabels("cluster_id") === merged("old_label"))
+      .select($"doc_id", $"new_label".as("cluster_id"))
+    // new-pair endpoints (delta docs + previously unclustered base
+    // docs) label directly; clustered base endpoints are already in
+    // `relabeled` with the same mapping, so the union dedups exactly
+    val endpoints = newPairs.select($"a".as("doc_id"))
+      .union(newPairs.select($"b".as("doc_id"))).distinct()
+    val endpointLabels = endpoints
+      .join(baseLabels.select($"doc_id", $"cluster_id".as("old0")), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"old0", $"doc_id").as("old_label"))
+      .join(merged, "old_label")
+      .select($"doc_id", $"new_label".as("cluster_id"))
+    relabeled.union(endpointLabels).distinct()
+  }
+
   /** The applied artifact a dedup pipeline actually ships: the WHOLE
     * corpus with each doc's cluster id (its own id when unclustered) and
     * an `is_canonical` flag — keep the minimum doc_id of every
@@ -261,4 +355,14 @@ object Clusters {
            COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
            CAST(COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS INT) AS is_canonical
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""
+
+  /** Oracle for [[clustersDelta]]: from-scratch reachability over the
+    * FULL corpus pair set, restricted to components containing a
+    * delta-paired doc — incremental merge ≡ recompute on the blast
+    * radius. (Declared after [[componentsCte]]: object vals initialize
+    * in order.)
+    */
+  val clustersDeltaSql: String = componentsCte + """
+    , affected AS (SELECT DISTINCT cluster_id FROM comp WHERE doc_id % 5 = 0)
+    SELECT c.doc_id, c.cluster_id FROM comp c JOIN affected a USING (cluster_id)"""
 }

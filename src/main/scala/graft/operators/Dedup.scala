@@ -555,7 +555,7 @@ object Dedup {
     * the newly arriving 20% (doc_id % 5 == 0). Deterministic so the
     * DuckDB oracle can reproduce it.
     */
-  private def isDelta(c: Column): Column = (c % 5) === 0
+  private[graft] def isDelta(c: Column): Column = (c % 5) === 0
 
   /** Exact-fingerprint index of the BASE corpus: text_hash → (keeper,
     * multiplicity). Built ONCE per (source file, mtime) key through

@@ -143,6 +143,37 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.count() === 0L)
   }
 
+  test("delta pair merge BRIDGES two existing base components transitively") {
+    import spark.implicits._
+    // standing generation: component {1,2,3} labeled 1, component
+    // {10,11} labeled 10, component {50,51} labeled 50 (untouched)
+    val base = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (50L, 50L), (51L, 50L))
+      .toDF("doc_id", "cluster_id")
+    // delta doc 100 pairs with a member of EACH component, and delta
+    // docs 100-101 chain; base doc 30 was never clustered before
+    val newPairs = Seq((2L, 100L), (100L, 11L), (100L, 101L), (101L, 30L))
+      .toDF("a", "b")
+    val got = Clusters.mergeDeltaPairs(base, newPairs)
+      .as[(Long, Long)].collect().toMap
+    // both base components + the chain + the fresh base doc merge to
+    // min id 1; the untouched component must NOT appear
+    val merged = Set(1L, 2L, 3L, 10L, 11L, 30L, 100L, 101L)
+    assert(got.keySet === merged)
+    assert(merged.forall(got(_) == 1L))
+  }
+
+  test("delta pair merge within one base component keeps its label and blast radius") {
+    import spark.implicits._
+    val base = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    // delta 100 attaches inside component 1 only
+    val newPairs = Seq((2L, 100L)).toDF("a", "b")
+    val got = Clusters.mergeDeltaPairs(base, newPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 100L -> 1L))
+  }
+
   test("dedupClusters is consistent with the jaccard pair set on sf0.001") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
