@@ -114,6 +114,7 @@ object SparkEntry {
     "ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "text_langid"      -> (TextAnalysis.langid _),
     "text_quality"     -> (TextAnalysis.quality _),
+    "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_tokens_bpe"  -> (TextAnalysis.tokensBpe _),
     "text_bpe_train"   -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
@@ -328,6 +329,7 @@ object SparkEntry {
     "embed_quantize"   -> Similarity.embedQuantizeSql,
     "text_langid"      -> TextAnalysis.langidSql,
     "text_quality"     -> TextAnalysis.qualitySql,
+    "text_quality_model" -> TextAnalysis.qualityModelSql,
     "text_tokens"      -> TextAnalysis.tokensSql,
     "text_tokens_bpe"  -> TextAnalysis.tokensBpeSql,
     // text_bpe_train: the FULL training run (pair counts, argmax, greedy

@@ -154,6 +154,179 @@ object TextAnalysis {
       least(len(w) * 1.0 / 100.0, 1.0) * 0.5 + ${sqlHitRatio(stopwords("en"))} * 0.5 AS quality_score
     FROM wd"""
 
+  // ---- Trained quality filter (`text_quality_model`) -----------------
+
+  /** Scale of the fixed-point model: weights are BIGINT micro-units
+    * (real weight = w / 1e6), labels scale to {0, QmScale}.
+    */
+  private val QmScale = 1000000L
+  private[graft] val QmIters = 12
+  private val QmEtaDen = 1000000L
+
+  /** Integer feature vector of one doc — per-mille ratios and capped
+    * counts so every feature sits in [0, 1000] and the single learning
+    * rate is stable: [bias 1000, min(words,1000), punct‰, stopword‰,
+    * avg-word-len×100]. Pure integer arithmetic (Long `/` truncates
+    * exactly like DuckDB `//`), so features are engine-identical.
+    */
+  private def qmFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Text.wordsFast($"text")
+    val nWords = size(w).cast("long")
+    val nChars = length($"text").cast("long")
+    val nPunct = length(regexp_replace($"text", "[a-zA-Z0-9 ]", "")).cast("long")
+    val stopHits = size(filter(w, x => x.isInCollection(stopwords("en")))).cast("long")
+    val normLen = length(Text.normalizeFast($"text")).cast("long")
+    docs
+      .filter(length($"text") > 0 && size(w) > 0)
+      .select($"doc_id",
+        when(substring($"source", 4, 10).cast("int") % 2 === 0, 1L).otherwise(0L).as("y"),
+        lit(1000L).as("x0"),
+        least(nWords, lit(1000L)).as("x1"),
+        // Column `/` is fractional; the long cast TRUNCATES — identical
+        // to DuckDB's integer `//` here (operands nonneg and ≪ 2^53, so
+        // the double quotient is ≥ 1/denominator away from the next
+        // integer and the cast can never round across it)
+        (nPunct * 1000L / nChars).cast("long").as("x2"),
+        (stopHits * 1000L / nWords).cast("long").as("x3"),
+        ((normLen - nWords + 1L) * 100L / nWords).cast("long").as("x4"))
+  }
+
+  /** Model-based quality filtering (`text_quality_model`) — the
+    * FineWeb-Edu/DCLM-class step the heuristic [[quality]] score is
+    * not: a TRAINED linear classifier gates documents, with labels
+    * derived from source membership (even-numbered sources stand in
+    * for a trusted/curated provenance set — the place a production
+    * pipeline plugs its human-labelled or LLM-judged subset in).
+    *
+    * Training is batch gradient descent on squared loss, run ENTIRELY
+    * in fixed-point integer arithmetic so retraining is bit-identical
+    * on any engine, any partitioning, any row order:
+    *  - features and labels are integers ([[qmFeatures]]);
+    *  - the margin `Σ w_j·x_ij` and error `e_i = m_i − S·y_i` are exact
+    *    BIGINT per row;
+    *  - gradient components `G_j = Σ_i e_i·x_ij` are exact integer SUMS
+    *    — associative, so map-side combine and any shuffle order give
+    *    the same value (the float non-associativity that makes naive
+    *    distributed GD non-reproducible never appears);
+    *  - the update `w_j ← w_j − G_j / (etaDen·n)` uses truncating
+    *    integer division — Scala Long `/` ≡ DuckDB `//`.
+    *
+    * Distribution is the corpus-once/model-iterate device
+    * ([[Similarity.kmeansCodebook]]'s shape): the integer feature table
+    * is computed once and cached; each of the [[QmIters]] fixed
+    * iterations is ONE map-side-combined pass producing per-partition
+    * k-long partial gradients (P×k tiny rows to the driver), and the
+    * k-weight model broadcasts back. Nothing corpus-sized concentrates.
+    * Overflow bound: |e_i·x_ij| ≤ ~1e10, so BIGINT partials are exact
+    * to ~1e8 rows per partition and ~9e8 rows per corpus sum; past
+    * that, rescale e (shift 10 bits) or widen partials to BigInt — a
+    * documented knob, not a redesign.
+    *
+    * Output: one row per scored doc (doc_id, label, score_micro =
+    * final margin in micro-units, pred = score ≥ 0.5). The DuckDB
+    * oracle replays the ENTIRE training loop as chained CTEs
+    * ([[qualityModelSql]], the `graph_pagerank` fixed-point device) —
+    * train+score, end to end, hash-identical.
+    */
+  def qualityModel(spark: SparkSession, dir: String,
+      iters: Int = QmIters): DataFrame =
+    qualityModelOn(Tables.documents(spark, dir), iters)
+
+  /** [[qualityModel]] over an explicit documents frame (doc_id, text,
+    * source), so specs can plant a learnable signal.
+    */
+  private[graft] def qualityModelOn(docs: DataFrame,
+      iters: Int = QmIters): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feat = qmFeatures(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].cache()
+    val n = feat.count()
+    val k = 5
+    var w = Array.fill(k)(0L)
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(w)
+      val partials = feat.mapPartitions { rows =>
+        val wv = bc.value
+        val g = Array.ofDim[Long](k)
+        rows.foreach { case (_, y, x0, x1, x2, x3, x4) =>
+          val xs = Array(x0, x1, x2, x3, x4)
+          var m = 0L
+          var j = 0
+          while (j < k) { m += wv(j) * xs(j); j += 1 }
+          val e = m - QmScale * y
+          j = 0
+          while (j < k) { g(j) += e * xs(j); j += 1 }
+        }
+        Iterator.single(g)
+      }.collect() // P rows of k longs — the gradient partials
+      val g = Array.ofDim[Long](k)
+      partials.foreach(p => (0 until k).foreach(j => g(j) += p(j)))
+      w = Array.tabulate(k)(j => w(j) - g(j) / (QmEtaDen * n))
+    }
+    val bw = spark.sparkContext.broadcast(w)
+    val score = feat.map { case (docId, y, x0, x1, x2, x3, x4) =>
+      val wv = bw.value
+      val xs = Array(x0, x1, x2, x3, x4)
+      var m = 0L
+      var j = 0
+      while (j < 5) { m += wv(j) * xs(j); j += 1 }
+      (docId, y, m, if (m >= QmScale / 2) 1 else 0)
+    }.toDF("doc_id", "label", "score_micro", "pred")
+    feat.unpersist(blocking = false)
+    score
+  }
+
+  /** Full train+score replay of [[qualityModel]] in DuckDB: the same
+    * integer features, then [[QmIters]] unrolled gradient-descent CTEs
+    * (each: per-row error against the previous weights, exact BIGINT
+    * gradient sums, truncating-division update), then the final margin
+    * per doc. Every operation is integer, so the replay is bit-exact.
+    */
+  val qualityModelSql: String = {
+    val iters = QmIters
+    // every w/e CTE is multiply-consumed (w_t feeds e_t once and w_{t+1}
+    // five times) — AS MATERIALIZED pins each against DuckDB's default
+    // inlining, which would otherwise replay the whole training prefix
+    // exponentially (the SketchSql convention)
+    def eCte(t: Int) = s"""
+    e$t AS MATERIALIZED (
+      SELECT f.*, (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
+             - $QmScale * f.y AS e
+      FROM feat f, w$t w)"""
+    def wCte(t: Int) = s"""
+    w${t + 1} AS MATERIALIZED (
+      SELECT CAST((SELECT w0 FROM w$t) - SUM(e*x0) // ($QmEtaDen * (SELECT n FROM nn)) AS BIGINT) AS w0,
+             CAST((SELECT w1 FROM w$t) - SUM(e*x1) // ($QmEtaDen * (SELECT n FROM nn)) AS BIGINT) AS w1,
+             CAST((SELECT w2 FROM w$t) - SUM(e*x2) // ($QmEtaDen * (SELECT n FROM nn)) AS BIGINT) AS w2,
+             CAST((SELECT w3 FROM w$t) - SUM(e*x3) // ($QmEtaDen * (SELECT n FROM nn)) AS BIGINT) AS w3,
+             CAST((SELECT w4 FROM w$t) - SUM(e*x4) // ($QmEtaDen * (SELECT n FROM nn)) AS BIGINT) AS w4
+      FROM e$t)"""
+    sqlWords + s""",
+    feat AS MATERIALIZED (
+      SELECT doc_id,
+        CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+        CAST(1000 AS BIGINT) AS x0,
+        CAST(least(len(w), 1000) AS BIGINT) AS x1,
+        CAST(length(regexp_replace(wd.text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) * 1000 // length(wd.text) AS x2,
+        CAST(len(list_filter(w, x -> x IN (${stopwords("en").map(s => s"'$s'").mkString(",")}))) AS BIGINT) * 1000 // len(w) AS x3,
+        (CAST(length(t) AS BIGINT) - len(w) + 1) * 100 // len(w) AS x4
+      FROM wd JOIN documents USING (doc_id)
+      WHERE length(wd.text) > 0 AND len(w) > 0),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat),
+    w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1,
+                  CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3, CAST(0 AS BIGINT) w4),
+    ${(0 until iters).map(t => eCte(t) + "," + wCte(t)).mkString(",")}
+    SELECT f.doc_id, f.y AS label,
+           (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4) AS score_micro,
+           CASE WHEN (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
+                >= ${QmScale / 2} THEN 1 ELSE 0 END AS pred
+    FROM feat f, w$iters w"""
+  }
+
   /** Token counting: canonical word count + a BPE-ish regex token count
     * (letter runs / digit runs / single non-alnum symbols).
     */

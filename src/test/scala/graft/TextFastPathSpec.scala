@@ -169,4 +169,34 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(b <= a, s"pair counts increased across ranks: ${corpus.mkString(",")}")
     }
   }
+
+  test("trained quality filter separates a planted signal and retrains bit-identically") {
+    import spark.implicits._
+    // label-1 sources (even) get stopword-rich text, label-0 none — the
+    // signal the per-mille stopword feature carries
+    val stop = Seq("the", "a", "of", "and", "to", "is")
+    val docs = (0 until 40).map { i =>
+      val words =
+        if (i % 2 == 0) Seq.fill(5)(stop).flatten ++ (0 until 30).map(j => s"w${i}x$j")
+        else (0 until 60).map(j => s"v${i}x$j")
+      (i.toLong, words.mkString(" "), "en", s"src${i % 2}", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scored = graft.operators.TextAnalysis.qualityModelOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(scored.length === 40)
+    // the trained gate must recover the planted labels exactly
+    assert(scored.forall { case (_, y, _, pred) => pred.toLong === y },
+      s"misclassified: ${scored.filter(s => s._4.toLong != s._2).mkString(", ")}")
+    // bit-identical retrain: integer gradients are associative, so a
+    // second training run (fresh cache, same data) reproduces every
+    // score exactly — the reproducibility contract a corpus-wide
+    // quality gate needs
+    val again = graft.operators.TextAnalysis.qualityModelOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(scored.sortBy(_._1) === again.sortBy(_._1))
+    // and under a different partitioning of the same corpus
+    val repart = graft.operators.TextAnalysis.qualityModelOn(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(scored.sortBy(_._1) === repart.sortBy(_._1))
+  }
 }
