@@ -72,6 +72,7 @@ object SparkEntry {
     "q_stream_cms"     -> (StreamQueries.streamCms _),
     "q_stream_pii"     -> (StreamQueries.streamPii _),
     "q_stream_tokens_bpe" -> (StreamQueries.streamTokensBpe _),
+    "q_stream_quality_model" -> (StreamQueries.streamQualityModel _),
     "q_stream_substring" -> ((s: SparkSession, d: String) => StreamQueries.streamSubstring(s, d)),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
@@ -251,6 +252,10 @@ object SparkEntry {
     // q_stream_pii: stateless per-arrival scrub scoring, shared
     // expressions with the batch op -> same oracle, streaming = batch
     "q_stream_pii"     -> TextAnalysis.piiSql,
+    // q_stream_quality_model: stateless per-arrival scoring against the
+    // STAGED trained fixed-point weights — emits the batch train+score
+    // contract verbatim, so the same full-replay oracle hash-checks it
+    "q_stream_quality_model" -> TextAnalysis.qualityModelSql,
     // q_stream_cms: CMS counters are sum-mergeable streaming state —
     // streaming counters ≡ batch counters ≡ the same HUGEINT replay
     "q_stream_cms"     -> TextAnalysis.cmsCountersSql,

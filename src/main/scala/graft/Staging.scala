@@ -42,6 +42,7 @@ object Staging {
     "cc_labels_base" -> ((s: SparkSession, d: String) => ops.Clusters.baseClusterLabels(s, d)),
     // trained / derived model artifacts
     "bpe_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.bpeModelDump(s, d)),
+    "qm_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.qualityModelDump(s, d)),
     "eval_grams" -> ((s: SparkSession, d: String) => ops.Decontam.evalGramsDump(s, d)),
     "hll_daily" -> ((s: SparkSession, d: String) => ops.Analytics.qHllMerge(s, d)),
     // streaming serving-side indexes

@@ -341,6 +341,9 @@ object Profile {
     val cum = grid.select($"cents", sum($"a").over(w).as("ca"), sum($"b").over(w).as("cb"))
     val tot = grid.agg(sum($"a").as("na"), sum($"b").as("nb"))
     cum.crossJoin(broadcast(tot))
+      // Degenerate-input guard: an empty parity arm makes na·nb = 0 and
+      // D undefined (and Spark/DuckDB disagree on 0/0) — emit no row.
+      .filter($"na" > 0 && $"nb" > 0)
       .select($"na", $"nb", abs($"ca" * $"nb" - $"cb" * $"na").as("dn"))
       .groupBy($"na", $"nb")
       .agg(max($"dn").as("d_num"))
@@ -366,5 +369,5 @@ object Profile {
     SELECT na, nb, CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
            CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE) /
            (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d
-    FROM cum, t GROUP BY na, nb"""
+    FROM cum, t WHERE na > 0 AND nb > 0 GROUP BY na, nb"""
 }

@@ -232,6 +232,14 @@ object StreamQueries {
     * the arrival-time column (the continuous gates use
     * `current_timestamp()` — batch-time, monotone across triggers; the
     * spec injects a synthetic clock to pin eviction).
+    *
+    * PRECONDITION for exactness: all duplicates of a key must arrive
+    * within `delay` of the first one. [[streamSubstring]] satisfies this
+    * trivially — an interval's duplicates all come from one document's
+    * fan-out inside a SINGLE trigger. A caller whose duplicate arrivals
+    * span triggers must choose `delay` ≥ the maximum spread between a
+    * key's first and last duplicate arrival, or evicted keys RE-EMIT
+    * and silently break a streaming ≡ batch hash oracle.
     */
   private[graft] def exactOnceByKey(df: DataFrame, tsCol: org.apache.spark.sql.Column,
       delay: String, keys: String*): DataFrame = {
@@ -332,6 +340,31 @@ object StreamQueries {
         .select($"doc_id",
           meterUdf(graft.functions.Text.wordsFast($"text")).as("r"))
         .select($"doc_id", $"r._1".as("n_words"), $"r._2".as("n_bpe_tokens"))
+    }
+
+  /** CONTINUOUS model-based quality gate — `text_quality_model` split
+    * into its production shape (the FineWeb-Edu/DCLM deployment): the
+    * fixed-point linear classifier is TRAINED OFFLINE and staged
+    * ([[TextAnalysis.qualityModelDump]]); arriving documents are
+    * featurized and scored per row at ingest time. The k published
+    * weights enter the plan as LITERAL coefficients
+    * ([[TextAnalysis.qmScoreOn]], shared with the batch row), so the
+    * whole gate is one codegen'd stateless projection — no UDF, no
+    * shuffle, no state store, no broadcast: scales with arrival rate
+    * only. Emits the batch contract verbatim — hash-matches
+    * `qualityModelSql` (the full train+score DuckDB replay): staged
+    * online serving ≡ batch train+score.
+    */
+  def streamQualityModel(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val w: Array[Long] = s.read
+        .parquet(TextAnalysis.qualityModelDump(s, dir))
+        .orderBy($"j").select($"w").as[Long].collect()
+      TextAnalysis.qmScoreOn(
+        s.readStream.schema(docsRawSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select($"doc_id", $"text", $"source"), w)
     }
 
   /** CONTINUOUS PII gate — `text_pii` run per arrival: every ingested
@@ -926,11 +959,23 @@ object StreamQueries {
     * monotonically (a production ingest pipeline maintains this hot set
     * continuously and ships it to the rewrite stage as a broadcast
     * artifact). Two chained stateful operators, both streaming-legal:
-    * `dropDuplicates(line, doc)` (exact-once state per distinct pair —
-    * the same decomposition `q_stream_slide_distinct` uses for distinct
-    * counts) feeding ONE global count per line hash in complete mode.
-    * Hash-matches the batch hot-set oracle (the `hot` CTE of
-    * `text_boilerplate`, with its doc-frequency attached).
+    * a per-(line, doc) exactly-once gate feeding ONE global count per
+    * line hash in complete mode. Hash-matches the batch hot-set oracle
+    * (the `hot` CTE of `text_boilerplate`, with its doc-frequency
+    * attached).
+    *
+    * State bounds: the pair gate is [[exactOnceByKey]] — legal because a
+    * (line, doc) pair's duplicates all come from ONE document's segment
+    * fan-out inside a single trigger (a document arrives once; repeats
+    * of a segment within it land in the same micro-batch), satisfying
+    * the helper's single-trigger-duplicates precondition — so its state
+    * is arrival-rate × watermark delay, NOT lifetime-of-ingest pairs.
+    * The count state is ∝ distinct line hashes BY CONTRACT: continuous
+    * exact document frequency over an unbounded key domain cannot hold
+    * less (every singleton may still cross `maxDf`); the bounded-state
+    * swap at 100 TB is the sketched counter (`q_stream_cms`) with
+    * periodic exact reconciliation in the batch layer
+    * (`text_boilerplate`).
     */
   def streamHotLines(spark: SparkSession, dir: String, maxDf: Int = 2): DataFrame =
     runToTable(spark) { s =>
@@ -944,7 +989,7 @@ object StreamQueries {
           explode(sequence(lit(0L), $"n_lines" - 1)).as("i"))
         .select($"doc_id",
           md5(array_join(slice($"w", ($"i" * 10 + 1).cast("int"), lit(10)), " ")).as("h"))
-        .dropDuplicates("h", "doc_id")
+        .transform(exactOnceByKey(_, current_timestamp(), "1 hour", "h", "doc_id"))
         .groupBy($"h")
         .agg(count(lit(1)).as("seg_df"))
         .filter($"seg_df" > maxDf)

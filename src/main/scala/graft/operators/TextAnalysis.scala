@@ -243,6 +243,23 @@ object TextAnalysis {
     import spark.implicits._
     val feat = qmFeatures(docs)
       .as[(Long, Long, Long, Long, Long, Long, Long)].cache()
+    val w = qmTrain(feat, iters)
+    val score = qmScoreFeat(feat.toDF(), w)
+    feat.unpersist(blocking = false)
+    score
+  }
+
+  /** The training loop of [[qualityModelOn]] over the cached integer
+    * feature table — [[QmIters]] map-side-combined gradient passes,
+    * returning the k fixed-point weights. Factored so the OFFLINE
+    * trainer ([[qualityModelDump]]) and the inline batch row share one
+    * code path.
+    */
+  private def qmTrain(
+      feat: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long, Long)],
+      iters: Int): Array[Long] = {
+    val spark = feat.sparkSession
+    import spark.implicits._
     val n = feat.count()
     val k = 5
     var w = Array.fill(k)(0L)
@@ -266,17 +283,49 @@ object TextAnalysis {
       partials.foreach(p => (0 until k).foreach(j => g(j) += p(j)))
       w = Array.tabulate(k)(j => w(j) - g(j) / (QmEtaDen * n))
     }
-    val bw = spark.sparkContext.broadcast(w)
-    val score = feat.map { case (docId, y, x0, x1, x2, x3, x4) =>
-      val wv = bw.value
-      val xs = Array(x0, x1, x2, x3, x4)
-      var m = 0L
-      var j = 0
-      while (j < 5) { m += wv(j) * xs(j); j += 1 }
-      (docId, y, m, if (m >= QmScale / 2) 1 else 0)
-    }.toDF("doc_id", "label", "score_micro", "pred")
-    feat.unpersist(blocking = false)
-    score
+    w
+  }
+
+  /** Score a feature frame against fixed weights — the margin enters
+    * the plan as LITERAL coefficients, so inference is one codegen'd
+    * stateless projection (no UDF, no broadcast variable): the shape
+    * both the batch row and the streaming ingest gate
+    * (`q_stream_quality_model`) apply.
+    */
+  private def qmScoreFeat(feat: DataFrame, w: Array[Long]): DataFrame = {
+    val margin = (0 until 5).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+    feat.select(col("doc_id"), col("y").as("label"), margin.as("score_micro"),
+      when(margin >= QmScale / 2, lit(1)).otherwise(lit(0)).as("pred"))
+  }
+
+  /** [[qmScoreFeat]] over a raw documents frame — the serving-side
+    * entry: featurize ([[qmFeatures]], shared with training) and score
+    * with published weights.
+    */
+  private[graft] def qmScoreOn(docs: DataFrame, w: Array[Long]): DataFrame =
+    qmScoreFeat(qmFeatures(docs), w)
+
+  /** Staged trained quality model: the k fixed-point weights published
+    * once per corpus generation through DumpCache (rows (j, w), keyed
+    * by iteration count) — the artifact an ingest-time quality gate
+    * loads, while training stays an offline batch job. Bit-identical
+    * to the inline [[qualityModelOn]] weights by the integer-GD
+    * determinism contract.
+    */
+  private[graft] def qualityModelDump(spark: SparkSession, dir: String,
+      iters: Int = QmIters): String = {
+    val base = graft.sources.DumpCache.dirFor(s"graft_qm_model_$iters",
+      dir, "documents.parquet")
+    graft.sources.DumpCache.ensure(base) { tmp =>
+      import spark.implicits._
+      val feat = qmFeatures(Tables.documents(spark, dir))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].cache()
+      val w = qmTrain(feat, iters)
+      feat.unpersist(blocking = false)
+      w.toSeq.zipWithIndex.map { case (v, j) => (j, v) }
+        .toDF("j", "w").coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    base
   }
 
   /** Full train+score replay of [[qualityModel]] in DuckDB: the same

@@ -682,6 +682,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("streaming quality-model gate equals the batch train+score row-for-row") {
+    import graft.operators.{StreamQueries, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val batch = TextAnalysis.qualityModel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val stream = StreamQueries.streamQualityModel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(stream === batch,
+      "staged-weights streaming scoring diverged from batch train+score")
+    assert(stream.nonEmpty)
+  }
+
   test("streaming delta LSH finds pairs straddling micro-batches exactly once") {
     import spark.implicits._
     import graft.functions.Text
