@@ -48,6 +48,7 @@ object SparkEntry {
     "stats_ttest"  -> (Profile.statsTtest _),
     "stats_drift"  -> (Profile.statsDrift _),
     "stats_ks"     -> (Profile.statsKs _),
+    "stats_ks_binned" -> ((s: SparkSession, d: String) => Profile.statsKsBinned(s, d)),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_slide_distinct" -> (Windows.slideDistinct _),
@@ -217,6 +218,7 @@ object SparkEntry {
     "stats_ttest"  -> Profile.statsTtestSql,
     "stats_drift"  -> Profile.statsDriftSql,
     "stats_ks"     -> Profile.statsKsSql,
+    "stats_ks_binned" -> Profile.statsKsBinnedSql(),
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_slide_distinct" -> Windows.slideDistinctSql,

@@ -370,4 +370,79 @@ object Profile {
            CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE) /
            (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d
     FROM cum, t WHERE na > 0 AND nb > 0 GROUP BY na, nb"""
+
+  /** [[statsKs]]'s documented unbounded-domain swap, shipped: the
+    * BINNED-ECDF two-sample KS. The exact row's ordered window runs over
+    * the distinct-cents grid — bounded for cents, but a value domain
+    * with unbounded cardinality (timings, hashes, free floats) would
+    * make that grid corpus-sized and the single ordered window a
+    * bottleneck. Binning to fixed-width buckets (`widthCents`, default
+    * $1) caps the grid at range/width rows INDEPENDENT of value
+    * cardinality; the corpus-sized input still only ever passes through
+    * the map-side-combined bin aggregation.
+    *
+    * What binning costs is resolution, and the row makes that cost an
+    * exact bracket instead of a silent approximation: evaluating the
+    * ECDF gap only at bin BOUNDARIES lower-bounds D, and inside a bin
+    * the gap can exceed the boundary value by at most that bin's
+    * probability mass in each arm, so
+    *   D_lower = max_bins |CA·nb − CB·na| / (na·nb)
+    *   D_upper = D_lower + max_bins (a·nb + b·na) / (na·nb)
+    * bracket the exact statistic. Both numerators are exact BIGINTs on
+    * the same integer-cents grid as [[statsKs]] (one double division at
+    * the end), so the hash oracle is engine-exact, and the spec pins the
+    * bracket against the exact row ([[statsKs]] ∈ [lower, upper]) plus
+    * width=1 degeneracy (the lower bound equals the exact D — every
+    * bin is a single grid point).
+    */
+  def statsKsBinned(spark: SparkSession, dir: String, widthCents: Long = 100L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.events(spark, dir)
+      .filter($"event_type" === "click" && $"value".isNotNull)
+      .select(($"user_id" % 2).as("g"),
+        floor(round($"value" * 100).cast("long") / widthCents).as("bin"))
+    val grid = vals.groupBy($"bin")
+      .agg(sum(when($"g" === 0, 1L).otherwise(0L)).as("a"),
+        sum(when($"g" === 1, 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.select($"a", $"b",
+      sum($"a").over(w).as("ca"), sum($"b").over(w).as("cb"))
+    val tot = grid.agg(sum($"a").as("na"), sum($"b").as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .filter($"na" > 0 && $"nb" > 0)
+      .select($"na", $"nb", abs($"ca" * $"nb" - $"cb" * $"na").as("dn"),
+        ($"a" * $"nb" + $"b" * $"na").as("mass"))
+      .groupBy($"na", $"nb")
+      .agg(max($"dn").as("d_num"), max($"mass").as("err_num"))
+      .select($"na", $"nb", $"d_num", $"err_num",
+        ($"d_num".cast("double") /
+          ($"na".cast("double") * $"nb".cast("double"))).as("ks_d_lower"),
+        (($"d_num" + $"err_num").cast("double") /
+          ($"na".cast("double") * $"nb".cast("double"))).as("ks_d_upper"))
+  }
+
+  def statsKsBinnedSql(widthCents: Long = 100L): String = s"""
+    WITH v AS (
+      SELECT user_id % 2 AS g,
+             CAST(floor(CAST(round(value * 100) AS BIGINT) / ${widthCents}.0) AS BIGINT) AS bin
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+    grid AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM v GROUP BY 1),
+    cum AS (
+      SELECT a, b,
+             SUM(a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb
+      FROM grid),
+    t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM grid)
+    SELECT na, nb, CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+           CAST(MAX(a * nb + b * na) AS BIGINT) AS err_num,
+           CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE) /
+           (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d_lower,
+           CAST(MAX(abs(ca * nb - cb * na)) + MAX(a * nb + b * na) AS DOUBLE) /
+           (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d_upper
+    FROM cum, t WHERE na > 0 AND nb > 0 GROUP BY na, nb"""
 }

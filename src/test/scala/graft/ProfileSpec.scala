@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Profile
+
+/** In-repo oracle for the binned-ECDF two-sample KS variant: the exact
+  * statistic must sit inside the bracket the binned row reports, at a
+  * width coarse enough that the bracket is genuinely loose, and the
+  * width=1 degeneracy must collapse the lower bound onto the exact D
+  * (every bin is then a single grid point of the exact row's grid).
+  */
+class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Planted events: arm 0 uniform on $1..$40, arm 1 uniform on
+    * $21..$60 — a pure location shift with known exact D = 0.5
+    * (ECDFs differ maximally over the non-overlap region $41..$60 where
+    * arm 0 has full mass and arm 1 half). Written through parquet so
+    * the rows run the real loader path.
+    */
+  private def plantedDir(): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    val rows = (1 to 40).map(d => (d.toLong * 2, 0L, "click", d.toDouble)) ++
+      (1 to 40).map(d => (d.toLong * 2 + 1, 1L, "click", d.toDouble + 20.0))
+    rows.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(1700000000000000 + event_id)"))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("binned KS brackets the exact statistic; width=1 collapses the lower bound") {
+    val dir = plantedDir()
+    val exact = Profile.statsKs(spark, dir).head()
+    val exactD = exact.getAs[Double]("ks_d")
+    assert(math.abs(exactD - 0.5) < 1e-12, s"planted exact D should be 0.5, got $exactD")
+
+    // $10 bins: coarse enough that the bracket is visibly loose
+    val coarse = Profile.statsKsBinned(spark, dir, widthCents = 1000L).head()
+    val lo = coarse.getAs[Double]("ks_d_lower")
+    val hi = coarse.getAs[Double]("ks_d_upper")
+    assert(lo <= exactD + 1e-12 && exactD <= hi + 1e-12,
+      s"exact D=$exactD outside bracket [$lo, $hi]")
+    assert(hi - lo > 1e-9, "coarse bracket should have nonzero width")
+
+    // width=1: one bin per cents grid point -> lower bound IS the exact D
+    val fine = Profile.statsKsBinned(spark, dir, widthCents = 1L).head()
+    assert(fine.getAs[Long]("d_num") === exact.getAs[Long]("d_num"),
+      "width=1 d_num must equal the exact row's d_num")
+    assert(fine.getAs[Long]("na") === exact.getAs[Long]("na"))
+    assert(fine.getAs[Long]("nb") === exact.getAs[Long]("nb"))
+  }
+
+  test("binned KS on the gate corpus: bracket holds against the exact row") {
+    val dir = "/root/testdata/sf0.001"
+    val exactD = Profile.statsKs(spark, dir).head().getAs[Double]("ks_d")
+    val b = Profile.statsKsBinned(spark, dir).head()
+    assert(b.getAs[Double]("ks_d_lower") <= exactD + 1e-12)
+    assert(exactD <= b.getAs[Double]("ks_d_upper") + 1e-12)
+  }
+}
