@@ -16,7 +16,9 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# JAVA_OPTS_EXTRA: additional -D flags (e.g. a state-store provider
+# override for a StateProbe run) — SparkConf picks up spark.* sysprops.
+exec java $ADD_OPENS $JAVA_OPTS_EXTRA \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"

@@ -80,6 +80,55 @@ object Bench {
       ds.groupByKey(_._1 % 7)
         .flatMapGroups((k, it) => Iterator.single((k, it.size))).count()
     }
+    // neutral STREAMING warm-up on synthetic data: micro-batch planner,
+    // state-store provider init, streaming codegen paths, checkpoint +
+    // commit-log I/O, and all three state formats the suite uses
+    // (keyed dedup, windowed agg, session store, typed fMGWS). Without
+    // it an ISOLATED streaming query absorbs ~1.5-2 s of this machinery
+    // that in-suite runs amortize across 33 streaming rows — the r11
+    // drifter attribution measured the same rows at 3.0-4.4 s isolated
+    // vs 1.4-2.0 s in-suite, all of it first-touch, none of it plan.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warm_stream")
+      spark.range(1000)
+        .select(expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),
+          (col("id") % 37).as("k"))
+        .write.mode("overwrite").parquet(s"$tmp/t.parquet")
+      def run(mode: String)(build: SparkSession => org.apache.spark.sql.DataFrame): Unit = {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = build(s2).writeStream.format("memory")
+          .queryName("warm_" + mode + math.abs(mode.hashCode))
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def src(s2: SparkSession) = s2.readStream.schema("ts timestamp, k bigint")
+        .option("pathGlobFilter", "t.parquet").parquet(tmp.toString)
+        .withWatermark("ts", "10 minutes")
+      run("append") { s2 =>
+        src(s2).dropDuplicates("k")
+          .groupBy(window(col("ts"), "1 minute"), col("k")).count()
+      }
+      run("complete") { s2 =>
+        src(s2).groupBy(col("k"), session_window(col("ts"), "2 minutes"))
+          .agg(count(lit(1)).as("n")).select(col("k"), col("n"))
+      }
+      run("append") { s2 =>
+        import s2.implicits._
+        src(s2).as[(java.sql.Timestamp, Long)].groupByKey(_._2)
+          .flatMapGroupsWithState[Long, (Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) { (k, it, st) =>
+            val n = st.getOption.getOrElse(0L) + it.size
+            st.update(n); Iterator.single((k, n))
+          }.toDF("k", "n")
+      }
+    }
+    // the real events file-stream source path (schema probe + listing +
+    // parquet streaming read): its first-touch is ~1.5-2 s and otherwise
+    // bills to the alphabetically-first events streaming query
+    graft.operators.StreamQueries.warmEventsStream(spark, sfDir)
     // explicit staging pre-pass: publish every shared artifact before
     // any query is timed; itemized separately in the output line
     val staging = Staging.stageAll(spark, sfDir)

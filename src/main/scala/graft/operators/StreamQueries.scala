@@ -80,6 +80,25 @@ object StreamQueries {
     spark.table(name)
   }
 
+  /** Minimal pass over the real events file-stream (schema probe, file
+    * listing, parquet streaming read, watermark + one windowed agg) —
+    * [[graft.Bench]]'s warm-up leg. The r12 drifter attribution measured
+    * ~1.5-2 s of events-stream first-touch landing on whichever events
+    * streaming query runs FIRST in a JVM (isolated rows 3.0-3.8 s vs
+    * the same rows at 1.5-1.9 s once any events stream has run);
+    * synthetic warm-up legs don't reach it because the cost is in this
+    * source path, not the state-store machinery.
+    */
+  def warmEventsStream(spark: SparkSession, dir: String): Unit =
+    runToTable(spark) { s =>
+      import s.implicits._
+      eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "6 hours"))
+        .agg(count(lit(1)).as("n"))
+        .select($"n")
+    }
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // file-stream sources require a directory: stream the sf dir with a
     // glob filter instead of pointing at the single parquet file
