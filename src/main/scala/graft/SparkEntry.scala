@@ -79,6 +79,7 @@ object SparkEntry {
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
     "q_stream_rate_spikes" -> (StreamQueries.streamRateSpikes _),
     "q_stream_session_paths" -> (StreamQueries.streamSessionPaths _),
+    "q_stream_session_paths_capped" -> (StreamQueries.streamSessionPathsCapped _),
     "q_stream_range_join" -> (StreamQueries.streamRangeJoin _),
     "q_stream_range_join_outer" -> (StreamQueries.streamRangeJoinOuter _),
     "q_stream_hot_lines" -> ((s: SparkSession, d: String) => StreamQueries.streamHotLines(s, d)),
@@ -267,6 +268,7 @@ object SparkEntry {
     "q_stream_slide_distinct" -> StreamQueries.streamSlideDistinctSql,
     "q_stream_rate_spikes" -> StreamQueries.streamRateSpikesSql,
     "q_stream_session_paths" -> StreamQueries.streamSessionPathsSql,
+    "q_stream_session_paths_capped" -> StreamQueries.streamSessionPathsCappedSql,
     // q_stream_approx_distinct: HLL estimates are engine-specific →
     // rows-only driver check; StreamingSpec pins estimates within HLL
     // error of the exact batch distincts over the same window set.

@@ -1148,6 +1148,125 @@ object StreamQueries {
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
     FROM numbered GROUP BY user_id, sid"""
 
+  /** One arriving event for the bounded-buffer sessionizer. */
+  case class SessEvent(user_id: Long, tsMicros: Long, event_id: Long,
+      event_type: String)
+
+  /** A user's open session in the state store: start/last instants, the
+    * FIRST-`cap` event types in arrival order, and the exact total count
+    * (public: Catalyst's generated (de)serializer must construct it).
+    */
+  case class OpenSession(startMicros: Long, lastMicros: Long,
+      path: Seq[String], nEvents: Long)
+
+  /** Default path-buffer cap for [[streamSessionPathsCapped]]. */
+  val SessionPathCap = 8
+
+  /** The stateful fold behind [[streamSessionPathsCapped]], factored so
+    * StreamingSpec can drive it through multi-batch sources. Per-user
+    * state is ONE open session whose path buffer is capped at `cap`
+    * event types — O(cap) bytes per user REGARDLESS of session length,
+    * the bounded-state swap for the session store's ∝(session events)
+    * growth. A session is emitted when its successor event arrives
+    * (gap ≥ 30 min closes it); each user's final session stays open, so
+    * the emitted set is exactly "every session with a later session for
+    * the same user" — the batch-expressible contract the oracle
+    * replays. Within a batch, events fold in (ts, event_id) order
+    * (identical to the batch total order); across batches the state
+    * carries (start, last, first-K, count), so an in-order event stream
+    * sessionizes exactly — a LATE event still lands in its session by
+    * the gap rule, with its type appended in arrival order (the
+    * documented append-mode trade-off, same family as
+    * [[attributionFold]]'s immutable emissions).
+    */
+  def sessionPathsCappedFold(ev: Dataset[SessEvent],
+      cap: Int = SessionPathCap): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import ev.sparkSession.implicits._
+    val gapMicros = 30L * 60L * 1000000L
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var open = state.getOption
+        val out = Vector.newBuilder[(Long, Long, Long, String, Long, Long)]
+        rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+          open match {
+            case Some(s) if e.tsMicros - s.lastMicros < gapMicros =>
+              open = Some(OpenSession(s.startMicros, math.max(s.lastMicros, e.tsMicros),
+                if (s.path.length < cap) s.path :+ e.event_type else s.path,
+                s.nEvents + 1))
+            case Some(s) =>
+              out += ((user, s.startMicros, s.lastMicros + gapMicros,
+                s.path.mkString(">"), s.nEvents,
+                if (s.nEvents > cap) 1L else 0L))
+              open = Some(OpenSession(e.tsMicros, e.tsMicros,
+                Vector(e.event_type), 1L))
+            case None =>
+              open = Some(OpenSession(e.tsMicros, e.tsMicros,
+                Vector(e.event_type), 1L))
+          }
+        }
+        open.foreach(state.update)
+        out.result().iterator
+      }
+      .toDF("user_id", "start_micros", "end_micros", "path", "n_events", "truncated")
+      .select($"user_id",
+        expr("timestamp_micros(start_micros)").as("session_start"),
+        expr("timestamp_micros(end_micros)").as("session_end"),
+        $"path", $"n_events", $"truncated")
+  }
+
+  /** [[streamSessionPaths]] with BOUNDED per-user state — the shipped
+    * form of the session store's 100 TB swap (the r11 item-7 clause
+    * "cap session buffer length"): the full-fidelity row's state grows
+    * with events per live session (measured 4.7 GB at the 100× decade);
+    * this row's state is one O(cap) open-session record per user —
+    * StateProbe shows bytes/row CONSTANT as sessions lengthen. The
+    * price is the contract: paths truncate at `cap` types (with the
+    * exact `n_events`/`truncated` columns preserving the tail's
+    * existence), and a session emits when its SUCCESSOR arrives rather
+    * than when the watermark closes it. Hash-matches the batch
+    * sessionization oracle restricted to non-final sessions.
+    */
+  def streamSessionPathsCapped(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      sessionPathsCappedFold(eventsStream(s, dir)
+        .select($"user_id", unix_micros($"ts").as("tsMicros"), $"event_id",
+          $"event_type")
+        .as[SessEvent])
+    }
+
+  val streamSessionPathsCappedSql: String = s"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), ranked AS (
+      SELECT user_id, ts, event_id, event_type, sid,
+        row_number() OVER (PARTITION BY user_id, sid
+                           ORDER BY ts, event_id) AS rn
+      FROM numbered
+    ), sess AS (
+      SELECT user_id, sid, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             string_agg(CASE WHEN rn <= $SessionPathCap THEN event_type END,
+                        '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS n_events,
+             CAST(CASE WHEN COUNT(*) > $SessionPathCap THEN 1 ELSE 0 END
+                  AS BIGINT) AS truncated
+      FROM ranked GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, path, n_events, truncated
+    FROM sess
+    QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)"""
+
   /** The SUM sketch on the unbounded stream: windowed `dgim_sum_estimate`
     * (the Datar et al. §5 generalization `q_dgim_sum` runs in batch) as a
     * streaming aggregation — the typed DGIM-sum buffer is mergeable

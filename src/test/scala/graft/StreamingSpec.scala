@@ -982,4 +982,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state3 === 2L,
       s"expected 2 live state rows (A re-added + B), got $state3")
   }
+
+  test("capped sessionizer: emit-on-successor across restarts, O(cap) state per user") {
+    import spark.implicits._
+    import graft.operators.StreamQueries
+    import graft.operators.StreamQueries.SessEvent
+
+    val srcDir = Files.createTempDirectory("graft_sesscap_src").toString
+    val outDir = Files.createTempDirectory("graft_sesscap_out").toString
+    val ckpt = Files.createTempDirectory("graft_sesscap_ckpt").toString
+    val minMicros = 60L * 1000000L
+    val t0 = 1704067200L * 1000000L
+
+    def feed(rows: Seq[SessEvent]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runOnce(): (Seq[(Long, String, Long, Long)], Long) = {
+      val ev = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[SessEvent]].schema)
+        .parquet(srcDir).as[SessEvent]
+      val q = StreamQueries.sessionPathsCappedFold(ev, cap = 3)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+      val out = spark.read.parquet(outDir).collect().toSeq
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("path"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("truncated")))
+      (out, stateRows)
+    }
+
+    // batch 1: user 1 logs 5 events in one session (cap 3 -> truncated
+    // path, exact count), then a 40-min gap opens session 2. Only the
+    // CLOSED first session emits; the open one is state.
+    feed((0 until 5).map(i =>
+      SessEvent(1L, t0 + i * minMicros, 100L + i, s"e$i")) :+
+      SessEvent(1L, t0 + 45 * minMicros, 200L, "x"))
+    val (out1, state1) = runOnce()
+    assert(out1 === Seq((1L, "e0>e1>e2", 5L, 1L)), s"got $out1")
+    assert(state1 === 1L, s"one open session per user, got $state1")
+
+    // batch 2 (fresh query, SAME checkpoint): user 1's open session
+    // gets one more event within the gap, then a far-future event
+    // closes it — path buffered across the restart, count exact,
+    // under-cap session not truncated
+    feed(Seq(
+      SessEvent(1L, t0 + 46 * minMicros, 201L, "y"),
+      SessEvent(1L, t0 + 200 * minMicros, 202L, "z")))
+    val (out2, state2) = runOnce()
+    assert(out2.toSet === Set(
+      (1L, "e0>e1>e2", 5L, 1L), (1L, "x>y", 2L, 0L)), s"got $out2")
+    assert(state2 === 1L, s"still one open session, got $state2")
+
+    // batch 3: a SECOND user arrives — state is one row per user with
+    // an open session, never per event (the bounded-state contract)
+    feed(Seq(SessEvent(2L, t0, 300L, "a")))
+    val (_, state3) = runOnce()
+    assert(state3 === 2L, s"one open session per user, got $state3")
+  }
 }
