@@ -1042,4 +1042,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (_, state3) = runOnce()
     assert(state3 === 2L, s"one open session per user, got $state3")
   }
+
+  test("stateful queries produce identical results under the RocksDB state store provider") {
+    // SURVEY §6's third-decade claim: when state outgrows the heap
+    // (q_stream_session_paths measured 4.7 GB at 100×), the swap is ONE
+    // session conf — spark.sql.streaming.stateStore.providerClass — with
+    // no operator change. This pins the "no code change" half: a session
+    // store agg and a typed fMGWS fold return byte-identical results
+    // under the default heap provider and RocksDB.
+    import graft.operators.StreamQueries
+    import graft.operators.StreamQueries.SessEvent
+    val srcDir = Files.createTempDirectory("graft_rocks_src").toString
+    locally {
+      import spark.implicits._
+      val minMicros = 60L * 1000000L
+      val t0 = 1704067200L * 1000000L
+      // two sessions per user (the 200-min jump clears the 30-min gap),
+      // so the emit-on-successor fold closes and emits the first one
+      (for (u <- 1L to 50L; i <- 0 until 12) yield
+        SessEvent(u, t0 + (i * 7 + u + (if (i >= 6) 200 else 0)) * minMicros,
+          u * 100 + i, s"e${i % 5}"))
+        .toDS().coalesce(1).write.mode("overwrite").parquet(srcDir)
+    }
+    def run(provider: Option[String]): (Seq[String], Seq[String]) = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      provider.foreach(p =>
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      import s2.implicits._
+      val src = s2.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[SessEvent]].schema)
+        .parquet(srcDir)
+      def toRows(df: org.apache.spark.sql.DataFrame, mode: String): Seq[String] = {
+        val name = "rocks_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = df.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s2.table(name).collect().map(_.toString).sorted.toSeq
+      }
+      val sessionStore = toRows(
+        src.select(col("user_id"), timestamp_micros(col("tsMicros")).as("ts"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), col("session_window.start"), col("n")),
+        "complete")
+      val fold = toRows(
+        StreamQueries.sessionPathsCappedFold(src.as[SessEvent], cap = 3),
+        "append")
+      (sessionStore, fold)
+    }
+    val heap = run(None)
+    val rocks = run(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(heap._1.nonEmpty && heap._2.nonEmpty)
+    assert(heap === rocks, "provider changed query results")
+  }
 }
