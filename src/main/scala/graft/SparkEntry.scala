@@ -49,6 +49,7 @@ object SparkEntry {
     "stats_drift"  -> (Profile.statsDrift _),
     "stats_ks"     -> (Profile.statsKs _),
     "stats_ks_binned" -> ((s: SparkSession, d: String) => Profile.statsKsBinned(s, d)),
+    "stats_auc"    -> (Profile.statsAuc _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_slide_distinct" -> (Windows.slideDistinct _),
@@ -220,6 +221,7 @@ object SparkEntry {
     "stats_drift"  -> Profile.statsDriftSql,
     "stats_ks"     -> Profile.statsKsSql,
     "stats_ks_binned" -> Profile.statsKsBinnedSql(),
+    "stats_auc"    -> Profile.statsAucSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_slide_distinct" -> Windows.slideDistinctSql,

@@ -445,4 +445,70 @@ object Profile {
            CAST(MAX(abs(ca * nb - cb * na)) + MAX(a * nb + b * na) AS DOUBLE) /
            (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d_upper
     FROM cum, t WHERE na > 0 AND nb > 0 GROUP BY na, nb"""
+
+  /** Exact ROC-AUC of the trained quality model's scores against its
+    * labels — the evaluation a model gate ships with (is the classifier
+    * actually ranking curated provenance above the rest?). AUC is the
+    * Mann–Whitney statistic: P(score_pos > score_neg) + ½·P(tie),
+    * computed EXACTLY on the integer score grid —
+    *   auc_num = Σ_scores p·(2·negatives_strictly_below) + p·n_ties
+    *   auc     = auc_num / (2·n_pos·n_neg)
+    * with every numerator an exact BIGINT (the [[statsKs]] device: one
+    * map-side-combined groupBy on the score grid + one ordered window
+    * over the grid, one double division at the end — engine-exact
+    * hash). The grid is distinct-score-sized; for an unbounded score
+    * domain the documented swap is the same fixed-width binning as
+    * [[statsKsBinned]] (identical query shape).
+    */
+  def statsAuc(spark: SparkSession, dir: String): DataFrame =
+    aucOn(TextAnalysis.qualityModel(spark, dir)
+      .select(col("label"), col("score_micro")))
+
+  /** The exact-AUC computation over any (label ∈ {0,1}, score_micro)
+    * frame, factored so specs can plant known-AUC score sets (tie
+    * handling included).
+    */
+  private[graft] def aucOn(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grid = scored.groupBy($"score_micro")
+      .agg(sum(when($"label" === 1, 1L).otherwise(0L)).as("p"),
+        sum(when($"label" === 0, 1L).otherwise(0L)).as("n"))
+    val w = Window.orderBy($"score_micro")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid.select($"p", $"n",
+      coalesce(sum($"n").over(w), lit(0L)).as("n_below"))
+    val tot = grid.agg(sum($"p").as("np"), sum($"n").as("nn"))
+    cum.crossJoin(broadcast(tot))
+      .filter($"np" > 0 && $"nn" > 0)
+      .groupBy($"np", $"nn")
+      .agg(sum($"p" * $"n_below" * 2 + $"p" * $"n").as("auc_num"))
+      .select($"np", $"nn", $"auc_num",
+        ($"auc_num".cast("double") /
+          (($"np" * $"nn" * 2).cast("double"))).as("auc"))
+  }
+
+  val statsAucSql: String = TextAnalysis.qmTrainCtesSql + s""",
+    scored AS (
+      SELECT f.y AS label,
+             (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
+               AS score_micro
+      FROM feat f, w${TextAnalysis.QmIters} w),
+    grid AS (
+      SELECT score_micro,
+             CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM scored GROUP BY 1),
+    cum AS (
+      SELECT p, n,
+             COALESCE(SUM(n) OVER (ORDER BY score_micro
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_below
+      FROM grid),
+    t AS (SELECT CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(n) AS BIGINT) AS nn
+          FROM grid)
+    SELECT np, nn, CAST(SUM(p * n_below * 2 + p * n) AS BIGINT) AS auc_num,
+           CAST(SUM(p * n_below * 2 + p * n) AS DOUBLE) /
+           (2.0 * np * nn) AS auc
+    FROM cum, t WHERE np > 0 AND nn > 0 GROUP BY np, nn"""
 }

@@ -334,7 +334,13 @@ object TextAnalysis {
     * gradient sums, truncating-division update), then the final margin
     * per doc. Every operation is integer, so the replay is bit-exact.
     */
-  val qualityModelSql: String = {
+  /** The training prefix of [[qualityModelSql]] (wd → feat → the
+    * chained w/e iteration CTEs), factored so evaluation oracles
+    * ([[Profile.statsAucSql]]) replay the SAME training and then score
+    * differently. Ends after `w{QmIters}` — append `, more CTEs` or a
+    * final SELECT reading `feat` and `w$QmIters`.
+    */
+  private[graft] val qmTrainCtesSql: String = {
     val iters = QmIters
     // every w/e CTE is multiply-consumed (w_t feeds e_t once and w_{t+1}
     // five times) — AS MATERIALIZED pins each against DuckDB's default
@@ -368,13 +374,15 @@ object TextAnalysis {
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat),
     w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1,
                   CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3, CAST(0 AS BIGINT) w4),
-    ${(0 until iters).map(t => eCte(t) + "," + wCte(t)).mkString(",")}
+    ${(0 until iters).map(t => eCte(t) + "," + wCte(t)).mkString(",")}"""
+  }
+
+  val qualityModelSql: String = qmTrainCtesSql + s"""
     SELECT f.doc_id, f.y AS label,
            (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4) AS score_micro,
            CASE WHEN (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
                 >= ${QmScale / 2} THEN 1 ELSE 0 END AS pred
-    FROM feat f, w$iters w"""
-  }
+    FROM feat f, w$QmIters w"""
 
   /** Token counting: canonical word count + a BPE-ish regex token count
     * (letter runs / digit runs / single non-alnum symbols).

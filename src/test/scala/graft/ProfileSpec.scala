@@ -64,6 +64,32 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fine.getAs[Long]("nb") === exact.getAs[Long]("nb"))
   }
 
+  test("exact AUC: separation, ties, and anti-ranking on planted scores") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long)]): (Long, Double) = {
+      val r = Profile.aucOn(rows.toDF("label", "score_micro")).head()
+      (r.getAs[Long]("auc_num"), r.getAs[Double]("auc"))
+    }
+    // perfect separation: every positive above every negative -> AUC 1
+    assert(auc(Seq((1L, 10L), (1L, 9L), (0L, 5L), (0L, 4L)))._2 === 1.0)
+    // perfect anti-ranking -> AUC 0
+    assert(auc(Seq((1L, 1L), (0L, 5L)))._2 === 0.0)
+    // tie handling: pos {2,2}, neg {2,1}: pairs = 4, wins = 2 (both pos
+    // beat neg@1), ties = 2 (both pos tie neg@2) -> (2 + 0.5*2)/4 = 0.75
+    val (num, a) = auc(Seq((1L, 2L), (1L, 2L), (0L, 2L), (0L, 1L)))
+    assert(num === 6L && math.abs(a - 0.75) < 1e-12, s"num=$num auc=$a")
+    // random interleave cross-checked against the O(n^2) definition
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).map(_ => (rnd.nextInt(2).toLong, rnd.nextInt(12).toLong))
+    val pos = rows.filter(_._1 == 1L).map(_._2)
+    val neg = rows.filter(_._1 == 0L).map(_._2)
+    val brute = (for (p <- pos; n <- neg)
+      yield (if (p > n) 2L else if (p == n) 1L else 0L)).sum
+    val (num2, a2) = auc(rows)
+    assert(num2 === brute, s"grid num=$num2 vs brute=$brute")
+    assert(math.abs(a2 - brute.toDouble / (2.0 * pos.size * neg.size)) < 1e-12)
+  }
+
   test("binned KS on the gate corpus: bracket holds against the exact row") {
     val dir = "/root/testdata/sf0.001"
     val exactD = Profile.statsKs(spark, dir).head().getAs[Double]("ks_d")
