@@ -108,6 +108,7 @@ object SparkEntry {
     "dedup_delta_bloom" -> ((s: SparkSession, d: String) => Dedup.deltaBloomDedup(s, d)),
     "dedup_clusters"   -> (Clusters.dedupClusters _),
     "dedup_clusters_delta" -> (Clusters.clustersDelta _),
+    "q_stream_clusters_delta" -> (Clusters.streamClustersDelta _),
     "dedup_apply"      -> (Clusters.dedupApply _),
     "dedup_embed"      -> ((s: SparkSession, d: String) => Similarity.embedPairs(s, d)),
     "dedup_embed_lsh"  -> (Similarity.embedPairsLsh _),
@@ -317,6 +318,9 @@ object SparkEntry {
     "q_stream_delta_lsh" -> Dedup.deltaLshSql,
     "dedup_clusters"   -> Clusters.dedupClustersSql,
     "dedup_clusters_delta" -> Clusters.clustersDeltaSql,
+    // continuous maintenance ≡ batch merge ≡ from-scratch recompute:
+    // the streaming fold emits the identical affected-rows contract
+    "q_stream_clusters_delta" -> Clusters.clustersDeltaSql,
     "dedup_apply"      -> Clusters.dedupApplySql,
     "dedup_embed"      -> Similarity.embedPairsSql,
     // dedup_embed_lsh (round 10): recall < 1 vs the exact twin, but the

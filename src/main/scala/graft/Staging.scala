@@ -40,6 +40,7 @@ object Staging {
     // corpus + the standing base-only generation the delta merge reads)
     "cc_labels" -> ((s: SparkSession, d: String) => ops.Clusters.clusterLabels(s, d)),
     "cc_labels_base" -> ((s: SparkSession, d: String) => ops.Clusters.baseClusterLabels(s, d)),
+    "cc_delta_pairs" -> ((s: SparkSession, d: String) => ops.Clusters.deltaPairsDump(s, d)),
     // trained / derived model artifacts
     "bpe_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.bpeModelDump(s, d)),
     "qm_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.qualityModelDump(s, d)),

@@ -266,6 +266,89 @@ object Clusters {
     mergeDeltaPairs(baseClusterLabels(spark, dir), newPairs)
   }
 
+  /** The delta's verified pair set STAGED as a parquet dump (DumpCache,
+    * keyed by the documents generation) — the pair stream a continuous
+    * near-dup detector emits, which [[streamClustersDelta]] consumes as
+    * a file stream.
+    */
+  private[graft] def deltaPairsDump(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    graft.sources.DumpCache.ensure(
+      graft.sources.DumpCache.dirFor("graft_cc_delta_pairs", dir, "documents.parquet")) { tmp =>
+      Dedup.ngramJaccard(spark, dir)
+        .filter(Dedup.isDelta($"doc_id_a") || Dedup.isDelta($"doc_id_b"))
+        .select($"doc_id_a".as("a"), $"doc_id_b".as("b"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** One micro-batch of the CONTINUOUS label maintenance: upsert the
+    * batch's merge output into the affected-so-far table. `base` is the
+    * staged standing generation, `affected` the labels already rewritten
+    * by earlier batches (overriding `base` where both know a doc). The
+    * effective current labeling is base-with-affected-overrides; the
+    * batch's pairs contract onto it exactly as [[mergeDeltaPairs]], and
+    * its output (every member of every touched component, with merged
+    * labels) replaces those docs' rows in `affected`. Incremental
+    * folding is EXACT: labels are component-min doc ids, contraction
+    * preserves connectivity, and min-of-mins is the global min — so
+    * folding pair batches in any split equals the one-shot merge
+    * (HygieneSpec pins a bridge whose two halves arrive in DIFFERENT
+    * batches).
+    */
+  private[graft] def applyPairBatch(base: DataFrame, affected: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val cur = base.join(affected, Seq("doc_id"), "left_anti")
+      .unionByName(affected)
+    val out = mergeDeltaPairs(cur, pairs)
+    affected.join(out, Seq("doc_id"), "left_anti").unionByName(out)
+  }
+
+  /** CONTINUOUS incremental connected components — `dedup_clusters_delta`
+    * as the ingest topology actually runs it: the verified delta pairs
+    * arrive as a STREAM (the staged pair dump read as a file stream —
+    * the role `q_stream_delta_lsh`'s emissions play in production), and
+    * each micro-batch folds into a VERSIONED affected-labels generation
+    * via foreachBatch + [[applyPairBatch]] against the staged base
+    * labels (read, never recomputed). The final generation is returned:
+    * with the whole dump in one AvailableNow batch this is bit-identical
+    * to the batch row, so the SAME DuckDB oracle (full-corpus CC
+    * restricted to touched components) hash-checks continuous
+    * maintenance ≡ batch merge ≡ from-scratch recompute; the multi-batch
+    * split-fold equality is the spec's job. State lives in the published
+    * generations (blast-radius-sized), not the state store — the
+    * foreachBatch pattern for maintenance jobs whose per-batch work is a
+    * JOIN, not a keyed fold.
+    */
+  def streamClustersDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val pairsDir = deltaPairsDump(s, dir)
+    val base = baseClusterLabels(s, dir)
+    val genRoot = java.nio.file.Files.createTempDirectory("graft_cc_gen").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, cluster_id BIGINT"))
+    @volatile var latest: Option[String] = None
+    val q = s.readStream.schema("a BIGINT, b BIGINT").parquet(pairsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val affected = latest.map(s.read.parquet(_)).getOrElse(empty)
+        val next = s"$genRoot/v$id"
+        applyPairBatch(base, affected, batch)
+          .write.mode("overwrite").parquet(next)
+        latest = Some(next)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    latest.map(s.read.parquet(_)).getOrElse(empty)
+  }
+
   /** The merge behind [[clustersDelta]], factored so specs can drive
     * synthetic base labelings and delta pair sets (the bridging case).
     * `baseLabels`: (doc_id, cluster_id) of the standing generation;

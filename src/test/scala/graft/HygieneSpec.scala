@@ -163,6 +163,29 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.forall(got(_) == 1L))
   }
 
+  test("micro-batch pair folding equals the one-shot merge, bridge split across batches") {
+    import spark.implicits._
+    // base: three components {1,2}, {10,11}, {20,21} and an untouched {30}
+    val base = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (30L, 30L)).toDF("doc_id", "cluster_id")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    // the bridge 1⋈10⋈20 arrives in TWO batches: batch 1 links delta 100
+    // to components 1 and 10; batch 2 links the SAME delta doc to 20 —
+    // the second batch must see batch 1's merged labels to relabel all
+    // three components to the global min
+    val p1 = Seq((2L, 100L), (100L, 11L)).toDF("a", "b")
+    val p2 = Seq((100L, 21L)).toDF("a", "b")
+    val folded = Seq(p1, p2).foldLeft(empty) { (aff, p) =>
+      Clusters.applyPairBatch(base, aff, p)
+    }.as[(Long, Long)].collect().toMap
+    val oneShot = Clusters.mergeDeltaPairs(base, p1.unionByName(p2))
+      .as[(Long, Long)].collect().toMap
+    assert(folded === oneShot, s"folded=$folded oneShot=$oneShot")
+    val merged = Set(1L, 2L, 10L, 11L, 20L, 21L, 100L)
+    assert(folded.keySet === merged) // 30 untouched, absent
+    assert(merged.forall(folded(_) == 1L))
+  }
+
   test("delta pair merge within one base component keeps its label and blast radius") {
     import spark.implicits._
     val base = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
