@@ -50,6 +50,7 @@ object SparkEntry {
     "stats_ks"     -> (Profile.statsKs _),
     "stats_ks_binned" -> ((s: SparkSession, d: String) => Profile.statsKsBinned(s, d)),
     "stats_auc"    -> (Profile.statsAuc _),
+    "stats_calibration" -> (Profile.statsCalibration _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_slide_distinct" -> (Windows.slideDistinct _),
@@ -223,6 +224,7 @@ object SparkEntry {
     "stats_ks"     -> Profile.statsKsSql,
     "stats_ks_binned" -> Profile.statsKsBinnedSql(),
     "stats_auc"    -> Profile.statsAucSql,
+    "stats_calibration" -> Profile.statsCalibrationSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_slide_distinct" -> Windows.slideDistinctSql,

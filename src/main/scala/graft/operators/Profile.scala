@@ -511,4 +511,95 @@ object Profile {
            CAST(SUM(p * n_below * 2 + p * n) AS DOUBLE) /
            (2.0 * np * nn) AS auc
     FROM cum, t WHERE np > 0 AND nn > 0 GROUP BY np, nn"""
+
+  /** Reliability table + expected calibration error of the trained
+    * quality gate — the companion evaluation to [[statsAuc]]: AUC says
+    * the model RANKS curated provenance above the rest; calibration
+    * says whether the score is honest as a PROBABILITY (the number a
+    * downstream sampler would weight by, or a thresholded gate would
+    * tune against). The squared-loss model's natural probability
+    * estimate is the margin clamped to [0, 1] (micro-units clamped to
+    * [0, QmScale]); documents bin by that estimate into `bins`
+    * fixed-width buckets and each bucket compares mean predicted
+    * probability against observed positive rate.
+    *
+    * Everything before the final divisions is exact integer arithmetic:
+    * per-bin n / positives / Σ clamped-micro are BIGINT sums
+    * (associative — map-side-combined, order-independent), the ECE
+    * numerator is Σ_b |Σ clamped_b − pos_b·S| (an exact BIGINT, since
+    * mean_pred_b − pos_rate_b = (Σ clamped_b − pos_b·S)/(n_b·S) and the
+    * n_b/N weights cancel one denominator), and each double column is
+    * ONE division of exact integers — engine-exact hash, the
+    * [[statsKs]]/[[statsAuc]] device.
+    *
+    * Shape: one map-side-combined groupBy on a ≤`bins`-row grid, then
+    * the 1-row total broadcast back — two corpus-free shuffles over a
+    * grid never larger than `bins`. Scales to any corpus.
+    */
+  def statsCalibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationOn(TextAnalysis.qualityModel(spark, dir)
+      .select(col("label"), col("score_micro")))
+
+  /** The calibration computation over any (label ∈ {0,1}, score_micro)
+    * frame, factored so specs can plant known-calibration score sets
+    * (clamping included).
+    */
+  private[graft] def calibrationOn(scored: DataFrame, bins: Int = 10): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val s = TextAnalysis.QmScale
+    val clamped = least(greatest($"score_micro", lit(0L)), lit(s))
+    val grid = scored
+      .select($"label", clamped.as("c"))
+      // `div` is exact BIGINT division (≡ DuckDB `//`); the last bin
+      // absorbs the c = QmScale endpoint
+      .withColumn("bin", least(expr(s"c * $bins div $s"), lit(bins - 1L)))
+      .groupBy($"bin")
+      .agg(count(lit(1L)).as("n"), sum($"label").as("pos"), sum($"c").as("pred_num"))
+    val tot = grid.agg(sum($"n").as("n_tot"),
+      sum(abs($"pred_num" - $"pos" * s)).as("ece_num"))
+    grid.crossJoin(broadcast(tot))
+      .select($"bin", $"n", $"pos", $"pred_num",
+        ($"pos".cast("double") / $"n".cast("double")).as("pos_rate"),
+        ($"pred_num".cast("double") / ($"n" * s).cast("double")).as("mean_pred"),
+        $"ece_num",
+        ($"ece_num".cast("double") / ($"n_tot" * s).cast("double")).as("ece"))
+  }
+
+  /** Full train+evaluate replay of [[statsCalibration]]: the shared
+    * 12-iteration training prefix ([[TextAnalysis.qmTrainCtesSql]]),
+    * then the clamp → fixed-width bin → integer reliability grid →
+    * one-row ECE total — every pre-division value BIGINT, every double
+    * a single division of exact integers.
+    */
+  val statsCalibrationSql: String = {
+    val s = TextAnalysis.QmScale
+    val iters = TextAnalysis.QmIters
+    TextAnalysis.qmTrainCtesSql + s""",
+    scored AS (
+      SELECT f.y AS label,
+             (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
+               AS score_micro
+      FROM feat f, w$iters w),
+    cl AS (
+      SELECT label,
+             least(greatest(score_micro, 0), $s) AS c
+      FROM scored),
+    grid AS (
+      SELECT least(c * 10 // $s, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos,
+             CAST(SUM(c) AS BIGINT) AS pred_num
+      FROM cl GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(abs(pred_num - pos * $s)) AS BIGINT) AS ece_num
+      FROM grid)
+    SELECT bin, n, pos, pred_num,
+           CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+           CAST(pred_num AS DOUBLE) / CAST(n * $s AS DOUBLE) AS mean_pred,
+           ece_num,
+           CAST(ece_num AS DOUBLE) / CAST(n_tot * $s AS DOUBLE) AS ece
+    FROM grid, t"""
+  }
 }

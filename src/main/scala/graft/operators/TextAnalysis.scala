@@ -159,7 +159,7 @@ object TextAnalysis {
   /** Scale of the fixed-point model: weights are BIGINT micro-units
     * (real weight = w / 1e6), labels scale to {0, QmScale}.
     */
-  private val QmScale = 1000000L
+  private[graft] val QmScale = 1000000L
   private[graft] val QmIters = 12
   private val QmEtaDen = 1000000L
 

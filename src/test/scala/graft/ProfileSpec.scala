@@ -90,6 +90,51 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(a2 - brute.toDouble / (2.0 * pos.size * neg.size)) < 1e-12)
   }
 
+  test("calibration: planted bins, clamping, and a known nonzero ECE") {
+    import spark.implicits._
+    val S = 1000000L
+    def calib(rows: Seq[(Long, Long)]) =
+      Profile.calibrationOn(rows.toDF("label", "score_micro"))
+        .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+
+    // perfectly calibrated two bins: bin 2 (scores 250k, 1/4 positive),
+    // bin 7 (scores 750k, 3/4 positive) -> per-bin gap 0, ECE 0
+    val good = calib(
+      Seq((1L, 250000L), (0L, 250000L), (0L, 250000L), (0L, 250000L),
+          (1L, 750000L), (1L, 750000L), (1L, 750000L), (0L, 750000L)))
+    assert(good.keySet === Set(2L, 7L))
+    assert(good(2L).getAs[Double]("pos_rate") === 0.25)
+    assert(good(2L).getAs[Double]("mean_pred") === 0.25)
+    assert(good(7L).getAs[Double]("ece") === 0.0)
+
+    // clamping: a negative score lands in bin 0 with clamped pred 0; an
+    // over-scale score lands in bin 9 with clamped pred exactly 1
+    val cl = calib(Seq((0L, -500000L), (1L, 3000000L)))
+    assert(cl.keySet === Set(0L, 9L))
+    assert(cl(0L).getAs[Long]("pred_num") === 0L)
+    assert(cl(9L).getAs[Long]("pred_num") === S)
+    assert(cl(9L).getAs[Double]("mean_pred") === 1.0)
+
+    // known nonzero ECE: one bin, two docs predicted 1.0 but only one
+    // positive -> ece_num = |2S - S| = S, ece = S/(2S) = 0.5
+    val bad = calib(Seq((1L, S), (0L, S)))
+    assert(bad(9L).getAs[Long]("ece_num") === S)
+    assert(bad(9L).getAs[Double]("ece") === 0.5)
+
+    // weighted-average identity on a mixed set: ECE recomputed from the
+    // reported per-bin integers matches the reported global column
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 80).map(_ =>
+      (rnd.nextInt(2).toLong, rnd.nextInt(1400000).toLong - 200000L))
+    val m = calib(rows)
+    val eceNum = m.values.map(r =>
+      math.abs(r.getAs[Long]("pred_num") - r.getAs[Long]("pos") * S)).sum
+    val nTot = m.values.map(_.getAs[Long]("n")).sum
+    val any = m.values.head
+    assert(any.getAs[Long]("ece_num") === eceNum)
+    assert(any.getAs[Double]("ece") === eceNum.toDouble / (nTot * S).toDouble)
+  }
+
   test("binned KS on the gate corpus: bracket holds against the exact row") {
     val dir = "/root/testdata/sf0.001"
     val exactD = Profile.statsKs(spark, dir).head().getAs[Double]("ks_d")
