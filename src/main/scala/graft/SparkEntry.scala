@@ -145,6 +145,7 @@ object SparkEntry {
     "text_pii"         -> (TextAnalysis.pii _),
     "text_decontam"    -> (Decontam.ngramCollisions _),
     "text_decontam_frac" -> (Decontam.fracDecontam _),
+    "decontam_embed" -> ((s: SparkSession, d: String) => Decontam.embedDecontam(s, d)),
     "text_decontam_bloom" -> ((s: SparkSession, d: String) => Decontam.bloomDecontam(s, d)),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "sink_csv"         -> (graft.sources.Sinks.csvRoundTrip _),
@@ -391,6 +392,7 @@ object SparkEntry {
     "text_lm_score"    -> TextAnalysis.lmScoreSql,
     "text_decontam"    -> Decontam.ngramCollisionsSql,
     "text_decontam_frac" -> Decontam.fracDecontamSql,
+    "decontam_embed" -> Decontam.embedDecontamSql,
     // identical output contract via the Bloom pre-filter path (exact
     // verify behind the sketch) — same oracle as text_decontam
     "text_decontam_bloom" -> Decontam.ngramCollisionsSql,

@@ -181,4 +181,68 @@ object Decontam {
     SELECT doc_id, n_shingles, n_eval_shingles,
            CAST(n_eval_shingles AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS frac
     FROM n JOIN hits USING (doc_id)"""
+
+  /** SEMANTIC decontamination (`decontam_embed`) — the embedding-space
+    * member of the decontamination family: flag corpus vectors whose
+    * cosine to ANY eval-suite vector reaches `threshold`. The n-gram
+    * gates ([[ngramCollisions]] verbatim, [[fracDecontam]] fuzzy) see
+    * only SURFACE overlap; a translated, heavily paraphrased, or
+    * reformatted copy of a benchmark item shares no shingle yet sits
+    * next to it in embedding space — the leak class embedding-based
+    * contamination analyses exist for. The `vec_id % evalMod = 0` slice
+    * stands in for the benchmark suite's embeddings (the place a
+    * production pipeline plugs its embedded eval sets in).
+    *
+    * Emits one row per CONTAMINATED corpus vector: (vec_id,
+    * n_eval_hits = #eval vectors within threshold, best_cos = the max
+    * hit cosine, witness_id = smallest hitting eval id — the receipt an
+    * audit trail wants). All aggregates are associative (count / max /
+    * min: map-side-combined, order-independent), and each cosine is
+    * the same sequential double fold on both engines ([[graft.functions.Vectors]]'
+    * parity contract) — so max over an identical value set is
+    * engine-exact and the hash oracle holds with no float hazard.
+    *
+    * Scale shape: the eval suite is benchmark-sized BY CONSTRUCTION
+    * (~10⁵ vectors no matter the corpus), so it broadcasts; scoring is
+    * ONE corpus scan with |eval| codegen'd [[graft.functions.FloatDotProduct]]
+    * folds per row (a BroadcastNestedLoopJoin — there is no equi-key;
+    * the filter keeps the post-join stream hit-sized), and the only
+    * shuffle carries slim (vec_id, partial-agg) rows for docs that hit.
+    * At 10⁵-eval scale the per-row cost is the documented swap to the
+    * sketched prescreen: [[Similarity.embedPairsLsh]]'s hyperplane
+    * buckets or [[Pq]]'s ADC tables prune eval candidates before the
+    * exact rescore — same machinery, same exact verify, staged like
+    * `q_stream_ann_probe`'s serving index.
+    */
+  def embedDecontam(spark: SparkSession, dir: String,
+      threshold: Double = 0.30, evalMod: Long = 50L): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Vectors
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"))
+      .filter($"nrm" > 0)
+    val eval = emb.filter($"vec_id" % evalMod === 0)
+      .select($"vec_id".as("eval_id"), $"embedding".as("ee"), $"nrm".as("en"))
+    emb.filter($"vec_id" % evalMod =!= 0)
+      .crossJoin(broadcast(eval))
+      .select($"vec_id", $"eval_id",
+        (Vectors.dot($"embedding", $"ee") / ($"nrm" * $"en")).as("cos"))
+      .filter($"cos" >= threshold)
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max($"cos").as("best_cos"),
+        min($"eval_id").as("witness_id"))
+  }
+
+  val embedDecontamSql: String = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) nrm FROM e),
+    q AS (SELECT vec_id eval_id, emb ee, nrm en FROM n WHERE vec_id % 50 = 0 AND nrm > 0),
+    c AS (SELECT vec_id, emb, nrm FROM n WHERE vec_id % 50 <> 0 AND nrm > 0),
+    s AS (SELECT c.vec_id, q.eval_id,
+            list_sum(list_transform(list_zip(c.emb, q.ee), x -> x[1]*x[2])) / (c.nrm * q.en) AS cos
+          FROM c, q)
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           MAX(cos) AS best_cos, MIN(eval_id) AS witness_id
+    FROM s WHERE cos >= 0.30 GROUP BY vec_id"""
 }

@@ -295,6 +295,35 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(7L) === ((1L, 1L, 0L, md5Hex("reach <EMAIL>,<IP> now"))))
   }
 
+  test("embedDecontam: semantic leak flags, no-surface-overlap blind spot of " +
+      "the n-gram gates, hit counting and witness") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edc").toString
+    // eval suite = ids ≡ 0 (mod 50): e0 = x-axis, e50 = y-axis.
+    // corpus: id 1 = scaled copy of e0 (a "paraphrase" — same direction,
+    // different magnitude), id 2 = orthogonal (clean), id 3 = the
+    // diagonal (cos ≈ 0.707 to BOTH eval vectors → 2 hits, witness 0),
+    // id 4 = cos exactly 0 to both (z-axis, clean).
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (50L, Array(0f, 1f, 0f, 0f), 0),
+      (1L, Array(3f, 0f, 0f, 0f), 1),
+      (2L, Array(0f, 0f, 0f, 1f), 1),
+      (3L, Array(1f, 1f, 0f, 0f), 1),
+      (4L, Array(0f, 0f, 1f, 0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = graft.operators.Decontam.embedDecontam(spark, tmp)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_eval_hits"), r.getAs[Double]("best_cos"),
+          r.getAs[Long]("witness_id")))).toMap
+    assert(out.keySet === Set(1L, 3L), s"flagged ${out.keySet}")
+    assert(out(1L)._1 === 1L && math.abs(out(1L)._2 - 1.0) < 1e-12)
+    assert(out(1L)._3 === 0L)
+    assert(out(3L)._1 === 2L && out(3L)._3 === 0L)
+    assert(math.abs(out(3L)._2 - math.sqrt(0.5)) < 1e-12)
+  }
+
   test("z-order write produces files with disjoint z ranges") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
