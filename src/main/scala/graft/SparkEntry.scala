@@ -76,6 +76,7 @@ object SparkEntry {
     "q_stream_pii"     -> (StreamQueries.streamPii _),
     "q_stream_tokens_bpe" -> (StreamQueries.streamTokensBpe _),
     "q_stream_quality_model" -> (StreamQueries.streamQualityModel _),
+    "q_stream_calibration" -> (StreamQueries.streamCalibration _),
     "q_stream_substring" -> ((s: SparkSession, d: String) => StreamQueries.streamSubstring(s, d)),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
@@ -265,6 +266,10 @@ object SparkEntry {
     // STAGED trained fixed-point weights — emits the batch train+score
     // contract verbatim, so the same full-replay oracle hash-checks it
     "q_stream_quality_model" -> TextAnalysis.qualityModelSql,
+    // q_stream_calibration: the same staged-serving contract, folded into
+    // the ≤10-row complete-mode reliability grid — same full train+
+    // score+bin replay as the batch calibration row
+    "q_stream_calibration" -> Profile.statsCalibrationSql,
     // q_stream_cms: CMS counters are sum-mergeable streaming state —
     // streaming counters ≡ batch counters ≡ the same HUGEINT replay
     "q_stream_cms"     -> TextAnalysis.cmsCountersSql,

@@ -544,18 +544,36 @@ object Profile {
     * frame, factored so specs can plant known-calibration score sets
     * (clamping included).
     */
-  private[graft] def calibrationOn(scored: DataFrame, bins: Int = 10): DataFrame = {
+  private[graft] def calibrationOn(scored: DataFrame, bins: Int = 10): DataFrame =
+    calibrationFinish(calibrationGrid(scored, bins))
+
+  /** The reliability GRID of [[calibrationOn]]: clamp → fixed-width bin
+    * → per-bin exact integer sums. A plain groupBy aggregation, so the
+    * SAME code runs batch and as a complete-mode streaming aggregation
+    * with ≤`bins` state rows (`q_stream_calibration`).
+    */
+  private[graft] def calibrationGrid(scored: DataFrame, bins: Int = 10): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val s = TextAnalysis.QmScale
     val clamped = least(greatest($"score_micro", lit(0L)), lit(s))
-    val grid = scored
+    scored
       .select($"label", clamped.as("c"))
       // `div` is exact BIGINT division (≡ DuckDB `//`); the last bin
       // absorbs the c = QmScale endpoint
       .withColumn("bin", least(expr(s"c * $bins div $s"), lit(bins - 1L)))
       .groupBy($"bin")
       .agg(count(lit(1L)).as("n"), sum($"label").as("pos"), sum($"c").as("pred_num"))
+  }
+
+  /** The derived columns of [[calibrationOn]] over a materialized grid:
+    * the 1-row total (ECE numerator stays BIGINT) broadcast back, one
+    * exact-integer division per double column.
+    */
+  private[graft] def calibrationFinish(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val s = TextAnalysis.QmScale
     val tot = grid.agg(sum($"n").as("n_tot"),
       sum(abs($"pred_num" - $"pos" * s)).as("ece_num"))
     grid.crossJoin(broadcast(tot))

@@ -386,6 +386,38 @@ object StreamQueries {
           .select($"doc_id", $"text", $"source"), w)
     }
 
+  /** CONTINUOUS calibration monitor of the served quality gate —
+    * `stats_calibration` as the model-observability job that runs NEXT
+    * TO [[streamQualityModel]]'s ingest gate: arriving documents score
+    * against the same STAGED weights (stateless codegen'd projection,
+    * shared [[TextAnalysis.qmScoreOn]]), and ONE complete-mode
+    * streaming aggregation folds them into the reliability grid —
+    * clamp → fixed-width bin → exact integer (n, positives, Σ clamped)
+    * per bin, the literally-shared [[Profile.calibrationGrid]] code.
+    * State is ≤ 10 rows of three BIGINTs FOREVER, at any arrival rate
+    * (integer sums are associative — the merge is exact, no decay, no
+    * approximation): the cheapest live dashboard a model gate can
+    * ship, and the signal that pages when the corpus drifts away from
+    * the gate's training distribution (per-bin observed rate departs
+    * from predicted). The ECE/rate columns derive from the final grid
+    * ([[Profile.calibrationFinish]], batch over ≤ 10 rows). Emits the
+    * batch contract verbatim — hash-matches `statsCalibrationSql` (the
+    * full train + score + bin DuckDB replay): staged online monitoring
+    * ≡ batch train+evaluate.
+    */
+  def streamCalibration(spark: SparkSession, dir: String): DataFrame =
+    Profile.calibrationFinish(
+      runToTable(spark, mode = "complete") { s =>
+        import s.implicits._
+        val w: Array[Long] = s.read
+          .parquet(TextAnalysis.qualityModelDump(s, dir))
+          .orderBy($"j").select($"w").as[Long].collect()
+        Profile.calibrationGrid(TextAnalysis.qmScoreOn(
+          s.readStream.schema(docsRawSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .select($"doc_id", $"text", $"source"), w))
+      })
+
   /** CONTINUOUS PII gate — `text_pii` run per arrival: every ingested
     * document is scanned for emails / IPv4s / long digit runs and
     * fingerprinted in REDACTED form BEFORE admission — the scrubbing

@@ -696,6 +696,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.nonEmpty)
   }
 
+  test("streaming calibration monitor equals the batch reliability table, grid-bounded state") {
+    import graft.operators.{Profile, StreamQueries}
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("bin"), r.getAs[Long]("n"), r.getAs[Long]("pos"),
+        r.getAs[Long]("pred_num"), r.getAs[Double]("pos_rate"),
+        r.getAs[Double]("mean_pred"), r.getAs[Long]("ece_num"),
+        r.getAs[Double]("ece"))
+    val batch = Profile.statsCalibration(spark, dir).collect().map(key).toSet
+    val stream = StreamQueries.streamCalibration(spark, dir).collect().map(key).toSet
+    assert(stream === batch,
+      "continuous calibration grid diverged from batch train+evaluate")
+    assert(stream.nonEmpty && stream.size <= 10)
+    // complete-mode grid state = one row per occupied bin, never corpus-sized
+    val stateRows = StreamQueries.lastProgress.toSeq
+      .flatMap("\"numRowsTotal\"\\s*:\\s*(\\d+)".r
+        .findAllMatchIn(_).map(_.group(1).toLong)).sum
+    assert(stateRows > 0 && stateRows <= 10,
+      s"expected ≤10 grid state rows, got $stateRows")
+  }
+
   test("streaming delta LSH finds pairs straddling micro-batches exactly once") {
     import spark.implicits._
     import graft.functions.Text
