@@ -138,6 +138,7 @@ object SparkEntry {
     "text_cooccur"     -> (TextAnalysis.cooccur _),
     "stats_profile"    -> (Profile.statsProfile _),
     "embed_pca"        -> (Similarity.embedPca _),
+    "embed_pca_k"      -> ((s: SparkSession, d: String) => Similarity.embedPcaK(s, d)),
     "embed_knn_graph"  -> ((s: SparkSession, d: String) => Similarity.embedKnnGraph(s, d)),
     "ann_pq"           -> ((s: SparkSession, d: String) => Pq.query(s, d)),
     "ann_ivfpq"        -> ((s: SparkSession, d: String) => Pq.annIvfPq(s, d)),
@@ -383,6 +384,7 @@ object SparkEntry {
     // Similarity.embedPcaSql); SketchSpec still pins the eigenpair
     // residual, variance capture, and bit-identical retrain.
     "embed_pca"        -> Similarity.embedPcaSql,
+    "embed_pca_k"      -> Similarity.embedPcaKSql,
     "text_pii"         -> TextAnalysis.piiSql,
     "embed_knn_graph"  -> Similarity.embedKnnGraphSql(),
     // ann_pq / ann_ivfpq: hash-oracled after all — the per-subspace

@@ -700,6 +700,19 @@ object Similarity {
     */
   def pcaTop(spark: SparkSession, dir: String, iters: Int = 100)
       : (Array[Double], Array[Double], Double) = {
+    val (_, mean, cov) = pcaMoments(spark, dir)
+    val (v, lambda) = powerIterOn(cov, iters)
+    (mean, v, lambda)
+  }
+
+  /** The ONE corpus pass of [[pcaTop]]: exact scaled-integer moment
+    * partials (count, sum vector, Gram upper triangle) merged
+    * driver-side into (n, mean, covariance). Factored so the top-k
+    * form ([[pcaTopK]]) reuses the scan — deflation iterates on the
+    * 64×64 driver matrix, never the corpus.
+    */
+  private def pcaMoments(spark: SparkSession, dir: String)
+      : (Long, Array[Double], Array[Array[Double]]) = {
     import spark.implicits._
     val S = 1e4 // moment scale: products stay ≪ Long.Max at bench SFs
     val rows = Tables.embeddings(spark, dir)
@@ -761,10 +774,22 @@ object Similarity {
       }
       i += 1
     }
-    // deterministic power iteration: start on the max-variance axis
-    // (ties → lowest index), fixed iteration count, L2-normalized
+    (n, mean, cov)
+  }
+
+  /** The deterministic power iteration of [[pcaTop]] over a driver-side
+    * covariance matrix: start on the max-variance axis (ties → lowest
+    * index), fixed iteration count, L2-normalized each step, canonical
+    * sign (largest-|component| coordinate positive). Returns (unit
+    * eigenvector, eigenvalue = ‖Cv‖ at the last step). RNG-free and
+    * partition-invariant — bit-reproducible, and replayed verbatim by
+    * the DuckDB recursions.
+    */
+  private def powerIterOn(cov: Array[Array[Double]], iters: Int)
+      : (Array[Double], Double) = {
+    val dim = cov.length
     var start = 0
-    i = 1
+    var i = 1
     while (i < dim) { if (cov(i)(i) > cov(start)(start)) start = i; i += 1 }
     var v = Array.tabulate(dim)(d => if (d == start) 1.0 else 0.0)
     var lambda = 0.0
@@ -794,7 +819,35 @@ object Similarity {
     i = 1
     while (i < dim) { if (math.abs(v(i)) > math.abs(v(big))) big = i; i += 1 }
     if (v(big) < 0) { i = 0; while (i < dim) { v(i) = -v(i); i += 1 } }
-    (mean, v, lambda)
+    (v, lambda)
+  }
+
+  /** Top-k principal components by Hotelling DEFLATION: after each
+    * converged component (v_c, λ_c), subtract its rank-1 term
+    * (C ← C − λ_c·v_c·v_cᵀ, elementwise `c - lambda * v_i * v_j` —
+    * fixed multiply order, so the replay is bit-exact) and re-run the
+    * SAME power iteration on the deflated matrix. The corpus is
+    * scanned ONCE ([[pcaMoments]]); everything after is dim×dim driver
+    * arithmetic — k never touches the data again.
+    */
+  private[graft] def pcaTopK(spark: SparkSession, dir: String, k: Int,
+      iters: Int = 100): (Array[Double], Seq[(Array[Double], Double)]) = {
+    val (_, mean, cov) = pcaMoments(spark, dir)
+    val dim = cov.length
+    val comps = Seq.newBuilder[(Array[Double], Double)]
+    var c = 0
+    while (c < k) {
+      val (v, lambda) = powerIterOn(cov, iters)
+      comps += ((v, lambda))
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { cov(i)(j) = cov(i)(j) - lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      c += 1
+    }
+    (mean, comps.result())
   }
 
   /** Per-vector projection onto the learned first principal component —
@@ -816,6 +869,36 @@ object Similarity {
     }
     Tables.embeddings(spark, dir)
       .select($"vec_id", projUdf($"embedding").as("pc1_proj"))
+  }
+
+  /** Per-vector projection onto the top-2 principal components
+    * (`embed_pca_k`) — the dimension-REDUCTION artifact [[embedPca]]'s
+    * single axis is not: the 2-D (and, by the same deflation ladder,
+    * m-D) representation that feeds whitening, visualization, and the
+    * coarse quantizer of a PCA-then-PQ index. Components come from
+    * [[pcaTopK]] (one corpus scan; each further component is dim×dim
+    * driver arithmetic), the projections are one per-row primitive
+    * loop over both axes, no shuffle. Hash-oracled by [[embedPcaKSql]]
+    * — train → deflate → retrain → project replayed end to end;
+    * SketchSpec pins near-orthogonality, the deflated eigenpair
+    * residual, λ ordering, and pc1 equality with the single-component
+    * row.
+    */
+  def embedPcaK(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (mean, comps) = pcaTopK(spark, dir, k)
+    val vs = comps.map(_._1).toArray
+    val projUdf = udf { (v: Seq[Float]) =>
+      vs.map { pc =>
+        var s = 0.0
+        var i = 0
+        while (i < pc.length) { s += (v(i) - mean(i)) * pc(i); i += 1 }
+        s
+      }
+    }
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", projUdf($"embedding").as("p"))
+      .select($"vec_id" +: (0 until k).map(c => $"p" (c).as(s"pc${c + 1}_proj")): _*)
   }
 
   val embedCentroidsSql: String = """
@@ -845,7 +928,12 @@ object Similarity {
     * references by default, so the un-hinted recursion re-derived the
     * whole moment pipeline every iteration (23 s → 0.8 s at sf0.01).
     */
-  val embedPcaSql: String = """
+  /** The shared pc1 replay prefix of [[embedPcaSql]] / [[embedPcaKSql]]:
+    * moments → covariance → the 100-step power-iteration recursion →
+    * canonical-signed pc1 + the mean list. Ends after `mul` — append
+    * further CTEs or the projection SELECT.
+    */
+  private val pcaReplaySql: String = """
     WITH RECURSIVE x AS (
       SELECT vec_id, CAST(i AS BIGINT) - 1 AS d,
              CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS s,
@@ -902,7 +990,9 @@ object Similarity {
                   THEN list_transform(v, z -> -z) ELSE v END AS pc1
       FROM pcraw
     ),
-    mul AS MATERIALIZED (SELECT list(mu ORDER BY d) AS ml FROM means),
+    mul AS MATERIALIZED (SELECT list(mu ORDER BY d) AS ml FROM means)"""
+
+  val embedPcaSql: String = pcaReplaySql + """,
     vecs AS (
       SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
       FROM embeddings
@@ -912,6 +1002,74 @@ object Similarity {
              list_transform(list_zip(emb, (SELECT ml FROM mul), (SELECT pc1 FROM pc)),
                             p -> (p[1] - p[2]) * p[3]),
              (a, b) -> a + b) AS pc1_proj
+    FROM vecs"""
+
+  /** DuckDB oracle for [[embedPcaK]] — [[embedPcaSql]]'s replay
+    * continued through the DEFLATION step: λ1 recomputed exactly as the
+    * Scala loop does (‖C·v₉₉‖ — one more matvec+norm fold on the
+    * it=99 recursion row), the rank-1 subtraction per (i,j) in the
+    * same multiply order (`c - λ·v_i·v_j`), then a SECOND 100-step
+    * power-iteration recursion on the deflated matrix with its own
+    * max-variance start and canonical sign. Train → deflate → retrain
+    * → project, all bit-exact.
+    */
+  val embedPcaKSql: String = pcaReplaySql + """,
+    lam1 AS MATERIALIZED (
+      SELECT sqrt(list_reduce(list_transform(lw.wv, y -> y * y),
+                              (a, b) -> a + b)) AS l
+      FROM (SELECT v FROM fold WHERE it = 99) f99, cmat,
+      LATERAL (SELECT list_transform(cmat.m, row ->
+                 list_reduce(list_transform(list_zip(row, f99.v), p -> p[1] * p[2]),
+                             (a, b) -> a + b)) AS wv) lw
+    ),
+    cov2 AS MATERIALIZED (
+      SELECT cv.i, cv.j,
+             cv.c - (SELECT l FROM lam1) * pcv.pc1[cv.i + 1] * pcv.pc1[cv.j + 1] AS c
+      FROM cov cv, pc pcv
+    ),
+    strt2 AS MATERIALIZED (SELECT i FROM cov2 WHERE i = j ORDER BY c DESC, i ASC LIMIT 1),
+    cmat2 AS MATERIALIZED (
+      SELECT list(crow ORDER BY i) AS m
+      FROM (SELECT i, list(c ORDER BY j) AS crow FROM cov2 GROUP BY i)
+    ),
+    fold2 AS (
+      SELECT 0 AS it,
+             list_transform(range(0, dim),
+               d -> CASE WHEN d = i THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS v
+      FROM strt2, dims
+      UNION ALL
+      SELECT it + 1, list_transform(lw.wv, z -> z / ln.nrm)
+      FROM fold2, cmat2,
+      LATERAL (SELECT list_transform(cmat2.m, row ->
+                 list_reduce(list_transform(list_zip(row, fold2.v), p -> p[1] * p[2]),
+                             (a, b) -> a + b)) AS wv) lw,
+      LATERAL (SELECT sqrt(list_reduce(list_transform(lw.wv, y -> y * y),
+                                       (a, b) -> a + b)) AS nrm) ln
+      WHERE it < 100
+    ),
+    pcraw2 AS MATERIALIZED (SELECT v FROM fold2 WHERE it = 100),
+    big2 AS MATERIALIZED (
+      SELECT d FROM pcraw2, LATERAL (SELECT unnest(range(0, len(v))) AS d) u
+      ORDER BY abs(v[d + 1]) DESC, d ASC LIMIT 1
+    ),
+    pc2 AS MATERIALIZED (
+      SELECT CASE WHEN v[(SELECT d FROM big2) + 1] < 0
+                  THEN list_transform(v, z -> -z) ELSE v END AS pc2
+      FROM pcraw2
+    ),
+    vecs AS (
+      SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
+      FROM embeddings
+    )
+    SELECT vec_id,
+           list_reduce(
+             list_transform(list_zip(emb, (SELECT ml FROM mul), (SELECT pc1 FROM pc)),
+                            p -> (p[1] - p[2]) * p[3]),
+             (a, b) -> a + b) AS pc1_proj,
+           list_reduce(
+             list_transform(list_zip(emb, (SELECT ml FROM mul), (SELECT pc2 FROM pc2)),
+                            p -> (p[1] - p[2]) * p[3]),
+             (a, b) -> a + b) AS pc2_proj
     FROM vecs"""
 
   /** One unrolled Lloyd iteration for [[annIvfSql]]: distances to every

@@ -182,6 +182,50 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean.sameElements(m2) && pc1.sameElements(v2) && lambda === l2)
   }
 
+  test("PCA top-2 deflation: orthogonality, lambda ordering, pc1 consistency, " +
+      "deflated eigenpair, determinism") {
+    val (mean, comps) = Similarity.pcaTopK(spark, sf, 2)
+    assert(comps.size === 2)
+    val (v1, l1) = comps(0)
+    val (v2, l2) = comps(1)
+    // both unit, near-orthogonal, variance-ordered
+    assert(math.abs(math.sqrt(v1.map(x => x * x).sum) - 1.0) < 1e-9)
+    assert(math.abs(math.sqrt(v2.map(x => x * x).sum) - 1.0) < 1e-9)
+    assert(math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum) < 1e-3,
+      "pc1 and pc2 should be near-orthogonal")
+    assert(l1 >= l2 && l2 > 0, s"lambda order violated: $l1 < $l2")
+    // component 1 IS the single-component row's answer
+    val (m1, pc1, lam1) = Similarity.pcaTop(spark, sf)
+    assert(mean.sameElements(m1) && v1.sameElements(pc1) && l1 === lam1)
+    // v2 is an eigenpair of the DEFLATED covariance: rebuild it the
+    // exact way training does and check C'v2 ≈ λ2 v2
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val n = rows.length
+    val cov = Array.ofDim[Double](64, 64)
+    for (i <- 0 until 64; j <- 0 until 64)
+      cov(i)(j) = rows.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n -
+        l1 * v1(i) * v1(j)
+    val cv = Array.tabulate(64)(i => (0 until 64).map(j => cov(i)(j) * v2(j)).sum)
+    val residual = math.sqrt(cv.zip(v2).map { case (a, b) =>
+      (a - l2 * b) * (a - l2 * b) }.sum)
+    assert(residual / l2 < 1e-2, s"deflated residual=$residual lambda2=$l2")
+    // the projected columns decorrelate (PCA's defining property)
+    val projs = Similarity.embedPcaK(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val mx = projs.map(_._1).sum / projs.length
+    val my = projs.map(_._2).sum / projs.length
+    val cxy = projs.map { case (x, y) => (x - mx) * (y - my) }.sum / projs.length
+    assert(math.abs(cxy) / (l1 + l2) < 1e-2, s"projection covariance $cxy")
+    // bit-identical retrain
+    val (meanB, compsB) = Similarity.pcaTopK(spark, sf, 2)
+    assert(mean.sameElements(meanB))
+    comps.zip(compsB).foreach { case ((va, la), (vb, lb)) =>
+      assert(va.sameElements(vb) && la === lb)
+    }
+  }
+
   test("k-means codebook training is deterministic with a monotone objective") {
     val (codebook, obj) = Similarity.kmeansCodebook(spark, sf)
     assert(codebook.length === 10)
