@@ -148,6 +148,7 @@ object SparkEntry {
     "text_decontam"    -> (Decontam.ngramCollisions _),
     "text_decontam_frac" -> (Decontam.fracDecontam _),
     "decontam_embed" -> ((s: SparkSession, d: String) => Decontam.embedDecontam(s, d)),
+    "q_stream_decontam_embed" -> ((s: SparkSession, d: String) => StreamQueries.streamEmbedDecontam(s, d)),
     "text_decontam_bloom" -> ((s: SparkSession, d: String) => Decontam.bloomDecontam(s, d)),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "sink_csv"         -> (graft.sources.Sinks.csvRoundTrip _),
@@ -400,6 +401,9 @@ object SparkEntry {
     "text_decontam"    -> Decontam.ngramCollisionsSql,
     "text_decontam_frac" -> Decontam.fracDecontamSql,
     "decontam_embed" -> Decontam.embedDecontamSql,
+    // q_stream_decontam_embed: stateless per-arrival scoring against the
+    // broadcast eval suite — same full replay oracle as the batch row
+    "q_stream_decontam_embed" -> Decontam.embedDecontamSql,
     // identical output contract via the Bloom pre-filter path (exact
     // verify behind the sketch) — same oracle as text_decontam
     "text_decontam_bloom" -> Decontam.ngramCollisionsSql,

@@ -347,7 +347,7 @@ object Similarity {
     s
   }
 
-  private def selfDot(a: Array[Float]): Double = dotD(a, a)
+  private[operators] def selfDot(a: Array[Float]): Double = dotD(a, a)
 
   val embedPairsSql: String = duckEmb + """
     SELECT * FROM (

@@ -1004,6 +1004,71 @@ object StreamQueries {
         .toDF("query_id", "neighbor_id", "cell", "cos", "rank")
     }
 
+  /** CONTINUOUS semantic decontamination — `decontam_embed` run per
+    * arrival: every ingested embedding is scored against the BROADCAST
+    * eval-suite vectors before admission, the semantic member of the
+    * streaming gate family ([[streamDecontam]] verbatim n-grams,
+    * [[streamQualityModel]] the trained gate, [[streamPii]] scrubbing).
+    * Fully STATELESS: the per-vector aggregates (hit count, best
+    * cosine, min-eval-id witness) are computed inside the arriving row
+    * against the whole broadcast suite — no shuffle, no state store,
+    * scales with arrival rate × |eval| only (and the batch row's
+    * documented LSH/PQ prescreen swap applies unchanged at 10⁵-eval
+    * scale). Per-pair arithmetic is the SAME sequential double fold as
+    * the batch expressions (ascending-index dot, sqrt norm, one
+    * division), so the gate emits the batch contract verbatim —
+    * hash-matches `embedDecontamSql`: streaming ≡ batch.
+    */
+  def streamEmbedDecontam(spark: SparkSession, dir: String,
+      threshold: Double = 0.30, evalMod: Long = 50L): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val eval: Array[(Long, Array[Float], Double)] =
+        Tables.embeddings(s, dir)
+          .filter($"vec_id" % evalMod === 0)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+          .collect().sortBy(_._1)
+          .map { case (id, v) => (id, v, math.sqrt(Similarity.selfDot(v))) }
+          .filter(_._3 > 0)
+      val bc = s.sparkContext.broadcast(eval)
+      val gate = udf { (v: Seq[Float]) =>
+        val x = v.toArray
+        var sq = 0.0
+        var i = 0
+        while (i < x.length) { sq += x(i).toDouble * x(i).toDouble; i += 1 }
+        val nrm = math.sqrt(sq)
+        if (nrm <= 0) null
+        else {
+          var nHits = 0L
+          var best = Double.NegativeInfinity
+          var witness = Long.MaxValue
+          bc.value.foreach { case (eid, ev, en) =>
+            var d = 0.0
+            var j = 0
+            while (j < x.length) { d += x(j).toDouble * ev(j).toDouble; j += 1 }
+            val cos = d / (nrm * en)
+            if (cos >= threshold) {
+              nHits += 1
+              if (cos > best) best = cos
+              if (eid < witness) witness = eid
+            }
+          }
+          if (nHits == 0L) null else (nHits, best, witness)
+        }
+      }
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter($"vec_id" % evalMod =!= 0)
+        .select($"vec_id", gate($"embedding").as("r"))
+        .filter($"r".isNotNull)
+        .select($"vec_id", $"r._1".as("n_eval_hits"),
+          $"r._2".as("best_cos"), $"r._3".as("witness_id"))
+    }
+
   /** CONTINUOUS boilerplate discovery — the streaming twin of
     * `text_boilerplate`'s hot-line detection: as documents arrive, the
     * set of lines shared by more than `maxDf` distinct documents grows

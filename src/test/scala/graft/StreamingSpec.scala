@@ -696,6 +696,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.nonEmpty)
   }
 
+  test("streaming semantic decontam gate equals the batch row and holds NO state") {
+    import graft.operators.{Decontam, StreamQueries}
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("n_eval_hits"),
+        r.getAs[Double]("best_cos"), r.getAs[Long]("witness_id"))
+    val batch = Decontam.embedDecontam(spark, dir).collect().map(key).toSet
+    val stream = StreamQueries.streamEmbedDecontam(spark, dir)
+      .collect().map(key).toSet
+    assert(stream === batch,
+      "per-arrival semantic gate diverged from the batch broadcast join")
+    assert(stream.nonEmpty)
+    // the gate is a pure map: no stateful operator may appear at all
+    val stateRows = StreamQueries.lastProgress.toSeq
+      .flatMap("\"numRowsTotal\"\\s*:\\s*(\\d+)".r
+        .findAllMatchIn(_).map(_.group(1).toLong)).sum
+    assert(stateRows === 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("streaming calibration monitor equals the batch reliability table, grid-bounded state") {
     import graft.operators.{Profile, StreamQueries}
     val dir = "/root/testdata/sf0.001"
