@@ -244,7 +244,14 @@ object TextAnalysis {
     val feat = qmFeatures(docs)
       .as[(Long, Long, Long, Long, Long, Long, Long)].cache()
     val w = qmTrain(feat, iters)
-    val score = qmScoreFeat(feat.toDF(), w)
+    // materialize the slim scored rows BEFORE dropping the feature
+    // cache: the evaluation consumers (`stats_auc`/`stats_calibration`
+    // grids, and their grid-total branches) re-read this output — an
+    // un-truncated lineage would re-run the regex featurization pass
+    // once per consumer after the unpersist (measured: +20 s of a 32 s
+    // row at the 100× fixture). The checkpoint holds 4 integers per
+    // doc — the same slim-set move as `tokenBudget`'s selected cut.
+    val score = qmScoreFeat(feat.toDF(), w).localCheckpoint()
     feat.unpersist(blocking = false)
     score
   }
