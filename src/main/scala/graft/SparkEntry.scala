@@ -180,6 +180,7 @@ object SparkEntry {
     "pipeline_interleave" -> (Curation.interleave _),
     "mm_simhash"       -> (Multimodal.payloadSimhash _),
     "pipeline_mix"     -> (Curation.mixSources _),
+    "sample_temperature" -> (Curation.sampleTemperature _),
     "pipeline_anneal"  -> (Curation.annealMix _),
     "pipeline_cluster_balance" -> ((s: SparkSession, d: String) => Curation.clusterBalance(s, d)),
     "graph_pagerank"   -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
@@ -441,6 +442,7 @@ object SparkEntry {
     // in HUGEINT; SketchSpec still plants a one-byte-flipped copy.
     "mm_simhash"       -> Multimodal.payloadSimhashSql,
     "pipeline_mix"     -> Curation.mixSourcesSql,
+    "sample_temperature" -> Curation.sampleTemperatureSql,
     "pipeline_anneal"  -> Curation.annealMixSql,
     // pipeline_cluster_balance: the full Lloyd's replay (shared with
     // ann_ivf) + the capped per-cell pick -> train-assign-balance

@@ -784,4 +784,79 @@ object Curation {
       FROM corpus)
     SELECT doc_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk
     FROM picked WHERE rk <= $cap"""
+
+  /** TEMPERATURE-sampled language mixture (`sample_temperature`) — the
+    * α-sampling standard of multilingual pre-training (mBERT/XLM-R:
+    * sample language ℓ ∝ n_ℓ^α, α ≈ 0.5, flattening the head so
+    * low-resource languages aren't drowned): [[mixSources]]'s
+    * composition-first construction with weights DERIVED from the
+    * observed counts instead of a static table. α = 1/2 makes the
+    * weight n_ℓ^α an INTEGER SQUARE ROOT, kept exact on both engines
+    * by correcting `floor(sqrt(n))` with one ±1 integer adjustment
+    * (IEEE sqrt is correctly rounded, so the double seed is within
+    * one of the true isqrt; the correction makes the oracle immune
+    * even to a last-ulp disagreement). From there the mix machinery
+    * is unchanged and all-integer: N_out = min_ℓ (n_ℓ·Σw div w_ℓ)
+    * (the binding language caps the corpus), quota
+    * k_ℓ = w_ℓ·N_out div Σw, rows picked per language in the shared
+    * md5 order (stable-prefix across any quota change, as in the
+    * anneal family).
+    *
+    * Scale shape: counts = one map-side-combined agg (#langs rows);
+    * isqrt/totals/quotas all happen on that tiny table and ride
+    * broadcast joins; the pick is one rank window per language
+    * (huge strata route through the local-top-k plan). One corpus
+    * scan, one window shuffle — any scale.
+    */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val w = counts
+      .withColumn("r0", floor(sqrt($"n".cast("double"))).cast("long"))
+      .withColumn("w",
+        when(($"r0" + 1) * ($"r0" + 1) <= $"n", $"r0" + 1)
+          .when($"r0" * $"r0" > $"n", $"r0" - 1)
+          .otherwise($"r0"))
+    val tot = w.agg(sum($"w").as("sw"))
+    val wt = w.crossJoin(broadcast(tot))
+    val nOut = wt.agg(min(expr("(n * sw) div w")).as("n_out"))
+    val quotas = wt.crossJoin(broadcast(nOut))
+      .select($"lang", expr("(w * n_out) div sw").as("k"))
+    docs.join(broadcast(quotas), "lang")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+      .filter($"rk" <= $"k")
+      .select($"doc_id", $"lang", $"rk")
+  }
+
+  val sampleTemperatureSql: String = """
+    WITH docs AS (
+      SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM docs GROUP BY lang),
+    w AS (
+      SELECT lang, n,
+             CASE WHEN (r0 + 1) * (r0 + 1) <= n THEN r0 + 1
+                  WHEN r0 * r0 > n THEN r0 - 1
+                  ELSE r0 END AS w
+      FROM (SELECT lang, n,
+                   CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r0
+            FROM counts)),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM w),
+    n_out AS (SELECT MIN((n * (SELECT sw FROM tot)) // w) AS n_out FROM w),
+    quotas AS (
+      SELECT lang,
+             CAST((w * (SELECT n_out FROM n_out)) // (SELECT sw FROM tot)
+                  AS BIGINT) AS k
+      FROM w),
+    ranked AS (
+      SELECT d.doc_id, d.lang, q.k,
+             row_number() OVER (PARTITION BY d.lang ORDER BY d.h, d.doc_id) AS rk
+      FROM docs d JOIN quotas q USING (lang))
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= k"""
 }

@@ -93,6 +93,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sample_temperature: exact isqrt weights, binding-language quotas, head flattening") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_temp_mix").toString
+    // lang counts {aa: 9, bb: 4, cc: 2} -> isqrt weights {3, 2, 1}, Σ=6;
+    // N_out = min(9·6/3, 4·6/2, 2·6/1) = 12 (binding: bb and cc);
+    // quotas = {6, 4, 2}. Head share flattens 60% -> 50%, tail rises
+    // 13.3% -> 16.7% — the α=0.5 contract. n=9 exercises the
+    // perfect-square isqrt edge, n=2 the non-square floor.
+    val rows = (1 to 9).map(i => (i.toLong, "aa")) ++
+      (10 to 13).map(i => (i.toLong, "bb")) ++
+      (14 to 15).map(i => (i.toLong, "cc"))
+    rows.toDF("doc_id", "lang")
+      .withColumn("text", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("src0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curation.sampleTemperature(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("aa" -> 6, "bb" -> 4, "cc" -> 2), s"quotas $byLang")
+    assert(out.length === 12)
+    // determinism: a rerun picks the identical rows
+    val again = Curation.sampleTemperature(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    assert(again.toSet === out.toSet)
+  }
+
   test("pipeline_mix reruns pick the identical rows") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
       df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
