@@ -51,6 +51,7 @@ object SparkEntry {
     "stats_ks_binned" -> ((s: SparkSession, d: String) => Profile.statsKsBinned(s, d)),
     "stats_auc"    -> (Profile.statsAuc _),
     "stats_calibration" -> (Profile.statsCalibration _),
+    "stats_confusion" -> (Profile.statsConfusion _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_slide_distinct" -> (Windows.slideDistinct _),
@@ -230,6 +231,7 @@ object SparkEntry {
     "stats_ks_binned" -> Profile.statsKsBinnedSql(),
     "stats_auc"    -> Profile.statsAucSql,
     "stats_calibration" -> Profile.statsCalibrationSql,
+    "stats_confusion" -> Profile.statsConfusionSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_slide_distinct" -> Windows.slideDistinctSql,

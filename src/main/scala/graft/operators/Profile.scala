@@ -620,4 +620,70 @@ object Profile {
            CAST(ece_num AS DOUBLE) / CAST(n_tot * $s AS DOUBLE) AS ece
     FROM grid, t"""
   }
+
+  /** Confusion matrix + threshold metrics of the trained quality gate —
+    * the third evaluation axis next to [[statsAuc]] (ranking) and
+    * [[statsCalibration]] (probability honesty): what the gate DOES at
+    * its operating threshold. One conditional aggregation produces the
+    * four exact BIGINT cells (tp/fp/tn/fn at pred = score ≥ S/2, the
+    * serving threshold), and precision / recall / F1 / accuracy are
+    * each ONE division of exact integers (F1 via its integer-numerator
+    * form 2·tp / (2·tp + fp + fn) — no chained float ops) — engine-
+    * exact hash. ONE map-side-combined corpus pass to a 1-row result;
+    * degenerate corpora (a denominator of zero) emit no row rather
+    * than NaN (the `stats_ks` guard).
+    */
+  def statsConfusion(spark: SparkSession, dir: String): DataFrame =
+    confusionOn(TextAnalysis.qualityModel(spark, dir)
+      .select(col("label"), col("pred")))
+
+  /** The confusion computation over any (label ∈ {0,1}, pred ∈ {0,1})
+    * frame, factored for planted-corpus specs.
+    */
+  private[graft] def confusionOn(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .agg(
+        sum(when($"label" === 1 && $"pred" === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when($"label" === 0 && $"pred" === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when($"label" === 0 && $"pred" === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when($"label" === 1 && $"pred" === 0, 1L).otherwise(0L)).as("fn"))
+      .filter($"tp" + $"fp" > 0 && $"tp" + $"fn" > 0)
+      .select($"tp", $"fp", $"tn", $"fn",
+        ($"tp".cast("double") / ($"tp" + $"fp").cast("double")).as("precision"),
+        ($"tp".cast("double") / ($"tp" + $"fn").cast("double")).as("recall"),
+        (($"tp" * 2).cast("double") /
+          ($"tp" * 2 + $"fp" + $"fn").cast("double")).as("f1"),
+        (($"tp" + $"tn").cast("double") /
+          ($"tp" + $"fp" + $"tn" + $"fn").cast("double")).as("accuracy"))
+  }
+
+  /** Full train+evaluate replay of [[statsConfusion]]: the shared
+    * training prefix, the served prediction, then the four-cell
+    * conditional aggregation and its integer-ratio metrics.
+    */
+  val statsConfusionSql: String = {
+    val s = TextAnalysis.QmScale
+    val iters = TextAnalysis.QmIters
+    TextAnalysis.qmTrainCtesSql + s""",
+    scored AS (
+      SELECT f.y AS label,
+             CASE WHEN (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
+                  >= ${s / 2} THEN 1 ELSE 0 END AS pred
+      FROM feat f, w$iters w),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        CAST(SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored)
+    SELECT tp, fp, tn, fn,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+           CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1,
+           CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE) AS accuracy
+    FROM cells WHERE tp + fp > 0 AND tp + fn > 0"""
+  }
 }

@@ -135,6 +135,25 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(any.getAs[Double]("ece") === eceNum.toDouble / (nTot * S).toDouble)
   }
 
+  test("confusion matrix: planted cells, integer-ratio metrics, degenerate guard") {
+    import spark.implicits._
+    def conf(rows: Seq[(Long, Long)]) =
+      Profile.confusionOn(rows.toDF("label", "pred")).collect()
+    // tp=2 fp=1 tn=3 fn=1 -> precision 2/3, recall 2/3, f1 4/6, acc 5/7
+    val r = conf(Seq((1L, 1L), (1L, 1L), (0L, 1L), (0L, 0L), (0L, 0L),
+      (0L, 0L), (1L, 0L))).head
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("tn"),
+      r.getAs[Long]("fn")) === ((2L, 1L, 3L, 1L)))
+    assert(r.getAs[Double]("precision") === 2.0 / 3.0)
+    assert(r.getAs[Double]("recall") === 2.0 / 3.0)
+    assert(r.getAs[Double]("f1") === 4.0 / 6.0)
+    assert(r.getAs[Double]("accuracy") === 5.0 / 7.0)
+    // degenerate: no predicted positives (tp+fp = 0) -> no row, not NaN
+    assert(conf(Seq((1L, 0L), (0L, 0L))).isEmpty)
+    // degenerate: no actual positives (tp+fn = 0) -> no row
+    assert(conf(Seq((0L, 1L), (0L, 0L))).isEmpty)
+  }
+
   test("binned KS on the gate corpus: bracket holds against the exact row") {
     val dir = "/root/testdata/sf0.001"
     val exactD = Profile.statsKs(spark, dir).head().getAs[Double]("ks_d")
