@@ -140,6 +140,7 @@ object SparkEntry {
     "stats_profile"    -> (Profile.statsProfile _),
     "embed_pca"        -> (Similarity.embedPca _),
     "embed_pca_k"      -> ((s: SparkSession, d: String) => Similarity.embedPcaK(s, d)),
+    "embed_pca_delta"  -> ((s: SparkSession, d: String) => Similarity.embedPcaDelta(s, d)),
     "embed_knn_graph"  -> ((s: SparkSession, d: String) => Similarity.embedKnnGraph(s, d)),
     "ann_pq"           -> ((s: SparkSession, d: String) => Pq.query(s, d)),
     "ann_ivfpq"        -> ((s: SparkSession, d: String) => Pq.annIvfPq(s, d)),
@@ -389,6 +390,9 @@ object SparkEntry {
     // residual, variance capture, and bit-identical retrain.
     "embed_pca"        -> Similarity.embedPcaSql,
     "embed_pca_k"      -> Similarity.embedPcaKSql,
+    // embed_pca_delta: staged-moments merge ≡ from-scratch retrain — the
+    // oracle replays the FULL corpus training and projects the delta
+    "embed_pca_delta"  -> Similarity.embedPcaDeltaSql,
     "text_pii"         -> TextAnalysis.piiSql,
     "embed_knn_graph"  -> Similarity.embedKnnGraphSql(),
     // ann_pq / ann_ivfpq: hash-oracled after all — the per-subspace

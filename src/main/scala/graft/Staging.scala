@@ -44,6 +44,7 @@ object Staging {
     // trained / derived model artifacts
     "bpe_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.bpeModelDump(s, d)),
     "qm_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.qualityModelDump(s, d)),
+    "pca_moments" -> ((s: SparkSession, d: String) => ops.Similarity.pcaMomentsDump(s, d)),
     "eval_grams" -> ((s: SparkSession, d: String) => ops.Decontam.evalGramsDump(s, d)),
     "hll_daily" -> ((s: SparkSession, d: String) => ops.Analytics.qHllMerge(s, d)),
     // streaming serving-side indexes

@@ -714,9 +714,24 @@ object Similarity {
   private def pcaMoments(spark: SparkSession, dir: String)
       : (Long, Array[Double], Array[Array[Double]]) = {
     import spark.implicits._
-    val S = 1e4 // moment scale: products stay ≪ Long.Max at bench SFs
     val rows = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    val (n, sum, gram) = pcaMomentsInt(rows)
+    covFromMoments(n, sum, gram)
+  }
+
+  /** The EXACT INTEGER moments of a vector set: (count, scaled sum
+    * vector, scaled Gram upper triangle) — associative BIGINT sums, so
+    * moments of disjoint slices ADD to the whole corpus's moments
+    * bit-for-bit. That additivity is what makes [[embedPcaDelta]]'s
+    * incremental retrain EXACT (not approximately-incremental): merge
+    * staged base moments with a delta scan's and the merged model is
+    * the full-recompute model, identically.
+    */
+  private def pcaMomentsInt(rows: org.apache.spark.sql.Dataset[(Long, Array[Float])])
+      : (Long, Array[Long], Array[Long]) = {
+    import rows.sparkSession.implicits._
+    val S = 1e4 // moment scale: products stay ≪ Long.Max at bench SFs
     val partials = rows.mapPartitions { it =>
       var n = 0L
       var sum: Array[Long] = null
@@ -757,6 +772,16 @@ object Similarity {
       i = 0
       while (i < gram.length) { gram(i) += pg(i); i += 1 }
     }
+    (n, sum, gram)
+  }
+
+  /** (n, mean, covariance) from exact integer moments — the double
+    * conversion happens HERE, once, after all integer merging.
+    */
+  private def covFromMoments(n: Long, sum: Array[Long], gram: Array[Long])
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    val S = 1e4
+    val dim = sum.length
     val mean = sum.map(_.toDouble / S / n)
     // covariance C = E[xxᵀ] − μμᵀ from the exact integer moments
     val cov = Array.ofDim[Double](dim, dim)
@@ -900,6 +925,88 @@ object Similarity {
       .select($"vec_id", projUdf($"embedding").as("p"))
       .select($"vec_id" +: (0 until k).map(c => $"p" (c).as(s"pc${c + 1}_proj")): _*)
   }
+
+  /** The delta slice of [[embedPcaDelta]] — `vec_id % 10 = 0` stands in
+    * for an ingest window's new arrivals; everything else is the
+    * standing base corpus whose moments are staged.
+    */
+  private def isPcaDelta(c: org.apache.spark.sql.Column) = c % 10 === 0
+
+  /** Staged EXACT integer moments of the base corpus — the model-state
+    * artifact an incremental PCA refresh reads instead of re-scanning
+    * the base: rows (kind ∈ n/sum/gram, i, v), all BIGINT, published
+    * once per base generation through DumpCache (the
+    * `dedup_delta_commit` pattern applied to MODEL STATE rather than an
+    * index).
+    */
+  private[graft] def pcaMomentsDump(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val base = graft.sources.DumpCache.dirFor("graft_pca_moments",
+      dir, "embeddings.parquet")
+    graft.sources.DumpCache.ensure(base) { tmp =>
+      val rows = Tables.embeddings(spark, dir)
+        .filter(!isPcaDelta($"vec_id"))
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      val (n, sum, gram) = pcaMomentsInt(rows)
+      (Seq(("n", 0L, n)) ++
+        sum.zipWithIndex.map { case (v, i) => ("sum", i.toLong, v) } ++
+        gram.zipWithIndex.map { case (v, i) => ("gram", i.toLong, v) })
+        .toDF("kind", "i", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    base
+  }
+
+  /** INCREMENTAL PCA refresh (`embed_pca_delta`) — the model-refresh
+    * step of a continuously-ingesting vector store, and the
+    * incremental-≡-recompute contract ([[Dedup]]'s delta family)
+    * lifted to a TRAINED MODEL: the integer moments are associative
+    * BIGINT sums ([[pcaMomentsInt]]), so staged base moments + a
+    * delta-only scan merge into EXACTLY the full corpus's moments —
+    * the refreshed eigenvector is the full-recompute eigenvector
+    * bit-for-bit, with work O(delta·dim² + dim²), the base NEVER
+    * re-read (contrast running means/covariances in floating point,
+    * where incremental maintenance drifts and "refresh" means rescan).
+    * Output: the new arrivals projected onto the refreshed component
+    * (what the ingest pipeline indexes). The DuckDB oracle replays
+    * the FULL corpus training ([[embedPcaSql]]'s recursion) and
+    * projects the delta slice — incremental merge ≡ from-scratch
+    * recompute, hash-proven; SketchSpec additionally pins the merged
+    * moments and model against [[pcaTop]] bitwise.
+    */
+  def embedPcaDelta(spark: SparkSession, dir: String, iters: Int = 100): DataFrame = {
+    import spark.implicits._
+    val staged = spark.read.parquet(pcaMomentsDump(spark, dir))
+      .select($"kind", $"i", $"v").as[(String, Long, Long)].collect()
+    val byKind = staged.groupBy(_._1)
+    def vec(kind: String): Array[Long] = {
+      val m = byKind(kind).map(r => r._2 -> r._3).toMap
+      Array.tabulate(m.size)(i => m(i.toLong))
+    }
+    val nBase = byKind("n").head._3
+    val sum = vec("sum")
+    val gram = vec("gram")
+    val delta = Tables.embeddings(spark, dir)
+      .filter(isPcaDelta($"vec_id"))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    val (nD, sumD, gramD) = pcaMomentsInt(delta)
+    var i = 0
+    while (i < sum.length) { sum(i) += sumD(i); i += 1 }
+    i = 0
+    while (i < gram.length) { gram(i) += gramD(i); i += 1 }
+    val (_, mean, cov) = covFromMoments(nBase + nD, sum, gram)
+    val (pc1, _) = powerIterOn(cov, iters)
+    val projUdf = udf { (v: Seq[Float]) =>
+      var s = 0.0
+      var j = 0
+      while (j < pc1.length) { s += (v(j) - mean(j)) * pc1(j); j += 1 }
+      s
+    }
+    Tables.embeddings(spark, dir)
+      .filter(isPcaDelta($"vec_id"))
+      .select($"vec_id", projUdf($"embedding").as("pc1_proj"))
+  }
+
 
   val embedCentroidsSql: String = """
     WITH x AS (
@@ -1070,6 +1177,23 @@ object Similarity {
              list_transform(list_zip(emb, (SELECT ml FROM mul), (SELECT pc2 FROM pc2)),
                             p -> (p[1] - p[2]) * p[3]),
              (a, b) -> a + b) AS pc2_proj
+    FROM vecs"""
+
+  /** Oracle for [[embedPcaDelta]]: the full-corpus pc1 replay, projected
+    * onto the delta slice only — from-scratch ≡ incremental, the whole
+    * point. (Defined after [[pcaReplaySql]]: object vals initialize in
+    * declaration order.)
+    */
+  val embedPcaDeltaSql: String = pcaReplaySql + """,
+    vecs AS (
+      SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT vec_id,
+           list_reduce(
+             list_transform(list_zip(emb, (SELECT ml FROM mul), (SELECT pc1 FROM pc)),
+                            p -> (p[1] - p[2]) * p[3]),
+             (a, b) -> a + b) AS pc1_proj
     FROM vecs"""
 
   /** One unrolled Lloyd iteration for [[annIvfSql]]: distances to every

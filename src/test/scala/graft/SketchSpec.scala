@@ -226,6 +226,22 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental PCA refresh: delta projections equal the full-model row bitwise") {
+    // the incremental ≡ recompute contract for MODEL STATE: staged base
+    // moments + delta scan must reproduce the full-corpus projections
+    // exactly (integer-moment additivity), so the delta row's output is
+    // the full embedPca output restricted to the delta slice, bit-equal
+    val full = Similarity.embedPca(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val delta = Similarity.embedPcaDelta(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(delta.nonEmpty)
+    assert(delta.keySet === full.keySet.filter(_ % 10 == 0))
+    delta.foreach { case (id, p) =>
+      assert(p === full(id), s"vec $id: delta-refresh $p != full ${full(id)}")
+    }
+  }
+
   test("k-means codebook training is deterministic with a monotone objective") {
     val (codebook, obj) = Similarity.kmeansCodebook(spark, sf)
     assert(codebook.length === 10)
