@@ -813,18 +813,24 @@ object Curation {
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"lang",
         md5($"doc_id".cast("string").cast("binary")).as("h"))
+    // the weight/quota math lives on a #langs-sized table — collect it
+    // and run the integer arithmetic driver-side (the kmeans-partials
+    // move; a first cut derived it as four chained tiny aggregations
+    // and paid a corpus scan per branch), then ship quotas back as a
+    // broadcast literal table: TWO corpus scans total (counts + pick)
     val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
-    val w = counts
-      .withColumn("r0", floor(sqrt($"n".cast("double"))).cast("long"))
-      .withColumn("w",
-        when(($"r0" + 1) * ($"r0" + 1) <= $"n", $"r0" + 1)
-          .when($"r0" * $"r0" > $"n", $"r0" - 1)
-          .otherwise($"r0"))
-    val tot = w.agg(sum($"w").as("sw"))
-    val wt = w.crossJoin(broadcast(tot))
-    val nOut = wt.agg(min(expr("(n * sw) div w")).as("n_out"))
-    val quotas = wt.crossJoin(broadcast(nOut))
-      .select($"lang", expr("(w * n_out) div sw").as("k"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    def isqrt(n: Long): Long = {
+      var r = math.sqrt(n.toDouble).toLong
+      while ((r + 1) * (r + 1) <= n) r += 1
+      while (r * r > n) r -= 1
+      r
+    }
+    val w = counts.map { case (l, n) => (l, n, isqrt(n)) }
+    val sw = w.map(_._3).sum
+    val nOut = w.map { case (_, n, wi) => n * sw / wi }.min
+    val quotas = w.toSeq.map { case (l, _, wi) => (l, wi * nOut / sw) }
+      .toDF("lang", "k")
     docs.join(broadcast(quotas), "lang")
       .withColumn("rk", row_number().over(
         Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
