@@ -142,6 +142,7 @@ object SparkEntry {
     "embed_pca_k"      -> ((s: SparkSession, d: String) => Similarity.embedPcaK(s, d)),
     "embed_pca_delta"  -> ((s: SparkSession, d: String) => Similarity.embedPcaDelta(s, d)),
     "embed_knn_graph"  -> ((s: SparkSession, d: String) => Similarity.embedKnnGraph(s, d)),
+    "embed_knn_graph_lsh" -> ((s: SparkSession, d: String) => Similarity.embedKnnGraphLsh(s, d)),
     "ann_pq"           -> ((s: SparkSession, d: String) => Pq.query(s, d)),
     "ann_ivfpq"        -> ((s: SparkSession, d: String) => Pq.annIvfPq(s, d)),
     "dedup_semdedup"   -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
@@ -395,6 +396,7 @@ object SparkEntry {
     "embed_pca_delta"  -> Similarity.embedPcaDeltaSql,
     "text_pii"         -> TextAnalysis.piiSql,
     "embed_knn_graph"  -> Similarity.embedKnnGraphSql(),
+    "embed_knn_graph_lsh" -> Similarity.embedKnnGraphLshSql(),
     // ann_pq / ann_ivfpq: hash-oracled after all — the per-subspace
     // Lloyd's and the coarse quantizer unroll as chained CTEs, the ADC
     // sum is an ordered list fold; SketchSpec still asserts retrain

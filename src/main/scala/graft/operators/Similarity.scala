@@ -336,6 +336,62 @@ object Similarity {
     SELECT ida AS vec_id_a, idb AS vec_id_b, cos
     FROM scored WHERE cos >= 0.4e0"""
 
+  /** The SUBLINEAR kNN-graph path (`embed_knn_graph_lsh`) — the scale
+    * twin of [[embedKnnGraph]]'s exact Θ(n²) contract, and the graph
+    * 100 TB actually builds before PageRank/triangles/SemDeDup run on
+    * it: hyperplane-LSH bucketed candidate edges ([[Vectors.lshKeys]],
+    * occupancy-scaled key width — the same machinery and the same
+    * 10×-found fix as [[embedPairsLsh]]) + exact [[Vectors.dot]]
+    * rescore + one per-node top-k window over CANDIDATES only.
+    * Candidate volume ~ n·bucket·tables (linear), slim id-pair rows
+    * through the dedup shuffle, embeddings attached by id equi-joins
+    * post-dedup. Approximate by construction (a true neighbor sharing
+    * no bucket is missed — SketchSpec measures recall vs the exact
+    * twin); every EMITTED edge is exact, and the whole operator —
+    * splitmix64 planes, buckets, rescore, ranking — replays
+    * bit-for-bit in DuckDB, so even the approximate graph is
+    * hash-verified.
+    */
+  def embedKnnGraphLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val bits = lshBitsFor(Tables.embeddings(spark, dir).count())
+    val keyer = Vectors.lshKeys(dim = 64, tables = 16, bits = bits)
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"))
+    val keys = emb.select($"vec_id", explode(keyer($"embedding")).as("bucket"))
+    val cand = keys.toDF("vec_id", "bucket")
+      .join(keys.toDF("neighbor_id", "bucket"), Seq("bucket"))
+      .filter($"vec_id" =!= $"neighbor_id")
+      .select($"vec_id", $"neighbor_id")
+      .dropDuplicates("vec_id", "neighbor_id")
+    val a = emb.select($"vec_id", $"embedding".as("ea"), $"nrm".as("na"))
+    val b = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("eb"),
+      $"nrm".as("nb"))
+    val scored = cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
+      .select($"vec_id", $"neighbor_id",
+        (Vectors.dot($"ea", $"eb") / ($"na" * $"nb")).as("cos"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+  }
+
+  /** DuckDB replay oracle for [[embedKnnGraphLsh]] — the
+    * [[embedPairsLshSql]] bucket replay with DIRECTED distinct
+    * candidates and the per-node rank instead of a threshold.
+    */
+  def embedKnnGraphLshSql(k: Int = 3): String = duckEmb + "," +
+    SketchSql.lshBucketCtes(tables = 16, bits = 4, seed = 7) + s""",
+    cand AS (SELECT DISTINCT a.vec_id AS vid, b.vec_id AS nid
+             FROM buck a JOIN buck b
+               ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+    scored AS (SELECT cd.vid, cd.nid,
+                 list_sum(list_transform(list_zip(x.emb, y.emb), z -> z[1]*z[2])) / (x.nrm * y.nrm) AS cos
+               FROM cand cd
+               JOIN n x ON x.vec_id = cd.vid
+               JOIN n y ON y.vec_id = cd.nid)
+    SELECT vid AS vec_id, nid AS neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nid) AS INT) AS rank
+    FROM scored QUALIFY rank <= $k"""
+
   /** Sequential double left fold — bit-identical to the DuckDB oracle's
     * list_sum(list_transform(list_zip(...))).
     */
