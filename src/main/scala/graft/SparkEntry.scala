@@ -146,6 +146,7 @@ object SparkEntry {
     "ann_pq"           -> ((s: SparkSession, d: String) => Pq.query(s, d)),
     "ann_ivfpq"        -> ((s: SparkSession, d: String) => Pq.annIvfPq(s, d)),
     "dedup_semdedup"   -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
+    "dedup_semdedup_delta" -> ((s: SparkSession, d: String) => Similarity.semDedupDelta(s, d)),
     "text_lm_score"    -> (TextAnalysis.lmScore _),
     "text_pii"         -> (TextAnalysis.pii _),
     "text_decontam"    -> (Decontam.ngramCollisions _),
@@ -352,6 +353,10 @@ object SparkEntry {
     // from-scratch batch train+probe
     "q_stream_ann_probe" -> Similarity.annIvfSql(),
     "dedup_semdedup"   -> Similarity.semDedupSql(),
+    // dedup_semdedup_delta: frozen base-trained quantizer (training CTEs
+    // restricted to the base slice), full-corpus assign + EXISTS verdict
+    // — incremental affected-cell merge ≡ from-scratch recompute
+    "dedup_semdedup_delta" -> Similarity.semDedupDeltaSql(),
     // ann_lsh (round 10): hyperplane replay → hash-oracled; SketchSpec
     // still measures recall vs brute force.
     "ann_lsh"          -> Similarity.annLshSql,

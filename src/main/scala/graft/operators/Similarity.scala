@@ -554,9 +554,22 @@ object Similarity {
   def kmeansCodebook(spark: SparkSession, dir: String, k: Int = 10,
       iters: Int = 4): (Array[Array[Double]], Array[Double]) = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])].cache()
-    var centroids = Tables.embeddings(spark, dir)
+    kmeansCodebookOn(Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])], k, iters)
+  }
+
+  /** [[kmeansCodebook]] over an explicit row set — factored so the
+    * incremental SemDeDup generation ([[semDedupBaseDump]]) can train
+    * its FROZEN quantizer on the base slice only (retraining per delta
+    * would move every cell boundary and destroy the blast radius).
+    */
+  private[graft] def kmeansCodebookOn(
+      rows: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      k: Int = 10, iters: Int = 4): (Array[Array[Double]], Array[Double]) = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val emb = rows.cache()
+    var centroids = emb.toDF("vec_id", "embedding")
       .select($"vec_id", $"embedding", md5($"vec_id".cast("string")).as("h"))
       .orderBy($"h", $"vec_id").limit(k)
       .select($"embedding").as[Array[Float]].collect()
@@ -582,15 +595,16 @@ object Similarity {
           .map(c => (c, cnt(c), sums(c), sq(c)))
       }.collect() // ≤ partitions × k rows of k-means partials
       val dim = centroids(0).length
-      val cnt = Array.ofDim[Long](k)
-      val sums = Array.ofDim[Long](k, dim)
+      val kk = centroids.length // may be < k on corpora smaller than k
+      val cnt = Array.ofDim[Long](kk)
+      val sums = Array.ofDim[Long](kk, dim)
       partials.foreach { case (c, n, s, d) =>
         cnt(c) += n
         objectives(it) += d
         var i = 0
         while (i < dim) { sums(c)(i) += s(i); i += 1 }
       }
-      centroids = Array.tabulate(k) { c =>
+      centroids = Array.tabulate(kk) { c =>
         if (cnt(c) == 0) centroids(c) // empty cell: keep previous centroid
         else Array.tabulate(dim)(i => sums(c)(i).toDouble / 1e9 / cnt(c))
       }
@@ -672,28 +686,151 @@ object Similarity {
         (nearestCell(v, bc.value)._1, id, v, math.sqrt(selfDot(v)))
       }
     assigned.groupByKey(_._1).flatMapGroups { (cell, it) =>
-      val members = it.toArray.sortBy(_._2) // ascending vec_id: keep-first
-      val dropped = Array.ofDim[Boolean](members.length)
-      var i = 1
-      while (i < members.length) {
-        val (_, _, vi, ni) = members(i)
-        var j = 0
-        var hit = false
-        while (j < i && !hit) {
-          // a dropped j still witnesses i's drop (SemDeDup drops
-          // everything within τ of the cluster's earlier members)
-          val (_, _, vj, nj) = members(j)
-          if (dotD(vi, vj) / (ni * nj) >= threshold) hit = true
-          j += 1
-        }
-        dropped(i) = hit
-        i += 1
-      }
-      members.iterator.zipWithIndex.map { case ((_, id, _, _), ix) =>
-        (id, cell, if (dropped(ix)) 0 else 1)
-      }
+      semDedupCellVerdicts(cell,
+        it.map { case (_, id, v, nrm) => (id, v, nrm) }.toArray, threshold)
     }.toDF("vec_id", "cell", "is_kept")
   }
+
+  /** The per-cell SemDeDup fold, factored so the incremental form
+    * ([[semDedupDelta]]) recomputes affected cells with the IDENTICAL
+    * code path: ascending-id keep-first scan; a member drops iff ANY
+    * earlier member (dropped or not) sits within τ.
+    */
+  private def semDedupCellVerdicts(cell: Int,
+      rawMembers: Array[(Long, Array[Float], Double)],
+      threshold: Double): Iterator[(Long, Int, Int)] = {
+    val members = rawMembers.sortBy(_._1) // ascending vec_id: keep-first
+    val dropped = Array.ofDim[Boolean](members.length)
+    var i = 1
+    while (i < members.length) {
+      val (_, vi, ni) = members(i)
+      var j = 0
+      var hit = false
+      while (j < i && !hit) {
+        // a dropped j still witnesses i's drop (SemDeDup drops
+        // everything within τ of the cluster's earlier members)
+        val (_, vj, nj) = members(j)
+        if (dotD(vi, vj) / (ni * nj) >= threshold) hit = true
+        j += 1
+      }
+      dropped(i) = hit
+      i += 1
+    }
+    members.iterator.zipWithIndex.map { case ((id, _, _), ix) =>
+      (id, cell, if (dropped(ix)) 0 else 1)
+    }
+  }
+
+  /** Staged SemDeDup BASE GENERATION — the serving artifacts the
+    * incremental form reads: the quantizer trained on the base slice
+    * and FROZEN (retraining per delta would move every cell boundary
+    * and destroy the blast radius — the production reality for a
+    * learned partitioner), the base corpus laid out BY CELL (vectors +
+    * norms — what an affected-cell recompute loads), and the base
+    * verdicts (what untouched cells pass through). Published once per
+    * base generation via DumpCache.
+    */
+  private[graft] def semDedupBaseDump(spark: SparkSession, dir: String,
+      k: Int = 10, iters: Int = 4, threshold: Double = 0.4): String = {
+    import spark.implicits._
+    val base = graft.sources.DumpCache.dirFor(s"graft_semdedup_base_$k",
+      dir, "embeddings.parquet")
+    graft.sources.DumpCache.ensure(base) { tmp =>
+      val baseRows = Tables.embeddings(spark, dir)
+        .filter(!isPcaDelta($"vec_id"))
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      val (codebook, _) = kmeansCodebookOn(baseRows, k, iters)
+      codebook.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.parquet(s"$tmp/codebook")
+      val bc = spark.sparkContext.broadcast(codebook)
+      val assigned = baseRows.map { case (id, v) =>
+        (nearestCell(v, bc.value)._1, id, v, math.sqrt(selfDot(v)))
+      }
+      assigned.toDF("cell", "vec_id", "embedding", "nrm")
+        .write.partitionBy("cell").parquet(s"$tmp/corpus")
+      assigned.groupByKey(_._1).flatMapGroups { (cell, it) =>
+        semDedupCellVerdicts(cell,
+          it.map { case (_, id, v, nrm) => (id, v, nrm) }.toArray, threshold)
+      }.toDF("vec_id", "cell", "is_kept")
+        .coalesce(1).write.parquet(s"$tmp/verdicts")
+      new java.io.File(tmp, "_SUCCESS").createNewFile()
+    }
+    base
+  }
+
+  /** INCREMENTAL SemDeDup (`dedup_semdedup_delta`) — the delta family's
+    * last member: merge an ingest window's new vectors into the staged
+    * base generation's verdicts WITHOUT recomputing untouched cells.
+    * Arrivals assign against the frozen base quantizer; only the cells
+    * an arrival lands in recompute (base members read from the staged
+    * BY-CELL layout + the delta members, through the IDENTICAL per-cell
+    * fold), and every other cell passes its staged verdicts through
+    * untouched. Work O(affected-cell members² + delta); base text and
+    * quiet cells never re-read.
+    *
+    * The semantics the blast radius must honor: keep-first is by
+    * vec_id, so a NEW arrival with a SMALLER id than an existing kept
+    * member can FLIP that base member to dropped — the recompute is a
+    * fold over the merged cell, not an append (HygieneSpec pins exactly
+    * that inversion). Oracle: the base-trained codebook replayed in
+    * DuckDB (training CTEs restricted to the base slice), full-corpus
+    * assignment, and the EXISTS verdict over merged cells — incremental
+    * merge ≡ from-scratch recompute, hash-proven.
+    */
+  def semDedupDelta(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 4, threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val dump = semDedupBaseDump(spark, dir, k, iters, threshold)
+    val codebook = spark.read.parquet(s"$dump/codebook")
+      .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(codebook)
+    val delta = Tables.embeddings(spark, dir)
+      .filter(isPcaDelta($"vec_id"))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (nearestCell(v, bc.value)._1, id, v, math.sqrt(selfDot(v)))
+      }.toDF("cell", "vec_id", "embedding", "nrm").cache()
+    val affected = delta.select($"cell").distinct()
+      .as[Int].collect().toSet
+    val baseCorpus = spark.read.parquet(s"$dump/corpus")
+    val touched = baseCorpus
+      .filter($"cell".isInCollection(affected))
+      .select($"cell", $"vec_id", $"embedding", $"nrm")
+      .unionByName(delta)
+      .as[(Int, Long, Array[Float], Double)]
+      .groupByKey(_._1).flatMapGroups { (cell, it) =>
+        semDedupCellVerdicts(cell,
+          it.map { case (_, id, v, nrm) => (id, v, nrm) }.toArray, threshold)
+      }.toDF("vec_id", "cell", "is_kept")
+    val untouched = spark.read.parquet(s"$dump/verdicts")
+      .filter(!$"cell".isInCollection(affected))
+      .select($"vec_id", $"cell", $"is_kept")
+    val out = touched.unionByName(untouched)
+    delta.unpersist(blocking = false)
+    out
+  }
+
+  /** Oracle for [[semDedupDelta]]: [[semDedupSql]]'s EXISTS verdict over
+    * the full corpus, with TRAINING restricted to the base slice (the
+    * frozen-quantizer contract) — from-scratch ≡ incremental.
+    */
+  def semDedupDeltaSql(k: Int = 10, iters: Int = 4,
+      threshold: Double = 0.4): String =
+    ivfTrainedCorpusSql(k, iters,
+      trainWhere = "WHERE vec_id % 10 <> 0") + s""",
+    kept AS (
+      SELECT a.vec_id, a.cell,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM corpus b
+               WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                 AND list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1] * z[2]))
+                       / (a.nrm * b.nrm) >= $threshold)
+             THEN 0 ELSE 1 END AS is_kept
+      FROM corpus a)
+    SELECT vec_id, CAST(cell AS INT) AS cell, CAST(is_kept AS INT) AS is_kept
+    FROM kept"""
 
   /** Symmetric int8 scalar quantization of each embedding — the storage
     * step that makes a 100 TB vector store tractable (4× smaller than
@@ -1260,10 +1397,10 @@ object Similarity {
     */
   private[operators] def ivfIterSql(t: Int): String = s"""
     d_$t AS MATERIALIZED (
-      SELECT e.vec_id, cells.c,
-             list_reduce(list_transform(list_zip(e.emb, cells.ctr),
+      SELECT et.vec_id, cells.c,
+             list_reduce(list_transform(list_zip(et.emb, cells.ctr),
                          p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d
-      FROM e, (SELECT unnest(cb) AS ctr, generate_subscripts(cb, 1) - 1 AS c
+      FROM et, (SELECT unnest(cb) AS ctr, generate_subscripts(cb, 1) - 1 AS c
                FROM cb_$t) cells
     ),
     asg_$t AS MATERIALIZED (
@@ -1301,20 +1438,23 @@ object Similarity {
     * distances, and the assigned corpus with norms — consumed by both
     * [[annIvfSql]] and [[semDedupSql]].
     */
-  private[operators] def ivfTrainedCorpusSql(k: Int, iters: Int): String = s"""
+  private[operators] def ivfTrainedCorpusSql(k: Int, iters: Int,
+      trainWhere: String = ""): String = s"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
       FROM embeddings
     ),
+    et AS MATERIALIZED (SELECT * FROM e $trainWhere),
     xs AS MATERIALIZED (
       SELECT vec_id, CAST(i AS BIGINT) - 1 AS dm,
              CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS s
       FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+      $trainWhere
     ),
     cb_0 AS MATERIALIZED (
       SELECT list(emb ORDER BY h, vec_id) AS cb
       FROM (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
-            FROM e ORDER BY h, vec_id LIMIT $k)
+            FROM et ORDER BY h, vec_id LIMIT $k)
     ),""" + (0 until iters).map(ivfIterSql).mkString(",") + s""",
     dfin AS MATERIALIZED (
       SELECT e.vec_id, cells.c,

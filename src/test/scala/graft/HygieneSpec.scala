@@ -295,6 +295,42 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(7L) === ((1L, 1L, 0L, md5Hex("reach <EMAIL>,<IP> now"))))
   }
 
+  test("semDedupDelta: keep-first inversion by a smaller-id arrival, untouched-cell passthrough") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+    // two orthogonal clusters; base ids {21,31} cluster A, {42,53}
+    // cluster B (md5 order picks seeds 21 and 42 — one per cluster);
+    // delta id 20 (vec_id % 10 = 0) lands in A with a SMALLER id than
+    // every base member
+    val rows = Seq(
+      (21L, Array(1f, 0f, 0f, 0f), 0),
+      (31L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (42L, Array(0f, 0f, 1f, 0f), 0),
+      (53L, Array(0f, 0f, 0.9f, 0.1f), 0),
+      (20L, Array(0.95f, 0.05f, 0f, 0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // the staged BASE generation keeps 21 (first of its cell) and 42
+    val dump = Similarity.semDedupBaseDump(spark, tmp, k = 2)
+    val baseV = spark.read.parquet(s"$dump/verdicts").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Int]("is_kept")))).toMap
+    assert(baseV(21L)._2 === 1 && baseV(31L)._2 === 0)
+    assert(baseV(42L)._2 === 1 && baseV(53L)._2 === 0)
+    // the delta merge must FLIP 21 to dropped (20 < 21 within τ) and
+    // pass cluster B through with its staged verdicts
+    val out = Similarity.semDedupDelta(spark, tmp, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Int]("is_kept")))).toMap
+    assert(out.keySet === Set(20L, 21L, 31L, 42L, 53L))
+    assert(out(20L)._2 === 1, "new smallest-id arrival must be kept")
+    assert(out(21L)._2 === 0, "keep-first inversion: 21 must flip to dropped")
+    assert(out(31L)._2 === 0)
+    assert(out(42L) === baseV(42L) && out(53L) === baseV(53L),
+      "untouched cell must pass staged verdicts through")
+  }
+
   test("embedDecontam: semantic leak flags, no-surface-overlap blind spot of " +
       "the n-gram gates, hit counting and witness") {
     import spark.implicits._
