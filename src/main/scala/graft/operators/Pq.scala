@@ -439,6 +439,7 @@ object Pq {
     */
   def annIvfPqSql(nprobe: Int = 3, shortlist: Int = 50): String =
     "WITH" + pqTrainedSql + """,
+    et AS MATERIALIZED (SELECT * FROM e),
     xs AS MATERIALIZED (
       SELECT vec_id, CAST(i AS BIGINT) - 1 AS dm,
              CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS s
