@@ -68,6 +68,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(shuffles(df) === n, s"$name shuffle count changed")
   }
 
+  test("late-r12 rows keep their contracts: broadcast eval gate, one-shuffle grid, " +
+      "quota broadcast, no corpus-side SMJ") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // decontam_embed: eval side broadcasts through a nested-loop join
+    // (no equi-key exists) and the only shuffle carries the slim hit agg
+    val dec = Decontam.embedDecontam(spark, sf)
+    assert(physical(dec).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "decontam_embed lost its broadcast NLJ")
+    assert(shuffles(dec) === 1, "decontam_embed grew extra shuffles")
+    assert(!physical(dec).exists(_.isInstanceOf[SortMergeJoinExec]))
+    // stats_calibration: grid + 1-row total, never a corpus-keyed join
+    val cal = Profile.statsCalibration(spark, sf)
+    assert(!physical(cal).exists(_.isInstanceOf[SortMergeJoinExec]),
+      "stats_calibration must not sort-merge join")
+    // sample_temperature: quotas ride a broadcast hash join onto the
+    // corpus scan; one rank-window shuffle
+    val temp = Curation.sampleTemperature(spark, sf)
+    assert(physical(temp).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "sample_temperature quota join must broadcast")
+    assert(!physical(temp).exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
   test("text_search: top-k is TakeOrdered, no cartesian anywhere") {
     val nodes = physical(TextAnalysis.search(spark, sf))
     assert(nodes.exists(
