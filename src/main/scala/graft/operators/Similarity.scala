@@ -356,22 +356,67 @@ object Similarity {
     import spark.implicits._
     val bits = lshBitsFor(Tables.embeddings(spark, dir).count())
     val keyer = Vectors.lshKeys(dim = 64, tables = 16, bits = bits)
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"))
-    val keys = emb.select($"vec_id", explode(keyer($"embedding")).as("bucket"))
-    val cand = keys.toDF("vec_id", "bucket")
-      .join(keys.toDF("neighbor_id", "bucket"), Seq("bucket"))
-      .filter($"vec_id" =!= $"neighbor_id")
-      .select($"vec_id", $"neighbor_id")
+    // Per-bucket in-memory k-slot fold — the [[embedKnnGraph]] triangle
+    // device applied per bucket: NO candidate pair ever materializes as
+    // a row. A first cut built a (vec_id, neighbor_id) candidate table
+    // (distinct same-bucket pairs) and attached embeddings by id joins;
+    // at the 100× fixture that plan's n·bucket·tables pair rows +
+    // payload-attach sorts spilled past the box's disk and died — the
+    // fixture catching the same materialization class as r10's LSH
+    // key-width find. Here each bucket group (occupancy-bounded by
+    // [[lshBitsFor]]) folds its ≤b² comparisons through fixed k-slot
+    // top lists in primitive loops, emitting only n·tables·k slim
+    // (id, id, cos) rows into the dedup + final rank — shuffle volume
+    // LINEAR in n with a tiny constant, at any scale.
+    //
+    // Local-top-k-then-merge is LOSSLESS for the global per-node top-k
+    // over bucket-mates: if a neighbor x of m is beaten out of m's
+    // k slots in some shared bucket, the k better peers of that bucket
+    // are also global candidates of m, so x cannot be in m's global
+    // top-k either (slot order ≡ final order, ties included).
+    val keyed = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"),
+        explode(keyer($"embedding")).as("bucket"))
+      .as[(Long, Array[Float], Double, Long)]
+    val cand = keyed.groupByKey(_._4).flatMapGroups { (_, it) =>
+      val members = it.map { case (id, v, nrm, _) => (id, v, nrm) }.toArray
+      val tops = scala.collection.mutable.LongMap
+        .empty[Array[(Double, Long)]]
+      def offer(id: Long, nid: Long, c: Double): Unit = {
+        val arr = tops.getOrElseUpdate(id,
+          Array.fill(k)((Double.NegativeInfinity, Long.MaxValue)))
+        var worst = 0
+        var s = 1
+        while (s < k) {
+          val (wc, wi) = arr(worst)
+          val (sc, si) = arr(s)
+          if (sc < wc || (sc == wc && si > wi)) worst = s
+          s += 1
+        }
+        val (wc, wi) = arr(worst)
+        if (c > wc || (c == wc && nid < wi)) arr(worst) = (c, nid)
+      }
+      var x = 0
+      while (x < members.length) {
+        val (ida, va, na) = members(x)
+        var y = x + 1
+        while (y < members.length) {
+          val (idb, vb, nb) = members(y)
+          val c = dotD(va, vb) / (na * nb)
+          offer(ida, idb, c)
+          offer(idb, ida, c)
+          y += 1
+        }
+        x += 1
+      }
+      tops.iterator.flatMap { case (id, arr) =>
+        arr.iterator.filter(_._2 != Long.MaxValue)
+          .map { case (c, nid) => (id, nid, c) }
+      }
+    }.toDF("vec_id", "neighbor_id", "cos")
       .dropDuplicates("vec_id", "neighbor_id")
-    val a = emb.select($"vec_id", $"embedding".as("ea"), $"nrm".as("na"))
-    val b = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("eb"),
-      $"nrm".as("nb"))
-    val scored = cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
-      .select($"vec_id", $"neighbor_id",
-        (Vectors.dot($"ea", $"eb") / ($"na" * $"nb")).as("cos"))
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+    cand.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
   }
 
   /** DuckDB replay oracle for [[embedKnnGraphLsh]] — the
