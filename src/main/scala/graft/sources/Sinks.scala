@@ -356,18 +356,22 @@ object Sinks {
         .repartition(64) // the fragmented state under repair
         .write.mode("overwrite").parquet(tmp)
     }
+    val target = math.max(1, math.ceil(
+      spark.read.parquet(frag).count().toDouble / 50000).toInt)
     val compacted = DumpCache.ensure(
       DumpCache.dirFor("graft_events_compact", dir, "events.parquet")) { tmp =>
-      val rows = spark.read.parquet(frag)
-      val nFiles = math.max(1,
-        math.ceil(rows.count().toDouble / 50000).toInt)
-      rows.repartitionByRange(nFiles, $"event_id")
+      spark.read.parquet(frag)
+        .repartitionByRange(target, $"event_id")
         .write.mode("overwrite").parquet(tmp)
     }
     val nCompacted = new java.io.File(compacted).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
-    require(nCompacted <= 8,
-      s"compaction left $nCompacted files for a <=8-file target")
+    // the contract is right-SIZING (files ≈ ceil(rows / rowsPerFile)),
+    // not an absolute count — a hardcoded `<= 8` here was correct only
+    // at the gate SFs and failed the 10×/100× fixtures, where 20/200
+    // right-sized files ARE the compacted state (fixture-found)
+    require(nCompacted <= target,
+      s"compaction left $nCompacted files for a <=$target-file target")
     spark.read.parquet(compacted)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), min($"event_id").as("min_id"),
