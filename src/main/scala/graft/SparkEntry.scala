@@ -78,6 +78,7 @@ object SparkEntry {
     "q_stream_tokens_bpe" -> (StreamQueries.streamTokensBpe _),
     "q_stream_quality_model" -> (StreamQueries.streamQualityModel _),
     "q_stream_calibration" -> (StreamQueries.streamCalibration _),
+    "q_stream_confusion" -> (StreamQueries.streamConfusion _),
     "q_stream_substring" -> ((s: SparkSession, d: String) => StreamQueries.streamSubstring(s, d)),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
@@ -278,6 +279,7 @@ object SparkEntry {
     // the ≤10-row complete-mode reliability grid — same full train+
     // score+bin replay as the batch calibration row
     "q_stream_calibration" -> Profile.statsCalibrationSql,
+    "q_stream_confusion" -> Profile.statsConfusionSql,
     // q_stream_cms: CMS counters are sum-mergeable streaming state —
     // streaming counters ≡ batch counters ≡ the same HUGEINT replay
     "q_stream_cms"     -> TextAnalysis.cmsCountersSql,

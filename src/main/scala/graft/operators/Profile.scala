@@ -640,15 +640,28 @@ object Profile {
   /** The confusion computation over any (label ∈ {0,1}, pred ∈ {0,1})
     * frame, factored for planted-corpus specs.
     */
-  private[graft] def confusionOn(scored: DataFrame): DataFrame = {
+  private[graft] def confusionOn(scored: DataFrame): DataFrame =
+    confusionFinish(confusionCells(scored))
+
+  /** The four-cell aggregation of [[confusionOn]] — a plain global
+    * conditional agg, so the SAME code runs batch and as a ONE-state-row
+    * complete-mode streaming aggregation (`q_stream_confusion`).
+    */
+  private[graft] def confusionCells(scored: DataFrame): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    scored
-      .agg(
-        sum(when($"label" === 1 && $"pred" === 1, 1L).otherwise(0L)).as("tp"),
-        sum(when($"label" === 0 && $"pred" === 1, 1L).otherwise(0L)).as("fp"),
-        sum(when($"label" === 0 && $"pred" === 0, 1L).otherwise(0L)).as("tn"),
-        sum(when($"label" === 1 && $"pred" === 0, 1L).otherwise(0L)).as("fn"))
+    scored.agg(
+      sum(when($"label" === 1 && $"pred" === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when($"label" === 0 && $"pred" === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when($"label" === 0 && $"pred" === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when($"label" === 1 && $"pred" === 0, 1L).otherwise(0L)).as("fn"))
+  }
+
+  /** The ratio columns of [[confusionOn]] over materialized cells. */
+  private[graft] def confusionFinish(cells: DataFrame): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells
       .filter($"tp" + $"fp" > 0 && $"tp" + $"fn" > 0)
       .select($"tp", $"fp", $"tn", $"fn",
         ($"tp".cast("double") / ($"tp" + $"fp").cast("double")).as("precision"),

@@ -418,6 +418,33 @@ object StreamQueries {
             .select($"doc_id", $"text", $"source"), w))
       })
 
+  /** CONTINUOUS confusion monitor of the served quality gate —
+    * `stats_confusion` next to the ingest gate, completing the
+    * always-on evaluation pair with [[streamCalibration]] (that row
+    * watches probability honesty; this one watches what the gate DOES
+    * at its threshold — live precision/recall against the provenance
+    * labels). Arrivals score against the staged weights (stateless
+    * shared [[TextAnalysis.qmScoreOn]]); ONE complete-mode global
+    * aggregation folds the four exact BIGINT cells — ONE state row of
+    * four counters FOREVER at any arrival rate. Ratios derive from the
+    * final cells ([[Profile.confusionFinish]], batch over 1 row).
+    * Hash-matches `statsConfusionSql` (the full train+score+cells
+    * replay): staged online monitoring ≡ batch train+evaluate.
+    */
+  def streamConfusion(spark: SparkSession, dir: String): DataFrame =
+    Profile.confusionFinish(
+      runToTable(spark, mode = "complete") { s =>
+        import s.implicits._
+        val w: Array[Long] = s.read
+          .parquet(TextAnalysis.qualityModelDump(s, dir))
+          .orderBy($"j").select($"w").as[Long].collect()
+        Profile.confusionCells(TextAnalysis.qmScoreOn(
+          s.readStream.schema(docsRawSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .select($"doc_id", $"text", $"source"), w)
+          .select($"label", $"pred"))
+      })
+
   /** CONTINUOUS PII gate — `text_pii` run per arrival: every ingested
     * document is scanned for emails / IPv4s / long digit runs and
     * fingerprinted in REDACTED form BEFORE admission — the scrubbing

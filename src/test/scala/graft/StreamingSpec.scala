@@ -736,6 +736,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected ≤10 grid state rows, got $stateRows")
   }
 
+  test("streaming confusion monitor equals the batch cells with ONE state row") {
+    import graft.operators.{Profile, StreamQueries}
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("tn"),
+        r.getAs[Long]("fn"), r.getAs[Double]("precision"),
+        r.getAs[Double]("recall"), r.getAs[Double]("f1"),
+        r.getAs[Double]("accuracy"))
+    val batch = Profile.statsConfusion(spark, dir).collect().map(key).toSet
+    val stream = StreamQueries.streamConfusion(spark, dir).collect().map(key).toSet
+    assert(stream === batch && stream.size === 1,
+      "continuous confusion cells diverged from batch train+evaluate")
+    val stateRows = StreamQueries.lastProgress.toSeq
+      .flatMap("\"numRowsTotal\"\\s*:\\s*(\\d+)".r
+        .findAllMatchIn(_).map(_.group(1).toLong)).sum
+    assert(stateRows === 1L, s"expected ONE counter state row, got $stateRows")
+  }
+
   test("streaming delta LSH finds pairs straddling micro-batches exactly once") {
     import spark.implicits._
     import graft.functions.Text
