@@ -79,6 +79,7 @@ object SparkEntry {
     "q_stream_quality_model" -> (StreamQueries.streamQualityModel _),
     "q_stream_calibration" -> (StreamQueries.streamCalibration _),
     "q_stream_confusion" -> (StreamQueries.streamConfusion _),
+    "q_stream_semdedup" -> ((s: SparkSession, d: String) => StreamQueries.streamSemDedup(s, d)),
     "q_stream_substring" -> ((s: SparkSession, d: String) => StreamQueries.streamSubstring(s, d)),
     "q_stream_slide_distinct" -> (StreamQueries.streamSlideDistinct _),
     "q_stream_approx_distinct" -> (StreamQueries.streamApproxDistinct _),
@@ -280,6 +281,11 @@ object SparkEntry {
     // score+bin replay as the batch calibration row
     "q_stream_calibration" -> Profile.statsCalibrationSql,
     "q_stream_confusion" -> Profile.statsConfusionSql,
+    // q_stream_semdedup: stateless admission gate vs the staged base
+    // generation only — arrival-vs-arrival pairs are the compactor's
+    // (dedup_semdedup_delta's) job, so the oracle restricts the EXISTS
+    // witness to base members
+    "q_stream_semdedup" -> Similarity.streamSemDedupSql(),
     // q_stream_cms: CMS counters are sum-mergeable streaming state —
     // streaming counters ≡ batch counters ≡ the same HUGEINT replay
     "q_stream_cms"     -> TextAnalysis.cmsCountersSql,

@@ -861,6 +861,28 @@ object Similarity {
     * the full corpus, with TRAINING restricted to the base slice (the
     * frozen-quantizer contract) — from-scratch ≡ incremental.
     */
+  /** Oracle for `q_stream_semdedup` — the stateless admission gate's
+    * contract: the base-trained codebook replay, verdicts for the DELTA
+    * slice against BASE members only (arrival-vs-arrival pairs are the
+    * compactor's job, [[semDedupDelta]]).
+    */
+  def streamSemDedupSql(k: Int = 10, iters: Int = 4,
+      threshold: Double = 0.4): String =
+    ivfTrainedCorpusSql(k, iters,
+      trainWhere = "WHERE vec_id % 10 <> 0") + s""",
+    kept AS (
+      SELECT a.vec_id, a.cell,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM corpus b
+               WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                 AND b.vec_id % 10 <> 0
+                 AND list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1] * z[2]))
+                       / (a.nrm * b.nrm) >= $threshold)
+             THEN 0 ELSE 1 END AS is_kept
+      FROM corpus a WHERE a.vec_id % 10 = 0)
+    SELECT vec_id, CAST(cell AS INT) AS cell, CAST(is_kept AS INT) AS is_kept
+    FROM kept"""
+
   def semDedupDeltaSql(k: Int = 10, iters: Int = 4,
       threshold: Double = 0.4): String =
     ivfTrainedCorpusSql(k, iters,

@@ -1096,6 +1096,87 @@ object StreamQueries {
           $"r._2".as("best_cos"), $"r._3".as("witness_id"))
     }
 
+  /** CONTINUOUS semantic near-dup admission gate — SemDeDup at ingest
+    * time, completing the continuous-dedup modalities (exact hash =
+    * `q_stream_delta_dedup`, substring = `q_stream_substring`,
+    * MinHash-LSH = `q_stream_delta_lsh`, semantic = this): every
+    * arriving vector assigns to its FROZEN learned cell (broadcast
+    * staged codebook, shared [[Similarity]] tie rule) and takes the
+    * keep-first verdict against the PUBLISHED base generation's cell
+    * members — dropped iff any smaller-id staged member sits within τ.
+    *
+    * Deliberately STATELESS (0 state rows, spec-asserted): the gate
+    * checks arrivals against the standing corpus only; arrival-vs-
+    * arrival pairs are DEFERRED TO COMPACTION — and the compactor is
+    * exactly the batch `dedup_semdedup_delta` (fold the window's
+    * arrivals into the next generation's verdicts, keep-first
+    * inversions included). The same live-window/compaction split
+    * `q_stream_delta_lsh` implements with per-bucket state, taken at
+    * the other end of the trade: no state to bound, at the cost of
+    * within-window pairs waiting one compaction cadence. Per arrival:
+    * one broadcast codebook scan + the probed CELL's staged members
+    * (stream-static equi-join on cell against the BY-CELL layout) —
+    * scales with arrival rate × cell occupancy.
+    *
+    * Hash oracle: the base-trained-codebook replay with the verdict
+    * EXISTS restricted to BASE members, delta slice only — staged
+    * online gating ≡ batch replay.
+    */
+  def streamSemDedup(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 4, threshold: Double = 0.4): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val dump = Similarity.semDedupBaseDump(s, dir, k, iters, threshold)
+      val codebook = s.read.parquet(s"$dump/codebook")
+        .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
+        .sortBy(_._1).map(_._2.toArray)
+      val bc = s.sparkContext.broadcast(codebook)
+      val cellUdf = udf((v: Seq[Float]) =>
+        Similarity.nearestCell(v.toArray, bc.value)._1)
+      // the staged corpus re-read in GROUPED per-cell layout (one row
+      // per cell, members as an array — the `q_stream_delta_lsh` staged
+      // band-index shape), so the stream-static join is 1:1 and the
+      // verdict is an in-row fold: a per-arrival aggregation here would
+      // be a STREAMING AGG (state!), exactly what this gate avoids
+      val baseGrouped = s.read.parquet(s"$dump/corpus")
+        .groupBy($"cell")
+        .agg(collect_list(struct($"vec_id".as("id"), $"embedding".as("e"),
+          $"nrm".as("n"))).as("members"))
+      val verdictUdf = udf { (vid: Long, v: Seq[Float], nrm: Double,
+          members: Seq[org.apache.spark.sql.Row]) =>
+        if (members == null) 1
+        else {
+          val x = v.toArray
+          var dropped = false
+          val it = members.iterator
+          while (it.hasNext && !dropped) {
+            val m = it.next()
+            if (m.getLong(0) < vid) {
+              val e = m.getSeq[Float](1)
+              var d = 0.0
+              var j = 0
+              while (j < x.length) { d += x(j).toDouble * e(j).toDouble; j += 1 }
+              if (d / (nrm * m.getDouble(2)) >= threshold) dropped = true
+            }
+          }
+          if (dropped) 0 else 1
+        }
+      }
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter($"vec_id" % 10 === 0)
+        .select($"vec_id", $"embedding",
+          graft.functions.Vectors.norm2($"embedding").as("nrm"),
+          cellUdf($"embedding").as("cell"))
+        .join(baseGrouped, Seq("cell"), "left") // stream-static: stateless
+        .select($"vec_id", $"cell".cast("int").as("cell"),
+          verdictUdf($"vec_id", $"embedding", $"nrm", $"members").as("is_kept"))
+    }
+
   /** CONTINUOUS boilerplate discovery — the streaming twin of
     * `text_boilerplate`'s hot-line detection: as documents arrive, the
     * set of lines shared by more than `maxDf` distinct documents grows

@@ -754,6 +754,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateRows === 1L, s"expected ONE counter state row, got $stateRows")
   }
 
+  test("streaming semDedup gate: base witnesses drop, arrival-vs-arrival defers " +
+      "to the compactor, no state") {
+    import spark.implicits._
+    import graft.operators.{Similarity, StreamQueries}
+    val tmp = Files.createTempDirectory("graft_ssd").toString
+    // base: 21 (cluster A), 42 (cluster B) — md5 order seeds one per
+    // cluster. deltas (%10=0): 20 near 21 but SMALLER id -> no base
+    // witness, kept; 30 near 21 (21 < 30) -> dropped; 50 in B but under
+    // τ of 42 -> kept; 60 within τ of ARRIVAL 50 only -> the stateless
+    // gate keeps it (deferred), the compactor must drop it
+    val rows = Seq(
+      (21L, Array(1f, 0f, 0f, 0f), 0),
+      (42L, Array(0f, 0f, 1f, 0f), 0),
+      (20L, Array(0.97f, 0.03f, 0f, 0f), 0),
+      (30L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (50L, Array(0f, 0.95f, 0.35f, 0f), 0),
+      (60L, Array(0f, 0.93f, 0.37f, 0f), 0))
+    // the file-stream source globs for a FILE named embeddings.parquet
+    // (the testdata layout) — a Spark-written directory would match
+    // nothing, so stage and move the single part file
+    val stage = s"$tmp/_stage"
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/embeddings.parquet"))
+    val gate = StreamQueries.streamSemDedup(spark, tmp, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("is_kept")).toMap
+    assert(gate === Map(20L -> 1, 30L -> 0, 50L -> 1, 60L -> 1),
+      s"gate verdicts $gate")
+    val stateRows = StreamQueries.lastProgress.toSeq
+      .flatMap("\"numRowsTotal\"\\s*:\\s*(\\d+)".r
+        .findAllMatchIn(_).map(_.group(1).toLong)).sum
+    assert(stateRows === 0L, s"admission gate must be stateless, got $stateRows")
+    // the compactor (the batch incremental row) closes the deferred pair
+    val compacted = Similarity.semDedupDelta(spark, tmp, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("is_kept")).toMap
+    assert(compacted(60L) === 0,
+      "compaction must drop the arrival-vs-arrival near-dup the gate deferred")
+    assert(compacted(20L) === 1 && compacted(50L) === 1 && compacted(30L) === 0)
+  }
+
   test("streaming delta LSH finds pairs straddling micro-batches exactly once") {
     import spark.implicits._
     import graft.functions.Text
