@@ -52,6 +52,7 @@ object SparkEntry {
     "stats_auc"    -> (Profile.statsAuc _),
     "stats_calibration" -> (Profile.statsCalibration _),
     "stats_confusion" -> (Profile.statsConfusion _),
+    "stats_pr_curve" -> (Profile.statsPrCurve _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_slide_distinct" -> (Windows.slideDistinct _),
@@ -237,6 +238,7 @@ object SparkEntry {
     "stats_auc"    -> Profile.statsAucSql,
     "stats_calibration" -> Profile.statsCalibrationSql,
     "stats_confusion" -> Profile.statsConfusionSql,
+    "stats_pr_curve" -> Profile.statsPrCurveSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_slide_distinct" -> Windows.slideDistinctSql,

@@ -672,6 +672,74 @@ object Profile {
           ($"tp" + $"fp" + $"tn" + $"fn").cast("double")).as("accuracy"))
   }
 
+  /** Precision–recall CURVE of the trained gate — the tuning artifact
+    * behind [[statsConfusion]]'s single operating point: one row per
+    * DISTINCT score s with the metrics of the gate "admit iff
+    * score ≥ s". tp/fp at each threshold are reverse-cumulative BIGINT
+    * sums over the score grid (the [[statsAuc]] device with the window
+    * flipped: grid groupBy + ONE ordered window over grid-sized rows),
+    * precision/recall each one exact-integer division — engine-exact
+    * hash. The grid is distinct-score-sized (never corpus-sized); the
+    * unbounded-domain swap is [[statsKsBinned]]'s fixed-width binning,
+    * same shape.
+    */
+  def statsPrCurve(spark: SparkSession, dir: String): DataFrame =
+    prCurveOn(TextAnalysis.qualityModel(spark, dir)
+      .select(col("label"), col("score_micro")))
+
+  /** The PR-curve computation over any (label ∈ {0,1}, score_micro)
+    * frame, factored for planted-corpus specs.
+    */
+  private[graft] def prCurveOn(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grid = scored.groupBy($"score_micro")
+      .agg(sum(when($"label" === 1, 1L).otherwise(0L)).as("p"),
+        sum(when($"label" === 0, 1L).otherwise(0L)).as("n"))
+    val w = Window.orderBy($"score_micro".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = grid.agg(sum($"p").as("np"), sum($"n").as("nn"))
+    grid.select($"score_micro",
+        sum($"p").over(w).as("tp"), sum($"n").over(w).as("fp"))
+      .crossJoin(broadcast(tot))
+      .filter($"np" > 0)
+      .select($"score_micro", $"tp", $"fp", $"np", $"nn",
+        ($"tp".cast("double") / ($"tp" + $"fp").cast("double")).as("precision"),
+        ($"tp".cast("double") / $"np".cast("double")).as("recall"))
+  }
+
+  /** Full train+evaluate replay of [[statsPrCurve]]: shared training,
+    * the score grid, the reverse-cumulative threshold sums.
+    */
+  val statsPrCurveSql: String = {
+    val iters = TextAnalysis.QmIters
+    TextAnalysis.qmTrainCtesSql + s""",
+    scored AS (
+      SELECT f.y AS label,
+             (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
+               AS score_micro
+      FROM feat f, w$iters w),
+    grid AS (
+      SELECT score_micro,
+             CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM scored GROUP BY 1),
+    t AS (SELECT CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(n) AS BIGINT) AS nn
+          FROM grid),
+    cum AS (
+      SELECT score_micro,
+             CAST(SUM(p) OVER (ORDER BY score_micro DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             CAST(SUM(n) OVER (ORDER BY score_micro DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+      FROM grid)
+    SELECT score_micro, tp, fp, np, nn,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(np AS DOUBLE) AS recall
+    FROM cum, t WHERE np > 0"""
+  }
+
   /** Full train+evaluate replay of [[statsConfusion]]: the shared
     * training prefix, the served prediction, then the four-cell
     * conditional aggregation and its integer-ratio metrics.

@@ -154,6 +154,35 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(conf(Seq((0L, 1L), (0L, 0L))).isEmpty)
   }
 
+  test("PR curve: brute-force thresholds, monotone recall, endpoint identities") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 70).map(_ =>
+      (rnd.nextInt(2).toLong, rnd.nextInt(9).toLong))
+    val curve = Profile.prCurveOn(rows.toDF("label", "score_micro"))
+      .collect().map(r => r.getAs[Long]("score_micro") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Double]("precision"), r.getAs[Double]("recall"))))
+      .toMap
+    val np = rows.count(_._1 == 1L).toLong
+    assert(curve.keySet === rows.map(_._2).toSet)
+    curve.foreach { case (s, (tp, fp, prec, rec)) =>
+      val btp = rows.count { case (l, sc) => l == 1L && sc >= s }.toLong
+      val bfp = rows.count { case (l, sc) => l == 0L && sc >= s }.toLong
+      assert((tp, fp) === ((btp, bfp)), s"threshold $s")
+      assert(prec === btp.toDouble / (btp + bfp).toDouble)
+      assert(rec === btp.toDouble / np.toDouble)
+    }
+    // recall is monotone nonincreasing in the threshold; the lowest
+    // threshold recovers every positive (recall exactly 1)
+    val byThreshold = curve.toSeq.sortBy(_._1)
+    byThreshold.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a._4 >= b._4)
+      case _ =>
+    }
+    assert(byThreshold.head._2._4 === 1.0)
+  }
+
   test("binned KS on the gate corpus: bracket holds against the exact row") {
     val dir = "/root/testdata/sf0.001"
     val exactD = Profile.statsKs(spark, dir).head().getAs[Double]("ks_d")
