@@ -489,12 +489,8 @@ object Profile {
           (($"np" * $"nn" * 2).cast("double"))).as("auc"))
   }
 
-  val statsAucSql: String = TextAnalysis.qmTrainCtesSql + s""",
-    scored AS (
-      SELECT f.y AS label,
-             (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
-               AS score_micro
-      FROM feat f, w${TextAnalysis.QmIters} w),
+  val statsAucSql: String = TextAnalysis.qmTrainCtesSql +
+    TextAnalysis.qmScoredCteSql + s""",
     grid AS (
       SELECT score_micro,
              CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
@@ -593,12 +589,7 @@ object Profile {
   val statsCalibrationSql: String = {
     val s = TextAnalysis.QmScale
     val iters = TextAnalysis.QmIters
-    TextAnalysis.qmTrainCtesSql + s""",
-    scored AS (
-      SELECT f.y AS label,
-             (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
-               AS score_micro
-      FROM feat f, w$iters w),
+    TextAnalysis.qmTrainCtesSql + TextAnalysis.qmScoredCteSql + s""",
     cl AS (
       SELECT label,
              least(greatest(score_micro, 0), $s) AS c
@@ -714,12 +705,7 @@ object Profile {
     */
   val statsPrCurveSql: String = {
     val iters = TextAnalysis.QmIters
-    TextAnalysis.qmTrainCtesSql + s""",
-    scored AS (
-      SELECT f.y AS label,
-             (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
-               AS score_micro
-      FROM feat f, w$iters w),
+    TextAnalysis.qmTrainCtesSql + TextAnalysis.qmScoredCteSql + s""",
     grid AS (
       SELECT score_micro,
              CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
@@ -750,7 +736,7 @@ object Profile {
     TextAnalysis.qmTrainCtesSql + s""",
     scored AS (
       SELECT f.y AS label,
-             CASE WHEN (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
+             CASE WHEN ${TextAnalysis.qmMarginSql}
                   >= ${s / 2} THEN 1 ELSE 0 END AS pred
       FROM feat f, w$iters w),
     cells AS (

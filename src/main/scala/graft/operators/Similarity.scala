@@ -180,6 +180,38 @@ object Similarity {
     * graph comes from [[annLsh]]/[[annIvf]] over all vectors instead of
     * 10 queries — this operator is their exact-contract twin.
     */
+  /** Fixed k-slot top-neighbor lists keyed per vector — the in-memory
+    * fold both kNN-graph forms share ([[embedKnnGraph]]'s triangle
+    * groups, [[embedKnnGraphLsh]]'s buckets). Slot ordering is
+    * (cos desc, neighbor_id asc) — EXACTLY the final window's order,
+    * the invariant the lossless local-top-k-then-merge argument rests
+    * on; keeping it in ONE place keeps the two callers from drifting.
+    */
+  private final class KSlotTops(k: Int) {
+    private val tops =
+      scala.collection.mutable.LongMap.empty[Array[(Double, Long)]]
+    def offer(id: Long, nid: Long, c: Double): Unit = {
+      val arr = tops.getOrElseUpdate(id,
+        Array.fill(k)((Double.NegativeInfinity, Long.MaxValue)))
+      // find the worst slot; replace it when the candidate beats it
+      var worst = 0
+      var s = 1
+      while (s < k) {
+        val (wc, wi) = arr(worst)
+        val (sc, si) = arr(s)
+        if (sc < wc || (sc == wc && si > wi)) worst = s
+        s += 1
+      }
+      val (wc, wi) = arr(worst)
+      if (c > wc || (c == wc && nid < wi)) arr(worst) = (c, nid)
+    }
+    def emit: Iterator[(Long, Long, Double)] =
+      tops.iterator.flatMap { case (id, arr) =>
+        arr.iterator.filter(_._2 != Long.MaxValue)
+          .map { case (c, nid) => (id, nid, c) }
+      }
+  }
+
   def embedKnnGraph(spark: SparkSession, dir: String, blocks: Int = 8,
       k: Int = 3): DataFrame = {
     import spark.implicits._
@@ -200,30 +232,16 @@ object Similarity {
       it.foreach { case (_, blk, id, v, nrm) =>
         if (blk == gi) left += ((id, v, nrm)) else right += ((id, v, nrm))
       }
-      // fixed k-slot top lists, keyed per member vector; ordering is
-      // (cos desc, neighbor_id asc) — EXACTLY the final window's order,
-      // so dropping a slot can never drop a global top-k row
-      val tops = scala.collection.mutable.LongMap.empty[Array[(Double, Long)]]
-      def offer(id: Long, nid: Long, c: Double): Unit = {
-        val arr = tops.getOrElseUpdate(id, Array.fill(k)((Double.NegativeInfinity, Long.MaxValue)))
-        // find the worst slot; replace it when the candidate beats it
-        var worst = 0
-        var s = 1
-        while (s < k) {
-          val (wc, wi) = arr(worst)
-          val (sc, si) = arr(s)
-          if (sc < wc || (sc == wc && si > wi)) worst = s
-          s += 1
-        }
-        val (wc, wi) = arr(worst)
-        if (c > wc || (c == wc && nid < wi)) arr(worst) = (c, nid)
-      }
+      // fixed k-slot top lists, keyed per member vector ([[KSlotTops]]:
+      // slot order ≡ the final window's order, so dropping a slot can
+      // never drop a global top-k row)
+      val tops = new KSlotTops(k)
       def compare(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)): Unit = {
         val (ida, va, na) = a
         val (idb, vb, nb) = b
         val c = dotD(va, vb) / (na * nb)
-        offer(ida, idb, c)
-        offer(idb, ida, c)
+        tops.offer(ida, idb, c)
+        tops.offer(idb, ida, c)
       }
       if (gi == gj) {
         var x = 0
@@ -240,10 +258,7 @@ object Similarity {
           x += 1
         }
       }
-      tops.iterator.flatMap { case (id, arr) =>
-        arr.iterator.filter(_._2 != Long.MaxValue)
-          .map { case (c, nid) => (id, nid, c) }
-      }
+      tops.emit
     }.toDF("vec_id", "neighbor_id", "cos")
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id".asc)
     candidates.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
@@ -380,22 +395,7 @@ object Similarity {
       .as[(Long, Array[Float], Double, Long)]
     val cand = keyed.groupByKey(_._4).flatMapGroups { (_, it) =>
       val members = it.map { case (id, v, nrm, _) => (id, v, nrm) }.toArray
-      val tops = scala.collection.mutable.LongMap
-        .empty[Array[(Double, Long)]]
-      def offer(id: Long, nid: Long, c: Double): Unit = {
-        val arr = tops.getOrElseUpdate(id,
-          Array.fill(k)((Double.NegativeInfinity, Long.MaxValue)))
-        var worst = 0
-        var s = 1
-        while (s < k) {
-          val (wc, wi) = arr(worst)
-          val (sc, si) = arr(s)
-          if (sc < wc || (sc == wc && si > wi)) worst = s
-          s += 1
-        }
-        val (wc, wi) = arr(worst)
-        if (c > wc || (c == wc && nid < wi)) arr(worst) = (c, nid)
-      }
+      val tops = new KSlotTops(k)
       var x = 0
       while (x < members.length) {
         val (ida, va, na) = members(x)
@@ -403,16 +403,13 @@ object Similarity {
         while (y < members.length) {
           val (idb, vb, nb) = members(y)
           val c = dotD(va, vb) / (na * nb)
-          offer(ida, idb, c)
-          offer(idb, ida, c)
+          tops.offer(ida, idb, c)
+          tops.offer(idb, ida, c)
           y += 1
         }
         x += 1
       }
-      tops.iterator.flatMap { case (id, arr) =>
-        arr.iterator.filter(_._2 != Long.MaxValue)
-          .map { case (c, nid) => (id, nid, c) }
-      }
+      tops.emit
     }.toDF("vec_id", "neighbor_id", "cos")
       .dropDuplicates("vec_id", "neighbor_id")
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id".asc)
@@ -778,8 +775,13 @@ object Similarity {
   private[graft] def semDedupBaseDump(spark: SparkSession, dir: String,
       k: Int = 10, iters: Int = 4, threshold: Double = 0.4): String = {
     import spark.implicits._
-    val base = graft.sources.DumpCache.dirFor(s"graft_semdedup_base_$k",
-      dir, "embeddings.parquet")
+    // keyed on EVERY behavior-affecting parameter (the graft_qm_model
+    // convention): the codebook depends on k and iters, the verdicts on
+    // threshold — a partial key would silently serve a stale generation
+    // to a differently-parameterized caller
+    val thrKey = math.round(threshold * 1000)
+    val base = graft.sources.DumpCache.dirFor(
+      s"graft_semdedup_base_${k}_${iters}_$thrKey", dir, "embeddings.parquet")
     graft.sources.DumpCache.ensure(base) { tmp =>
       val baseRows = Tables.embeddings(spark, dir)
         .filter(!isPcaDelta($"vec_id"))
@@ -852,15 +854,16 @@ object Similarity {
     val untouched = spark.read.parquet(s"$dump/verdicts")
       .filter(!$"cell".isInCollection(affected))
       .select($"vec_id", $"cell", $"is_kept")
-    val out = touched.unionByName(untouched)
+    // materialize the (blast-radius-sized) recomputed verdicts BEFORE
+    // dropping the delta cache: `touched` is lazy and would otherwise
+    // re-run the delta scan + assignment on every downstream action
+    // after the unpersist (the unpersist-before-consumers class the
+    // qualityModel checkpoint fix documents)
+    val touchedM = touched.localCheckpoint()
     delta.unpersist(blocking = false)
-    out
+    touchedM.unionByName(untouched)
   }
 
-  /** Oracle for [[semDedupDelta]]: [[semDedupSql]]'s EXISTS verdict over
-    * the full corpus, with TRAINING restricted to the base slice (the
-    * frozen-quantizer contract) — from-scratch ≡ incremental.
-    */
   /** Oracle for `q_stream_semdedup` — the stateless admission gate's
     * contract: the base-trained codebook replay, verdicts for the DELTA
     * slice against BASE members only (arrival-vs-arrival pairs are the
@@ -883,6 +886,10 @@ object Similarity {
     SELECT vec_id, CAST(cell AS INT) AS cell, CAST(is_kept AS INT) AS is_kept
     FROM kept"""
 
+  /** Oracle for [[semDedupDelta]]: [[semDedupSql]]'s EXISTS verdict over
+    * the full corpus, with TRAINING restricted to the base slice (the
+    * frozen-quantizer contract) — from-scratch ≡ incremental.
+    */
   def semDedupDeltaSql(k: Int = 10, iters: Int = 4,
       threshold: Double = 0.4): String =
     ivfTrainedCorpusSql(k, iters,
@@ -988,10 +995,18 @@ object Similarity {
     * staged base moments with a delta scan's and the merged model is
     * the full-recompute model, identically.
     */
+  /** Moment scale of the PCA pipeline: products stay ≪ Long.Max at
+    * bench SFs. ONE definition — [[pcaMomentsDump]] persists integer
+    * moments at this scale across process lifetimes, so the encoder
+    * ([[pcaMomentsInt]]) and decoder ([[covFromMoments]]) must never
+    * drift apart.
+    */
+  private val PcaMomentScale = 1e4
+
   private def pcaMomentsInt(rows: org.apache.spark.sql.Dataset[(Long, Array[Float])])
       : (Long, Array[Long], Array[Long]) = {
     import rows.sparkSession.implicits._
-    val S = 1e4 // moment scale: products stay ≪ Long.Max at bench SFs
+    val S = PcaMomentScale
     val partials = rows.mapPartitions { it =>
       var n = 0L
       var sum: Array[Long] = null
@@ -1040,7 +1055,7 @@ object Similarity {
     */
   private def covFromMoments(n: Long, sum: Array[Long], gram: Array[Long])
       : (Long, Array[Double], Array[Array[Double]]) = {
-    val S = 1e4
+    val S = PcaMomentScale
     val dim = sum.length
     val mean = sum.map(_.toDouble / S / n)
     // covariance C = E[xxᵀ] − μμᵀ from the exact integer moments

@@ -1138,10 +1138,15 @@ object StreamQueries {
       // band-index shape), so the stream-static join is 1:1 and the
       // verdict is an in-row fold: a per-arrival aggregation here would
       // be a STREAMING AGG (state!), exactly what this gate avoids
+      // cached: the static side of a stream-static join re-evaluates
+      // EVERY micro-batch, and without the cache each trigger would
+      // re-read the whole staged corpus and re-run the grouping —
+      // per-batch cost O(base) instead of O(arrivals × cell occupancy)
       val baseGrouped = s.read.parquet(s"$dump/corpus")
         .groupBy($"cell")
         .agg(collect_list(struct($"vec_id".as("id"), $"embedding".as("e"),
           $"nrm".as("n"))).as("members"))
+        .cache()
       val verdictUdf = udf { (vid: Long, v: Seq[Float], nrm: Double,
           members: Seq[org.apache.spark.sql.Row]) =>
         if (members == null) 1

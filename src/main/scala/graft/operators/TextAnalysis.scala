@@ -384,10 +384,28 @@ object TextAnalysis {
     ${(0 until iters).map(t => eCte(t) + "," + wCte(t)).mkString(",")}"""
   }
 
+  /** The served margin over `feat f` × the trained weight row `w` —
+    * the ONE textual definition every evaluation oracle embeds
+    * ([[qualityModelSql]], `stats_auc`/`stats_calibration`/
+    * `stats_pr_curve`/`stats_confusion`): editing the feature set or
+    * weight count happens here, not in four hash-coupled copies.
+    */
+  private[graft] val qmMarginSql: String =
+    "(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)"
+
+  /** The shared `scored` CTE (label + raw margin) the grid-based
+    * evaluation oracles append to [[qmTrainCtesSql]].
+    */
+  private[graft] val qmScoredCteSql: String = s""",
+    scored AS (
+      SELECT f.y AS label,
+             $qmMarginSql AS score_micro
+      FROM feat f, w$QmIters w)"""
+
   val qualityModelSql: String = qmTrainCtesSql + s"""
     SELECT f.doc_id, f.y AS label,
-           (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4) AS score_micro,
-           CASE WHEN (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
+           $qmMarginSql AS score_micro,
+           CASE WHEN $qmMarginSql
                 >= ${QmScale / 2} THEN 1 ELSE 0 END AS pred
     FROM feat f, w$QmIters w"""
 
