@@ -104,8 +104,12 @@ object Bench {
           .outputMode(mode).trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      // point at the written directory itself — a pathGlobFilter of
+      // "t.parquet" matches only the directory name, never its
+      // part-*.parquet files, so the warm-up streams were processing
+      // ZERO rows (caught building GraftConfigSpec in r13)
       def src(s2: SparkSession) = s2.readStream.schema("ts timestamp, k bigint")
-        .option("pathGlobFilter", "t.parquet").parquet(tmp.toString)
+        .parquet(s"$tmp/t.parquet")
         .withWatermark("ts", "10 minutes")
       run("append") { s2 =>
         src(s2).dropDuplicates("k")

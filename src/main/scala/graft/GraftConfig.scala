@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Executable deployment defaults — SURVEY §6's measured 100 TB advice
+  * surfaced as ONE config object instead of prose scattered across
+  * scaladocs (r12 verdict item 8). Every knob here is backed by a
+  * measurement in the repo and a spec that the knob actually switches
+  * the plan/provider/sizing it claims (GraftConfigSpec):
+  *
+  *  - state-store provider: the heap provider holds the 100× session
+  *    store at 4.74 GB where RocksDB holds it at 95 MB on-disk (§6
+  *    third decade); results are byte-identical under both (the
+  *    provider-parity StreamingSpec).
+  *  - skew handling: AQE + skew-join splitting is remedy (2) of the
+  *    documented ladder — (1) broadcast the small side, (2) AQE
+  *    splitting, (3) explicit salting ([[operators.SkewJoin]]).
+  *  - auto-sizing rules: the LSH key width and SemDeDup cell count
+  *    must GROW with the corpus or per-bucket/per-cell work goes
+  *    quadratic — both measured (52 s at 10× for fixed LSH bits in
+  *    r10; 1.45 → 5.0 s per-arrival for fixed k in r12) and both now
+  *    resolved from corpus row counts by default. Re-exported here so
+  *    a deployment tunes occupancy in one place.
+  */
+object GraftConfig {
+
+  /** Spark's bundled RocksDB state-store provider. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Point a session's streaming state at RocksDB — the swap for any
+    * stateful job whose state outgrows executor heap (session stores,
+    * per-entity folds at 10⁸+ live entities). One conf, no operator
+    * change, byte-identical results (spec-pinned at the provider
+    * level AND value level). Returns the session for chaining.
+    */
+  def useRocksDbStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      RocksDbProvider)
+    spark
+  }
+
+  /** Enable the adaptive-execution skew defaults: AQE re-planning,
+    * skew-join splitting, and partition coalescing — remedy (2) of the
+    * skew ladder, the one that needs no code. (1) is Catalyst's own
+    * broadcast decision; (3) is [[operators.SkewJoin.saltedJoin]] for
+    * hot keys AQE's split granularity can't tame.
+    */
+  def useAdaptiveSkewHandling(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark
+  }
+
+  /** Hyperplane-LSH key width for a corpus of n vectors (expected
+    * bucket occupancy ≈ 125): the rule `dedup_embed_lsh` /
+    * `embed_knn_graph_lsh` / `decontam_embed_lsh` resolve by default.
+    */
+  def lshBits(corpusRows: Long): Int = operators.Similarity.lshBitsFor(corpusRows)
+
+  /** SemDeDup cell count for a corpus of n vectors (expected cell
+    * occupancy ≈ 200): the rule the SemDeDup family resolves by
+    * default.
+    */
+  def semDedupCells(corpusRows: Long): Int =
+    operators.Similarity.semDedupKFor(corpusRows)
+
+  /** Shuffle-partition sizing: enough partitions that a partition's
+    * input fits comfortably in task memory (`targetBytes`, default
+    * 128 MiB — the spill threshold rule of thumb), floored at 2×cores
+    * (keep every core busy through stragglers) and capped at 10000
+    * (scheduler overhead dominates past that; AQE coalesces the rest).
+    */
+  def shufflePartitionsFor(inputBytes: Long, cores: Int,
+      targetBytes: Long = 128L << 20): Int = {
+    val byData = (inputBytes + targetBytes - 1) / targetBytes
+    math.min(10000L, math.max(2L * cores, byData)).toInt
+  }
+}

@@ -155,6 +155,7 @@ object SparkEntry {
     "text_decontam"    -> (Decontam.ngramCollisions _),
     "text_decontam_frac" -> (Decontam.fracDecontam _),
     "decontam_embed" -> ((s: SparkSession, d: String) => Decontam.embedDecontam(s, d)),
+    "decontam_embed_lsh" -> ((s: SparkSession, d: String) => Decontam.embedDecontamLsh(s, d)),
     "q_stream_decontam_embed" -> ((s: SparkSession, d: String) => StreamQueries.streamEmbedDecontam(s, d)),
     "text_decontam_bloom" -> ((s: SparkSession, d: String) => Decontam.bloomDecontam(s, d)),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
@@ -425,6 +426,12 @@ object SparkEntry {
     "text_decontam"    -> Decontam.ngramCollisionsSql,
     "text_decontam_frac" -> Decontam.fracDecontamSql,
     "decontam_embed" -> Decontam.embedDecontamSql,
+    // decontam_embed_lsh: the prescreened form is approximate BY
+    // CONTRACT (LSH has false negatives for a cosine threshold — no
+    // Bloom-style no-FN sketch exists), so it hash-verifies against its
+    // OWN full bucket replay, the embedPairsLsh device; HygieneSpec
+    // pins precision 1.0 + recall vs the exact twin
+    "decontam_embed_lsh" -> Decontam.embedDecontamLshSql(),
     // q_stream_decontam_embed: stateless per-arrival scoring against the
     // broadcast eval suite — same full replay oracle as the batch row
     "q_stream_decontam_embed" -> Decontam.embedDecontamSql,

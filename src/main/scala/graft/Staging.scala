@@ -45,6 +45,12 @@ object Staging {
     "bpe_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.bpeModelDump(s, d)),
     "qm_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.qualityModelDump(s, d)),
     "pca_moments" -> ((s: SparkSession, d: String) => ops.Similarity.pcaMomentsDump(s, d)),
+    // SemDeDup base generation (frozen quantizer + by-cell corpus +
+    // base verdicts) — consumed by dedup_semdedup_delta AND
+    // q_stream_semdedup; unstaged, whichever ran first in a cold suite
+    // billed the k-means training + full base SemDeDup (the r11
+    // staging-pollution class this registry exists to prevent)
+    "semdedup_base" -> ((s: SparkSession, d: String) => ops.Similarity.semDedupBaseDump(s, d)),
     "eval_grams" -> ((s: SparkSession, d: String) => ops.Decontam.evalGramsDump(s, d)),
     "hll_daily" -> ((s: SparkSession, d: String) => ops.Analytics.qHllMerge(s, d)),
     // streaming serving-side indexes

@@ -327,7 +327,9 @@ object Clusters {
     val pairsDir = deltaPairsDump(s, dir)
     val base = baseClusterLabels(s, dir)
     val genRoot = java.nio.file.Files.createTempDirectory("graft_cc_gen").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    // tmpfs checkpoint, deleted at drain (the shared harness device)
+    val ckpt = StreamQueries.harnessCheckpointDir(
+      "graft_cc_ckpt_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     val empty = s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
@@ -345,7 +347,8 @@ object Clusters {
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally StreamQueries.deleteRecursively(new java.io.File(ckpt))
     latest.map(s.read.parquet(_)).getOrElse(empty)
   }
 

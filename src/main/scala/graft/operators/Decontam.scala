@@ -204,34 +204,178 @@ object Decontam {
     *
     * Scale shape: the eval suite is benchmark-sized BY CONSTRUCTION
     * (~10⁵ vectors no matter the corpus), so it broadcasts; scoring is
-    * ONE corpus scan with |eval| codegen'd [[graft.functions.FloatDotProduct]]
-    * folds per row (a BroadcastNestedLoopJoin — there is no equi-key;
-    * the filter keeps the post-join stream hit-sized), and the only
-    * shuffle carries slim (vec_id, partial-agg) rows for docs that hit.
-    * At 10⁵-eval scale the per-row cost is the documented swap to the
-    * sketched prescreen: [[Similarity.embedPairsLsh]]'s hyperplane
-    * buckets or [[Pq]]'s ADC tables prune eval candidates before the
-    * exact rescore — same machinery, same exact verify, staged like
-    * `q_stream_ann_probe`'s serving index.
+    * ONE corpus scan folding each row against the whole broadcast
+    * suite IN PLACE ([[embedGate]]: the per-vector aggregates — hit
+    * count, best cosine, min-witness — accumulate inside the row's
+    * primitive loop, so no per-pair row ever materializes and NO
+    * shuffle runs at all; output is produced map-side, already
+    * aggregated). This is the streaming gate's own fold
+    * ([[StreamQueries.streamEmbedDecontam]] shares the code), promoted
+    * to the batch row in r13: the previous BroadcastNestedLoopJoin +
+    * hash-agg plan computed identical doubles through per-pair join
+    * rows — measured 162 s at the 100× fixture where the fold form
+    * runs the same flops in-register. At 10⁵-eval scale the per-row
+    * cost swaps to the LSH prescreen ([[embedDecontamLsh]] — a
+    * first-class hash-verified row, no longer prose).
     */
   def embedDecontam(spark: SparkSession, dir: String,
       threshold: Double = 0.30, evalMod: Long = 50L): DataFrame = {
     import spark.implicits._
+    embedGate(
+      Tables.embeddings(spark, dir)
+        .filter($"vec_id" % evalMod =!= 0)
+        .select($"vec_id", $"embedding"),
+      evalVectors(spark, dir, evalMod), threshold)
+  }
+
+  /** The eval-suite vectors collected to the driver: (id, vector, norm)
+    * ascending id, zero-norm filtered — benchmark-sized by
+    * construction, the same bound that justifies broadcasting. ONE
+    * loader shared by the batch row and the streaming gate.
+    */
+  private[graft] def evalVectors(spark: SparkSession, dir: String,
+      evalMod: Long): Array[(Long, Array[Float], Double)] = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .filter($"vec_id" % evalMod === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, math.sqrt(Similarity.selfDot(v))) }
+      .filter(_._3 > 0)
+  }
+
+  /** The per-row decontamination fold over a (vec_id, embedding) frame:
+    * each row scans the broadcast suite once in a primitive loop —
+    * ascending-index double dot, sqrt norm, one division, the exact
+    * [[graft.functions.Vectors]] parity arithmetic — accumulating
+    * (n_eval_hits, best_cos, witness_id) in place; zero-norm rows and
+    * non-hits emit nothing. Shared verbatim by the batch row and the
+    * continuous gate, so the two can never drift.
+    */
+  private[graft] def embedGate(rows: DataFrame,
+      eval: Array[(Long, Array[Float], Double)],
+      threshold: Double): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(eval)
+    val gate = udf { (v: Seq[Float]) =>
+      val x = v.toArray
+      var sq = 0.0
+      var i = 0
+      while (i < x.length) { sq += x(i).toDouble * x(i).toDouble; i += 1 }
+      val nrm = math.sqrt(sq)
+      if (nrm <= 0) null
+      else {
+        var nHits = 0L
+        var best = Double.NegativeInfinity
+        var witness = Long.MaxValue
+        bc.value.foreach { case (eid, ev, en) =>
+          var d = 0.0
+          var j = 0
+          while (j < x.length) { d += x(j).toDouble * ev(j).toDouble; j += 1 }
+          val cos = d / (nrm * en)
+          if (cos >= threshold) {
+            nHits += 1
+            if (cos > best) best = cos
+            if (eid < witness) witness = eid
+          }
+        }
+        if (nHits == 0L) null else (nHits, best, witness)
+      }
+    }
+    rows
+      .select(col("vec_id"), gate(col("embedding")).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("vec_id"), col("r._1").as("n_eval_hits"),
+        col("r._2").as("best_cos"), col("r._3").as("witness_id"))
+  }
+
+  /** LSH-PRESCREENED semantic decontamination (`decontam_embed_lsh`) —
+    * the 10⁵-eval-suite path the exact row's scaladoc used to promise
+    * in prose (r12 verdict item 5): when the eval suite is too big for
+    * |eval| dots per corpus row, hyperplane-LSH buckets
+    * ([[graft.functions.Vectors.lshKeys]], occupancy-scaled key width
+    * via [[Similarity.lshBitsFor]] — the same machinery and the same
+    * 10×-found fix as `dedup_embed_lsh`) prescreen (corpus, eval)
+    * candidate pairs, and the exact cosine verifies ONLY candidates.
+    * Per corpus row the work drops from |eval| dots to
+    * (bucket-mates in 16 tables) dots.
+    *
+    * HONESTY CONTRACT: unlike the Bloom ladder (`text_decontam_bloom`,
+    * whose sketch admits false positives only), an LSH prescreen for
+    * cosine has FALSE NEGATIVES — a contaminated pair sharing no
+    * bucket is missed, and no sketch with Bloom's no-FN guarantee
+    * exists for a cosine threshold. Output is therefore approximate by
+    * construction and this ships as its OWN row, not as a silent swap
+    * inside `decontam_embed`: every EMITTED flag is exact (candidates
+    * are exact-verified; precision 1.0 — HygieneSpec pins every flag
+    * as a true flag with counts bounded by the exact row's), recall is
+    * measured against the exact twin, and the whole operator — planes,
+    * buckets, candidates, rescore — replays bit-for-bit in DuckDB, so
+    * even the approximate output is hash-verified
+    * (the [[Similarity.embedPairsLsh]] pattern).
+    *
+    * Plan shape: eval bucket keys are benchmark-sized → broadcast;
+    * candidates ride the join as slim (vec_id, eval_id) pairs with
+    * payloads attached AFTER the dedup by id equi-joins (corpus side)
+    * and a broadcast (eval side); one final map-side-combined groupBy
+    * on vec_id. Corpus embeddings never shuffle through the candidate
+    * explosion.
+    */
+  def embedDecontamLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.30, evalMod: Long = 50L,
+      tables: Int = 16): DataFrame = {
+    import spark.implicits._
     import graft.functions.Vectors
+    val bits = Similarity.lshBitsFor(Tables.embeddings(spark, dir).count())
+    val keyer = Vectors.lshKeys(dim = 64, tables = tables, bits = bits)
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"))
       .filter($"nrm" > 0)
-    val eval = emb.filter($"vec_id" % evalMod === 0)
-      .select($"vec_id".as("eval_id"), $"embedding".as("ee"), $"nrm".as("en"))
-    emb.filter($"vec_id" % evalMod =!= 0)
-      .crossJoin(broadcast(eval))
+    val corpusKeys = emb.filter($"vec_id" % evalMod =!= 0)
+      .select($"vec_id", explode(keyer($"embedding")).as("bucket"))
+    val evalKeys = emb.filter($"vec_id" % evalMod === 0)
+      .select($"vec_id".as("eval_id"), explode(keyer($"embedding")).as("bucket"))
+    val cand = corpusKeys.join(broadcast(evalKeys), Seq("bucket"))
+      .select($"vec_id", $"eval_id")
+      .dropDuplicates("vec_id", "eval_id")
+    val c = emb.select($"vec_id", $"embedding".as("ce"), $"nrm".as("cn"))
+    val q = emb.select($"vec_id".as("eval_id"), $"embedding".as("ee"),
+      $"nrm".as("en"))
+    cand.join(c, Seq("vec_id")).join(broadcast(q), Seq("eval_id"))
       .select($"vec_id", $"eval_id",
-        (Vectors.dot($"embedding", $"ee") / ($"nrm" * $"en")).as("cos"))
+        (Vectors.dot($"ce", $"ee") / ($"cn" * $"en")).as("cos"))
       .filter($"cos" >= threshold)
       .groupBy($"vec_id")
       .agg(count(lit(1)).as("n_eval_hits"), max($"cos").as("best_cos"),
         min($"eval_id").as("witness_id"))
   }
+
+  /** DuckDB replay oracle for [[embedDecontamLsh]]: regenerated
+    * splitmix64 hyperplane buckets over the zero-norm-filtered corpus,
+    * same-bucket (corpus, eval) candidates, exact cosine verify,
+    * per-vector aggregates. `bits` must match the Scala side's
+    * [[Similarity.lshBitsFor]] resolution (4 at the gate corpora;
+    * fixture-scale callers pass `lshBitsFor(n)`).
+    */
+  def embedDecontamLshSql(threshold: Double = 0.30, bits: Int = 4,
+      tables: Int = 16): String = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) nrm FROM e),
+    nz AS (SELECT * FROM n WHERE nrm > 0),""" +
+    SketchSql.lshBucketCtes(tables = tables, bits = bits, seed = 7, src = "nz") + s""",
+    cand AS (SELECT DISTINCT cb.vec_id, qb.vec_id AS eval_id
+             FROM buck cb JOIN buck qb ON cb.bucket = qb.bucket
+             WHERE cb.vec_id % 50 <> 0 AND qb.vec_id % 50 = 0),
+    s AS (SELECT cd.vec_id, cd.eval_id,
+            list_sum(list_transform(list_zip(c.emb, q.emb), z -> z[1]*z[2])) / (c.nrm * q.nrm) AS cos
+          FROM cand cd
+          JOIN nz c ON c.vec_id = cd.vec_id
+          JOIN nz q ON q.vec_id = cd.eval_id)
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           MAX(cos) AS best_cos, MIN(eval_id) AS witness_id
+    FROM s WHERE cos >= $threshold GROUP BY vec_id"""
 
   val embedDecontamSql: String = """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb

@@ -461,7 +461,7 @@ object Profile {
     * [[statsKsBinned]] (identical query shape).
     */
   def statsAuc(spark: SparkSession, dir: String): DataFrame =
-    aucOn(TextAnalysis.qualityModel(spark, dir)
+    aucOn(TextAnalysis.qualityModelServed(spark, dir)
       .select(col("label"), col("score_micro")))
 
   /** The exact-AUC computation over any (label ∈ {0,1}, score_micro)
@@ -533,7 +533,7 @@ object Profile {
     * grid never larger than `bins`. Scales to any corpus.
     */
   def statsCalibration(spark: SparkSession, dir: String): DataFrame =
-    calibrationOn(TextAnalysis.qualityModel(spark, dir)
+    calibrationOn(TextAnalysis.qualityModelServed(spark, dir)
       .select(col("label"), col("score_micro")))
 
   /** The calibration computation over any (label ∈ {0,1}, score_micro)
@@ -625,7 +625,7 @@ object Profile {
     * than NaN (the `stats_ks` guard).
     */
   def statsConfusion(spark: SparkSession, dir: String): DataFrame =
-    confusionOn(TextAnalysis.qualityModel(spark, dir)
+    confusionOn(TextAnalysis.qualityModelServed(spark, dir)
       .select(col("label"), col("pred")))
 
   /** The confusion computation over any (label ∈ {0,1}, pred ∈ {0,1})
@@ -675,7 +675,7 @@ object Profile {
     * same shape.
     */
   def statsPrCurve(spark: SparkSession, dir: String): DataFrame =
-    prCurveOn(TextAnalysis.qualityModel(spark, dir)
+    prCurveOn(TextAnalysis.qualityModelServed(spark, dir)
       .select(col("label"), col("score_micro")))
 
   /** The PR-curve computation over any (label ∈ {0,1}, score_micro)

@@ -215,8 +215,14 @@ object Similarity {
   def embedKnnGraph(spark: SparkSession, dir: String, blocks: Int = 8,
       k: Int = 3): DataFrame = {
     import spark.implicits._
+    // zero-norm guard (the embedDecontam predicate): cos against a
+    // zero vector is NaN, which the k-slot fold silently drops while
+    // the final rank window — and the DuckDB oracle's ORDER BY — would
+    // rank it FIRST; excluding degenerate vectors on both sides keeps
+    // fold and oracle aligned on any corpus
     val rows = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .filter((r: (Long, Array[Float])) => selfDot(r._2) > 0)
     val replicated = rows.flatMap { case (id, v) =>
       val blk = (java.lang.Long.hashCode(id) & Int.MaxValue) % blocks
       val nrm = math.sqrt(selfDot(v))
@@ -268,7 +274,8 @@ object Similarity {
   def embedKnnGraphSql(k: Int = 3): String = duckEmb + s""",
     s AS (SELECT a.vec_id vid, b.vec_id nid,
             list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1]*x[2])) / (a.nrm * b.nrm) c
-          FROM n a JOIN n b ON a.vec_id != b.vec_id)
+          FROM n a JOIN n b ON a.vec_id != b.vec_id
+          WHERE a.nrm > 0 AND b.nrm > 0)
     SELECT vid AS vec_id, nid AS neighbor_id, c AS cos,
            CAST(row_number() OVER (PARTITION BY vid ORDER BY c DESC, nid) AS INT) AS rank
     FROM s QUALIFY rank <= $k"""
@@ -389,8 +396,13 @@ object Similarity {
     // k slots in some shared bucket, the k better peers of that bucket
     // are also global candidates of m, so x cannot be in m's global
     // top-k either (slot order ≡ final order, ties included).
+    // zero-norm guard before keying (the embedDecontam predicate; same
+    // rationale as [[embedKnnGraph]]): NaN cos would be dropped by the
+    // k-slot fold but ranked first by the final window and the oracle
     val keyed = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"),
+      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"))
+      .filter($"nrm" > 0)
+      .select($"vec_id", $"embedding", $"nrm",
         explode(keyer($"embedding")).as("bucket"))
       .as[(Long, Array[Float], Double, Long)]
     val cand = keyed.groupByKey(_._4).flatMapGroups { (_, it) =>
@@ -418,18 +430,23 @@ object Similarity {
 
   /** DuckDB replay oracle for [[embedKnnGraphLsh]] — the
     * [[embedPairsLshSql]] bucket replay with DIRECTED distinct
-    * candidates and the per-node rank instead of a threshold.
+    * candidates and the per-node rank instead of a threshold. `bits`
+    * must match the Scala side's occupancy-scaled [[lshBitsFor]] —
+    * the default 4 is the gate-corpus resolution (≤ 2000 vectors);
+    * fixture-scale callers pass `lshBitsFor(n)` instead of relying on
+    * a second copy of the static-4 assumption (r12 ADVICE).
     */
-  def embedKnnGraphLshSql(k: Int = 3): String = duckEmb + "," +
-    SketchSql.lshBucketCtes(tables = 16, bits = 4, seed = 7) + s""",
+  def embedKnnGraphLshSql(k: Int = 3, bits: Int = 4): String = duckEmb + """,
+    nz AS (SELECT * FROM n WHERE nrm > 0),""" +
+    SketchSql.lshBucketCtes(tables = 16, bits = bits, seed = 7, src = "nz") + s""",
     cand AS (SELECT DISTINCT a.vec_id AS vid, b.vec_id AS nid
              FROM buck a JOIN buck b
                ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
     scored AS (SELECT cd.vid, cd.nid,
                  list_sum(list_transform(list_zip(x.emb, y.emb), z -> z[1]*z[2])) / (x.nrm * y.nrm) AS cos
                FROM cand cd
-               JOIN n x ON x.vec_id = cd.vid
-               JOIN n y ON y.vec_id = cd.nid)
+               JOIN nz x ON x.vec_id = cd.vid
+               JOIN nz y ON y.vec_id = cd.nid)
     SELECT vid AS vec_id, nid AS neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nid) AS INT) AS rank
     FROM scored QUALIFY rank <= $k"""
@@ -556,6 +573,33 @@ object Similarity {
     val m = (n + 124) / 125
     math.max(4, if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1))
   }
+
+  /** SemDeDup cell count for a corpus of n vectors: k = max(10,
+    * ⌈n/200⌉), holding expected cell occupancy ≈ 200 so the per-cell
+    * Θ(occupancy²) compare loops — and the streaming gate's per-arrival
+    * verdict fold, which scans one cell — stay CONSTANT per unit as the
+    * corpus grows (fixed k meant occupancy n/k grows linearly and the
+    * gate's per-arrival cost with it — measured 1.45 → 5.0 s at the 10×
+    * fixture in r12; the [[lshBitsFor]] device applied to the
+    * quantizer). Integer arithmetic: no FP-edge drift.
+    * INVARIANT (SketchSpec-pinned): the gate corpora (≤ 2000 vectors)
+    * must resolve to 10 — the static DuckDB oracles
+    * ([[semDedupSql]]/[[semDedupDeltaSql]]/[[streamSemDedupSql]])
+    * replay k = 10, and a silent change here would hash-mismatch them.
+    */
+  private[graft] def semDedupKFor(n: Long): Int =
+    math.max(10L, (n + 199) / 200).toInt
+
+  /** Resolve a SemDeDup `k` argument: explicit positive k wins; k ≤ 0
+    * auto-sizes from the corpus row count (a footer-only parquet read).
+    * ONE resolver shared by [[semDedup]], [[semDedupBaseDump]] (whose
+    * cache key carries the RESOLVED k — the r12 stale-generation-key
+    * lesson) and the streaming gate, so the three entry points can
+    * never resolve differently.
+    */
+  private[graft] def resolveSemDedupK(spark: SparkSession, dir: String,
+      k: Int): Int =
+    if (k > 0) k else semDedupKFor(Tables.embeddings(spark, dir).count())
 
   /** The `nprobe` L2-nearest cells in probe order (ascending distance,
     * ties → lowest cell id) — shared by [[annIvf]] and the streaming
@@ -708,19 +752,22 @@ object Similarity {
     *
     * Scale: assignment is a per-row map against the broadcast codebook;
     * the only shuffle is the groupByKey on cell id; each cell's compare
-    * loop is (cell size)² primitive ops with O(cell) task memory. A
-    * production run sizes k so cells fit a task (k ≈ n/target), and
-    * sub-blocks any skewed cell with the [[trianglePairs]] pattern —
-    * noted, not needed at gate scale. Approximate by construction:
+    * loop is (cell size)² primitive ops with O(cell) task memory. k
+    * AUTO-SIZES from the corpus row count ([[semDedupKFor]]: occupancy
+    * ≈ 200 per cell, so total compare work stays linear in n — the r12
+    * verdict's fixed-k finding closed); sub-blocking a skewed cell with
+    * the [[trianglePairs]] pattern remains the documented skew remedy.
+    * Approximate by construction:
     * a near-dup pair straddling two cells is missed (the SemDeDup
     * trade); HygieneSpec pins the exact-witness property (every drop
     * has a smaller-id co-celled near-dup confirmed by [[embedPairs]])
     * and the converse (every co-celled exact pair forces a drop).
     */
-  def semDedup(spark: SparkSession, dir: String, k: Int = 10,
+  def semDedup(spark: SparkSession, dir: String, k: Int = 0,
       iters: Int = 4, threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
-    val (codebook, _) = kmeansCodebook(spark, dir, k, iters)
+    val kk = resolveSemDedupK(spark, dir, k)
+    val (codebook, _) = kmeansCodebook(spark, dir, kk, iters)
     val bc = spark.sparkContext.broadcast(codebook)
     val assigned = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
@@ -773,20 +820,23 @@ object Similarity {
     * base generation via DumpCache.
     */
   private[graft] def semDedupBaseDump(spark: SparkSession, dir: String,
-      k: Int = 10, iters: Int = 4, threshold: Double = 0.4): String = {
+      k: Int = 0, iters: Int = 4, threshold: Double = 0.4): String = {
     import spark.implicits._
     // keyed on EVERY behavior-affecting parameter (the graft_qm_model
     // convention): the codebook depends on k and iters, the verdicts on
     // threshold — a partial key would silently serve a stale generation
-    // to a differently-parameterized caller
+    // to a differently-parameterized caller. k is RESOLVED before the
+    // key is built, so an auto-sized generation can never be served to
+    // a corpus whose row count resolves differently.
+    val kk = resolveSemDedupK(spark, dir, k)
     val thrKey = math.round(threshold * 1000)
     val base = graft.sources.DumpCache.dirFor(
-      s"graft_semdedup_base_${k}_${iters}_$thrKey", dir, "embeddings.parquet")
+      s"graft_semdedup_base_${kk}_${iters}_$thrKey", dir, "embeddings.parquet")
     graft.sources.DumpCache.ensure(base) { tmp =>
       val baseRows = Tables.embeddings(spark, dir)
         .filter(!isPcaDelta($"vec_id"))
         .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      val (codebook, _) = kmeansCodebookOn(baseRows, k, iters)
+      val (codebook, _) = kmeansCodebookOn(baseRows, kk, iters)
       codebook.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .coalesce(1).write.parquet(s"$tmp/codebook")
@@ -825,7 +875,7 @@ object Similarity {
     * assignment, and the EXISTS verdict over merged cells — incremental
     * merge ≡ from-scratch recompute, hash-proven.
     */
-  def semDedupDelta(spark: SparkSession, dir: String, k: Int = 10,
+  def semDedupDelta(spark: SparkSession, dir: String, k: Int = 0,
       iters: Int = 4, threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
     val dump = semDedupBaseDump(spark, dir, k, iters, threshold)

@@ -123,14 +123,17 @@ object SketchSql {
            CAST(k AS DOUBLE) / 128 AS est_jaccard
     FROM agree WHERE CAST(k AS DOUBLE) / 128 >= 0.7e0"""
 
-  /** LSH plane/bucket replay over the normalized-embedding table `n`
-    * from Similarity's `duckEmb` prefix: emits `buck(vec_id, bucket)`
+  /** LSH plane/bucket replay over the normalized-embedding table `src`
+    * (default `n`, Similarity's `duckEmb` prefix; callers needing a
+    * filtered corpus — e.g. the kNN-graph rows' zero-norm guard — pass
+    * their own CTE name): emits `buck(vec_id, bucket)`
     * with bucket = (table << 32) | sign-bit key, exactly
     * `Vectors.lshKeys(dim=64, tables, bits, seed)`. Plane entries are
     * the exact dyadic uniforms ((z >>> 11) / 2^52 − 1); the plane·vec
     * dot is the same list_sum double fold every cosine oracle uses.
     */
-  def lshBucketCtes(tables: Int, bits: Int, seed: Long): String = s"""
+  def lshBucketCtes(tables: Int, bits: Int, seed: Long,
+      src: String = "n"): String = s"""
     lpidx AS (SELECT pl, i, ($seed + (pl * 64 + i + 1) * $Golden) % $M64 AS z0
               FROM (SELECT unnest(range(0, ${tables * bits})) AS pl),
                    unnest(range(0, 64)) AS u(i)),
@@ -138,9 +141,9 @@ object SketchSql {
     planes AS MATERIALIZED (
       SELECT pl, list(CAST(x // 2048 AS DOUBLE) / 4503599627370496e0 - 1e0 ORDER BY i) AS wl
       FROM lpmix GROUP BY pl),
-    sdot AS (SELECT n.vec_id, p.pl,
-               list_sum(list_transform(list_zip(p.wl, n.emb), z -> z[1]*z[2])) AS s
-             FROM n CROSS JOIN planes p),
+    sdot AS (SELECT $src.vec_id, p.pl,
+               list_sum(list_transform(list_zip(p.wl, $src.emb), z -> z[1]*z[2])) AS s
+             FROM $src CROSS JOIN planes p),
     buck AS MATERIALIZED (
       SELECT vec_id, CAST(pl // $bits AS BIGINT) * 4294967296 +
              CAST(SUM(CASE WHEN s >= 0 THEN (1 << (pl % $bits)) ELSE 0 END) AS BIGINT) AS bucket

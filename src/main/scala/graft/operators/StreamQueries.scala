@@ -73,11 +73,40 @@ object StreamQueries {
     val spark = spark0.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+    val ckptDir = harnessCheckpointDir(s"graft_ckpt_$name")
     val q = build(spark).writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    lastProgress = Option(q.lastProgress).map(_.json)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir).start()
+    try {
+      q.awaitTermination()
+      lastProgress = Option(q.lastProgress).map(_.json)
+    } finally deleteRecursively(new java.io.File(ckptDir))
     spark.table(name)
+  }
+
+  /** Checkpoint root for the bounded-replay harness streams: tmpfs when
+    * the platform has one, else the java temp dir (r12 verdict item 7:
+    * the suite's dominant fixed cost was ~25 harness streams × 1-3 s of
+    * checkpoint/state-store machinery — offsets WAL, commit log and
+    * state snapshots are all small fsync-bound writes that don't belong
+    * on disk for a replay whose checkpoint is deleted at drain).
+    * Semantics are untouched: the checkpoint exists only for recovery.
+    * A real deployment points `checkpointLocation` at durable storage
+    * instead — the recovery contract needs it there.
+    */
+  private[graft] def harnessCheckpointDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val root =
+      if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    val d = new java.io.File(root, prefix)
+    d.mkdirs()
+    d.getPath
+  }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** Minimal pass over the real events file-stream (schema probe, file
@@ -377,9 +406,7 @@ object StreamQueries {
   def streamQualityModel(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
-      val w: Array[Long] = s.read
-        .parquet(TextAnalysis.qualityModelDump(s, dir))
-        .orderBy($"j").select($"w").as[Long].collect()
+      val w = TextAnalysis.qualityModelWeights(s, dir)
       TextAnalysis.qmScoreOn(
         s.readStream.schema(docsRawSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -409,9 +436,7 @@ object StreamQueries {
     Profile.calibrationFinish(
       runToTable(spark, mode = "complete") { s =>
         import s.implicits._
-        val w: Array[Long] = s.read
-          .parquet(TextAnalysis.qualityModelDump(s, dir))
-          .orderBy($"j").select($"w").as[Long].collect()
+        val w = TextAnalysis.qualityModelWeights(s, dir)
         Profile.calibrationGrid(TextAnalysis.qmScoreOn(
           s.readStream.schema(docsRawSchema)
             .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -435,9 +460,7 @@ object StreamQueries {
     Profile.confusionFinish(
       runToTable(spark, mode = "complete") { s =>
         import s.implicits._
-        val w: Array[Long] = s.read
-          .parquet(TextAnalysis.qualityModelDump(s, dir))
-          .orderBy($"j").select($"w").as[Long].collect()
+        val w = TextAnalysis.qualityModelWeights(s, dir)
         Profile.confusionCells(TextAnalysis.qmScoreOn(
           s.readStream.schema(docsRawSchema)
             .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -647,6 +670,14 @@ object StreamQueries {
   case class AttrOut(event_id: Long, user_id: Long,
     attributed_type: String, cents: Long)
 
+  /** [[AttrEvent]] with its watermark tag attached (public: Catalyst's
+    * generated deserializer must construct it). The EventTimeTimeout
+    * checker requires the watermark-tagged COLUMN to reach the stateful
+    * operator — dropping it after `withWatermark` strips the tag.
+    */
+  case class AttrEventWm(user_id: Long, tsMicros: Long, event_id: Long,
+    event_type: String, cents: Long, wm_ts: java.sql.Timestamp)
+
   /** The stateful fold behind [[streamAttribution]], factored out so
     * StreamingSpec can drive it through its own multi-batch source +
     * checkpoint restarts. State per user = newest touch BY EVENT TIME
@@ -656,33 +687,66 @@ object StreamQueries {
     * touch with an older event time can neither retro-credit an
     * already-emitted purchase (append output is immutable) nor regress
     * the state future purchases attribute against.
+    *
+    * State TTL (r12 verdict item 3): the operator only honors a 7-day
+    * lookback — a touch older than that attributes as 'direct' — so an
+    * EventTimeTimeout at touch_ts + 7 days is SEMANTICS-PRESERVING by
+    * construction for any watermark-disciplined stream (the evicted
+    * state could only ever have produced 'direct' again; StreamingSpec
+    * pins exactly that equivalence). State is therefore ∝ users with a
+    * touch inside the lookback horizon, not lifetime users. The fold
+    * defines its own 1-hour watermark on tsMicros (EventTimeTimeout
+    * requires one; the tag rides through as [[AttrEventWm]], so
+    * callers' schemas are unchanged). A bounded replay's watermark only reaches
+    * max ts − 1 h, which never passes any in-lookback touch's horizon —
+    * the hash oracle is unchanged.
     */
   def attributionFold(ev: Dataset[AttrEvent]): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import ev.sparkSession.implicits._
     val sevenDaysMicros = 7L * 86400L * 1000000L
-    ev.groupByKey(_.user_id)
+    ev.withColumn("wm_ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("wm_ts", "1 hour")
+      .as[AttrEventWm]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[Option[(Long, String)], AttrOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, rows, state) =>
-          var last = state.getOption.flatten
-          val out = Vector.newBuilder[AttrOut]
-          // total order (ts, side, event_id): touches sort before
-          // purchases at the same instant — the batch oracle's order
-          rows.toSeq.sortBy(e =>
-            (e.tsMicros, if (e.event_type == "purchase") 1 else 0, e.event_id))
-            .foreach { e =>
-              if (e.event_type != "purchase") {
-                if (last.forall(_._1 <= e.tsMicros))
-                  last = Some((e.tsMicros, e.event_type))
-              } else out += AttrOut(e.event_id, e.user_id,
-                last match {
-                  case Some((ts, tp)) if ts >= e.tsMicros - sevenDaysMicros => tp
-                  case _ => "direct"
-                }, e.cents)
+          if (state.hasTimedOut) {
+            // watermark passed the stored touch's 7-day horizon: the
+            // state could only attribute 'direct' from here on — which
+            // is exactly what NO state attributes. Evict.
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption.flatten
+            val out = Vector.newBuilder[AttrOut]
+            // total order (ts, side, event_id): touches sort before
+            // purchases at the same instant — the batch oracle's order
+            rows.toSeq.sortBy(e =>
+              (e.tsMicros, if (e.event_type == "purchase") 1 else 0, e.event_id))
+              .foreach { e =>
+                if (e.event_type != "purchase") {
+                  if (last.forall(_._1 <= e.tsMicros))
+                    last = Some((e.tsMicros, e.event_type))
+                } else out += AttrOut(e.event_id, e.user_id,
+                  last match {
+                    case Some((ts, tp)) if ts >= e.tsMicros - sevenDaysMicros => tp
+                    case _ => "direct"
+                  }, e.cents)
+              }
+            // a touch-less user (purchases only) needs NO state row:
+            // absent state already attributes 'direct', the only verdict
+            // it could produce — and timeouts are cleared per invocation,
+            // so the horizon is re-armed on every sighting
+            last.foreach { lt =>
+              state.update(Some(lt))
+              state.setTimeoutTimestamp(math.max(
+                (lt._1 + sevenDaysMicros) / 1000L,
+                state.getCurrentWatermarkMs + 1))
             }
-          state.update(last)
-          out.result().iterator
+            out.result().iterator
+          }
       }.toDF()
   }
 
@@ -982,8 +1046,9 @@ object StreamQueries {
     * cell (each corpus vector lives in exactly one cell, so no dedup is
     * needed), exact cosine rescore, and a one-shot per-query top-k emit
     * through `flatMapGroupsWithState` (streaming forbids rank windows;
-    * the group state marks a query as served — at-most-once serving, the
-    * online contract). Output is column-identical to `ann_ivf`, so the
+    * the group state marks a query as served — at-most-once serving
+    * within the marker TTL, [[annProbeServeFold]]'s bounded-state
+    * contract). Output is column-identical to `ann_ivf`, so the
     * SAME DuckDB oracle — the full training replay — hash-checks
     * staged-index online serving ≡ from-scratch batch train+probe.
     */
@@ -991,7 +1056,6 @@ object StreamQueries {
       nprobe: Int = 3, topK: Int = 5): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
-      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       val idx = ivfIndexDump(s, dir)
       val corpus = s.read.parquet(s"$idx/corpus")
       val codebook = s.read.parquet(s"$idx/codebook")
@@ -1010,26 +1074,81 @@ object StreamQueries {
         .select($"vec_id".as("query_id"), $"embedding".as("qe"),
           graft.functions.Vectors.norm2($"embedding").as("qn"),
           explode(probeUdf($"embedding")).as("cell"))
-      queries.join(corpus, Seq("cell")) // stream-static: stateless
-        .filter($"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id".as("neighbor_id"), $"cell",
-          (graft.functions.Vectors.dot($"qe", $"embedding") /
-            ($"qn" * $"nrm")).as("cos"))
-        .as[(Long, Long, Int, Double)]
-        .groupByKey(_._1)
-        .flatMapGroupsWithState[Boolean, (Long, Long, Int, Double, Int)](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (_, rows, state) =>
-            if (state.exists) Iterator.empty // already served: at-most-once
-            else {
-              state.update(true)
-              rows.toSeq.sortBy(r => (-r._4, r._2)).take(topK)
-                .zipWithIndex.iterator
-                .map { case ((q, n, c, cos), i) => (q, n, c, cos, i + 1) }
-            }
-        }
-        .toDF("query_id", "neighbor_id", "cell", "cos", "rank")
+      annProbeServeFold(
+        queries.join(corpus, Seq("cell")) // stream-static: stateless
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"), $"cell",
+            (graft.functions.Vectors.dot($"qe", $"embedding") /
+              ($"qn" * $"nrm")).as("cos"))
+          .as[(Long, Long, Int, Double)], topK)
     }
+
+  /** Default served-marker TTL for [[annProbeServeFold]], in arrival-
+    * clock milliseconds. OPERATING CONTRACT (the [[DeltaLshBucketTtl]]
+    * form): at-most-once serving is guaranteed per TTL window — a query
+    * id quiet for a full TTL drops its marker, so a replay of that id
+    * arriving LATER than the TTL is served again. Long enough that the
+    * harness's single-run queries never evict mid-stream; a production
+    * dedup horizon is the client retry window.
+    */
+  private[graft] val AnnProbeMarkerTtlMs = 30L * 60L * 1000L
+
+  /** The at-most-once serve fold behind [[streamAnnProbe]], factored so
+    * StreamingSpec can drive it through its own multi-batch source and
+    * synthetic clock. The Boolean state row marks a query id as served;
+    * an arrival-stamped EventTimeTimeout (the [[exactOnceByKey]] /
+    * delta-LSH quiet-bucket device: `current_timestamp()` is batch-
+    * time, monotone across triggers — NOT ProcessingTimeTimeout, whose
+    * always-true shouldRunAnotherBatch spins AvailableNow replays in
+    * no-data batches forever, measured before this form) evicts the
+    * marker once the id has been quiet for the TTL, re-armed at every
+    * sighting. r12's NoTimeout held every marker FOREVER —
+    * lifetime-linear state on an unbounded query stream, the same
+    * unbounded-ingest-state class as r11's delta-LSH finding. State is
+    * now ∝ query ids in flight within one TTL window, not lifetime
+    * ids; a bounded replay (one trigger, no quiet period) cannot
+    * evict, so the hash oracle is unchanged.
+    */
+  private[graft] def annProbeServeFold(
+      scored: Dataset[(Long, Long, Int, Double)], topK: Int = 5,
+      markerTtlMs: Long = AnnProbeMarkerTtlMs,
+      arrivalTs: org.apache.spark.sql.Column = current_timestamp()): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import scored.sparkSession.implicits._
+    scored
+      .toDF("query_id", "neighbor_id", "cell", "cos")
+      .withColumn("arrival_ts", arrivalTs)
+      .withWatermark("arrival_ts", "0 seconds")
+      .as[(Long, Long, Int, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Int, Double, Int)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { // quiet for a full TTL: evict marker
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            // timeouts clear per invocation — re-arm at (newest sighting
+            // + TTL); the max guard keeps the set timestamp ahead of the
+            // current watermark, as EventTimeTimeout requires
+            val timeoutAt = math.max(
+              rs.iterator.map(_._5.getTime).max + markerTtlMs,
+              state.getCurrentWatermarkMs + 1)
+            if (state.exists) { // duplicate within TTL: suppress
+              state.setTimeoutTimestamp(timeoutAt)
+              Iterator.empty
+            } else {
+              state.update(true)
+              state.setTimeoutTimestamp(timeoutAt)
+              rs.sortBy(r => (-r._4, r._2)).take(topK)
+                .zipWithIndex.iterator
+                .map { case ((q, n, c, cos, _), i) => (q, n, c, cos, i + 1) }
+            }
+          }
+      }
+      .toDF("query_id", "neighbor_id", "cell", "cos", "rank")
+  }
 
   /** CONTINUOUS semantic decontamination — `decontam_embed` run per
     * arrival: every ingested embedding is scored against the BROADCAST
@@ -1050,50 +1169,19 @@ object StreamQueries {
       threshold: Double = 0.30, evalMod: Long = 50L): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
-      val eval: Array[(Long, Array[Float], Double)] =
-        Tables.embeddings(s, dir)
-          .filter($"vec_id" % evalMod === 0)
-          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-          .collect().sortBy(_._1)
-          .map { case (id, v) => (id, v, math.sqrt(Similarity.selfDot(v))) }
-          .filter(_._3 > 0)
-      val bc = s.sparkContext.broadcast(eval)
-      val gate = udf { (v: Seq[Float]) =>
-        val x = v.toArray
-        var sq = 0.0
-        var i = 0
-        while (i < x.length) { sq += x(i).toDouble * x(i).toDouble; i += 1 }
-        val nrm = math.sqrt(sq)
-        if (nrm <= 0) null
-        else {
-          var nHits = 0L
-          var best = Double.NegativeInfinity
-          var witness = Long.MaxValue
-          bc.value.foreach { case (eid, ev, en) =>
-            var d = 0.0
-            var j = 0
-            while (j < x.length) { d += x(j).toDouble * ev(j).toDouble; j += 1 }
-            val cos = d / (nrm * en)
-            if (cos >= threshold) {
-              nHits += 1
-              if (cos > best) best = cos
-              if (eid < witness) witness = eid
-            }
-          }
-          if (nHits == 0L) null else (nHits, best, witness)
-        }
-      }
+      // the SAME loader + per-row fold as the batch row
+      // ([[Decontam.embedGate]] — since r13 the batch row runs this
+      // fold too, so streaming ≡ batch is shared-code, not twin-code)
       val embSchema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
         StructField("label", IntegerType)))
-      s.readStream.schema(embSchema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-        .filter($"vec_id" % evalMod =!= 0)
-        .select($"vec_id", gate($"embedding").as("r"))
-        .filter($"r".isNotNull)
-        .select($"vec_id", $"r._1".as("n_eval_hits"),
-          $"r._2".as("best_cos"), $"r._3".as("witness_id"))
+      Decontam.embedGate(
+        s.readStream.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter($"vec_id" % evalMod =!= 0)
+          .select($"vec_id", $"embedding"),
+        Decontam.evalVectors(s, dir, evalMod), threshold)
     }
 
   /** CONTINUOUS semantic near-dup admission gate — SemDeDup at ingest
@@ -1122,9 +1210,14 @@ object StreamQueries {
     * EXISTS restricted to BASE members, delta slice only — staged
     * online gating ≡ batch replay.
     */
-  def streamSemDedup(spark: SparkSession, dir: String, k: Int = 10,
-      iters: Int = 4, threshold: Double = 0.4): DataFrame =
-    runToTable(spark, mode = "append") { s =>
+  def streamSemDedup(spark: SparkSession, dir: String, k: Int = 0,
+      iters: Int = 4, threshold: Double = 0.4): DataFrame = {
+    // the grouped static join side is cached for the query's lifetime
+    // (see below); drop it once the stream drains — runToTable's child
+    // session shares the SparkContext/block manager, so an unmatched
+    // cache would accumulate across invocations
+    var staticSide: Option[DataFrame] = None
+    try runToTable(spark, mode = "append") { s =>
       import s.implicits._
       val dump = Similarity.semDedupBaseDump(s, dir, k, iters, threshold)
       val codebook = s.read.parquet(s"$dump/codebook")
@@ -1147,6 +1240,7 @@ object StreamQueries {
         .agg(collect_list(struct($"vec_id".as("id"), $"embedding".as("e"),
           $"nrm".as("n"))).as("members"))
         .cache()
+      staticSide = Some(baseGrouped)
       val verdictUdf = udf { (vid: Long, v: Seq[Float], nrm: Double,
           members: Seq[org.apache.spark.sql.Row]) =>
         if (members == null) 1
@@ -1180,7 +1274,8 @@ object StreamQueries {
         .join(baseGrouped, Seq("cell"), "left") // stream-static: stateless
         .select($"vec_id", $"cell".cast("int").as("cell"),
           verdictUdf($"vec_id", $"embedding", $"nrm", $"members").as("is_kept"))
-    }
+    } finally staticSide.foreach(_.unpersist(blocking = false))
+  }
 
   /** CONTINUOUS boilerplate discovery — the streaming twin of
     * `text_boilerplate`'s hot-line detection: as documents arrive, the
@@ -1362,6 +1457,12 @@ object StreamQueries {
   case class SessEvent(user_id: Long, tsMicros: Long, event_id: Long,
       event_type: String)
 
+  /** [[SessEvent]] with its watermark tag attached (public: Catalyst's
+    * generated deserializer must construct it; see [[AttrEventWm]]).
+    */
+  case class SessEventWm(user_id: Long, tsMicros: Long, event_id: Long,
+      event_type: String, wm_ts: java.sql.Timestamp)
+
   /** A user's open session in the state store: start/last instants, the
     * FIRST-`cap` event types in arrival order, and the exact total count
     * (public: Catalyst's generated (de)serializer must construct it).
@@ -1378,46 +1479,76 @@ object StreamQueries {
     * event types — O(cap) bytes per user REGARDLESS of session length,
     * the bounded-state swap for the session store's ∝(session events)
     * growth. A session is emitted when its successor event arrives
-    * (gap ≥ 30 min closes it); each user's final session stays open, so
-    * the emitted set is exactly "every session with a later session for
-    * the same user" — the batch-expressible contract the oracle
-    * replays. Within a batch, events fold in (ts, event_id) order
-    * (identical to the batch total order); across batches the state
-    * carries (start, last, first-K, count), so an in-order event stream
-    * sessionizes exactly — a LATE event still lands in its session by
-    * the gap rule, with its type appended in arrival order (the
-    * documented append-mode trade-off, same family as
-    * [[attributionFold]]'s immutable emissions).
+    * (gap ≥ 30 min closes it) OR when the watermark passes its gap
+    * horizon (EventTimeTimeout at last + gap — r12 verdict item 3: the
+    * NoTimeout form held an idle user's open session FOREVER and never
+    * emitted a user's final session; the gap-length timeout
+    * emits-and-evicts, closing both at once — state ∝ users active
+    * within one gap of the watermark, and the emitted set extends to
+    * ALL sessions, the full batch sessionization contract). Within a
+    * batch, events fold in (ts, event_id) order (identical to the
+    * batch total order); across batches the state carries (start,
+    * last, first-K, count), so an in-order event stream sessionizes
+    * exactly — a LATE event still lands in its session by the gap rule
+    * while the session is open (its type appended in arrival order —
+    * the documented append-mode trade-off, same family as
+    * [[attributionFold]]'s immutable emissions); once the watermark
+    * closes a session, a beyond-lateness event starts a new one (the
+    * same contract as Spark's own streaming session_window). The fold
+    * defines its own 1-hour watermark on tsMicros (EventTimeTimeout
+    * requires one; the tag column is dropped, caller schemas
+    * unchanged).
     */
   def sessionPathsCappedFold(ev: Dataset[SessEvent],
       cap: Int = SessionPathCap): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import ev.sparkSession.implicits._
     val gapMicros = 30L * 60L * 1000000L
-    ev.groupByKey(_.user_id)
+    def closed(user: Long, s: OpenSession): (Long, Long, Long, String, Long, Long) =
+      (user, s.startMicros, s.lastMicros + gapMicros,
+        s.path.mkString(">"), s.nEvents,
+        if (s.nEvents > cap) 1L else 0L)
+    ev.withColumn("wm_ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("wm_ts", "1 hour")
+      .as[SessEventWm]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, (Long, Long, Long, String, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, rows, state) =>
-        var open = state.getOption
-        val out = Vector.newBuilder[(Long, Long, Long, String, Long, Long)]
-        rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
-          open match {
-            case Some(s) if e.tsMicros - s.lastMicros < gapMicros =>
-              open = Some(OpenSession(s.startMicros, math.max(s.lastMicros, e.tsMicros),
-                if (s.path.length < cap) s.path :+ e.event_type else s.path,
-                s.nEvents + 1))
-            case Some(s) =>
-              out += ((user, s.startMicros, s.lastMicros + gapMicros,
-                s.path.mkString(">"), s.nEvents,
-                if (s.nEvents > cap) 1L else 0L))
-              open = Some(OpenSession(e.tsMicros, e.tsMicros,
-                Vector(e.event_type), 1L))
-            case None =>
-              open = Some(OpenSession(e.tsMicros, e.tsMicros,
-                Vector(e.event_type), 1L))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (user, rows, state) =>
+        if (state.hasTimedOut) {
+          // watermark passed last + gap: no in-lateness event can extend
+          // this session any more — emit it and drop the state row
+          val s = state.get
+          state.remove()
+          Iterator.single(closed(user, s))
+        } else {
+          var open = state.getOption
+          val out = Vector.newBuilder[(Long, Long, Long, String, Long, Long)]
+          rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+            open match {
+              case Some(s) if e.tsMicros - s.lastMicros < gapMicros =>
+                open = Some(OpenSession(s.startMicros, math.max(s.lastMicros, e.tsMicros),
+                  if (s.path.length < cap) s.path :+ e.event_type else s.path,
+                  s.nEvents + 1))
+              case Some(s) =>
+                out += closed(user, s)
+                open = Some(OpenSession(e.tsMicros, e.tsMicros,
+                  Vector(e.event_type), 1L))
+              case None =>
+                open = Some(OpenSession(e.tsMicros, e.tsMicros,
+                  Vector(e.event_type), 1L))
+            }
           }
+          open.foreach { s =>
+            state.update(s)
+            // timeouts clear per invocation — re-arm at the (possibly
+            // extended) gap horizon; the max guard covers an already-
+            // expired horizon (late data), firing at the next watermark
+            state.setTimeoutTimestamp(math.max(
+              (s.lastMicros + gapMicros) / 1000L,
+              state.getCurrentWatermarkMs + 1))
+          }
+          out.result().iterator
         }
-        open.foreach(state.update)
-        out.result().iterator
       }
       .toDF("user_id", "start_micros", "end_micros", "path", "n_events", "truncated")
       .select($"user_id",
@@ -1434,18 +1565,28 @@ object StreamQueries {
     * StateProbe shows bytes/row CONSTANT as sessions lengthen. The
     * price is the contract: paths truncate at `cap` types (with the
     * exact `n_events`/`truncated` columns preserving the tail's
-    * existence), and a session emits when its SUCCESSOR arrives rather
-    * than when the watermark closes it. Hash-matches the batch
-    * sessionization oracle restricted to non-final sessions.
+    * existence). A session emits when its successor arrives or when
+    * the watermark passes its gap horizon ([[sessionPathsCappedFold]]'s
+    * emit-and-evict timeout), so the emitted set is ALL sessions — the
+    * full batch sessionization oracle, no non-final restriction (r12's
+    * final-session gap closed). Bounded replays flush through the
+    * far-future sentinel dump (the [[streamRangeJoinOuter]] device:
+    * time, not end-of-input, closes sessions; the reserved sentinel
+    * user is filtered from the materialized result — the same
+    * must-not-push-below-watermark reasoning applies).
     */
-  def streamSessionPathsCapped(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, mode = "append") { s =>
+  def streamSessionPathsCapped(spark: SparkSession, dir: String): DataFrame = {
+    val dump = sentinelEventsDump(spark, dir)
+    val sessions = runToTable(spark, mode = "append") { s =>
       import s.implicits._
-      sessionPathsCappedFold(eventsStream(s, dir)
-        .select($"user_id", unix_micros($"ts").as("tsMicros"), $"event_id",
-          $"event_type")
-        .as[SessEvent])
+      sessionPathsCappedFold(
+        s.readStream.schema(eventsNormSchema).parquet(dump)
+          .select($"user_id", unix_micros($"ts").as("tsMicros"), $"event_id",
+            $"event_type")
+          .as[SessEvent])
     }
+    sessions.filter(col("user_id") >= 0)
+  }
 
   val streamSessionPathsCappedSql: String = s"""
     WITH marked AS (
@@ -1474,8 +1615,7 @@ object StreamQueries {
                   AS BIGINT) AS truncated
       FROM ranked GROUP BY user_id, sid)
     SELECT user_id, session_start, session_end, path, n_events, truncated
-    FROM sess
-    QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)"""
+    FROM sess"""
 
   /** The SUM sketch on the unbounded stream: windowed `dgim_sum_estimate`
     * (the Datar et al. §5 generalization `q_dgim_sum` runs in batch) as a

@@ -335,6 +335,35 @@ object TextAnalysis {
     base
   }
 
+  /** The staged weights read back — ONE loader shared by the streaming
+    * serving/monitoring rows and [[qualityModelServed]], so the dump's
+    * (j, w) layout is interpreted in exactly one place.
+    */
+  private[graft] def qualityModelWeights(spark: SparkSession,
+      dir: String): Array[Long] = {
+    import spark.implicits._
+    spark.read.parquet(qualityModelDump(spark, dir))
+      .orderBy($"j").select($"w").as[Long].collect()
+  }
+
+  /** The SERVED scored corpus: featurize + score every document against
+    * the STAGED weights — what the batch evaluation rows (`stats_auc`/
+    * `stats_calibration`/`stats_confusion`/`stats_pr_curve`) consume,
+    * exactly as their streaming monitor twins do (r12 verdict item 4:
+    * each evaluation row was re-running the full 12-pass training —
+    * 25-31 s/row at the 100× fixture, ~90% redundant ×4). Staged ≡
+    * retrained is BIT-IDENTICAL by the integer-GD determinism contract,
+    * so the rows' full-training DuckDB replays are unchanged.
+    * localCheckpoint: the grid-based consumers read the scored frame
+    * more than once (grid + totals), and an un-truncated lineage would
+    * re-run the regex featurization pass per consumer — the same slim-
+    * row checkpoint [[qualityModelOn]] ships.
+    */
+  private[graft] def qualityModelServed(spark: SparkSession,
+      dir: String): DataFrame =
+    qmScoreOn(Tables.documents(spark, dir),
+      qualityModelWeights(spark, dir)).localCheckpoint()
+
   /** Full train+score replay of [[qualityModel]] in DuckDB: the same
     * integer features, then [[QmIters]] unrolled gradient-descent CTEs
     * (each: per-row error against the previous weights, exact BIGINT

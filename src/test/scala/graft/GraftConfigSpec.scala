@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Each [[GraftConfig]] knob must actually switch the provider / plan /
+  * sizing it claims — executable defaults, not prose.
+  */
+class GraftConfigSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-config-spec")
+    .getOrCreate()
+
+  test("useRocksDbStateStore: a stateful stream on the configured session " +
+      "actually runs on the RocksDB provider") {
+    val s2 = GraftConfig.useRocksDbStateStore(spark.newSession())
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cfg_rocks")
+    spark.range(100)
+      .select(expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),
+        (col("id") % 7).as("k"))
+      .write.mode("overwrite").parquet(s"$tmp/t.parquet")
+    val q = s2.readStream.schema("ts timestamp, k bigint")
+      .parquet(s"$tmp/t.parquet")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("k")).count()
+      .writeStream.format("memory").queryName("cfg_rocks")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val metrics = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+    assert(metrics.exists(_.startsWith("rocksdb")),
+      s"expected RocksDB state metrics, got $metrics; progresses=" +
+        q.recentProgress.map(_.json).mkString("\n"))
+  }
+
+  test("useAdaptiveSkewHandling: the AQE skew confs flip on the session") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    GraftConfig.useAdaptiveSkewHandling(s2)
+    assert(s2.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(s2.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    assert(s2.conf.get("spark.sql.adaptive.coalescePartitions.enabled") === "true")
+    // and the shared session is untouched (newSession isolation)
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") !== "banana")
+  }
+
+  test("auto-sizing rules: gate invariants hold and occupancy stays bounded " +
+      "as the corpus grows") {
+    // gate corpora (≤ 2000 vectors) resolve to the static-oracle values
+    assert(GraftConfig.lshBits(500) === 4)
+    assert(GraftConfig.lshBits(2000) === 4)
+    assert(GraftConfig.semDedupCells(500) === 10)
+    assert(GraftConfig.semDedupCells(2000) === 10)
+    // past the gate both rules grow, holding per-bucket/per-cell
+    // occupancy bounded (the linearity contract)
+    for (n <- Seq(20000L, 200000L, 2000000L)) {
+      val bits = GraftConfig.lshBits(n)
+      assert(n.toDouble / (1L << bits) <= 125.0 * 2,
+        s"n=$n bits=$bits occupancy blew past the target")
+      val k = GraftConfig.semDedupCells(n)
+      assert(n.toDouble / k <= 200.0 + 1,
+        s"n=$n k=$k cell occupancy blew past the target")
+    }
+    // monotone: more data never narrows the index
+    assert(GraftConfig.lshBits(200000) >= GraftConfig.lshBits(20000))
+    assert(GraftConfig.semDedupCells(200000) > GraftConfig.semDedupCells(20000))
+  }
+
+  test("shufflePartitionsFor: floored at 2x cores, data-driven in the middle, " +
+      "capped at 10000") {
+    assert(GraftConfig.shufflePartitionsFor(1L << 20, cores = 32) === 64)
+    assert(GraftConfig.shufflePartitionsFor(100L * (128L << 20), cores = 32) === 100)
+    assert(GraftConfig.shufflePartitionsFor(Long.MaxValue / 4, cores = 32) === 10000)
+  }
+}

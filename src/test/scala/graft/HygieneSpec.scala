@@ -360,6 +360,34 @@ class HygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(3L)._2 - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("embedDecontamLsh: precision 1.0 against the exact row (every flag a true " +
+      "flag, counts/cosines/witness bounded), recall measured") {
+    val dir = "/root/testdata/sf0.001"
+    def flags(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_eval_hits"), r.getAs[Double]("best_cos"),
+          r.getAs[Long]("witness_id")))).toMap
+    val exact = flags(graft.operators.Decontam.embedDecontam(spark, dir))
+    val lsh = flags(graft.operators.Decontam.embedDecontamLsh(spark, dir))
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    // precision 1.0: every emitted flag is exact-verified, so it must be
+    // a true flag whose hit count / best cosine are bounded by the exact
+    // row's and whose witness can only be a LATER eval id (a candidate
+    // subset can never invent hits)
+    lsh.foreach { case (id, (hits, best, wit)) =>
+      assert(exact.contains(id), s"vec $id flagged by LSH but not exact")
+      val (eh, eb, ew) = exact(id)
+      assert(hits <= eh, s"vec $id LSH hits $hits > exact $eh")
+      assert(best <= eb + 1e-12, s"vec $id LSH best $best > exact $eb")
+      assert(wit >= ew, s"vec $id LSH witness $wit < exact $ew")
+    }
+    // the documented trade: recall < 1 is possible (false negatives are
+    // inherent to a cosine LSH prescreen); floor it well below the
+    // measured value so the spec pins breakage, not noise
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"flag recall $recall collapsed")
+  }
+
   test("z-order write produces files with disjoint z ranges") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

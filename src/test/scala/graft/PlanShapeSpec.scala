@@ -70,14 +70,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("late-r12 rows keep their contracts: broadcast eval gate, one-shuffle grid, " +
       "quota broadcast, no corpus-side SMJ") {
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    // decontam_embed: eval side broadcasts through a nested-loop join
-    // (no equi-key exists) and the only shuffle carries the slim hit agg
+    // decontam_embed (r13 form): the broadcast suite folds INSIDE each
+    // corpus row — no join of any kind and ZERO shuffles (output is
+    // produced map-side, already aggregated); the former BNLJ + hit-agg
+    // plan computed the identical doubles through per-pair join rows
     val dec = Decontam.embedDecontam(spark, sf)
-    assert(physical(dec).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
-      "decontam_embed lost its broadcast NLJ")
-    assert(shuffles(dec) === 1, "decontam_embed grew extra shuffles")
-    assert(!physical(dec).exists(_.isInstanceOf[SortMergeJoinExec]))
+    assert(shuffles(dec) === 0, "decontam_embed must be a pure map-side fold")
+    assert(!physical(dec).exists(n =>
+      n.isInstanceOf[SortMergeJoinExec] ||
+        n.isInstanceOf[BroadcastHashJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "decontam_embed must not join at all")
+    // decontam_embed_lsh: candidates ride slim id pairs; the eval side
+    // (keys + payload) broadcasts, the corpus payload attaches by id
+    // equi-join — never a nested loop over the whole suite
+    val decLsh = Decontam.embedDecontamLsh(spark, sf)
+    assert(!physical(decLsh).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "decontam_embed_lsh must prescreen via bucket equi-joins, not a NLJ")
     // stats_calibration: grid + 1-row total, never a corpus-keyed join
     val cal = Profile.statsCalibration(spark, sf)
     assert(!physical(cal).exists(_.isInstanceOf[SortMergeJoinExec]),

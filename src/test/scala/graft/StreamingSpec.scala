@@ -618,6 +618,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // the memory sink cannot recover from a checkpoint — restart specs
     // must go through the file sink and read the output dir back
+    var lastStateRows = -1L
     def runOnce(): Map[Long, String] = {
       val ev = spark.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[AttrEvent]].schema)
@@ -627,6 +628,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      lastStateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
       spark.read.parquet(outDir).collect()
         .groupBy(_.getAs[Long]("event_id"))
         .map { case (id, rows) =>
@@ -666,6 +669,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       AttrEvent(1L, t0 + 5 * hourMicros, 21L, "error", 0L),
       AttrEvent(1L, t0 + 6 * hourMicros, 15L, "purchase", 100L)))
     assert(runOnce()(15L) === "error")
+    assert(lastStateRows === 1L,
+      s"only user 1 holds a touch (purchase-only users need no state row), got $lastStateRows")
+
+    // batch 5 (r13 TTL): a touch 20 days out on ANOTHER user pushes the
+    // watermark past user 1's 7-day lookback horizon — the
+    // EventTimeTimeout evicts user 1's touch state (it could only ever
+    // attribute 'direct' again, exactly what absent state does)
+    val dayMicros = 24L * hourMicros
+    feed(Seq(AttrEvent(3L, t0 + 20 * dayMicros, 22L, "view", 0L)))
+    runOnce()
+    assert(lastStateRows === 1L,
+      s"user 1's expired touch must be evicted, leaving only user 3, got $lastStateRows")
+
+    // batch 6: user 1 buys after the horizon — 'direct', BIT-IDENTICAL
+    // to what the un-evicted state would have produced (the
+    // semantics-neutrality the TTL rests on)
+    feed(Seq(AttrEvent(1L, t0 + 20 * dayMicros + hourMicros, 16L, "purchase", 250L)))
+    assert(runOnce()(16L) === "direct")
   }
 
   test("streaming ANN probe equals the batch ann_ivf run row-for-row") {
@@ -680,6 +701,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream === batch,
       "staged-index streaming serving diverged from batch train+probe")
     assert(stream.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
+  test("ann probe serve markers: at-most-once within TTL, evicted once quiet " +
+      "past it, re-serve after eviction is the documented contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import graft.operators.StreamQueries
+
+    val srcDir = Files.createTempDirectory("graft_annttl_src").toString
+    val outDir = Files.createTempDirectory("graft_annttl_out").toString
+    val ckpt = Files.createTempDirectory("graft_annttl_ckpt").toString
+
+    // (query_id, neighbor_id, cell, cos); the spec clocks arrivals off
+    // the cell column (seconds) — the synthetic-clock device the
+    // exactOnceByKey eviction spec uses
+    def feed(rows: Seq[(Long, Long, Int, Double)]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+
+    var lastStateRows = -1L
+    def runOnce(): Map[Long, Seq[Long]] = {
+      val scored = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[(Long, Long, Int, Double)]].schema)
+        .parquet(srcDir).as[(Long, Long, Int, Double)]
+      val q = StreamQueries.annProbeServeFold(scored, topK = 1,
+        markerTtlMs = 5000L, arrivalTs = timestamp_seconds(col("cell")))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      lastStateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+      spark.read.parquet(outDir).collect().toSeq
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    }
+
+    // batch 1: query 1 served once (top-1 of its candidates)
+    feed(Seq((1L, 10L, 1000, 0.9), (1L, 11L, 1000, 0.8)))
+    assert(runOnce() === Map(1L -> Seq(10L)))
+    assert(lastStateRows === 1L)
+
+    // batch 2: a duplicate of query 1 WITHIN the TTL — suppressed, even
+    // with a better candidate (at-most-once)
+    feed(Seq((1L, 12L, 1100, 0.99)))
+    assert(runOnce() === Map(1L -> Seq(10L)), "duplicate within TTL must not re-serve")
+
+    // batch 3: query 3 arrives 900 s later — its processing advances the
+    // arrival clock past query 1's quiet TTL, so the no-data batch
+    // evicts query 1's marker (state ∝ in-flight ids, not lifetime ids)
+    feed(Seq((3L, 30L, 2000, 0.7)))
+    val out3 = runOnce()
+    assert(out3 === Map(1L -> Seq(10L), 3L -> Seq(30L)))
+    assert(lastStateRows === 1L,
+      s"query 1's quiet marker must evict, leaving only query 3, got $lastStateRows")
+
+    // batch 4: query 1 REPLAYED after eviction — served again: exactly
+    // the documented at-most-once-PER-TTL contract (a bounded replay has
+    // no quiet period, so the hash oracle never sees this)
+    feed(Seq((1L, 13L, 2100, 0.5)))
+    assert(runOnce() === Map(1L -> Seq(10L, 13L), 3L -> Seq(30L)))
   }
 
   test("streaming quality-model gate equals the batch train+score row-for-row") {
@@ -1137,11 +1218,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "e0>e1>e2", 5L, 1L), (1L, "x>y", 2L, 0L)), s"got $out2")
     assert(state2 === 1L, s"still one open session, got $state2")
 
-    // batch 3: a SECOND user arrives — state is one row per user with
-    // an open session, never per event (the bounded-state contract)
-    feed(Seq(SessEvent(2L, t0, 300L, "a")))
+    // batch 3: a SECOND user arrives (inside the watermark — the
+    // EventTimeTimeout fold drops beyond-lateness rows, the same
+    // contract as streaming session_window) — state is one row per
+    // user with an open session, never per event (the bounded-state
+    // contract)
+    feed(Seq(SessEvent(2L, t0 + 150 * minMicros, 300L, "a")))
     val (_, state3) = runOnce()
     assert(state3 === 2L, s"one open session per user, got $state3")
+
+    // batch 4: a far-future event on user 2 pushes the watermark past
+    // BOTH open sessions' gap horizons — the r13 emit-and-evict
+    // timeout flushes user 1's FINAL session (t0+200min "z") and user
+    // 2's (t0+150min "a") without any successor arriving, leaving only
+    // user 2's new open session in state (the r12 final-session gap,
+    // closed)
+    feed(Seq(SessEvent(2L, t0 + 2000 * minMicros, 301L, "b")))
+    val (out4, state4) = runOnce()
+    assert(out4.toSet === Set(
+      (1L, "e0>e1>e2", 5L, 1L), (1L, "x>y", 2L, 0L),
+      (1L, "z", 1L, 0L), (2L, "a", 1L, 0L)), s"got $out4")
+    assert(state4 === 1L,
+      s"only user 2's new open session should remain, got $state4")
   }
 
   test("stateful queries produce identical results under the RocksDB state store provider") {
