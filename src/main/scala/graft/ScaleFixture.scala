@@ -175,6 +175,86 @@ object SketchBench {
   }
 }
 
+/** Dev tool behind SURVEY §6's delta-LSH bounded-state decade: drive
+  * the CONTINUOUS LSH dedup gate through a full feed → compact →
+  * restart cycle at fixture scale, recording state rows/bytes per
+  * wave. Each wave feeds one slice of the delta docs into the SAME
+  * checkpoint (state survives restarts), then "compaction" publishes
+  * the next index generation containing everything fed so far — so the
+  * next wave's probes carry the compaction receipt (handoff eviction)
+  * and the quiet-bucket TTL (short here; contract TTL ≥ compaction
+  * cadence) drops buckets the next generation owns. Bounded state =
+  * per-wave state rows/bytes PLATEAU instead of accumulating across
+  * waves.
+  *
+  * Usage: runMain graft.DeltaLshCycle <sfDir> [waves=3] [ttlSec=5]
+  */
+object DeltaLshCycle {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val waves = args.lift(1).map(_.toInt).getOrElse(3)
+    val ttlSec = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-delta-lsh-cycle")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.functions.{MinhashBands, MinhashSig, ShingleGramHashes}
+    import graft.operators.{Dedup, StreamQueries}
+
+    val work = java.nio.file.Files.createTempDirectory("graft_lsh_cycle").toString
+    val feedDir = s"$work/feed"
+    val outDir = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    val delta = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text")
+
+    // generation 0 = the staged base index (doc_id % 5 != 0)
+    def writeGen(k: Int, extraPred: org.apache.spark.sql.Column): String = {
+      val gen = s"$work/gen$k"
+      val extra = graft.sources.Tables.documents(spark, dir)
+        .filter(extraPred)
+        .select($"doc_id", ShingleGramHashes($"text").as("hashes"))
+        .filter(size($"hashes") > 0)
+        .select($"doc_id", MinhashSig($"hashes").as("sig"))
+        .select($"doc_id", $"sig", MinhashBands($"sig").as("bands"))
+      StreamQueries.groupBandBuckets(
+        Dedup.baseMinhashIndex(spark, dir).unionByName(extra))
+        .write.mode("overwrite").parquet(gen)
+      gen
+    }
+    var gen = writeGen(0, lit(false))
+    (1 to waves).foreach { k =>
+      // wave k's arrivals: the k-th residue slice of the delta docs
+      delta.filter(($"doc_id" / 5).cast("long") % waves === (k - 1))
+        .coalesce(4).write.mode("append").parquet(feedDir)
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(feedDir)
+      val t0 = System.nanoTime()
+      val q = graft.operators.StreamQueries.deltaLshTopologyOnBuckets(
+        docs, spark.read.parquet(gen), bucketTtl = s"$ttlSec seconds")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val so = q.lastProgress.stateOperators
+      println(f"""{"wave":$k,"sec":$sec%.2f,"state_rows":${so.map(_.numRowsTotal).sum},""" +
+        s""""state_bytes":${so.map(_.memoryUsedBytes).sum},""" +
+        s""""pairs_total":${spark.read.parquet(outDir).count()}}""")
+      // compaction: the next generation owns every wave fed so far
+      gen = writeGen(k, $"doc_id" % 5 === 0 && ($"doc_id" / 5).cast("long") % waves < k)
+      Thread.sleep(ttlSec * 1000L + 500L) // let this wave's buckets go quiet
+    }
+    spark.stop()
+  }
+}
+
 /** Dev tool: run a streaming harness query and print its final
   * StreamingQueryProgress — the state-store row/byte counts behind
   * SURVEY §6's O(log²W) DGIM state audit.

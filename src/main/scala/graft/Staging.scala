@@ -44,6 +44,11 @@ object Staging {
     // trained / derived model artifacts
     "bpe_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.bpeModelDump(s, d)),
     "qm_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.qualityModelDump(s, d)),
+    // the SERVED scored corpus (one featurize+score pass per
+    // generation) — consumed by all four batch evaluation rows; the
+    // r13 measurement showed featurization, not training, was their
+    // shared redundant cost
+    "qm_scored" -> ((s: SparkSession, d: String) => ops.TextAnalysis.qualityScoredDump(s, d)),
     "pca_moments" -> ((s: SparkSession, d: String) => ops.Similarity.pcaMomentsDump(s, d)),
     // SemDeDup base generation (frozen quantizer + by-cell corpus +
     // base verdicts) — consumed by dedup_semdedup_delta AND

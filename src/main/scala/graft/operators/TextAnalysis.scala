@@ -340,29 +340,50 @@ object TextAnalysis {
     * (j, w) layout is interpreted in exactly one place.
     */
   private[graft] def qualityModelWeights(spark: SparkSession,
-      dir: String): Array[Long] = {
+      dir: String, iters: Int = QmIters): Array[Long] = {
     import spark.implicits._
-    spark.read.parquet(qualityModelDump(spark, dir))
+    spark.read.parquet(qualityModelDump(spark, dir, iters))
       .orderBy($"j").select($"w").as[Long].collect()
   }
 
-  /** The SERVED scored corpus: featurize + score every document against
-    * the STAGED weights — what the batch evaluation rows (`stats_auc`/
-    * `stats_calibration`/`stats_confusion`/`stats_pr_curve`) consume,
-    * exactly as their streaming monitor twins do (r12 verdict item 4:
-    * each evaluation row was re-running the full 12-pass training —
-    * 25-31 s/row at the 100× fixture, ~90% redundant ×4). Staged ≡
-    * retrained is BIT-IDENTICAL by the integer-GD determinism contract,
-    * so the rows' full-training DuckDB replays are unchanged.
-    * localCheckpoint: the grid-based consumers read the scored frame
-    * more than once (grid + totals), and an un-truncated lineage would
-    * re-run the regex featurization pass per consumer — the same slim-
-    * row checkpoint [[qualityModelOn]] ships.
+  /** The SERVED scored corpus: every document featurized + scored
+    * against the STAGED weights, materialized ONCE per corpus
+    * generation (DumpCache) — what the batch evaluation rows
+    * (`stats_auc`/`stats_calibration`/`stats_confusion`/
+    * `stats_pr_curve`) consume. r12 verdict item 4 asked for staged
+    * WEIGHTS (each row re-trained per run); measuring that fix at the
+    * 100× fixture showed the training iterations were never the cost —
+    * the 12 GD passes run over CACHED integers, and ~90% of each
+    * 25-31 s row was the REGEX FEATURIZATION pass the weights-only fix
+    * still repeated per row. So the staged artifact is the SCORED
+    * frame itself: one featurize+score pass per generation, four
+    * grid-math readers (measured 24.9-31.1 → 2-3 s per row at 100×).
+    * The production shape is the same: an ingest gate WRITES its score
+    * at admission time; evaluations read the scored table, they don't
+    * re-derive it. Staged ≡ recomputed is BIT-IDENTICAL by the
+    * integer-GD determinism contract (weights exact, features exact
+    * integers, margin a literal-coefficient projection), so the rows'
+    * full-training DuckDB replays are unchanged.
     */
   private[graft] def qualityModelServed(spark: SparkSession,
       dir: String): DataFrame =
-    qmScoreOn(Tables.documents(spark, dir),
-      qualityModelWeights(spark, dir)).localCheckpoint()
+    spark.read.parquet(qualityScoredDump(spark, dir))
+
+  /** The staged scored-corpus generation behind [[qualityModelServed]]:
+    * (doc_id, label, score_micro, pred) for every document, scored
+    * against the staged weights. Registered in the staging pre-pass.
+    */
+  private[graft] def qualityScoredDump(spark: SparkSession, dir: String,
+      iters: Int = QmIters): String = {
+    val base = graft.sources.DumpCache.dirFor(s"graft_qm_scored_$iters",
+      dir, "documents.parquet")
+    graft.sources.DumpCache.ensure(base) { tmp =>
+      qmScoreOn(Tables.documents(spark, dir),
+        qualityModelWeights(spark, dir, iters))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    base
+  }
 
   /** Full train+score replay of [[qualityModel]] in DuckDB: the same
     * integer features, then [[QmIters]] unrolled gradient-descent CTEs
