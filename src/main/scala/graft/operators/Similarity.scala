@@ -590,6 +590,24 @@ object Similarity {
   private[graft] def semDedupKFor(n: Long): Int =
     math.max(10L, (n + 199) / 200).toInt
 
+  /** Training-sample cap for the SemDeDup quantizer: with k ∝ n
+    * ([[semDedupKFor]]) a full-corpus Lloyd's train is Θ(n·k) per pass
+    * = Θ(n²/200) — measured 56 s at the 100× fixture, ~90% of the
+    * staged-generation build. A quantizer needs a SAMPLE, not the
+    * corpus: train on the first max(4000, 40·k) vectors in
+    * (md5(vec_id), vec_id) order — the deterministic, engine-replayable
+    * prefix whose first k elements are ALREADY the seed rule, so
+    * sampling is literally "extend the seed prefix". ≈40 training
+    * vectors per cell bounds per-pass cost at Θ(40·k²) while the
+    * verdict-side occupancy contract is untouched (assignment still
+    * scans the full corpus once — the flat-quantizer floor; the
+    * documented next device past ~10⁷ cells is a two-level quantizer).
+    * INVARIANT (GraftConfigSpec-pinned): the floor of 4000 exceeds
+    * every gate corpus (≤ 2000), so at gate SF the "sample" is the
+    * whole corpus and every hash oracle is unchanged.
+    */
+  private[graft] def semDedupTrainCap(k: Int): Int = math.max(4000, 40 * k)
+
   /** Resolve a SemDeDup `k` argument: explicit positive k wins; k ≤ 0
     * auto-sizes from the corpus row count (a footer-only parquet read).
     * ONE resolver shared by [[semDedup]], [[semDedupBaseDump]] (whose
@@ -638,10 +656,12 @@ object Similarity {
     * cost is iters × (one scan).
     */
   def kmeansCodebook(spark: SparkSession, dir: String, k: Int = 10,
-      iters: Int = 4): (Array[Array[Double]], Array[Double]) = {
+      iters: Int = 4,
+      trainLimit: Int = 0): (Array[Array[Double]], Array[Double]) = {
     import spark.implicits._
     kmeansCodebookOn(Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])], k, iters)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])], k, iters,
+      trainLimit)
   }
 
   /** [[kmeansCodebook]] over an explicit row set — factored so the
@@ -651,10 +671,22 @@ object Similarity {
     */
   private[graft] def kmeansCodebookOn(
       rows: org.apache.spark.sql.Dataset[(Long, Array[Float])],
-      k: Int = 10, iters: Int = 4): (Array[Array[Double]], Array[Double]) = {
+      k: Int = 10, iters: Int = 4,
+      trainLimit: Int = 0): (Array[Array[Double]], Array[Double]) = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val emb = rows.cache()
+    // trainLimit > 0: train on the deterministic (md5(id), id)-prefix
+    // sample — the seed ordering extended to a training set
+    // ([[semDedupTrainCap]]); a corpus at or under the cap trains on
+    // every row, exactly as trainLimit = 0 does
+    val training =
+      if (trainLimit > 0)
+        rows.toDF("vec_id", "embedding")
+          .withColumn("h", md5($"vec_id".cast("string")))
+          .orderBy($"h", $"vec_id").limit(trainLimit)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      else rows
+    val emb = training.cache()
     var centroids = emb.toDF("vec_id", "embedding")
       .select($"vec_id", $"embedding", md5($"vec_id".cast("string")).as("h"))
       .orderBy($"h", $"vec_id").limit(k)
@@ -767,7 +799,8 @@ object Similarity {
       iters: Int = 4, threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
     val kk = resolveSemDedupK(spark, dir, k)
-    val (codebook, _) = kmeansCodebook(spark, dir, kk, iters)
+    val (codebook, _) =
+      kmeansCodebook(spark, dir, kk, iters, semDedupTrainCap(kk))
     val bc = spark.sparkContext.broadcast(codebook)
     val assigned = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
@@ -830,13 +863,17 @@ object Similarity {
     // a corpus whose row count resolves differently.
     val kk = resolveSemDedupK(spark, dir, k)
     val thrKey = math.round(threshold * 1000)
+    // the key also carries the resolved TRAINING CAP: a generation
+    // trained under a different sampling rule must never be served
     val base = graft.sources.DumpCache.dirFor(
-      s"graft_semdedup_base_${kk}_${iters}_$thrKey", dir, "embeddings.parquet")
+      s"graft_semdedup_base_${kk}_${iters}_${thrKey}_t${semDedupTrainCap(kk)}",
+      dir, "embeddings.parquet")
     graft.sources.DumpCache.ensure(base) { tmp =>
       val baseRows = Tables.embeddings(spark, dir)
         .filter(!isPcaDelta($"vec_id"))
         .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      val (codebook, _) = kmeansCodebookOn(baseRows, kk, iters)
+      val (codebook, _) =
+        kmeansCodebookOn(baseRows, kk, iters, semDedupTrainCap(kk))
       codebook.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .coalesce(1).write.parquet(s"$tmp/codebook")
@@ -920,9 +957,9 @@ object Similarity {
     * compactor's job, [[semDedupDelta]]).
     */
   def streamSemDedupSql(k: Int = 10, iters: Int = 4,
-      threshold: Double = 0.4): String =
+      threshold: Double = 0.4, trainLimit: Int = 0): String =
     ivfTrainedCorpusSql(k, iters,
-      trainWhere = "WHERE vec_id % 10 <> 0") + s""",
+      trainWhere = "WHERE vec_id % 10 <> 0", trainLimit = trainLimit) + s""",
     kept AS (
       SELECT a.vec_id, a.cell,
              CASE WHEN EXISTS (
@@ -941,9 +978,9 @@ object Similarity {
     * frozen-quantizer contract) — from-scratch ≡ incremental.
     */
   def semDedupDeltaSql(k: Int = 10, iters: Int = 4,
-      threshold: Double = 0.4): String =
+      threshold: Double = 0.4, trainLimit: Int = 0): String =
     ivfTrainedCorpusSql(k, iters,
-      trainWhere = "WHERE vec_id % 10 <> 0") + s""",
+      trainWhere = "WHERE vec_id % 10 <> 0", trainLimit = trainLimit) + s""",
     kept AS (
       SELECT a.vec_id, a.cell,
              CASE WHEN EXISTS (
@@ -1571,18 +1608,36 @@ object Similarity {
     * [[annIvfSql]] and [[semDedupSql]].
     */
   private[operators] def ivfTrainedCorpusSql(k: Int, iters: Int,
-      trainWhere: String = ""): String = s"""
-    WITH e AS MATERIALIZED (
-      SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
-      FROM embeddings
-    ),
+      trainWhere: String = "", trainLimit: Int = 0): String = {
+    // trainLimit > 0 replays [[kmeansCodebookOn]]'s deterministic
+    // (md5(id), id)-prefix training sample; 0 keeps the full-slice
+    // training text the standing oracles replay
+    val etSql =
+      if (trainLimit > 0) s"""
+    et AS MATERIALIZED (
+      SELECT vec_id, emb FROM (
+        SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e $trainWhere ORDER BY h, vec_id LIMIT $trainLimit)),
+    xs AS MATERIALIZED (
+      SELECT emb2.vec_id, CAST(i AS BIGINT) - 1 AS dm,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS s
+      FROM embeddings emb2
+      JOIN (SELECT vec_id FROM et) tids ON emb2.vec_id = tids.vec_id,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ),"""
+      else s"""
     et AS MATERIALIZED (SELECT * FROM e $trainWhere),
     xs AS MATERIALIZED (
       SELECT vec_id, CAST(i AS BIGINT) - 1 AS dm,
              CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS s
       FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
       $trainWhere
-    ),
+    ),"""
+    s"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS emb
+      FROM embeddings
+    ),$etSql
     cb_0 AS MATERIALIZED (
       SELECT list(emb ORDER BY h, vec_id) AS cb
       FROM (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
@@ -1604,6 +1659,7 @@ object Similarity {
                      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
               FROM dfin) WHERE rn = 1) a USING (vec_id)
     )"""
+  }
 
   def annIvfSql(nprobe: Int = 3, k: Int = 10, iters: Int = 4,
       topK: Int = 5): String =
@@ -1634,8 +1690,9 @@ object Similarity {
     * and the cosine form are the ones `dedup_embed`'s passing oracle
     * already proves engine-exact.
     */
-  def semDedupSql(k: Int = 10, iters: Int = 4,
-      threshold: Double = 0.4): String = ivfTrainedCorpusSql(k, iters) + s""",
+  def semDedupSql(k: Int = 10, iters: Int = 4, threshold: Double = 0.4,
+      trainLimit: Int = 0): String =
+    ivfTrainedCorpusSql(k, iters, trainLimit = trainLimit) + s""",
     kept AS (
       SELECT a.vec_id, a.cell,
              CASE WHEN EXISTS (

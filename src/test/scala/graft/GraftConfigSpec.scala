@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Each [[GraftConfig]] knob must actually switch the provider / plan /
   * sizing it claims — executable defaults, not prose.
   */
-class GraftConfigSpec extends AnyFunSuite {
+class GraftConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
@@ -17,6 +18,12 @@ class GraftConfigSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .appName("graft-config-spec")
     .getOrCreate()
+
+  // the repo's suite convention: tear the context down so the NEXT
+  // suite's builder configs (e.g. ExtensionsSpec's injected
+  // extensions) apply to a fresh context instead of silently attaching
+  // to this one
+  override def afterAll(): Unit = spark.stop()
 
   test("useRocksDbStateStore: a stateful stream on the configured session " +
       "actually runs on the RocksDB provider") {
@@ -43,6 +50,7 @@ class GraftConfigSpec extends AnyFunSuite {
   }
 
   test("useAdaptiveSkewHandling: the AQE skew confs flip on the session") {
+    val before = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     GraftConfig.useAdaptiveSkewHandling(s2)
@@ -50,7 +58,7 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(s2.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
     assert(s2.conf.get("spark.sql.adaptive.coalescePartitions.enabled") === "true")
     // and the shared session is untouched (newSession isolation)
-    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") !== "banana")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === before)
   }
 
   test("auto-sizing rules: gate invariants hold and occupancy stays bounded " +
@@ -73,6 +81,29 @@ class GraftConfigSpec extends AnyFunSuite {
     // monotone: more data never narrows the index
     assert(GraftConfig.lshBits(200000) >= GraftConfig.lshBits(20000))
     assert(GraftConfig.semDedupCells(200000) > GraftConfig.semDedupCells(20000))
+  }
+
+  test("semDedup training-sample cap: inactive at gate scale (cap >= corpus " +
+      "gives the identical codebook), deterministic when active") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // gate invariant: the 4000 floor exceeds every gate corpus, so the
+    // sampled path can never change a driver-gated hash
+    assert(Similarity.semDedupTrainCap(10) === 4000)
+    assert(Similarity.semDedupTrainCap(1000) === 40000)
+    val rows = spark.range(0, 300)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 7 + d) % 13).toFloat)))
+      .as[(Long, Array[Float])]
+    def cb(limit: Int) =
+      Similarity.kmeansCodebookOn(rows, k = 4, iters = 2, trainLimit = limit)
+        ._1.toSeq.map(_.toSeq)
+    // cap >= corpus: the "sample" is the whole corpus — bit-identical
+    assert(cb(0) === cb(300))
+    assert(cb(0) === cb(1000))
+    // active cap: deterministic across runs (md5-prefix, no RNG), and a
+    // different prefix length is a genuinely different training set
+    assert(cb(100) === cb(100))
+    assert(cb(100) !== cb(0))
   }
 
   test("shufflePartitionsFor: floored at 2x cores, data-driven in the middle, " +
