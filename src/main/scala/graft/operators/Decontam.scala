@@ -340,8 +340,12 @@ object Decontam {
       .select($"vec_id", $"eval_id")
       .dropDuplicates("vec_id", "eval_id")
     val c = emb.select($"vec_id", $"embedding".as("ce"), $"nrm".as("cn"))
-    val q = emb.select($"vec_id".as("eval_id"), $"embedding".as("ee"),
-      $"nrm".as("en"))
+    // the broadcast payload side must be the EVAL SLICE only — an
+    // unfiltered q would be results-identical (cand carries only eval
+    // ids) but corpus-sized under a hard broadcast hint, the exact
+    // OOM-at-scale hint embedPairsLsh's scaladoc refuses (r13 review)
+    val q = emb.filter($"vec_id" % evalMod === 0)
+      .select($"vec_id".as("eval_id"), $"embedding".as("ee"), $"nrm".as("en"))
     cand.join(c, Seq("vec_id")).join(broadcast(q), Seq("eval_id"))
       .select($"vec_id", $"eval_id",
         (Vectors.dot($"ce", $"ee") / ($"cn" * $"en")).as("cos"))

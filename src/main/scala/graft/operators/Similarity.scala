@@ -588,7 +588,11 @@ object Similarity {
     * replay k = 10, and a silent change here would hash-mismatch them.
     */
   private[graft] def semDedupKFor(n: Long): Int =
-    math.max(10L, (n + 199) / 200).toInt
+    // upper clamp: past ~10⁷ cells a flat quantizer is the wrong
+    // device anyway (assignment is n × k — the documented two-level
+    // swap point); without it the Int cast would overflow for corpora
+    // past ~4e11 rows (r13 review)
+    math.min(10000000L, math.max(10L, (n + 199) / 200)).toInt
 
   /** Training-sample cap for the SemDeDup quantizer: with k ∝ n
     * ([[semDedupKFor]]) a full-corpus Lloyd's train is Θ(n·k) per pass

@@ -697,9 +697,17 @@ object StreamQueries {
     * touch inside the lookback horizon, not lifetime users. The fold
     * defines its own 1-hour watermark on tsMicros (EventTimeTimeout
     * requires one; the tag rides through as [[AttrEventWm]], so
-    * callers' schemas are unchanged). A bounded replay's watermark only reaches
-    * max ts − 1 h, which never passes any in-lookback touch's horizon —
-    * the hash oracle is unchanged.
+    * callers' schemas are unchanged) — WITH the standard watermark
+    * trade the r12 NoTimeout form did not have: an event arriving more
+    * than the allowed lateness behind the watermark is DROPPED by the
+    * stateful operator's late-row filter rather than folded (a beyond-
+    * lateness purchase no longer emits; a beyond-lateness touch no
+    * longer advances state — the same contract as the sessionizer's
+    * timeout form, and the delay is the knob a deployment tunes to its
+    * lateness SLO). A bounded replay processes everything in one
+    * trigger against a zero watermark, and its final watermark (max ts
+    * − 1 h) never passes an in-lookback touch's horizon — the hash
+    * oracle is unchanged.
     */
   def attributionFold(ev: Dataset[AttrEvent]): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}

@@ -653,10 +653,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runOnce() === Map(11L -> "click", 12L -> "click", 13L -> "direct"))
 
     // batch 3: a LATE view for user 1 with event time BEFORE the click
-    // (t0) arrives alongside a new purchase. At-emission-time semantics:
+    // (t0) arrives alongside a new purchase. Since r13 the fold carries
+    // a 1 h watermark, so a view this far behind it is DROPPED by the
+    // late-row filter (the documented watermark trade) — and the
+    // outcome is identical to what the >=-guard produced pre-r13:
     //  - purchases 11/12 keep their already-emitted credits (append
     //    output is immutable — asserted by the exactly-once grouping);
-    //  - the stale touch does NOT regress the state, so purchase 14
+    //  - the stale touch cannot regress the state, so purchase 14
     //    still credits the newer click, not the late view
     feed(Seq(
       AttrEvent(1L, t0, 20L, "view", 0L),
