@@ -178,6 +178,7 @@ object SparkEntry {
     "sample_weighted"  -> (Curation.sampleWeighted _),
     "sample_fixed"     -> ((s: SparkSession, d: String) => Curation.sampleFixed(s, d)),
     "pipeline_curate"  -> (Curation.curate _),
+    "pipeline_audit"   -> (Audit.pipelineAudit _),
     "pipeline_split"   -> (Curation.trainValTestSplit _),
     "pipeline_corpus"  -> (Curation.corpusBuild _),
     "pipeline_pack"    -> (Curation.pack _),
@@ -459,6 +460,9 @@ object SparkEntry {
     "sample_weighted"  -> Curation.sampleWeightedSql,
     "sample_fixed"     -> Curation.sampleFixedSql(),
     "pipeline_curate"  -> Curation.curateSql,
+    // pipeline_audit: the composed gate ladder replays end-to-end —
+    // training prefix + 7-gram eval CTEs + fingerprint keeper + PII flag
+    "pipeline_audit"   -> Audit.pipelineAuditSql,
     "pipeline_split"   -> Curation.trainValTestSplitSql,
     "pipeline_corpus"  -> Curation.corpusBuildSql,
     "pipeline_pack"    -> Curation.packSql,

@@ -1284,9 +1284,9 @@ object TextAnalysis {
   // PII patterns: kept inside the regex subset Java (Spark) and RE2
   // (DuckDB) interpret identically — char classes, bounded repeats, \b.
   // No lookaround (RE2 has none), no \d shorthand differences.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  private val LongNumRe = "\\b[0-9]{9,}\\b"
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[operators] val LongNumRe = "\\b[0-9]{9,}\\b"
 
   /** PII scrubbing: count and redact email addresses, IPv4 addresses and
     * long (≥9-digit) identifier-like numbers — the minimum hygiene pass a

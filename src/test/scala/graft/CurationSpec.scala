@@ -19,6 +19,57 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("pipeline_audit: the ladder composes the component rows exactly — " +
+      "verdict precedence, duplicate receipts, scrub flags all cross-check") {
+    import spark.implicits._
+    import graft.operators.{Audit, Decontam, Dedup, TextAnalysis}
+    val audit = Audit.pipelineAudit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+          r.getAs[Int]("scrubbed")))).toMap
+    assert(audit.nonEmpty)
+    // component truths, from the already-hash-verified rows
+    val evalSrcs = Set("src0", "src1", "src2")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(!$"source".isInCollection(evalSrcs.toSeq))
+    assert(audit.size.toLong === docs.count(), "one audit row per corpus doc")
+    val pred = spark.read.parquet(TextAnalysis.qualityScoredDump(spark, sf))
+      .select($"doc_id", $"pred").as[(Long, Int)].collect().toMap
+    val contaminated = Decontam.ngramCollisions(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val keeperOf = Dedup.exact(spark, sf).collect()
+      .map(r => r.getAs[String]("text_hash") -> r.getAs[Long]("keep_id")).toMap
+    val hashOf = docs
+      .select($"doc_id",
+        org.apache.spark.sql.functions.md5(
+          graft.functions.Text.normalizeFast($"text")).as("h"))
+      .as[(Long, String)].collect().toMap
+    val piiHit = TextAnalysis.piiOn(docs.select($"doc_id", $"text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails") + r.getAs[Long]("n_ipv4") +
+          r.getAs[Long]("n_longnum") > 0)).toMap
+    audit.foreach { case (id, (verdict, dupOf, scrubbed)) =>
+      val q = pred.get(id).forall(_ == 0) // absent or 0 = quality drop
+      val c = contaminated(id)
+      val keeper = keeperOf(hashOf(id))
+      val d = keeper != id
+      val expected =
+        if (q) "quality" else if (c) "decontam"
+        else if (d) "duplicate" else "kept"
+      assert(verdict === expected,
+        s"doc $id: verdict $verdict, expected $expected (q=$q c=$c d=$d)")
+      // the duplicate receipt is lineage, independent of the verdict
+      assert(dupOf === (if (d) Some(keeper) else None),
+        s"doc $id dup_of $dupOf vs keeper $keeper")
+      assert((scrubbed == 1) === piiHit(id), s"doc $id scrub flag")
+    }
+    // the funnel is non-degenerate on this corpus: kept plus at least
+    // one drop stage must both occur
+    val verdicts = audit.values.map(_._1).toSet
+    assert(verdicts.contains("kept") && verdicts.size >= 2, s"got $verdicts")
+  }
+
   test("top-k threshold stratified sample equals the rank form row-for-row") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
       df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
