@@ -78,6 +78,7 @@ object SparkEntry {
     "q_stream_pii"     -> (StreamQueries.streamPii _),
     "q_stream_tokens_bpe" -> (StreamQueries.streamTokensBpe _),
     "q_stream_quality_model" -> (StreamQueries.streamQualityModel _),
+    "q_stream_audit"   -> (StreamQueries.streamAudit _),
     "q_stream_calibration" -> (StreamQueries.streamCalibration _),
     "q_stream_confusion" -> (StreamQueries.streamConfusion _),
     "q_stream_semdedup" -> ((s: SparkSession, d: String) => StreamQueries.streamSemDedup(s, d)),
@@ -463,6 +464,9 @@ object SparkEntry {
     // pipeline_audit: the composed gate ladder replays end-to-end —
     // training prefix + 7-gram eval CTEs + fingerprint keeper + PII flag
     "pipeline_audit"   -> Audit.pipelineAuditSql,
+    // q_stream_audit: the same composed ladder per arrival; duplicate
+    // stage = the base-index probe (streamDeltaDedup's rule)
+    "q_stream_audit"   -> StreamQueries.streamAuditSql,
     "pipeline_split"   -> Curation.trainValTestSplitSql,
     "pipeline_corpus"  -> Curation.corpusBuildSql,
     "pipeline_pack"    -> Curation.packSql,

@@ -468,6 +468,118 @@ object StreamQueries {
           .select($"label", $"pred"))
       })
 
+  /** CONTINUOUS pipeline audit (`q_stream_audit`) — the [[Audit]]
+    * data-card ladder run PER ARRIVAL, which is the production shape:
+    * a document's first-dropping gate is decided at ingest, not by a
+    * corpus-wide sweep. A stateless composition of the standing
+    * continuous gates, each in its established form:
+    *  - `quality`: the staged weights as a LITERAL single-expression
+    *    margin over raw text ([[TextAnalysis.qmMarginCol]], guarded by
+    *    [[TextAnalysis.qmGuard]] — an unfeaturizable doc fails the
+    *    gate, matching the batch row's absent-score rule);
+    *  - `decontam`: membership probe against the BROADCAST staged
+    *    eval-gram set (the [[streamDecontam]] device);
+    *  - `duplicate`: stream-static probe of the staged base
+    *    fingerprint index (the [[streamDeltaDedup]] device) — an
+    *    arrival is a duplicate iff its normalized-text fingerprint
+    *    already exists in the STANDING corpus, with the base keeper as
+    *    the receipt; arrival-vs-arrival duplicates defer to compaction
+    *    (the gate family's standing live-window/compaction split, so
+    *    the gate stays stateless);
+    *  - `scrubbed` rides as the independent flag (same PII regexes).
+    * No shuffle, no state store — scales with arrival rate only.
+    * Hash oracle: the batch composition replayed over the delta slice
+    * (training prefix included), with the duplicate stage replaying
+    * the base-probe rule — staged online auditing ≡ batch replay.
+    */
+  def streamAudit(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val w = TextAnalysis.qualityModelWeights(s, dir)
+      val evalGrams: Set[String] = s.read
+        .parquet(Decontam.evalGramsDump(s, dir))
+        .as[String].collect().toSet
+      val bc = s.sparkContext.broadcast(evalGrams)
+      val contamUdf = udf { shingles: Seq[String] =>
+        shingles != null && shingles.exists(bc.value.contains)
+      }
+      val idx = Dedup.baseFpIndex(s, dir)
+        .select($"text_hash", $"keep_id".as("base_keep"))
+      val pred = when(TextAnalysis.qmGuard($"text"),
+        TextAnalysis.qmMarginCol($"text", w) >= TextAnalysis.QmScale / 2)
+        .otherwise(lit(false))
+      s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(Dedup.isDelta($"doc_id") &&
+          !$"source".isInCollection(Decontam.EvalSources))
+        .select($"doc_id", $"source",
+          pred.as("q_ok"),
+          contamUdf(graft.functions.Text.shinglesNFastUdf(Decontam.N)($"text"))
+            .as("contam"),
+          md5(graft.functions.Text.normalizeFast($"text")).as("text_hash"),
+          ((regexp_count($"text", lit(TextAnalysis.EmailRe)) +
+            regexp_count($"text", lit(TextAnalysis.Ipv4Re)) +
+            regexp_count($"text", lit(TextAnalysis.LongNumRe))) > 0)
+            .cast("int").as("scrubbed"))
+        .join(idx, Seq("text_hash"), "left") // stream-static: stateless
+        .select($"doc_id", $"source",
+          when(!$"q_ok", "quality")
+            .when($"contam", "decontam")
+            .when($"base_keep".isNotNull, "duplicate")
+            .otherwise("kept").as("verdict"),
+          $"base_keep".as("dup_of"),
+          $"scrubbed")
+    }
+
+  /** Oracle for [[streamAudit]]: the [[Audit.pipelineAuditSql]]
+    * composition restricted to the delta arrivals, with the duplicate
+    * stage replaying the base-index probe (fingerprint ∈ standing
+    * corpus, keeper = base keeper) instead of the batch row's
+    * within-slice keeper rule.
+    */
+  val streamAuditSql: String = {
+    val evalIn = Decontam.EvalSources.map(x => s"'$x'").mkString(",")
+    val norm = "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
+    TextAnalysis.qmTrainCtesSql + s""",
+    scored2 AS (
+      SELECT f.doc_id,
+             CASE WHEN ${TextAnalysis.qmMarginSql} >= ${TextAnalysis.QmScale / 2}
+                  THEN 1 ELSE 0 END AS pred
+      FROM feat f, w${TextAnalysis.QmIters} w),
+    adocs AS (SELECT doc_id, source, text FROM documents
+              WHERE doc_id % 5 = 0 AND source NOT IN ($evalIn)),
+    awrds AS (SELECT doc_id, source, string_split($norm, ' ') w FROM documents),
+    aidx AS (SELECT doc_id, source, w, unnest(range(1, greatest(len(w)-5,1))) i FROM awrds),
+    ash AS (SELECT DISTINCT doc_id, source,
+                   w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6] s
+            FROM aidx),
+    aev AS (SELECT DISTINCT s FROM ash WHERE source IN ($evalIn)),
+    acont AS (SELECT DISTINCT doc_id FROM ash JOIN aev USING (s)
+              WHERE source NOT IN ($evalIn) AND doc_id % 5 = 0),
+    base_fp AS (SELECT md5($norm) h, MIN(doc_id) keep_id
+                FROM documents WHERE doc_id % 5 != 0 GROUP BY 1),
+    afp AS (SELECT doc_id, md5($norm) h FROM adocs),
+    apii AS (SELECT doc_id,
+               CASE WHEN len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+                       + len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}'))
+                       + len(regexp_extract_all(text, '${TextAnalysis.LongNumRe}')) > 0
+                    THEN 1 ELSE 0 END AS scrubbed
+             FROM adocs)
+    SELECT a.doc_id, a.source,
+           CASE WHEN s2.pred IS NULL OR s2.pred = 0 THEN 'quality'
+                WHEN c.doc_id IS NOT NULL THEN 'decontam'
+                WHEN k.keep_id IS NOT NULL THEN 'duplicate'
+                ELSE 'kept' END AS verdict,
+           k.keep_id AS dup_of,
+           CAST(p.scrubbed AS INT) AS scrubbed
+    FROM adocs a
+    LEFT JOIN scored2 s2 USING (doc_id)
+    LEFT JOIN acont c USING (doc_id)
+    JOIN afp f2 USING (doc_id)
+    LEFT JOIN base_fp k ON k.h = f2.h
+    JOIN apii p USING (doc_id)"""
+  }
+
   /** CONTINUOUS PII gate — `text_pii` run per arrival: every ingested
     * document is scanned for emails / IPv4s / long digit runs and
     * fingerprinted in REDACTED form BEFORE admission — the scrubbing

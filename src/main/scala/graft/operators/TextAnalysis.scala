@@ -163,34 +163,62 @@ object TextAnalysis {
   private[graft] val QmIters = 12
   private val QmEtaDen = 1000000L
 
-  /** Integer feature vector of one doc — per-mille ratios and capped
-    * counts so every feature sits in [0, 1000] and the single learning
-    * rate is stable: [bias 1000, min(words,1000), punct‰, stopword‰,
-    * avg-word-len×100]. Pure integer arithmetic (Long `/` truncates
-    * exactly like DuckDB `//`), so features are engine-identical.
+  /** The five integer feature expressions over a raw text column — ONE
+    * definition shared by the training featurizer ([[qmFeatures]]) and
+    * the per-arrival serving margin ([[qmMarginCol]], the streaming
+    * audit gate), so the two can never drift. Per-mille ratios and
+    * capped counts keep every feature in [0, 1000] so the single
+    * learning rate is stable: [bias 1000, min(words,1000), punct‰,
+    * stopword‰, avg-word-len×100]. Pure integer arithmetic — Column `/`
+    * is fractional but the long cast TRUNCATES, identical to DuckDB's
+    * integer `//` here (operands nonneg and ≪ 2^53, so the double
+    * quotient is ≥ 1/denominator away from the next integer and the
+    * cast can never round across it). Only valid under [[qmGuard]]
+    * (nonzero word/char counts guard the divisions).
+    */
+  private def qmXs(text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val w = Text.wordsFast(text)
+    val nWords = size(w).cast("long")
+    val nChars = length(text).cast("long")
+    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("long")
+    val stopHits = size(filter(w, x => x.isInCollection(stopwords("en")))).cast("long")
+    val normLen = length(Text.normalizeFast(text)).cast("long")
+    Seq(lit(1000L),
+      least(nWords, lit(1000L)),
+      (nPunct * 1000L / nChars).cast("long"),
+      (stopHits * 1000L / nWords).cast("long"),
+      ((normLen - nWords + 1L) * 100L / nWords).cast("long"))
+  }
+
+  /** A document is featurizable iff it has text and at least one word
+    * — the training filter, and the serving-side "no score = failed
+    * gate" guard.
+    */
+  private[operators] def qmGuard(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    length(text) > 0 && size(Text.wordsFast(text)) > 0
+
+  /** The served margin over RAW TEXT with literal staged weights — the
+    * single-expression serving form the continuous audit gate applies
+    * per arrival (guard with [[qmGuard]]; [[qmScoreFeat]] is the same
+    * margin over an already-featurized frame).
+    */
+  private[operators] def qmMarginCol(text: org.apache.spark.sql.Column,
+      w: Array[Long]): org.apache.spark.sql.Column =
+    qmXs(text).zipWithIndex.map { case (x, j) => lit(w(j)) * x }.reduce(_ + _)
+
+  /** Integer feature vector of one featurizable doc ([[qmXs]] with the
+    * provenance label).
     */
   private def qmFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = Text.wordsFast($"text")
-    val nWords = size(w).cast("long")
-    val nChars = length($"text").cast("long")
-    val nPunct = length(regexp_replace($"text", "[a-zA-Z0-9 ]", "")).cast("long")
-    val stopHits = size(filter(w, x => x.isInCollection(stopwords("en")))).cast("long")
-    val normLen = length(Text.normalizeFast($"text")).cast("long")
+    val xs = qmXs($"text")
     docs
-      .filter(length($"text") > 0 && size(w) > 0)
+      .filter(qmGuard($"text"))
       .select($"doc_id",
         when(substring($"source", 4, 10).cast("int") % 2 === 0, 1L).otherwise(0L).as("y"),
-        lit(1000L).as("x0"),
-        least(nWords, lit(1000L)).as("x1"),
-        // Column `/` is fractional; the long cast TRUNCATES — identical
-        // to DuckDB's integer `//` here (operands nonneg and ≪ 2^53, so
-        // the double quotient is ≥ 1/denominator away from the next
-        // integer and the cast can never round across it)
-        (nPunct * 1000L / nChars).cast("long").as("x2"),
-        (stopHits * 1000L / nWords).cast("long").as("x3"),
-        ((normLen - nWords + 1L) * 100L / nWords).cast("long").as("x4"))
+        xs(0).as("x0"), xs(1).as("x1"), xs(2).as("x2"), xs(3).as("x3"),
+        xs(4).as("x4"))
   }
 
   /** Model-based quality filtering (`text_quality_model`) — the

@@ -766,6 +766,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runOnce() === Map(1L -> Seq(10L, 13L), 3L -> Seq(30L)))
   }
 
+  test("streaming audit gate: stateless, one verdict per arrival, ladder wired " +
+      "to the component gates") {
+    import graft.operators.StreamQueries
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamQueries.streamAudit(spark, dir).collect()
+    assert(out.nonEmpty)
+    // stateless by construction: literal-weights margin + broadcast
+    // gram probe + stream-static index probe hold NO state rows
+    val stateRows = StreamQueries.lastProgress.toSeq
+      .flatMap(p => """"numRowsTotal"\s*:\s*(\d+)""".r
+        .findAllMatchIn(p).map(_.group(1).toLong))
+    assert(stateRows.sum === 0L, s"audit gate must hold no state, got $stateRows")
+    val verdicts = out.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts.subsetOf(Set("quality", "decontam", "duplicate", "kept")))
+    // every duplicate verdict carries its base-keeper receipt; every
+    // kept/quality/decontam row without a standing-corpus twin has none
+    out.foreach { r =>
+      val dupOf = Option(r.getAs[java.lang.Long]("dup_of"))
+      if (r.getAs[String]("verdict") == "duplicate") assert(dupOf.isDefined)
+    }
+  }
+
   test("streaming quality-model gate equals the batch train+score row-for-row") {
     import graft.operators.{StreamQueries, TextAnalysis}
     val dir = "/root/testdata/sf0.001"
