@@ -79,6 +79,7 @@ object SparkEntry {
     "q_stream_tokens_bpe" -> (StreamQueries.streamTokensBpe _),
     "q_stream_quality_model" -> (StreamQueries.streamQualityModel _),
     "q_stream_audit"   -> (StreamQueries.streamAudit _),
+    "q_stream_mm_dedup" -> (StreamQueries.streamMmDedup _),
     "q_stream_calibration" -> (StreamQueries.streamCalibration _),
     "q_stream_confusion" -> (StreamQueries.streamConfusion _),
     "q_stream_semdedup" -> ((s: SparkSession, d: String) => StreamQueries.streamSemDedup(s, d)),
@@ -467,6 +468,9 @@ object SparkEntry {
     // q_stream_audit: the same composed ladder per arrival; duplicate
     // stage = the base-index probe (streamDeltaDedup's rule)
     "q_stream_audit"   -> StreamQueries.streamAuditSql,
+    // q_stream_mm_dedup: binary-payload gate vs the staged base index —
+    // the streamDeltaDedup replay over payload bytes
+    "q_stream_mm_dedup" -> StreamQueries.streamMmDedupSql,
     "pipeline_split"   -> Curation.trainValTestSplitSql,
     "pipeline_corpus"  -> Curation.corpusBuildSql,
     "pipeline_pack"    -> Curation.packSql,

@@ -223,6 +223,26 @@ object Multimodal {
            MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
     FROM documents GROUP BY 1"""
 
+  /** Staged payload-hash index of the BASE corpus (md5 of payload bytes
+    * → keeper, multiplicity) — the binary-modality twin of
+    * [[Dedup.baseFpIndex]], built once per source generation through
+    * DumpCache; the continuous gate ([[StreamQueries.streamMmDedup]])
+    * only ever reads it back.
+    */
+  private[graft] def basePayloadIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dump = graft.sources.DumpCache.dirFor(
+      "graft_base_payload_md5", dir, "documents.parquet")
+    graft.sources.DumpCache.ensure(dump) { tmp =>
+      Tables.documents(spark, dir).filter(!Dedup.isDelta($"doc_id"))
+        .select($"doc_id", md5(encode($"text", "UTF-8")).as("payload_md5"))
+        .groupBy($"payload_md5")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(dump)
+  }
+
   /** Rolling 4-byte gram hashes of a payload (stride 1), avalanche-mixed
     * (splitmix64 finalizer) so the simhash bit-vote sees decorrelated
     * bits — the byte-level analog of the text shingle hashes.

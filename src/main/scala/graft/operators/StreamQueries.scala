@@ -468,6 +468,47 @@ object StreamQueries {
           .select($"label", $"pred"))
       })
 
+  /** CONTINUOUS binary-payload dedup (`q_stream_mm_dedup`) — the
+    * BINARY-modality member of the continuous-dedup family, closing the
+    * last modality gap (exact text = `q_stream_delta_dedup`, substring
+    * = `q_stream_substring`, MinHash-LSH = `q_stream_delta_lsh`,
+    * semantic = `q_stream_semdedup`, binary payloads = this): arriving
+    * media rows hash their payload BYTES map-side (md5 over the binary
+    * column — no decode, the `mm_dedup` contract) and probe the STAGED
+    * base payload-hash index via a stateless stream-static left join.
+    * Identical-file duplication is the dominant mode in image/video
+    * corpora, so this is the gate a multimodal ingest runs FIRST.
+    * Per-arrival verdict = (payload_md5, base keeper id or null);
+    * arrival-vs-arrival duplicates defer to compaction (the family's
+    * standing split). No shuffle, no state store. Hash-matches the
+    * batch left-join replay: streaming ≡ batch.
+    */
+  def streamMmDedup(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val idx = Multimodal.basePayloadIndex(s, dir)
+        .select($"payload_md5", $"keep_id".as("base_dup_of"))
+      s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(Dedup.isDelta($"doc_id"))
+        .select($"doc_id",
+          md5(encode($"text", "UTF-8")).as("payload_md5"))
+        .join(idx, Seq("payload_md5"), "left") // stream-static: stateless
+        .select($"doc_id", $"payload_md5", $"base_dup_of")
+    }
+
+  /** Oracle for [[streamMmDedup]] — the [[streamDeltaDedup]] replay
+    * shape over payload bytes (DuckDB md5 hashes the same UTF-8 bytes
+    * Spark's md5(encode(text,'UTF-8')) does).
+    */
+  val streamMmDedupSql: String = """
+    WITH pm AS (SELECT doc_id, md5(text) AS payload_md5 FROM documents),
+    base_pm AS (SELECT payload_md5, MIN(doc_id) AS keep_id
+                FROM pm WHERE doc_id % 5 != 0 GROUP BY 1)
+    SELECT d.doc_id, d.payload_md5, b.keep_id AS base_dup_of
+    FROM pm d LEFT JOIN base_pm b USING (payload_md5)
+    WHERE d.doc_id % 5 = 0"""
+
   /** CONTINUOUS pipeline audit (`q_stream_audit`) — the [[Audit]]
     * data-card ladder run PER ARRIVAL, which is the production shape:
     * a document's first-dropping gate is decided at ingest, not by a
