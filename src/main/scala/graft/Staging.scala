@@ -36,6 +36,7 @@ object Staging {
     "base_chunks" -> ((s: SparkSession, d: String) => ops.Dedup.baseChunkIndex(s, d)),
     "base_minhash" -> ((s: SparkSession, d: String) => ops.Dedup.baseMinhashIndex(s, d)),
     "base_winfp" -> ((s: SparkSession, d: String) => ops.Dedup.baseWindowIndex(s, d)),
+    "base_payload" -> ((s: SparkSession, d: String) => ops.Multimodal.basePayloadIndex(s, d)),
     // connected-component labels over the verified pair set (full
     // corpus + the standing base-only generation the delta merge reads)
     "cc_labels" -> ((s: SparkSession, d: String) => ops.Clusters.clusterLabels(s, d)),

@@ -63,10 +63,10 @@ object Audit {
     val keep = fp.groupBy($"h").agg(min($"doc_id").as("keep_id"))
     val dup = fp.join(keep, "h")
       .select($"doc_id", $"keep_id", ($"doc_id" =!= $"keep_id").as("is_dup"))
-    // the scrub flag (not a drop stage)
-    val pii = TextAnalysis.piiOn(docs.select($"doc_id", $"text"))
-      .select($"doc_id",
-        (($"n_emails" + $"n_ipv4" + $"n_longnum") > 0).cast("int").as("scrubbed"))
+    // the scrub flag (not a drop stage; ONE shared definition with the
+    // streaming gate — TextAnalysis.piiHitCol)
+    val pii = docs.select($"doc_id",
+      TextAnalysis.piiHitCol($"text").cast("int").as("scrubbed"))
     docs.select($"doc_id", $"source")
       .join(pred, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
@@ -81,13 +81,16 @@ object Audit {
         $"scrubbed")
   }
 
-  /** Full DuckDB replay: the shared 12-iteration training prefix, the
-    * 7-gram eval-collision CTEs (the `text_decontam` protocol, audit-
-    * prefixed names to avoid clashing with the training prefix's CTEs),
-    * the fingerprint keeper rule, the PII flag, and the identical CASE
-    * ladder.
+  /** The shared audit replay CTEs — training prefix scoring, the
+    * 7-gram eval-collision protocol (audit-prefixed names so they
+    * cannot clash with the training prefix's CTEs), the fingerprint
+    * hash, and the PII flag — parameterized by the arrival predicate
+    * so the batch oracle ([[pipelineAuditSql]], whole audited slice)
+    * and the streaming oracle (delta arrivals only) compose from ONE
+    * text instead of two hash-coupled copies (the qmTrainCtesSql
+    * convention).
     */
-  val pipelineAuditSql: String = {
+  private[operators] def auditCtesSql(deltaPred: String): String = {
     val evalIn = Decontam.EvalSources.map(s => s"'$s'").mkString(",")
     val norm = "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
     TextAnalysis.qmTrainCtesSql + s""",
@@ -97,7 +100,7 @@ object Audit {
                   THEN 1 ELSE 0 END AS pred
       FROM feat f, w${TextAnalysis.QmIters} w),
     adocs AS (SELECT doc_id, source, text FROM documents
-              WHERE source NOT IN ($evalIn)),
+              WHERE source NOT IN ($evalIn) $deltaPred),
     awrds AS (SELECT doc_id, source, string_split($norm, ' ') w FROM documents),
     aidx AS (SELECT doc_id, source, w, unnest(range(1, greatest(len(w)-5,1))) i FROM awrds),
     ash AS (SELECT DISTINCT doc_id, source,
@@ -107,13 +110,19 @@ object Audit {
     acont AS (SELECT DISTINCT doc_id FROM ash JOIN aev USING (s)
               WHERE source NOT IN ($evalIn)),
     afp AS (SELECT doc_id, md5($norm) h FROM adocs),
-    akeep AS (SELECT h, MIN(doc_id) keep_id FROM afp GROUP BY 1),
     apii AS (SELECT doc_id,
                CASE WHEN len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
                        + len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}'))
                        + len(regexp_extract_all(text, '${TextAnalysis.LongNumRe}')) > 0
                     THEN 1 ELSE 0 END AS scrubbed
-             FROM adocs)
+             FROM adocs)"""
+  }
+
+  /** Full DuckDB replay: the shared [[auditCtesSql]] composition with
+    * the within-slice keeper rule and the identical CASE ladder.
+    */
+  val pipelineAuditSql: String = auditCtesSql(deltaPred = "") + s""",
+    akeep AS (SELECT h, MIN(doc_id) keep_id FROM afp GROUP BY 1)
     SELECT a.doc_id, a.source,
            CASE WHEN s2.pred IS NULL OR s2.pred = 0 THEN 'quality'
                 WHEN c.doc_id IS NOT NULL THEN 'decontam'
@@ -127,5 +136,4 @@ object Audit {
     JOIN afp f2 USING (doc_id)
     JOIN akeep k ON k.h = f2.h
     JOIN apii p USING (doc_id)"""
-  }
 }

@@ -558,10 +558,7 @@ object StreamQueries {
           contamUdf(graft.functions.Text.shinglesNFastUdf(Decontam.N)($"text"))
             .as("contam"),
           md5(graft.functions.Text.normalizeFast($"text")).as("text_hash"),
-          ((regexp_count($"text", lit(TextAnalysis.EmailRe)) +
-            regexp_count($"text", lit(TextAnalysis.Ipv4Re)) +
-            regexp_count($"text", lit(TextAnalysis.LongNumRe))) > 0)
-            .cast("int").as("scrubbed"))
+          TextAnalysis.piiHitCol($"text").cast("int").as("scrubbed"))
         .join(idx, Seq("text_hash"), "left") // stream-static: stateless
         .select($"doc_id", $"source",
           when(!$"q_ok", "quality")
@@ -572,40 +569,17 @@ object StreamQueries {
           $"scrubbed")
     }
 
-  /** Oracle for [[streamAudit]]: the [[Audit.pipelineAuditSql]]
+  /** Oracle for [[streamAudit]]: the shared [[Audit.auditCtesSql]]
     * composition restricted to the delta arrivals, with the duplicate
     * stage replaying the base-index probe (fingerprint ∈ standing
     * corpus, keeper = base keeper) instead of the batch row's
     * within-slice keeper rule.
     */
   val streamAuditSql: String = {
-    val evalIn = Decontam.EvalSources.map(x => s"'$x'").mkString(",")
     val norm = "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
-    TextAnalysis.qmTrainCtesSql + s""",
-    scored2 AS (
-      SELECT f.doc_id,
-             CASE WHEN ${TextAnalysis.qmMarginSql} >= ${TextAnalysis.QmScale / 2}
-                  THEN 1 ELSE 0 END AS pred
-      FROM feat f, w${TextAnalysis.QmIters} w),
-    adocs AS (SELECT doc_id, source, text FROM documents
-              WHERE doc_id % 5 = 0 AND source NOT IN ($evalIn)),
-    awrds AS (SELECT doc_id, source, string_split($norm, ' ') w FROM documents),
-    aidx AS (SELECT doc_id, source, w, unnest(range(1, greatest(len(w)-5,1))) i FROM awrds),
-    ash AS (SELECT DISTINCT doc_id, source,
-                   w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6] s
-            FROM aidx),
-    aev AS (SELECT DISTINCT s FROM ash WHERE source IN ($evalIn)),
-    acont AS (SELECT DISTINCT doc_id FROM ash JOIN aev USING (s)
-              WHERE source NOT IN ($evalIn) AND doc_id % 5 = 0),
+    Audit.auditCtesSql(deltaPred = "AND doc_id % 5 = 0") + s""",
     base_fp AS (SELECT md5($norm) h, MIN(doc_id) keep_id
-                FROM documents WHERE doc_id % 5 != 0 GROUP BY 1),
-    afp AS (SELECT doc_id, md5($norm) h FROM adocs),
-    apii AS (SELECT doc_id,
-               CASE WHEN len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
-                       + len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}'))
-                       + len(regexp_extract_all(text, '${TextAnalysis.LongNumRe}')) > 0
-                    THEN 1 ELSE 0 END AS scrubbed
-             FROM adocs)
+                FROM documents WHERE doc_id % 5 != 0 GROUP BY 1)
     SELECT a.doc_id, a.source,
            CASE WHEN s2.pred IS NULL OR s2.pred = 0 THEN 'quality'
                 WHEN c.doc_id IS NOT NULL THEN 'decontam'

@@ -1335,6 +1335,16 @@ object TextAnalysis {
   /** The per-row PII expressions over any (doc_id, text) frame —
     * separated so the spec can drive planted-PII rows.
     */
+  /** "Document contains any PII hit" as ONE shared Column — the scrub
+    * flag both audit rows consume (the batch funnel and the per-arrival
+    * gate), defined over the same regex constants [[piiOn]] counts, so
+    * the flag can never drift from the scrubber (the qmXs
+    * one-definition convention).
+    */
+  private[operators] def piiHitCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (regexp_count(text, lit(EmailRe)) + regexp_count(text, lit(Ipv4Re)) +
+      regexp_count(text, lit(LongNumRe))) > 0
+
   def piiOn(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val redacted = regexp_replace(

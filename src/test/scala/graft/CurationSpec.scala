@@ -22,7 +22,7 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pipeline_audit: the ladder composes the component rows exactly — " +
       "verdict precedence, duplicate receipts, scrub flags all cross-check") {
     import spark.implicits._
-    import graft.operators.{Audit, Decontam, Dedup, TextAnalysis}
+    import graft.operators.{Audit, Decontam, TextAnalysis}
     val audit = Audit.pipelineAudit(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[String]("verdict"),
@@ -38,13 +38,17 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"doc_id", $"pred").as[(Long, Int)].collect().toMap
     val contaminated = Decontam.ngramCollisions(spark, sf)
       .select($"doc_id").as[Long].collect().toSet
-    val keeperOf = Dedup.exact(spark, sf).collect()
-      .map(r => r.getAs[String]("text_hash") -> r.getAs[Long]("keep_id")).toMap
     val hashOf = docs
       .select($"doc_id",
         org.apache.spark.sql.functions.md5(
           graft.functions.Text.normalizeFast($"text")).as("h"))
       .as[(Long, String)].collect().toMap
+    // keeper truth over the AUDITED (eval-excluded) slice — the row's
+    // documented rule; Dedup.exact's full-corpus keeper would differ
+    // whenever a duplicate group's min id is an eval-source doc (r13
+    // review finding)
+    val keeperOf = hashOf.toSeq.groupBy(_._2)
+      .map { case (h, xs) => h -> xs.map(_._1).min }
     val piiHit = TextAnalysis.piiOn(docs.select($"doc_id", $"text")).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_emails") + r.getAs[Long]("n_ipv4") +

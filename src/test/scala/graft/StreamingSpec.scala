@@ -788,6 +788,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("planted corpus: the audit pair's duplicate stages and the binary gate " +
+      "actually fire (the sf fixtures hold no cross-slice duplicate groups)") {
+    import spark.implicits._
+    import graft.operators.StreamQueries
+    val tmp = Files.createTempDirectory("graft_audit_plant").toString
+    def doc(id: Long, text: String, source: String) =
+      (id, text, "en", source, text.length.toLong)
+    val tDup = (0 until 50).map(i => s"alpha$i").mkString(" ")
+    val tUniq = (0 until 50).map(i => s"beta$i").mkString(" ")
+    val tEval = (0 until 10).map(i => s"gamma$i").mkString(" ")
+    val tEval2 = (0 until 10).map(i => s"delta$i").mkString(" ")
+    val tContam = "prefix " + (0 until 7).map(i => s"gamma$i").mkString(" ") + " suffix"
+    // the file-stream sources glob for a FILE named documents.parquet
+    // (the testdata layout) — write one part and rename it into place
+    val stage = s"$tmp/_stage"
+    Seq(
+      doc(1, tDup, "src4"),   // base slice, non-eval
+      doc(2, tEval, "src0"),  // base, eval suite
+      doc(4, tEval2, "src2"), // base, eval suite
+      doc(7, tEval2, "src4"), // base, non-eval — text shared with EVAL doc 4
+      doc(5, tDup, "src4"),   // delta, byte+text twin of base 1
+      doc(10, tUniq, "src4"), // delta, unique
+      doc(15, tContam, "src4")) // delta, carries an eval 7-gram
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    assert(part.renameTo(new java.io.File(tmp, "documents.parquet")))
+
+    // binary gate: the base payload probe fires for the planted twin
+    val mm = StreamQueries.streamMmDedup(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Long]("base_dup_of")).map(_.toLong)).toMap
+    assert(mm === Map(5L -> Some(1L), 10L -> None, 15L -> None))
+
+    // streaming audit: the base-fingerprint receipt is data-independent
+    // of the trained gate's verdict
+    val sa = StreamQueries.streamAudit(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("verdict"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+    assert(sa.keySet === Set(5L, 10L, 15L))
+    assert(sa(5L)._2 === Some(1L), "base-probe receipt must fire for the twin")
+    assert(sa(10L)._2 === None)
+    assert(sa(15L)._2 === None)
+
+    // batch audit: the WITHIN-SLICE keeper rule — doc 7's only text twin
+    // is the eval doc 4, which is outside the audited slice, so 7 keeps
+    // itself; doc 5's slice keeper is 1
+    val ba = graft.operators.Audit.pipelineAudit(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("verdict"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+    assert(ba.keySet === Set(1L, 5L, 7L, 10L, 15L))
+    assert(ba(5L)._2 === Some(1L))
+    assert(ba(7L)._2 === None, "the eval twin must not claim the keeper role")
+    assert(ba(1L)._2 === None)
+    // full verdict pin — the trained gate is DETERMINISTIC for a fixed
+    // corpus (integer GD), and on this one every planted doc passes it,
+    // so each ladder branch fires for real: the duplicate stage on 5,
+    // decontam on 15 (and on 7, whose text IS an eval doc's), kept on
+    // the clean rows
+    assert(ba === Map(
+      1L -> (("kept", None)), 5L -> (("duplicate", Some(1L))),
+      7L -> (("decontam", None)), 10L -> (("kept", None)),
+      15L -> (("decontam", None))), s"batch got $ba")
+    assert(sa === Map(
+      5L -> (("duplicate", Some(1L))), 10L -> (("kept", None)),
+      15L -> (("decontam", None))), s"stream got $sa")
+  }
+
   test("streaming quality-model gate equals the batch train+score row-for-row") {
     import graft.operators.{StreamQueries, TextAnalysis}
     val dir = "/root/testdata/sf0.001"
