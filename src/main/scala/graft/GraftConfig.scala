@@ -66,6 +66,21 @@ object GraftConfig {
   def semDedupCells(corpusRows: Long): Int =
     operators.Similarity.semDedupKFor(corpusRows)
 
+  /** Flat→two-level assignment swap point for the SemDeDup quantizer:
+    * at or under this many cells, corpus rows assign by the flat
+    * linear centroid scan (every hash-gate corpus resolves k = 10 and
+    * stays here); above it, assignment runs the two-level coarse→fine
+    * search (⌈√k⌉ coarse cells trained deterministically on the fine
+    * centroids, 2-cell probe) — the device that keeps total assignment
+    * work Θ(n·√k) where the flat scan with k ∝ n is Θ(n²/200),
+    * measured as ~80% of the 24.7 s 100×-fixture `dedup_semdedup` row
+    * before the swap (r13 What's-wrong #1; the r14 decade capture
+    * carries the after-row). Spec-pinned: the tag this threshold
+    * resolves rides every staged-generation cache key.
+    */
+  def semDedupTwoLevelMinCells: Int =
+    operators.Similarity.SemDedupTwoLevelMinK
+
   /** Shuffle-partition sizing: enough partitions that a partition's
     * input fits comfortably in task memory (`targetBytes`, default
     * 128 MiB — the spill threshold rule of thumb), floored at 2×cores
@@ -74,7 +89,12 @@ object GraftConfig {
     */
   def shufflePartitionsFor(inputBytes: Long, cores: Int,
       targetBytes: Long = 128L << 20): Int = {
-    val byData = (inputBytes + targetBytes - 1) / targetBytes
+    // ceil-divide WITHOUT the `input + target - 1` addition: that form
+    // overflows Long when inputBytes is within targetBytes of
+    // Long.MaxValue, going negative and silently returning the 2×cores
+    // floor instead of the 10000 cap (r13 ADVICE)
+    val byData = inputBytes / targetBytes +
+      (if (inputBytes % targetBytes == 0) 0L else 1L)
     math.min(10000L, math.max(2L * cores, byData)).toInt
   }
 }

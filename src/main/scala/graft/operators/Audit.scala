@@ -44,9 +44,15 @@ object Audit {
 
   def pipelineAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // text coalesced to '': a NULL-text doc would otherwise fingerprint
+    // to a NULL hash, never match in the keeper join, and vanish from
+    // the audit entirely (violating one-audit-row-per-corpus-doc) — and
+    // the DuckDB oracle would drop it identically, so the hash gate
+    // could never catch it (r13 ADVICE). The oracle's adocs CTE carries
+    // the same coalesce.
     val docs = Tables.documents(spark, dir)
       .filter(!$"source".isInCollection(Decontam.EvalSources))
-      .select($"doc_id", $"text", $"source")
+      .select($"doc_id", coalesce($"text", lit("")).as("text"), $"source")
     // stage 1: the staged SERVED quality verdict (one parquet read; a
     // doc absent from the scored table had no featurizable text)
     val pred = spark.read.parquet(TextAnalysis.qualityScoredDump(spark, dir))
@@ -99,7 +105,8 @@ object Audit {
              CASE WHEN ${TextAnalysis.qmMarginSql} >= ${TextAnalysis.QmScale / 2}
                   THEN 1 ELSE 0 END AS pred
       FROM feat f, w${TextAnalysis.QmIters} w),
-    adocs AS (SELECT doc_id, source, text FROM documents
+    adocs AS (SELECT doc_id, source, coalesce(text, '') AS text
+              FROM documents
               WHERE source NOT IN ($evalIn) $deltaPred),
     awrds AS (SELECT doc_id, source, string_split($norm, ' ') w FROM documents),
     aidx AS (SELECT doc_id, source, w, unnest(range(1, greatest(len(w)-5,1))) i FROM awrds),

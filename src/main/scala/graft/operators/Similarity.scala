@@ -588,11 +588,171 @@ object Similarity {
     * replay k = 10, and a silent change here would hash-mismatch them.
     */
   private[graft] def semDedupKFor(n: Long): Int =
-    // upper clamp: past ~10⁷ cells a flat quantizer is the wrong
-    // device anyway (assignment is n × k — the documented two-level
-    // swap point); without it the Int cast would overflow for corpora
-    // past ~4e11 rows (r13 review)
+    // upper clamp: keeps the Int cast from overflowing for corpora
+    // past ~4e11 rows (r13 review); past [[SemDedupTwoLevelMinK]]
+    // cells, assignment runs the two-level coarse→fine search
+    // ([[CellIndex]]) instead of the flat n × k scan
     math.min(10000000L, math.max(10L, (n + 199) / 200)).toInt
+
+  /** Flat→two-level assignment swap point: a codebook at or under this
+    * many cells assigns by the flat [[nearestCell]] linear scan; above
+    * it, [[CellIndex]] builds the two-level coarse→fine search. With
+    * k = [[semDedupKFor]] ∝ n, the flat per-row scan is Θ(n·k) =
+    * Θ(n²/200) — measured as ~80% of the 24.7 s 100×-fixture
+    * `dedup_semdedup` row in r13 (the round's one super-linear term);
+    * two-level probing costs ⌈√k⌉ coarse + ~2·k/⌈√k⌉ fine scans per
+    * row ≈ 3√k, restoring Θ(n·√k) total. INVARIANT
+    * (GraftConfigSpec-pinned): every gate corpus resolves k = 10 ≤ 512,
+    * so the hash oracles only ever see the flat scan; the 10× fixture
+    * (k = 100) stays flat too — the swap is for the decades where the
+    * quadratic floor actually bites.
+    */
+  private[graft] val SemDedupTwoLevelMinK: Int = 512
+
+  /** Coarse-probe width for the two-level search: the nearest fine
+    * centroid is not always inside the single nearest coarse cell, so
+    * the searcher probes the 2 nearest coarse cells (the IVF nprobe
+    * device applied to the codebook itself). Deterministic: coarse
+    * probe order and fine ties both break toward the lower id.
+    */
+  private[graft] val TwoLevelProbes: Int = 2
+
+  /** The assignment-structure tag a codebook of `k` cells resolves to —
+    * what staged-generation cache keys carry. Spec-pinned equal to
+    * [[CellIndex.of]]'s built structure ([[CellIndex.tag]]), so the key
+    * and the device can never drift.
+    */
+  private[graft] def assignTagFor(k: Int): String =
+    if (k <= SemDedupTwoLevelMinK) "flat"
+    else s"tl${math.ceil(math.sqrt(k.toDouble)).toInt}p$TwoLevelProbes"
+
+  /** The assignment device for a flat codebook, resolved once at the
+    * driver and BROADCAST: flat linear scan at or under
+    * [[SemDedupTwoLevelMinK]] cells (`coarse` empty), else a two-level
+    * coarse→fine search over a coarse codebook of ⌈√k⌉ cells trained —
+    * deterministically, driver-local — on the fine centroids
+    * themselves. Every SemDeDup entry point (batch, staged generation,
+    * delta merge, streaming gate) resolves through [[CellIndex.of]], so
+    * the assignment rule can never drift between them: the structure is
+    * a pure deterministic function of the fine codebook.
+    */
+  private[graft] final case class CellIndex(
+      fine: Array[Array[Double]],
+      coarse: Array[Array[Double]],
+      members: Array[Array[Int]]) {
+
+    /** Tag for staged-generation cache keys: a generation assigned
+      * under a different device must never be served (the resolved-k
+      * key lesson applied to the assignment structure).
+      */
+    def tag: String =
+      if (coarse.isEmpty) "flat" else s"tl${coarse.length}p$TwoLevelProbes"
+
+    def assign(v: Array[Float]): (Int, Double) = {
+      if (coarse.isEmpty) return nearestCell(v, fine)
+      // probe order: ascending coarse distance, ties → lower coarse id
+      var p1 = -1; var d1 = Double.MaxValue
+      var p2 = -1; var d2 = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        val ctr = coarse(c)
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+        if (d < d1) { p2 = p1; d2 = d1; p1 = c; d1 = d }
+        else if (d < d2) { p2 = c; d2 = d }
+        c += 1
+      }
+      var best = -1
+      var bestD = Double.MaxValue
+      var pi = 0
+      while (pi < TwoLevelProbes) {
+        val p = if (pi == 0) p1 else p2
+        if (p >= 0) {
+          val ms = members(p)
+          var mi = 0
+          while (mi < ms.length) {
+            val f = ms(mi)
+            val ctr = fine(f)
+            var d = 0.0
+            var i = 0
+            while (i < ctr.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+            // strict < with ascending member ids ⇒ ties → lowest fine id
+            // (members arrays are ascending and p1's are scanned first,
+            // but a tie across probes still resolves by id: see below)
+            if (d < bestD || (d == bestD && f < best)) { bestD = d; best = f }
+            mi += 1
+          }
+        }
+        pi += 1
+      }
+      // both probed coarse cells empty (possible only when Lloyd left
+      // the two nearest coarse centroids memberless) — fall back to the
+      // exact flat scan rather than return an unassignable -1
+      if (best < 0) nearestCell(v, fine) else (best, bestD)
+    }
+  }
+
+  private[graft] object CellIndex {
+    /** Deterministic driver-local build: kc = ⌈√k⌉ coarse cells, seeds
+      * = the first kc fine centroids in (md5(cell_id), cell_id) order
+      * (the corpus trainer's seed rule applied to the codebook), 4
+      * Lloyd iterations with ties → lowest coarse id and empty cells
+      * keeping their previous centroid — single-threaded plain-double
+      * arithmetic, so the structure is a pure function of `fine`.
+      * Cost: 4·k·⌈√k⌉·dim driver flops — at the k = 10⁶ clamp region
+      * that is ~2.6e11 · dim ops, still driver-feasible and amortized
+      * once per staged generation.
+      */
+    def of(fine: Array[Array[Double]]): CellIndex = {
+      if (fine.length <= SemDedupTwoLevelMinK)
+        return CellIndex(fine, Array.empty, Array.empty)
+      val k = fine.length
+      val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+      val dim = fine(0).length
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val seedOrder = (0 until k).map(i => (md5hex(i.toString), i))
+        .sorted.map(_._2)
+      var coarse = seedOrder.take(kc).map(fine(_).clone).toArray
+      var it = 0
+      while (it < 4) {
+        val assignTo = Array.ofDim[Int](k)
+        var f = 0
+        while (f < k) {
+          val (c, _) = nearestCell(fine(f).map(_.toFloat), coarse)
+          assignTo(f) = c
+          f += 1
+        }
+        val cnt = Array.ofDim[Long](kc)
+        val sums = Array.ofDim[Double](kc, dim)
+        f = 0
+        while (f < k) {
+          val c = assignTo(f)
+          cnt(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += fine(f)(i); i += 1 }
+          f += 1
+        }
+        coarse = Array.tabulate(kc) { c =>
+          if (cnt(c) == 0) coarse(c)
+          else Array.tabulate(dim)(i => sums(c)(i) / cnt(c))
+        }
+        it += 1
+      }
+      val finalAssign = Array.ofDim[Int](k)
+      var f = 0
+      while (f < k) {
+        finalAssign(f) = nearestCell(fine(f).map(_.toFloat), coarse)._1
+        f += 1
+      }
+      val members = Array.tabulate(kc) { c =>
+        (0 until k).filter(finalAssign(_) == c).toArray // ascending ids
+      }
+      CellIndex(fine, coarse, members)
+    }
+  }
 
   /** Training-sample cap for the SemDeDup quantizer: with k ∝ n
     * ([[semDedupKFor]]) a full-corpus Lloyd's train is Θ(n·k) per pass
@@ -805,11 +965,13 @@ object Similarity {
     val kk = resolveSemDedupK(spark, dir, k)
     val (codebook, _) =
       kmeansCodebook(spark, dir, kk, iters, semDedupTrainCap(kk))
-    val bc = spark.sparkContext.broadcast(codebook)
+    // flat scan at gate k; two-level coarse→fine past the swap point —
+    // the structure is broadcast WHOLE so assignment stays a per-row map
+    val bc = spark.sparkContext.broadcast(CellIndex.of(codebook))
     val assigned = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .map { case (id, v) =>
-        (nearestCell(v, bc.value)._1, id, v, math.sqrt(selfDot(v)))
+        (bc.value.assign(v)._1, id, v, math.sqrt(selfDot(v)))
       }
     assigned.groupByKey(_._1).flatMapGroups { (cell, it) =>
       semDedupCellVerdicts(cell,
@@ -867,10 +1029,12 @@ object Similarity {
     // a corpus whose row count resolves differently.
     val kk = resolveSemDedupK(spark, dir, k)
     val thrKey = math.round(threshold * 1000)
-    // the key also carries the resolved TRAINING CAP: a generation
-    // trained under a different sampling rule must never be served
+    // the key also carries the resolved TRAINING CAP and the resolved
+    // ASSIGNMENT STRUCTURE (flat vs two-level, with its coarse width):
+    // a generation trained under a different sampling rule — or
+    // assigned under a different device — must never be served
     val base = graft.sources.DumpCache.dirFor(
-      s"graft_semdedup_base_${kk}_${iters}_${thrKey}_t${semDedupTrainCap(kk)}",
+      s"graft_semdedup_base_${kk}_${iters}_${thrKey}_t${semDedupTrainCap(kk)}_a${assignTagFor(kk)}",
       dir, "embeddings.parquet")
     graft.sources.DumpCache.ensure(base) { tmp =>
       val baseRows = Tables.embeddings(spark, dir)
@@ -881,9 +1045,9 @@ object Similarity {
       codebook.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .coalesce(1).write.parquet(s"$tmp/codebook")
-      val bc = spark.sparkContext.broadcast(codebook)
+      val bc = spark.sparkContext.broadcast(CellIndex.of(codebook))
       val assigned = baseRows.map { case (id, v) =>
-        (nearestCell(v, bc.value)._1, id, v, math.sqrt(selfDot(v)))
+        (bc.value.assign(v)._1, id, v, math.sqrt(selfDot(v)))
       }
       assigned.toDF("cell", "vec_id", "embedding", "nrm")
         .write.partitionBy("cell").parquet(s"$tmp/corpus")
@@ -923,12 +1087,15 @@ object Similarity {
     val codebook = spark.read.parquet(s"$dump/codebook")
       .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
       .sortBy(_._1).map(_._2.toArray)
-    val bc = spark.sparkContext.broadcast(codebook)
+    // CellIndex.of is a pure function of the fine codebook, so the
+    // delta merge rebuilds the IDENTICAL structure the generation was
+    // assigned under — arrivals and base members can never disagree
+    val bc = spark.sparkContext.broadcast(CellIndex.of(codebook))
     val delta = Tables.embeddings(spark, dir)
       .filter(isPcaDelta($"vec_id"))
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .map { case (id, v) =>
-        (nearestCell(v, bc.value)._1, id, v, math.sqrt(selfDot(v)))
+        (bc.value.assign(v)._1, id, v, math.sqrt(selfDot(v)))
       }.toDF("cell", "vec_id", "embedding", "nrm").cache()
     val affected = delta.select($"cell").distinct()
       .as[Int].collect().toSet

@@ -1253,7 +1253,12 @@ object StreamQueries {
     scored
       .toDF("query_id", "neighbor_id", "cell", "cos")
       .withColumn("arrival_ts", arrivalTs)
-      .withWatermark("arrival_ts", "0 seconds")
+      // a NONZERO delay: with 0 seconds, two triggers resolving to the
+      // same batch-timestamp millisecond would late-filter the second
+      // trigger's FRESH query ids (silent drop, not duplicate
+      // suppression — r13 ADVICE); 5 s is noise against the 30-min TTL
+      // and arrival stamps are batch-monotone, so nothing real is late
+      .withWatermark("arrival_ts", "5 seconds")
       .as[(Long, Long, Int, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (Long, Long, Int, Double, Int)](
@@ -1358,9 +1363,11 @@ object StreamQueries {
       val codebook = s.read.parquet(s"$dump/codebook")
         .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
         .sortBy(_._1).map(_._2.toArray)
-      val bc = s.sparkContext.broadcast(codebook)
-      val cellUdf = udf((v: Seq[Float]) =>
-        Similarity.nearestCell(v.toArray, bc.value)._1)
+      // the same deterministic assignment structure the generation was
+      // built under (flat at gate k, two-level past the swap point) —
+      // CellIndex.of is a pure function of the staged codebook
+      val bc = s.sparkContext.broadcast(Similarity.CellIndex.of(codebook))
+      val cellUdf = udf((v: Seq[Float]) => bc.value.assign(v.toArray)._1)
       // the staged corpus re-read in GROUPED per-cell layout (one row
       // per cell, members as an array — the `q_stream_delta_lsh` staged
       // band-index shape), so the stream-static join is 1:1 and the

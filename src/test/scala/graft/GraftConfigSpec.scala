@@ -111,5 +111,69 @@ class GraftConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftConfig.shufflePartitionsFor(1L << 20, cores = 32) === 64)
     assert(GraftConfig.shufflePartitionsFor(100L * (128L << 20), cores = 32) === 100)
     assert(GraftConfig.shufflePartitionsFor(Long.MaxValue / 4, cores = 32) === 10000)
+    // near-Long.MaxValue input must hit the cap, not overflow negative
+    // and fall to the 2x-cores floor (r13 ADVICE)
+    assert(GraftConfig.shufflePartitionsFor(Long.MaxValue - 1, cores = 32) === 10000)
+  }
+
+  // deterministic synthetic codebook: k well-spread 8-dim centroids
+  private def synthCodebook(k: Int): Array[Array[Double]] =
+    Array.tabulate(k)(c =>
+      Array.tabulate(8)(d => ((c * 31 + d * 7) % 97).toDouble +
+        ((c * 13 + d) % 11) * 0.25))
+
+  test("semDedup two-level assignment: gate codebooks resolve FLAT; past the " +
+      "swap point the structure is a partition of the fine cells, " +
+      "deterministic, with the cache-key tag matching the built device") {
+    import graft.operators.Similarity
+    // every hash-gate corpus resolves k = 10 — flat, oracles untouched
+    val flat = Similarity.CellIndex.of(synthCodebook(10))
+    assert(flat.coarse.isEmpty && flat.tag === "flat")
+    assert(Similarity.assignTagFor(10) === "flat")
+    assert(Similarity.assignTagFor(GraftConfig.semDedupTwoLevelMinCells) === "flat")
+    // above the swap point: two-level with kc = ceil(sqrt(k)) coarse
+    // cells; members are a PARTITION of the fine ids (every fine cell
+    // reachable exactly once)
+    val k = GraftConfig.semDedupTwoLevelMinCells + 88 // 600
+    val tl = Similarity.CellIndex.of(synthCodebook(k))
+    assert(tl.coarse.length === math.ceil(math.sqrt(k.toDouble)).toInt)
+    assert(tl.tag === Similarity.assignTagFor(k),
+      "staged-generation cache-key tag must match the built structure")
+    val all = tl.members.flatten.sorted
+    assert(all.toSeq === (0 until k), "members must partition the fine cells")
+    // pure function of the codebook: a rebuild is identical
+    val tl2 = Similarity.CellIndex.of(synthCodebook(k))
+    assert(tl.coarse.map(_.toSeq).toSeq === tl2.coarse.map(_.toSeq).toSeq)
+    assert(tl.members.map(_.toSeq).toSeq === tl2.members.map(_.toSeq).toSeq)
+  }
+
+  test("semDedup two-level assignment: probed result is exact within the probed " +
+      "coarse cells and agrees with the flat scan on >= 90% of vectors") {
+    import graft.operators.Similarity
+    val k = 600
+    val fine = synthCodebook(k)
+    val tl = Similarity.CellIndex.of(fine)
+    // deterministic pseudo-random probe vectors (LCG, fixed seed)
+    var seed = 12345L
+    def nextD(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33).toDouble / (1L << 31).toDouble) * 100.0
+    }
+    val vecs = Array.fill(500)(Array.fill(8)(nextD().toFloat))
+    var agree = 0
+    vecs.foreach { v =>
+      val (cTl, dTl) = tl.assign(v)
+      val (cFlat, dFlat) = Similarity.nearestCell(v, fine)
+      // internal consistency: the returned cell really is the best
+      // within the probed members, at its true distance
+      val ctr = fine(cTl)
+      var d = 0.0
+      var i = 0
+      while (i < ctr.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+      assert(math.abs(d - dTl) < 1e-9)
+      assert(dTl >= dFlat - 1e-12, "two-level can never beat the exact scan")
+      if (cTl == cFlat) agree += 1
+    }
+    assert(agree >= 450, s"two-level agreed with flat on only $agree/500")
   }
 }
