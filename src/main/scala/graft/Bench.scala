@@ -168,9 +168,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val stagingTotal = staging.map(_._2).filter(_ >= 0).sum
+    // PER-ROW ceiling (r13 verdict item 7): two rounds showed the
+    // suite TOTAL is box-dominated (±7 s on identical code) while
+    // per-row times are stable, so the real performance contract is
+    // per-row — no sf0.1 row above ~3.5 s (staging itemized apart).
+    // Violations ride the JSON line AND page on stderr; the exit code
+    // stays 0 so the driver's protocol (one JSON line) is never broken
+    // by a perf regression — the regression is data, not a crash.
+    val ceiling = sys.env.get("SPARK_GRAFT_CEILING").map(_.toDouble)
+      .getOrElse(if (sfDir.endsWith("sf0.1")) 3.5 else Double.MaxValue)
+    val violations = results.filter { case (_, v) => v > ceiling || v < 0 }
+    violations.foreach { case (k, v) =>
+      System.err.println(f"[bench] CEILING EXCEEDED: $k = $v%.2f s > $ceiling s")
+    }
+    val viol = violations.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""staging":$st,"staging_total":$stagingTotal,"sf":"$sfDir"}"""
+        s""""staging":$st,"staging_total":$stagingTotal,""" +
+        s""""ceiling_sec":${if (ceiling == Double.MaxValue) "null" else ceiling},""" +
+        s""""ceiling_violations":$viol,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_rN.json keeps only a truncated stdout tail, so
     // also persist the FULL per-query map to a parseable file (committed

@@ -123,6 +123,32 @@ object Text {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** FUSED shingle-and-probe: does ANY word n-gram of the normalized
+    * text sit in `set`? Builds each window string exactly as
+    * [[shingleSet]] does (TextFastPathSpec pins the equivalence with
+    * `shingleSet(text, n).exists(set)`), but probes as it goes and
+    * EARLY-EXITS on the first hit — the shape a per-arrival
+    * contamination gate wants: contaminated docs short-circuit, and no
+    * doc materializes its distinct-shingle array just to scan it in a
+    * second UDF (r13 What's-wrong #3). Duplicate windows probe the set
+    * twice instead of paying the dedup hash — membership is idempotent.
+    */
+  def anyShingleIn(text: String, n: Int, set: Set[String]): Boolean = {
+    val norm = normalizeString(text)
+    if (norm.isEmpty) return false
+    val ws = norm.split(' ')
+    if (ws.length < n) return false
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(ws(i + k)); k += 1 }
+      if (set.contains(sb.toString)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Spark-`xxhash64`-identical string hash (XXH64, seed 42). */
   def xx64(s: String): Long = XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
 

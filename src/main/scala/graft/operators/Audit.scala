@@ -24,11 +24,18 @@ import graft.sources.Tables
   *  3. `duplicate` — the doc is not the keeper (min doc_id) of its
   *     normalized-text fingerprint group (`dedup_exact`'s rule over
   *     the audited slice);
-  *  4. `kept`.
+  *  4. `near_duplicate` — the doc has a SMALLER-id audited near-dup
+  *     partner under the MinHash-LSH verdict (band collision, then
+  *     signature-estimated Jaccard ≥ 0.7 — `dedup_minhash`'s rule,
+  *     keep-first by id): the data-card rung production lineage
+  *     separates from exact duplication (r13 verdict item 3);
+  *  5. `kept`.
   * PII is NOT a drop stage — production scrubs and keeps — so it rides
   * as the independent `scrubbed` flag; `dup_of` carries the keeper id
-  * whenever the doc is a non-keeper, regardless of which earlier stage
-  * already dropped it (the receipt is about lineage, not the verdict).
+  * whenever the doc is a non-keeper, and `near_dup_of` the smallest
+  * verified colliding partner whenever one exists — both regardless of
+  * which earlier stage already dropped the doc (the receipt is about
+  * lineage, not the verdict).
   *
   * Scale shape: every stage input is either a STAGED artifact read
   * (the scored corpus, the benchmark-sized eval-gram set — broadcast)
@@ -69,6 +76,39 @@ object Audit {
     val keep = fp.groupBy($"h").agg(min($"doc_id").as("keep_id"))
     val dup = fp.join(keep, "h")
       .select($"doc_id", $"keep_id", ($"doc_id" =!= $"keep_id").as("is_dup"))
+    // stage 4: near-duplicate (MinHash-LSH) within the audited slice —
+    // `dedup_delta_lsh`'s staged machinery: base docs read their
+    // (sig, bands) rows from the STAGED band index (text never
+    // re-sketched; the audited-slice join drops eval-source entries),
+    // only the arriving delta sketches fresh. Candidates are
+    // band-bucket-bounded (never all-pairs); a doc is near_duplicate
+    // iff a SMALLER-id audited partner verifies at est_jaccard ≥ 0.7,
+    // with the smallest such partner as the lineage receipt.
+    val baseSk = graft.operators.Dedup.baseMinhashIndex(spark, dir)
+      .join(docs.select($"doc_id"), Seq("doc_id"))
+    val deltaSk = docs.filter(Dedup.isDelta($"doc_id"))
+      .select($"doc_id", graft.functions.ShingleGramHashes($"text").as("hashes"))
+      .filter(size($"hashes") > 0)
+      .select($"doc_id", graft.functions.MinhashSig($"hashes").as("sig"))
+      .select($"doc_id", $"sig", graft.functions.MinhashBands($"sig").as("bands"))
+    val sk = baseSk.select($"doc_id", $"sig", $"bands").unionByName(deltaSk)
+    val bandRows = sk.select($"doc_id",
+      posexplode($"bands").as(Seq("band_idx", "band_hash")))
+    val candPairs = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("y.doc_id").as("adoc"), col("x.doc_id").as("partner"))
+      .distinct()
+    val simUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      Text.minhashJaccard(a.toArray, b.toArray))
+    val near = candPairs
+      .join(sk.select($"doc_id".as("adoc"), $"sig".as("sig_a")), Seq("adoc"))
+      .join(sk.select($"doc_id".as("partner"), $"sig".as("sig_p")), Seq("partner"))
+      .filter(simUdf($"sig_a", $"sig_p") >= 0.7)
+      .groupBy($"adoc")
+      .agg(min($"partner").as("near_of"))
+      .withColumnRenamed("adoc", "doc_id")
     // the scrub flag (not a drop stage; ONE shared definition with the
     // streaming gate — TextAnalysis.piiHitCol)
     val pii = docs.select($"doc_id",
@@ -77,13 +117,16 @@ object Audit {
       .join(pred, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"))
+      .join(near, Seq("doc_id"), "left")
       .join(pii, Seq("doc_id"))
       .select($"doc_id", $"source",
         when($"pred".isNull || $"pred" === 0, "quality")
           .when($"contam" === 1, "decontam")
           .when($"is_dup", "duplicate")
+          .when($"near_of".isNotNull, "near_duplicate")
           .otherwise("kept").as("verdict"),
         when($"is_dup", $"keep_id").otherwise(lit(null).cast("long")).as("dup_of"),
+        $"near_of".as("near_dup_of"),
         $"scrubbed")
   }
 
@@ -99,7 +142,13 @@ object Audit {
   private[operators] def auditCtesSql(deltaPred: String): String = {
     val evalIn = Decontam.EvalSources.map(s => s"'$s'").mkString(",")
     val norm = "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
-    TextAnalysis.qmTrainCtesSql + s""",
+    // the near-dup rung's sketch replay (SketchSql) builds its 257^k
+    // power table recursively, so the composed query's WITH must be
+    // RECURSIVE (legal for the non-recursive CTEs it also carries)
+    TextAnalysis.qmTrainCtesSql.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+    ${SketchSql.gramsCtes},
+    ${SketchSql.minhashSigsCtes},
+    ${SketchSql.bandsCtes},
     scored2 AS (
       SELECT f.doc_id,
              CASE WHEN ${TextAnalysis.qmMarginSql} >= ${TextAnalysis.QmScale / 2}
@@ -125,22 +174,50 @@ object Audit {
              FROM adocs)"""
   }
 
+  /** The shared near-dup verification tail: per-pair 128-position
+    * signature agreement over an `acand(adoc, partner)` CTE supplied by
+    * the caller (batch: within-slice smaller-id pairs; streaming:
+    * arrival-vs-base pairs), then the per-doc verdict — smallest
+    * partner at est_jaccard ≥ 0.7 (exact: k/128 is dyadic).
+    */
+  private[operators] val auditNearTailSql: String = s""",
+    aagree AS (
+      SELECT c.adoc, c.partner,
+             SUM(CASE WHEN sx.sig = sy.sig THEN 1 ELSE 0 END) AS k
+      FROM acand c
+      JOIN sigs sx ON sx.doc_id = c.adoc
+      JOIN sigs sy ON sy.doc_id = c.partner AND sy.p = sx.p
+      GROUP BY c.adoc, c.partner),
+    anear AS (
+      SELECT adoc AS doc_id, MIN(partner) AS near_of
+      FROM aagree WHERE CAST(k AS DOUBLE) / 128 >= 0.7e0
+      GROUP BY adoc)"""
+
   /** Full DuckDB replay: the shared [[auditCtesSql]] composition with
     * the within-slice keeper rule and the identical CASE ladder.
     */
   val pipelineAuditSql: String = auditCtesSql(deltaPred = "") + s""",
-    akeep AS (SELECT h, MIN(doc_id) keep_id FROM afp GROUP BY 1)
+    akeep AS (SELECT h, MIN(doc_id) keep_id FROM afp GROUP BY 1),
+    anb AS (SELECT b.doc_id, b.band_idx, b.band_hash
+            FROM bands b JOIN adocs USING (doc_id)),
+    acand AS (SELECT DISTINCT y.doc_id AS adoc, x.doc_id AS partner
+              FROM anb x JOIN anb y
+                ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+               AND x.doc_id < y.doc_id)""" + auditNearTailSql + s"""
     SELECT a.doc_id, a.source,
            CASE WHEN s2.pred IS NULL OR s2.pred = 0 THEN 'quality'
                 WHEN c.doc_id IS NOT NULL THEN 'decontam'
                 WHEN f2.doc_id <> k.keep_id THEN 'duplicate'
+                WHEN nr.near_of IS NOT NULL THEN 'near_duplicate'
                 ELSE 'kept' END AS verdict,
            CASE WHEN f2.doc_id <> k.keep_id THEN k.keep_id END AS dup_of,
+           nr.near_of AS near_dup_of,
            CAST(p.scrubbed AS INT) AS scrubbed
     FROM adocs a
     LEFT JOIN scored2 s2 USING (doc_id)
     LEFT JOIN acont c USING (doc_id)
     JOIN afp f2 USING (doc_id)
     JOIN akeep k ON k.h = f2.h
+    LEFT JOIN anear nr USING (doc_id)
     JOIN apii p USING (doc_id)"""
 }

@@ -315,12 +315,17 @@ object Decontam {
     * even the approximate output is hash-verified
     * (the [[Similarity.embedPairsLsh]] pattern).
     *
-    * Plan shape: eval bucket keys are benchmark-sized → broadcast;
-    * candidates ride the join as slim (vec_id, eval_id) pairs with
-    * payloads attached AFTER the dedup by id equi-joins (corpus side)
-    * and a broadcast (eval side); one final map-side-combined groupBy
-    * on vec_id. Corpus embeddings never shuffle through the candidate
-    * explosion.
+    * Plan shape: candidates ride the join as slim (vec_id, eval_id)
+    * pairs with payloads attached AFTER the dedup by id equi-joins;
+    * one final map-side-combined groupBy on vec_id. Corpus embeddings
+    * never shuffle through the candidate explosion. The eval-side
+    * joins are UN-HINTED (r13 verdict item 6): this row exists
+    * precisely for 10⁵+-vector eval suites, where a hard broadcast
+    * hint is the OOM-at-scale class the r13 review caught on the
+    * payload attach — Catalyst/AQE broadcasts a benchmark-sized suite
+    * from size stats and falls back to a shuffle join past the
+    * threshold (both shapes PlanShapeSpec-pinned, the
+    * `dedup_embed_lsh` attach-join convention).
     */
   def embedDecontamLsh(spark: SparkSession, dir: String,
       threshold: Double = 0.30, evalMod: Long = 50L,
@@ -336,17 +341,17 @@ object Decontam {
       .select($"vec_id", explode(keyer($"embedding")).as("bucket"))
     val evalKeys = emb.filter($"vec_id" % evalMod === 0)
       .select($"vec_id".as("eval_id"), explode(keyer($"embedding")).as("bucket"))
-    val cand = corpusKeys.join(broadcast(evalKeys), Seq("bucket"))
+    val cand = corpusKeys.join(evalKeys, Seq("bucket"))
       .select($"vec_id", $"eval_id")
       .dropDuplicates("vec_id", "eval_id")
     val c = emb.select($"vec_id", $"embedding".as("ce"), $"nrm".as("cn"))
-    // the broadcast payload side must be the EVAL SLICE only — an
+    // the payload side must still be the EVAL SLICE only — an
     // unfiltered q would be results-identical (cand carries only eval
-    // ids) but corpus-sized under a hard broadcast hint, the exact
-    // OOM-at-scale hint embedPairsLsh's scaladoc refuses (r13 review)
+    // ids) but would inflate whichever join shape the optimizer picks
+    // with corpus-sized stats (r13 review)
     val q = emb.filter($"vec_id" % evalMod === 0)
       .select($"vec_id".as("eval_id"), $"embedding".as("ee"), $"nrm".as("en"))
-    cand.join(c, Seq("vec_id")).join(broadcast(q), Seq("eval_id"))
+    cand.join(c, Seq("vec_id")).join(q, Seq("eval_id"))
       .select($"vec_id", $"eval_id",
         (Vectors.dot($"ce", $"ee") / ($"cn" * $"en")).as("cos"))
       .filter($"cos" >= threshold)

@@ -512,86 +512,174 @@ object StreamQueries {
   /** CONTINUOUS pipeline audit (`q_stream_audit`) — the [[Audit]]
     * data-card ladder run PER ARRIVAL, which is the production shape:
     * a document's first-dropping gate is decided at ingest, not by a
-    * corpus-wide sweep. A stateless composition of the standing
+    * corpus-wide sweep. A ZERO-STATE composition of the standing
     * continuous gates, each in its established form:
     *  - `quality`: the staged weights as a LITERAL single-expression
     *    margin over raw text ([[TextAnalysis.qmMarginCol]], guarded by
     *    [[TextAnalysis.qmGuard]] — an unfeaturizable doc fails the
     *    gate, matching the batch row's absent-score rule);
-    *  - `decontam`: membership probe against the BROADCAST staged
-    *    eval-gram set (the [[streamDecontam]] device);
+    *  - `decontam`: a FUSED shingle-and-probe against the BROADCAST
+    *    staged eval-gram set ([[graft.functions.Text.anyShingleIn]]:
+    *    one rolling pass that early-exits on the first hit —
+    *    contaminated docs short-circuit instead of materializing their
+    *    distinct-shingle array for a second UDF, r13 What's-wrong #3);
     *  - `duplicate`: stream-static probe of the staged base
     *    fingerprint index (the [[streamDeltaDedup]] device) — an
     *    arrival is a duplicate iff its normalized-text fingerprint
     *    already exists in the STANDING corpus, with the base keeper as
-    *    the receipt; arrival-vs-arrival duplicates defer to compaction
-    *    (the gate family's standing live-window/compaction split, so
-    *    the gate stays stateless);
+    *    the receipt;
+    *  - `near_duplicate` (r13 verdict item 3): the arrival sketches
+    *    map-side (shingle→minhash→band, the native expressions) and
+    *    probes the STAGED GROUPED base band index
+    *    ([[lshBucketsDump]] — `q_stream_delta_lsh`'s static side) via a
+    *    stateless stream-static join; colliding base members verify at
+    *    signature-estimated Jaccard ≥ 0.7 in-row, smallest verified
+    *    base id as the receipt. Arrival-vs-arrival near-dups defer to
+    *    compaction (the family's standing live-window/compaction
+    *    split);
     *  - `scrubbed` rides as the independent flag (same PII regexes).
-    * No shuffle, no state store — scales with arrival rate only.
+    * The band fan-out (16 rows per arrival) folds back to one verdict
+    * row through a ZERO-STATE `flatMapGroupsWithState`: all of an
+    * arrival's band rows land in its own micro-batch, so the fold
+    * emits immediately and never stores state — state rows 0 forever
+    * (spec-asserted), one doc_id shuffle per trigger, cost ∝ arrival
+    * rate × band-bucket occupancy.
     * Hash oracle: the batch composition replayed over the delta slice
-    * (training prefix included), with the duplicate stage replaying
-    * the base-probe rule — staged online auditing ≡ batch replay.
+    * (training prefix included), the duplicate stage replaying the
+    * base-probe rule and the near stage the base band replay — staged
+    * online auditing ≡ batch replay.
     */
   def streamAudit(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       val w = TextAnalysis.qualityModelWeights(s, dir)
       val evalGrams: Set[String] = s.read
         .parquet(Decontam.evalGramsDump(s, dir))
         .as[String].collect().toSet
       val bc = s.sparkContext.broadcast(evalGrams)
-      val contamUdf = udf { shingles: Seq[String] =>
-        shingles != null && shingles.exists(bc.value.contains)
+      val contamUdf = udf { text: String =>
+        graft.functions.Text.anyShingleIn(text, Decontam.N, bc.value)
       }
-      val idx = Dedup.baseFpIndex(s, dir)
+      val fpIdx = Dedup.baseFpIndex(s, dir)
         .select($"text_hash", $"keep_id".as("base_keep"))
+      val buckets = s.read.parquet(lshBucketsDump(s, dir))
       val pred = when(TextAnalysis.qmGuard($"text"),
         TextAnalysis.qmMarginCol($"text", w) >= TextAnalysis.QmScale / 2)
         .otherwise(lit(false))
+      // smallest colliding base member at est ≥ 0.7 (in-row verify —
+      // the streamSemDedup grouped-static-side device)
+      val nearUdf = udf { (sig: Seq[Long], members: Seq[org.apache.spark.sql.Row]) =>
+        if (sig == null || members == null) None
+        else {
+          val a = sig.toArray
+          var best = Option.empty[Long]
+          members.foreach { m =>
+            val id = m.getLong(0)
+            if (best.forall(id < _) &&
+                graft.functions.Text.minhashJaccard(a,
+                  m.getSeq[Long](1).toArray) >= 0.7) best = Some(id)
+          }
+          best
+        }
+      }
       s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(Dedup.isDelta($"doc_id") &&
           !$"source".isInCollection(Decontam.EvalSources))
+        .select($"doc_id", $"source", coalesce($"text", lit("")).as("text"))
         .select($"doc_id", $"source",
           pred.as("q_ok"),
-          contamUdf(graft.functions.Text.shinglesNFastUdf(Decontam.N)($"text"))
-            .as("contam"),
+          contamUdf($"text").as("contam"),
           md5(graft.functions.Text.normalizeFast($"text")).as("text_hash"),
-          TextAnalysis.piiHitCol($"text").cast("int").as("scrubbed"))
-        .join(idx, Seq("text_hash"), "left") // stream-static: stateless
-        .select($"doc_id", $"source",
-          when(!$"q_ok", "quality")
-            .when($"contam", "decontam")
-            .when($"base_keep".isNotNull, "duplicate")
-            .otherwise("kept").as("verdict"),
-          $"base_keep".as("dup_of"),
-          $"scrubbed")
+          TextAnalysis.piiHitCol($"text").cast("int").as("scrubbed"),
+          graft.functions.ShingleGramHashes($"text").as("hashes"))
+        .withColumn("sig", when(size($"hashes") > 0,
+          graft.functions.MinhashSig($"hashes")))
+        .withColumn("bands", when($"sig".isNotNull,
+          graft.functions.MinhashBands($"sig")))
+        .join(fpIdx, Seq("text_hash"), "left") // stream-static: stateless
+        // arrival-stamped watermark so the zero-state fold below is
+        // streaming-legal (EventTimeTimeout needs the tagged column to
+        // reach it); nonzero delay for the same same-millisecond-
+        // trigger reason as annProbeServeFold
+        .withColumn("arrival_ts", current_timestamp())
+        .withWatermark("arrival_ts", "5 seconds")
+        .select($"doc_id", $"source", $"q_ok", $"contam", $"base_keep",
+          $"scrubbed", $"sig", $"arrival_ts",
+          posexplode_outer($"bands").as(Seq("band_idx", "band_hash")))
+        .join(buckets, Seq("band_idx", "band_hash"), "left") // stream-static
+        .select($"doc_id", $"source", $"q_ok", $"contam", $"base_keep",
+          $"scrubbed", nearUdf($"sig", $"base_members").as("cand_near"),
+          $"arrival_ts")
+        .as[(Long, String, Boolean, Boolean, Option[Long], Int,
+          Option[Long], java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Boolean,
+          (Long, String, String, Option[Long], Option[Long], Int)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (id, it, state) =>
+            if (state.hasTimedOut) { // unreachable: no state is ever set
+              state.remove()
+              Iterator.empty
+            } else {
+              // all 16 band rows of an arrival share its micro-batch
+              // (they fan out from one input row), so the fold is
+              // complete at first sight: emit and store NOTHING
+              val rs = it.toArray
+              val h = rs.head
+              val near = rs.iterator.flatMap(_._7)
+                .reduceOption(math.min(_, _))
+              val verdict =
+                if (!h._3) "quality"
+                else if (h._4) "decontam"
+                else if (h._5.isDefined) "duplicate"
+                else if (near.isDefined) "near_duplicate"
+                else "kept"
+              Iterator.single((id, h._2, verdict, h._5, near, h._6))
+            }
+        }
+        .toDF("doc_id", "source", "verdict", "dup_of", "near_dup_of",
+          "scrubbed")
     }
 
   /** Oracle for [[streamAudit]]: the shared [[Audit.auditCtesSql]]
     * composition restricted to the delta arrivals, with the duplicate
     * stage replaying the base-index probe (fingerprint ∈ standing
     * corpus, keeper = base keeper) instead of the batch row's
-    * within-slice keeper rule.
+    * within-slice keeper rule, and the near stage replaying the base
+    * BAND probe (arrival-vs-base collisions, any base id — the
+    * standing-corpus receipt, not the batch row's within-slice
+    * smaller-id rule) through the shared [[Audit.auditNearTailSql]].
     */
   val streamAuditSql: String = {
     val norm = "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
     Audit.auditCtesSql(deltaPred = "AND doc_id % 5 = 0") + s""",
     base_fp AS (SELECT md5($norm) h, MIN(doc_id) keep_id
-                FROM documents WHERE doc_id % 5 != 0 GROUP BY 1)
+                FROM documents WHERE doc_id % 5 != 0 GROUP BY 1),
+    anb AS (SELECT b.doc_id, b.band_idx, b.band_hash
+            FROM bands b JOIN adocs USING (doc_id)),
+    bnb AS (SELECT doc_id, band_idx, band_hash FROM bands
+            WHERE doc_id % 5 != 0),
+    acand AS (SELECT DISTINCT d.doc_id AS adoc, b.doc_id AS partner
+              FROM anb d JOIN bnb b
+                ON d.band_idx = b.band_idx
+               AND d.band_hash = b.band_hash)""" + Audit.auditNearTailSql + s"""
     SELECT a.doc_id, a.source,
            CASE WHEN s2.pred IS NULL OR s2.pred = 0 THEN 'quality'
                 WHEN c.doc_id IS NOT NULL THEN 'decontam'
                 WHEN k.keep_id IS NOT NULL THEN 'duplicate'
+                WHEN nr.near_of IS NOT NULL THEN 'near_duplicate'
                 ELSE 'kept' END AS verdict,
            k.keep_id AS dup_of,
+           nr.near_of AS near_dup_of,
            CAST(p.scrubbed AS INT) AS scrubbed
     FROM adocs a
     LEFT JOIN scored2 s2 USING (doc_id)
     LEFT JOIN acont c USING (doc_id)
     JOIN afp f2 USING (doc_id)
     LEFT JOIN base_fp k ON k.h = f2.h
+    LEFT JOIN anear nr USING (doc_id)
     JOIN apii p USING (doc_id)"""
   }
 

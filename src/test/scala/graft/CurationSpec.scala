@@ -27,6 +27,7 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[String]("verdict"),
           Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("near_dup_of")).map(_.toLong),
           r.getAs[Int]("scrubbed")))).toMap
     assert(audit.nonEmpty)
     // component truths, from the already-hash-verified rows
@@ -53,19 +54,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_emails") + r.getAs[Long]("n_ipv4") +
           r.getAs[Long]("n_longnum") > 0)).toMap
-    audit.foreach { case (id, (verdict, dupOf, scrubbed)) =>
+    // near-dup truth from the hash-verified full-corpus LSH row: its
+    // pair set restricted to both-endpoints-audited IS the audit's
+    // within-slice rule (a doc's bands don't depend on the slice)
+    val auditedIds = audit.keySet
+    val nearOf = graft.operators.Dedup.minhashLsh(spark, sf)
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => auditedIds(a) && auditedIds(b) }
+      .groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    audit.foreach { case (id, (verdict, dupOf, nearDupOf, scrubbed)) =>
       val q = pred.get(id).forall(_ == 0) // absent or 0 = quality drop
       val c = contaminated(id)
       val keeper = keeperOf(hashOf(id))
       val d = keeper != id
+      val nr = nearOf.get(id)
       val expected =
         if (q) "quality" else if (c) "decontam"
-        else if (d) "duplicate" else "kept"
+        else if (d) "duplicate"
+        else if (nr.isDefined) "near_duplicate" else "kept"
       assert(verdict === expected,
-        s"doc $id: verdict $verdict, expected $expected (q=$q c=$c d=$d)")
-      // the duplicate receipt is lineage, independent of the verdict
+        s"doc $id: verdict $verdict, expected $expected (q=$q c=$c d=$d nr=$nr)")
+      // both receipts are lineage, independent of the verdict
       assert(dupOf === (if (d) Some(keeper) else None),
         s"doc $id dup_of $dupOf vs keeper $keeper")
+      assert(nearDupOf === nr, s"doc $id near_dup_of $nearDupOf vs $nr")
       assert((scrubbed == 1) === piiHit(id), s"doc $id scrub flag")
     }
     // the funnel is non-degenerate on this corpus: kept plus at least

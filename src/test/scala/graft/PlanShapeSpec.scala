@@ -320,6 +320,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontam_embed_lsh: un-hinted eval-side joins broadcast small, shuffle large") {
+    val plan = executedPlanString(Decontam.embedDecontamLsh(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark-sized eval keys/payloads should broadcast:\n$plan")
+    withoutAutoBroadcast {
+      val big = executedPlanString(Decontam.embedDecontamLsh(spark, sf))
+      assert(!big.contains("BroadcastHashJoin"),
+        s"hard-coded broadcast reappeared in embedDecontamLsh:\n$big")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        s"eval attach lost its shuffle-join fallback:\n$big")
+    }
+  }
+
   test("dedup_embed_lsh: un-hinted attach joins broadcast small, shuffle large") {
     val plan = executedPlanString(Similarity.embedPairsLsh(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),

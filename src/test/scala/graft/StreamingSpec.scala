@@ -779,7 +779,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .findAllMatchIn(p).map(_.group(1).toLong))
     assert(stateRows.sum === 0L, s"audit gate must hold no state, got $stateRows")
     val verdicts = out.map(_.getAs[String]("verdict")).toSet
-    assert(verdicts.subsetOf(Set("quality", "decontam", "duplicate", "kept")))
+    assert(verdicts.subsetOf(
+      Set("quality", "decontam", "duplicate", "near_duplicate", "kept")))
     // every duplicate verdict carries its base-keeper receipt; every
     // kept/quality/decontam row without a standing-corpus twin has none
     out.foreach { r =>
@@ -800,17 +801,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tEval = (0 until 10).map(i => s"gamma$i").mkString(" ")
     val tEval2 = (0 until 10).map(i => s"delta$i").mkString(" ")
     val tContam = "prefix " + (0 until 7).map(i => s"gamma$i").mkString(" ") + " suffix"
+    // a NEAR-dup (not exact-dup) pair: 60 words, ONE changed — true
+    // 3-shingle Jaccard 55/61 ≈ 0.90, so the signatures estimate well
+    // above the 0.7 bar but the fingerprints differ (the rung the r13
+    // verdict asked to see planted)
+    val tNearA = (0 until 60).map(i => s"eps$i").mkString(" ")
+    val tNearB = (0 until 60).map(i => if (i == 30) "zzz" else s"eps$i").mkString(" ")
     // the file-stream sources glob for a FILE named documents.parquet
     // (the testdata layout) — write one part and rename it into place
     val stage = s"$tmp/_stage"
     Seq(
       doc(1, tDup, "src4"),   // base slice, non-eval
       doc(2, tEval, "src0"),  // base, eval suite
+      doc(3, tNearA, "src4"), // base, non-eval — near-dup seed
       doc(4, tEval2, "src2"), // base, eval suite
       doc(7, tEval2, "src4"), // base, non-eval — text shared with EVAL doc 4
       doc(5, tDup, "src4"),   // delta, byte+text twin of base 1
       doc(10, tUniq, "src4"), // delta, unique
-      doc(15, tContam, "src4")) // delta, carries an eval 7-gram
+      doc(15, tContam, "src4"), // delta, carries an eval 7-gram
+      doc(20, tNearB, "src4")) // delta, NEAR twin of base 3 (1 word off)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(stage)
     val part = new java.io.File(stage).listFiles()
@@ -821,14 +830,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mm = StreamQueries.streamMmDedup(spark, tmp).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         Option(r.getAs[java.lang.Long]("base_dup_of")).map(_.toLong)).toMap
-    assert(mm === Map(5L -> Some(1L), 10L -> None, 15L -> None))
+    assert(mm === Map(5L -> Some(1L), 10L -> None, 15L -> None, 20L -> None))
 
     // streaming audit: the base-fingerprint receipt is data-independent
     // of the trained gate's verdict
     val sa = StreamQueries.streamAudit(spark, tmp).collect()
       .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("verdict"),
-        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
-    assert(sa.keySet === Set(5L, 10L, 15L))
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("near_dup_of")).map(_.toLong)))).toMap
+    assert(sa.keySet === Set(5L, 10L, 15L, 20L))
     assert(sa(5L)._2 === Some(1L), "base-probe receipt must fire for the twin")
     assert(sa(10L)._2 === None)
     assert(sa(15L)._2 === None)
@@ -838,23 +848,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // itself; doc 5's slice keeper is 1
     val ba = graft.operators.Audit.pipelineAudit(spark, tmp).collect()
       .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("verdict"),
-        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
-    assert(ba.keySet === Set(1L, 5L, 7L, 10L, 15L))
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("near_dup_of")).map(_.toLong)))).toMap
+    assert(ba.keySet === Set(1L, 3L, 5L, 7L, 10L, 15L, 20L))
     assert(ba(5L)._2 === Some(1L))
     assert(ba(7L)._2 === None, "the eval twin must not claim the keeper role")
     assert(ba(1L)._2 === None)
     // full verdict pin — the trained gate is DETERMINISTIC for a fixed
     // corpus (integer GD), and on this one every planted doc passes it,
     // so each ladder branch fires for real: the duplicate stage on 5,
-    // decontam on 15 (and on 7, whose text IS an eval doc's), kept on
-    // the clean rows
+    // NEAR-duplicate on 20 (one word off base 3: fingerprints differ,
+    // bands collide, est ≈ 0.9 — with the band-collision receipt and
+    // no exact receipt), decontam on 15 (and on 7, whose text IS an
+    // eval doc's), kept on the clean rows. The exact twin 5 also
+    // carries its near receipt (est 1.0) — lineage, not verdict.
     assert(ba === Map(
-      1L -> (("kept", None)), 5L -> (("duplicate", Some(1L))),
-      7L -> (("decontam", None)), 10L -> (("kept", None)),
-      15L -> (("decontam", None))), s"batch got $ba")
+      1L -> (("kept", None, None)),
+      3L -> (("kept", None, None)),
+      5L -> (("duplicate", Some(1L), Some(1L))),
+      7L -> (("decontam", None, None)),
+      10L -> (("kept", None, None)),
+      15L -> (("decontam", None, None)),
+      20L -> (("near_duplicate", None, Some(3L)))), s"batch got $ba")
     assert(sa === Map(
-      5L -> (("duplicate", Some(1L))), 10L -> (("kept", None)),
-      15L -> (("decontam", None))), s"stream got $sa")
+      5L -> (("duplicate", Some(1L), Some(1L))),
+      10L -> (("kept", None, None)),
+      15L -> (("decontam", None, None)),
+      20L -> (("near_duplicate", None, Some(3L)))), s"stream got $sa")
   }
 
   test("streaming quality-model gate equals the batch train+score row-for-row") {
