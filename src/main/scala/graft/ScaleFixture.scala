@@ -202,6 +202,14 @@ object DeltaLshCycle {
       .appName("graft-delta-lsh-cycle")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ROCKSDB=1 runs the cycle under the spec-pinned
+    // production provider flip (GraftConfig.useRocksDbStateStore) —
+    // the r13 cycle measured 1.88 GB of heap-provider state at 100×,
+    // exactly the size the flip exists for, but never measured under it
+    val provider =
+      if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1")) {
+        graft.GraftConfig.useRocksDbStateStore(spark); "rocksdb"
+      } else "heap"
     import spark.implicits._
     import graft.functions.{MinhashBands, MinhashSig, ShingleGramHashes}
     import graft.operators.{Dedup, StreamQueries}
@@ -244,8 +252,20 @@ object DeltaLshCycle {
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
       val so = q.lastProgress.stateOperators
-      println(f"""{"wave":$k,"sec":$sec%.2f,"state_rows":${so.map(_.numRowsTotal).sum},""" +
+      // on-disk state footprint (provider-agnostic): RocksDB's
+      // memoryUsedBytes reports only its block-cache slice, so the
+      // checkpoint state dir is the comparable heap-vs-rocksdb number
+      val stateDisk = {
+        val p = java.nio.file.Paths.get(ckpt, "state")
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+        else 0L
+      }
+      println(f"""{"wave":$k,"provider":"$provider","sec":$sec%.2f,""" +
+        s""""state_rows":${so.map(_.numRowsTotal).sum},""" +
         s""""state_bytes":${so.map(_.memoryUsedBytes).sum},""" +
+        s""""state_disk_bytes":$stateDisk,""" +
         s""""pairs_total":${spark.read.parquet(outDir).count()}}""")
       // compaction: the next generation owns every wave fed so far
       gen = writeGen(k, $"doc_id" % 5 === 0 && ($"doc_id" / 5).cast("long") % waves < k)
