@@ -175,7 +175,12 @@ object Bench {
     // Violations ride the JSON line AND page on stderr; the exit code
     // stays 0 so the driver's protocol (one JSON line) is never broken
     // by a perf regression — the regression is data, not a crash.
-    val ceiling = sys.env.get("SPARK_GRAFT_CEILING").map(_.toDouble)
+    val ceiling = sys.env.get("SPARK_GRAFT_CEILING")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption.orElse {
+        // a malformed override must not crash AFTER the suite has run —
+        // the one-JSON-line protocol outranks the knob
+        System.err.println(s"[bench] ignoring unparseable SPARK_GRAFT_CEILING='$s'"); None
+      })
       .getOrElse(if (sfDir.endsWith("sf0.1")) 3.5 else Double.MaxValue)
     val violations = results.filter { case (_, v) => v > ceiling || v < 0 }
     violations.foreach { case (k, v) =>

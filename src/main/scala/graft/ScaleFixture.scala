@@ -199,6 +199,11 @@ object DeltaLshCycle {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // retain only the live state version: the default (100) keeps a
+      // growing archive of historical .delta/SST versions in the
+      // checkpoint, which would confound the heap-vs-rocksdb on-disk
+      // comparison below with retention format rather than state size
+      .config("spark.sql.streaming.minBatchesToRetain", "1")
       .appName("graft-delta-lsh-cycle")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -257,10 +262,17 @@ object DeltaLshCycle {
       // checkpoint state dir is the comparable heap-vs-rocksdb number
       val stateDisk = {
         val p = java.nio.file.Paths.get(ckpt, "state")
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).filter(java.nio.file.Files.isRegularFile(_))
-            .mapToLong(java.nio.file.Files.size(_)).sum()
-        else 0L
+        if (java.nio.file.Files.exists(p)) {
+          // close the walk stream, and tolerate files the state-store
+          // maintenance thread deletes between enumeration and stat
+          val walk = java.nio.file.Files.walk(p)
+          try walk.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong { f =>
+              try java.nio.file.Files.size(f)
+              catch { case _: java.io.IOException | _: java.io.UncheckedIOException => 0L }
+            }.sum()
+          finally walk.close()
+        } else 0L
       }
       println(f"""{"wave":$k,"provider":"$provider","sec":$sec%.2f,""" +
         s""""state_rows":${so.map(_.numRowsTotal).sum},""" +
@@ -272,6 +284,10 @@ object DeltaLshCycle {
       Thread.sleep(ttlSec * 1000L + 500L) // let this wave's buckets go quiet
     }
     spark.stop()
+    // the work dir holds waves+1 full band-index generations plus the
+    // checkpoint — ~22 GB at the 100× fixture; leaving it behind is how
+    // a measurement box runs out of disk mid-round (it did, r14)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 }
 

@@ -650,24 +650,34 @@ object Similarity {
 
     def assign(v: Array[Float]): (Int, Double) = {
       if (coarse.isEmpty) return nearestCell(v, fine)
-      // probe order: ascending coarse distance, ties → lower coarse id
-      var p1 = -1; var d1 = Double.MaxValue
-      var p2 = -1; var d2 = Double.MaxValue
+      // top-[[TwoLevelProbes]] coarse cells by ascending distance, ties
+      // → lower coarse id (strict < on an ascending-id scan). A genuine
+      // top-N insertion sort — not a hardcoded pair — so raising the
+      // constant really probes more cells (the tag stamps pN into
+      // staged-generation cache keys; the device must match it)
+      val np = math.min(TwoLevelProbes, coarse.length)
+      val pid = Array.fill(np)(-1)
+      val pd = Array.fill(np)(Double.MaxValue)
       var c = 0
       while (c < coarse.length) {
         val ctr = coarse(c)
         var d = 0.0
         var i = 0
         while (i < ctr.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-        if (d < d1) { p2 = p1; d2 = d1; p1 = c; d1 = d }
-        else if (d < d2) { p2 = c; d2 = d }
+        if (d < pd(np - 1)) {
+          var j = np - 1
+          while (j > 0 && d < pd(j - 1)) {
+            pd(j) = pd(j - 1); pid(j) = pid(j - 1); j -= 1
+          }
+          pd(j) = d; pid(j) = c
+        }
         c += 1
       }
       var best = -1
       var bestD = Double.MaxValue
       var pi = 0
-      while (pi < TwoLevelProbes) {
-        val p = if (pi == 0) p1 else p2
+      while (pi < np) {
+        val p = pid(pi)
         if (p >= 0) {
           val ms = members(p)
           var mi = 0

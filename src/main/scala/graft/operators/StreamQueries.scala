@@ -533,17 +533,23 @@ object StreamQueries {
     *    probes the STAGED GROUPED base band index
     *    ([[lshBucketsDump]] — `q_stream_delta_lsh`'s static side) via a
     *    stateless stream-static join; colliding base members verify at
-    *    signature-estimated Jaccard ≥ 0.7 in-row, smallest verified
-    *    base id as the receipt. Arrival-vs-arrival near-dups defer to
+    *    signature-estimated Jaccard ≥ 0.7 ONCE per unique candidate in
+    *    the verdict fold (ascending-id early exit — a partner hitting
+    *    all 16 bands is not re-verified 16×), smallest verified base id
+    *    as the receipt. Arrival-vs-arrival near-dups defer to
     *    compaction (the family's standing live-window/compaction
     *    split);
     *  - `scrubbed` rides as the independent flag (same PII regexes).
-    * The band fan-out (16 rows per arrival) folds back to one verdict
-    * row through a ZERO-STATE `flatMapGroupsWithState`: all of an
-    * arrival's band rows land in its own micro-batch, so the fold
-    * emits immediately and never stores state — state rows 0 forever
-    * (spec-asserted), one doc_id shuffle per trigger, cost ∝ arrival
-    * rate × band-bucket occupancy.
+    * The band fan-out (16 rows per arrival, then one per colliding
+    * candidate) folds back to one verdict row through a ZERO-STATE
+    * `flatMapGroupsWithState` keyed by (doc_id, content hash) — so
+    * same-id arrivals with different content in one batch keep their
+    * own verdicts: all of an arrival's band rows land in its own
+    * micro-batch, so the fold emits immediately and never stores
+    * state — state rows 0 forever (spec-asserted), one per-arrival
+    * shuffle per trigger (candidate sigs ride it; that buys the
+    * once-per-candidate verify), cost ∝ arrival rate × band-bucket
+    * occupancy.
     * Hash oracle: the batch composition replayed over the delta slice
     * (training prefix included), the duplicate stage replaying the
     * base-probe rule and the near stage the base band replay — staged
@@ -567,22 +573,6 @@ object StreamQueries {
       val pred = when(TextAnalysis.qmGuard($"text"),
         TextAnalysis.qmMarginCol($"text", w) >= TextAnalysis.QmScale / 2)
         .otherwise(lit(false))
-      // smallest colliding base member at est ≥ 0.7 (in-row verify —
-      // the streamSemDedup grouped-static-side device)
-      val nearUdf = udf { (sig: Seq[Long], members: Seq[org.apache.spark.sql.Row]) =>
-        if (sig == null || members == null) None
-        else {
-          val a = sig.toArray
-          var best = Option.empty[Long]
-          members.foreach { m =>
-            val id = m.getLong(0)
-            if (best.forall(id < _) &&
-                graft.functions.Text.minhashJaccard(a,
-                  m.getSeq[Long](1).toArray) >= 0.7) best = Some(id)
-          }
-          best
-        }
-      }
       s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(Dedup.isDelta($"doc_id") &&
@@ -606,37 +596,61 @@ object StreamQueries {
         .withColumn("arrival_ts", current_timestamp())
         .withWatermark("arrival_ts", "5 seconds")
         .select($"doc_id", $"source", $"q_ok", $"contam", $"base_keep",
-          $"scrubbed", $"sig", $"arrival_ts",
+          $"scrubbed", $"sig", $"text_hash", $"arrival_ts",
           posexplode_outer($"bands").as(Seq("band_idx", "band_hash")))
         .join(buckets, Seq("band_idx", "band_hash"), "left") // stream-static
+        // one row per (band, colliding base member); verification
+        // happens ONCE per unique candidate in the fold below, not per
+        // band collision (a partner colliding in all 16 bands would
+        // otherwise pay 16 full signature verifications)
         .select($"doc_id", $"source", $"q_ok", $"contam", $"base_keep",
-          $"scrubbed", nearUdf($"sig", $"base_members").as("cand_near"),
+          $"scrubbed", $"sig", $"text_hash",
+          explode_outer($"base_members").as("cand"), $"arrival_ts")
+        .select($"doc_id", $"source", $"q_ok", $"contam", $"base_keep",
+          $"scrubbed", $"sig", $"text_hash",
+          $"cand.doc_id".as("cand_id"), $"cand.sig".as("cand_sig"),
           $"arrival_ts")
         .as[(Long, String, Boolean, Boolean, Option[Long], Int,
-          Option[Long], java.sql.Timestamp)]
-        .groupByKey(_._1)
+          Option[Seq[Long]], String, Option[Long], Option[Seq[Long]],
+          java.sql.Timestamp)]
+        // key = (doc_id, text_hash): two same-id arrivals with
+        // DIFFERENT content in one micro-batch get their own verdict
+        // rows (an id-only key would nondeterministically mix their
+        // gate fields); byte-identical same-batch re-sends collapse to
+        // one verdict, the family's standing dedup semantics
+        .groupByKey(r => (r._1, r._8))
         .flatMapGroupsWithState[Boolean,
           (Long, String, String, Option[Long], Option[Long], Int)](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-          (id, it, state) =>
+          (key, it, state) =>
             if (state.hasTimedOut) { // unreachable: no state is ever set
               state.remove()
               Iterator.empty
             } else {
-              // all 16 band rows of an arrival share its micro-batch
-              // (they fan out from one input row), so the fold is
-              // complete at first sight: emit and store NOTHING
+              // all band/candidate rows of an arrival fan out from one
+              // input row, so they share its micro-batch and the fold
+              // is complete at first sight: emit and store NOTHING
               val rs = it.toArray
               val h = rs.head
-              val near = rs.iterator.flatMap(_._7)
-                .reduceOption(math.min(_, _))
+              // smallest base member verifying at est ≥ 0.7: unique
+              // candidates in ascending id order, early-exit on the
+              // first verification (== global smallest verified id)
+              val near = h._7.map(_.toArray).flatMap { a =>
+                rs.iterator
+                  .flatMap(r => r._9.map(cid => (cid, r._10)))
+                  .toArray.distinctBy(_._1).sortBy(_._1)
+                  .find { case (_, cs) =>
+                    cs.exists(s => graft.functions.Text.minhashJaccard(
+                      a, s.toArray) >= 0.7)
+                  }.map(_._1)
+              }
               val verdict =
                 if (!h._3) "quality"
                 else if (h._4) "decontam"
                 else if (h._5.isDefined) "duplicate"
                 else if (near.isDefined) "near_duplicate"
                 else "kept"
-              Iterator.single((id, h._2, verdict, h._5, near, h._6))
+              Iterator.single((key._1, h._2, verdict, h._5, near, h._6))
             }
         }
         .toDF("doc_id", "source", "verdict", "dup_of", "near_dup_of",
