@@ -267,10 +267,10 @@ object SparkEntry {
     "q_stream_session" -> Windows.sessionWindowSql, // streaming == batch
     "q_stream_dedup"   -> StreamQueries.streamDedupSql,
     "q_stream_delta_dedup" -> StreamQueries.streamDeltaDedupSql,
-    // q_stream_decontam emits the SAME contract as text_decontam (the
-    // per-row broadcast-set reshape is value-identical to the batch
-    // explode→join→agg) — streaming ≡ batch under the same oracle
-    "q_stream_decontam" -> Decontam.ngramCollisionsSql,
+    // q_stream_decontam probes gram64 FINGERPRINTS (8 B/gram broadcast,
+    // the 10⁷-gram-suite scale form — r14); its oracle replays the same
+    // roll61+mix64 fingerprints so both engines compare like with like
+    "q_stream_decontam" -> Decontam.ngramCollisionsHashSql,
     // q_stream_tokens_bpe: stateless per-arrival application of the
     // STAGED trained merge table — emits the batch train+apply contract
     // verbatim, so the same full-replay oracle hash-checks it

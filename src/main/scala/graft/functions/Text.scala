@@ -149,6 +149,59 @@ object Text {
     false
   }
 
+  /** FUSED shingle-and-FINGERPRINT-probe: does ANY word n-gram of the
+    * normalized text have a [[gram64]] fingerprint in `sorted` (an
+    * ascending 64-bit fingerprint array, probed by binary search)? The
+    * scale form of [[anyShingleIn]]: a broadcast probe set costs 8
+    * BYTES PER GRAM regardless of gram length — a 3.6M-gram eval suite
+    * is a 29 MB primitive array where the string `Set` is a GB-class
+    * driver-built object (collect + per-string hashing + boxed set
+    * nodes + a corpus-scaled broadcast: the driver-memory anti-pattern,
+    * measured as ~80% of the streaming decontam gate's 100×-fixture
+    * wall). The trade: membership is fingerprint equality, not string
+    * equality — a false positive needs a 64-bit [[gram64]] collision
+    * between an arrival gram and an eval gram (expected collisions
+    * ~|eval|·|grams|/2⁶⁴; deterministic when one occurs, and the DuckDB
+    * oracle replays the SAME fingerprints, so the hash gate compares
+    * like with like). Same window construction and early exit as
+    * [[anyShingleIn]] (TextFastPathSpec pins the equivalence on
+    * collision-free corpora).
+    */
+  def anyGramHashIn(text: String, n: Int, sorted: Array[Long]): Boolean = {
+    val norm = normalizeString(text)
+    if (norm.isEmpty) return false
+    val ws = norm.split(' ')
+    if (ws.length < n) return false
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(ws(i + k)); k += 1 }
+      if (java.util.Arrays.binarySearch(sorted, gram64(sb.toString)) >= 0)
+        return true
+      i += 1
+    }
+    false
+  }
+
+  /** Count of DISTINCT word n-grams whose [[gram64]] fingerprint sits in
+    * `sorted` — the counting twin of [[anyGramHashIn]] (distinct gram
+    * STRINGS, as [[shingleSet]] defines them, so two distinct grams
+    * colliding to one fingerprint count separately — exactly what the
+    * SQL replay's `COUNT(*)` over distinct-gram rows joined by
+    * fingerprint computes).
+    */
+  def countGramHashesIn(text: String, n: Int, sorted: Array[Long]): Long = {
+    val sh = shingleSet(text, n)
+    var c = 0L
+    var i = 0
+    while (i < sh.length) {
+      if (java.util.Arrays.binarySearch(sorted, gram64(sh(i))) >= 0) c += 1L
+      i += 1
+    }
+    c
+  }
+
   /** Spark-`xxhash64`-identical string hash (XXH64, seed 42). */
   def xx64(s: String): Long = XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
 
@@ -192,6 +245,11 @@ object Text {
     * input in practice: shingles are non-empty normalized word trigrams.
     */
   def gram64(s: String): Long = mix64(rollingHash(s))
+
+  /** Column form of [[gram64]] — fingerprints a gram STRING column
+    * (e.g. the staged eval-gram dump) with the sketch base hash.
+    */
+  val gram64Udf = udf((s: String) => gram64(s))
 
   /** text → gram64 of each distinct 3-shingle — the numeric form fed to
     * the MinHash/SimHash sketches (fast path).

@@ -64,11 +64,19 @@ object Audit {
     // doc absent from the scored table had no featurizable text)
     val pred = spark.read.parquet(TextAnalysis.qualityScoredDump(spark, dir))
       .select($"doc_id", $"pred")
-    // stage 2: verbatim 7-gram collision with the staged eval-gram set
-    val evalGrams = spark.read.parquet(Decontam.evalGramsDump(spark, dir))
+    // stage 2: 7-gram collision with the staged eval-gram set, joined on
+    // gram64 FINGERPRINTS (r14): 8-byte join keys instead of ~45-char
+    // strings — slimmer shuffle/broadcast, and the SAME values the
+    // streaming gate's broadcast probe compares, so the two audit rows
+    // share one collision definition. Un-hinted: AQE broadcasts a
+    // benchmark-sized suite from size stats and falls back to a shuffle
+    // join for the 10⁷-gram suites this family exists for.
+    val evalGramsH = spark.read.parquet(Decontam.evalGramsDump(spark, dir))
+      .select(Text.gram64Udf($"s").as("g")).distinct()
     val contaminated = docs
       .select($"doc_id", explode(Text.shinglesNFastUdf(Decontam.N)($"text")).as("s"))
-      .join(broadcast(evalGrams), Seq("s"), "left_semi")
+      .select($"doc_id", Text.gram64Udf($"s").as("g"))
+      .join(evalGramsH, Seq("g"), "left_semi")
       .select($"doc_id").distinct()
       .withColumn("contam", lit(1))
     // stage 3: exact-duplicate keeper rule over the audited slice
@@ -167,8 +175,9 @@ object Audit {
     ash AS (SELECT DISTINCT doc_id, source,
                    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6] s
             FROM aidx),
-    aev AS (SELECT DISTINCT s FROM ash WHERE source IN ($evalIn)),
-    acont AS (SELECT DISTINCT doc_id FROM ash JOIN aev USING (s)
+    ${SketchSql.gramHash64Ctes("a7", "ash", "doc_id, source")},
+    aev AS (SELECT DISTINCT g FROM a7gh WHERE source IN ($evalIn)),
+    acont AS (SELECT DISTINCT doc_id FROM a7gh JOIN aev USING (g)
               WHERE source NOT IN ($evalIn)),
     afp AS (SELECT doc_id, md5($norm) h FROM adocs),
     apii AS (SELECT doc_id,

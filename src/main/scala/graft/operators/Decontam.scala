@@ -45,6 +45,49 @@ object Decontam {
     }
   }
 
+  /** The staged eval-gram set as a SORTED [[Text.gram64]] fingerprint
+    * array — what the STREAMING gates broadcast instead of a
+    * `Set[String]`: 8 bytes per gram regardless of gram length (a
+    * 3.6M-gram suite = 29 MB primitive array vs a GB-class boxed string
+    * set built at the driver — the corpus-scaled driver-memory class,
+    * measured as ~80% of the streaming decontam gate's 100×-fixture
+    * wall). Derived from [[evalGramsDump]] at query build (one slim
+    * parquet scan + a map-side hash + a 29 MB collect + one driver
+    * sort); membership becomes binary search inside the fused probe
+    * loop. The fingerprint-equality trade and its oracle treatment are
+    * documented on [[Text.anyGramHashIn]].
+    */
+  private[operators] def evalGramHashes(spark: SparkSession, dir: String): Array[Long] = {
+    import spark.implicits._
+    val hs = spark.read.parquet(evalGramsDump(spark, dir))
+      .select(Text.gram64Udf(col("s")))
+      .as[Long].collect()
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
+  /** DuckDB replay oracle for the FINGERPRINT-probing streaming gate
+    * ([[graft.operators.StreamQueries.streamDecontam]]): the same
+    * distinct 7-gram derivation as [[ngramCollisionsSql]], but both
+    * sides map through the [[SketchSql.gramHash64Ctes]] roll61+mix64
+    * chain and the collision join is on the 64-bit fingerprint — the
+    * oracle replays what the engine actually compares, so a fingerprint
+    * collision (if one ever occurred) would reproduce identically on
+    * both engines instead of silently diverging from a string-equality
+    * replay.
+    */
+  val ngramCollisionsHashSql: String = s"""
+    WITH RECURSIVE docs AS (SELECT doc_id, source, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
+    wrds AS (SELECT doc_id, source, string_split(t,' ') w FROM docs),
+    idx AS (SELECT doc_id, source, w, unnest(range(1, greatest(len(w)-5,1))) i FROM wrds),
+    sh AS (SELECT DISTINCT doc_id, source, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6] s FROM idx),
+    ${SketchSql.gramHash64Ctes("d7", "sh", "doc_id, source")},
+    ev AS (SELECT DISTINCT g FROM d7gh WHERE source IN ('src0','src1','src2'))
+    SELECT doc_id, count(*) AS n_collisions
+    FROM d7gh JOIN ev USING (g)
+    WHERE source NOT IN ('src0','src1','src2')
+    GROUP BY 1"""
+
   /** (doc_id, n_collisions) for every corpus doc sharing ≥ 1 distinct
     * 7-gram with the eval set; n_collisions counts the doc's DISTINCT
     * colliding 7-grams.

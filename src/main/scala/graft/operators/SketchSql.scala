@@ -123,6 +123,39 @@ object SketchSql {
            CAST(k AS DOUBLE) / 128 AS est_jaccard
     FROM agree WHERE CAST(k AS DOUBLE) / 128 >= 0.7e0"""
 
+  /** CTE chain fingerprinting an arbitrary gram-string CTE
+    * `src(keys..., s)` with [[graft.functions.Text.gram64]] —
+    * roll61 (base-257 polynomial mod 2⁶¹−1 over the gram's chars, via
+    * the same recursively-doubled 257^k power table as [[gramsCtes]])
+    * then the splitmix64 finalizer. Final table: `<prefix>gh(keys...,
+    * s, g)`. This is how an oracle replays a FINGERPRINT-probe gate
+    * (the streaming decontam/audit rows' broadcast eval-gram arrays)
+    * like with like: both engines compare the same 64-bit values, so
+    * even a fingerprint collision reproduces identically. Requires
+    * `WITH RECURSIVE` at the head of the enclosing query.
+    */
+  def gramHash64Ctes(prefix: String, src: String, keys: String): String = s"""
+    ${prefix}maxn AS (SELECT max(length(s)) AS mx FROM $src),
+    ${prefix}powlist AS (
+      SELECT [CAST(1 AS HUGEINT)] AS ps, CAST(257 AS HUGEINT) AS mult, 1 AS sz
+      UNION ALL
+      SELECT ps || list_transform(ps, x -> (x * mult) % $M61), (mult * mult) % $M61, sz * 2
+      FROM ${prefix}powlist WHERE sz < (SELECT mx FROM ${prefix}maxn)
+    ),
+    ${prefix}pows AS MATERIALIZED (
+      SELECT i - 1 AS k, ps[i] AS p
+      FROM (SELECT ps FROM ${prefix}powlist ORDER BY sz DESC LIMIT 1),
+           unnest(range(1, len(ps) + 1)) AS u(i)
+    ),
+    ${prefix}schars AS (SELECT $keys, s, length(s) AS n, i, ascii(s[i]) AS c
+               FROM $src, unnest(range(1, length(s) + 1)) AS u(i)),
+    ${prefix}roll AS (SELECT $keys, s, SUM((CAST(c AS HUGEINT) * p) % $M61) % $M61 AS r
+             FROM ${prefix}schars JOIN ${prefix}pows
+               ON ${prefix}pows.k = ${prefix}schars.n - ${prefix}schars.i
+             GROUP BY $keys, s),
+    ${mix64Ctes(s"${prefix}g", s"${prefix}roll", s"$keys, s", "r")},
+    ${prefix}gh AS MATERIALIZED (SELECT $keys, s, x AS g FROM ${prefix}gmix)"""
+
   /** LSH plane/bucket replay over the normalized-embedding table `src`
     * (default `n`, Similarity's `duckEmb` prefix; callers needing a
     * filtered corpus — e.g. the kNN-graph rows' zero-norm guard — pass

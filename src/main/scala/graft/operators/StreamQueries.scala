@@ -314,19 +314,24 @@ object StreamQueries {
     * The batch op is explode → broadcast join → per-doc count; streaming
     * append mode allows no aggregation without a watermark and there is
     * no event time here, so the twin RESHAPES the plan: the eval-gram
-    * set (benchmark-sized by construction — eval suites are ~10⁵ items
-    * no matter how big the corpus grows, the same bound that justified
-    * the batch broadcast) is collected once at query build and BROADCAST,
-    * and the collision count becomes a stateless per-row map over the
-    * doc's distinct-shingle array. No shuffle, no state store, no
-    * watermark — the gate scales with arrival rate only. A UDF carries
-    * the membership probe because Catalyst has no expression for
-    * broadcast-set lookup (the literal-array `array_intersect`
-    * alternative would inline ~10⁵ strings into the plan).
+    * set is collected once at query build — as a sorted [[Text.gram64]]
+    * FINGERPRINT array (r14: 8 bytes per gram; the previous
+    * `Set[String]` form built a GB-class boxed set at the driver for
+    * the 100×-fixture's 3.6M-gram suite and was ~80% of the row's wall
+    * there — `Decontam.evalGramHashes`) — and BROADCAST; the collision
+    * count becomes ONE fused stateless per-row probe
+    * ([[Text.countGramHashesIn]]: shingle, fingerprint, binary-search
+    * in a single loop — no materialized shingle array between two
+    * UDFs). No shuffle, no state store, no watermark — the gate scales
+    * with arrival rate only, and the broadcast with |eval| alone.
     *
-    * Emits exactly the batch contract (docs with ≥ 1 distinct colliding
-    * gram, with the count) — hash-matches `ngramCollisionsSql` verbatim:
-    * streaming ≡ batch.
+    * Emits the batch contract (docs with ≥ 1 distinct colliding gram,
+    * with the count) under FINGERPRINT equality — the honest trade
+    * documented on [[Text.anyGramHashIn]] (a divergence from the
+    * string-exact batch row needs a 64-bit gram64 collision) — and
+    * hash-matches `ngramCollisionsHashSql`, which replays the SAME
+    * fingerprints through the roll61+mix64 CTE chain: the oracle
+    * compares what the engine compares.
     */
   def streamDecontam(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
@@ -334,19 +339,14 @@ object StreamQueries {
       // the gram set is STAGED once per source generation (DumpCache) —
       // re-deriving it (documents scan + shingle UDF) at every query
       // build was the r10 bench's 16 s outlier on this row
-      val evalGrams: Set[String] = s.read
-        .parquet(Decontam.evalGramsDump(s, dir))
-        .as[String].collect().toSet
-      val bc = s.sparkContext.broadcast(evalGrams)
-      val nHits = udf { shingles: Seq[String] =>
-        val set = bc.value
-        if (shingles == null) 0L else shingles.count(set.contains).toLong
+      val bc = s.sparkContext.broadcast(Decontam.evalGramHashes(s, dir))
+      val nHits = udf { text: String =>
+        graft.functions.Text.countGramHashesIn(text, Decontam.N, bc.value)
       }
       s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(!$"source".isInCollection(Decontam.EvalSources))
-        .select($"doc_id",
-          nHits(graft.functions.Text.shinglesNFastUdf(Decontam.N)($"text")).as("n_collisions"))
+        .select($"doc_id", nHits($"text").as("n_collisions"))
         .filter($"n_collisions" > 0)
     }
 
@@ -518,77 +518,113 @@ object StreamQueries {
     *    margin over raw text ([[TextAnalysis.qmMarginCol]], guarded by
     *    [[TextAnalysis.qmGuard]] — an unfeaturizable doc fails the
     *    gate, matching the batch row's absent-score rule);
-    *  - `decontam`: a FUSED shingle-and-probe against the BROADCAST
-    *    staged eval-gram set ([[graft.functions.Text.anyShingleIn]]:
-    *    one rolling pass that early-exits on the first hit —
-    *    contaminated docs short-circuit instead of materializing their
-    *    distinct-shingle array for a second UDF, r13 What's-wrong #3);
+    *  - `decontam`: a FUSED shingle-and-FINGERPRINT-probe against the
+    *    BROADCAST staged eval-gram fingerprint array
+    *    ([[graft.functions.Text.anyGramHashIn]], r14: one rolling pass,
+    *    gram64 + binary search per window, early exit on the first
+    *    hit — contaminated docs short-circuit, and the broadcast costs
+    *    8 bytes/gram instead of a driver-built GB-class `Set[String]`
+    *    at 10⁶-gram suites; the trade and its like-for-like oracle
+    *    treatment are documented on the probe);
     *  - `duplicate`: stream-static probe of the staged base
     *    fingerprint index (the [[streamDeltaDedup]] device) — an
     *    arrival is a duplicate iff its normalized-text fingerprint
     *    already exists in the STANDING corpus, with the base keeper as
     *    the receipt;
-    *  - `near_duplicate` (r13 verdict item 3): the arrival sketches
-    *    map-side (shingle→minhash→band, the native expressions) and
-    *    probes the STAGED GROUPED base band index
+    *  - `near_duplicate` (r13 verdict item 3): arrivals SURVIVING the
+    *    three rungs above — and only those (LAZY SKETCH, r14: the
+    *    ladder is first-drop, so an already-dropped arrival never pays
+    *    the 128-perm sketch or the band probe; its near receipt is
+    *    undefined at ingest — full lineage is the batch auditor's job)
+    *    — sketch map-side (shingle→minhash→band, the native
+    *    expressions) and probe the STAGED GROUPED base band index
     *    ([[lshBucketsDump]] — `q_stream_delta_lsh`'s static side) via a
     *    stateless stream-static join; colliding base members verify at
-    *    signature-estimated Jaccard ≥ 0.7 ONCE per unique candidate in
-    *    the verdict fold (ascending-id early exit — a partner hitting
-    *    all 16 bands is not re-verified 16×), smallest verified base id
-    *    as the receipt. Arrival-vs-arrival near-dups defer to
-    *    compaction (the family's standing live-window/compaction
-    *    split);
+    *    signature-estimated Jaccard ≥ 0.7 in-row against the bucket
+    *    entry (slim Option[Long] receipts ride the fold shuffle, never
+    *    signature arrays), smallest verified base id as the receipt.
+    *    Arrival-vs-arrival near-dups defer to compaction (the family's
+    *    standing live-window/compaction split);
     *  - `scrubbed` rides as the independent flag (same PII regexes).
-    * The band fan-out (16 rows per arrival, then one per colliding
-    * candidate) folds back to one verdict row through a ZERO-STATE
-    * `flatMapGroupsWithState` keyed by (doc_id, content hash) — so
-    * same-id arrivals with different content in one batch keep their
-    * own verdicts: all of an arrival's band rows land in its own
-    * micro-batch, so the fold emits immediately and never stores
-    * state — state rows 0 forever (spec-asserted), one per-arrival
-    * shuffle per trigger (candidate sigs ride it; that buys the
-    * once-per-candidate verify), cost ∝ arrival rate × band-bucket
-    * occupancy.
+    * The band fan-out (≤ 16 rows per arrival) folds back to one verdict
+    * row through a ZERO-STATE `flatMapGroupsWithState` keyed by
+    * (doc_id, content hash) — so same-id arrivals with different
+    * content in one batch keep their own verdicts: all of an arrival's
+    * band rows land in its own micro-batch, so the fold emits
+    * immediately and never stores state — state rows 0 forever
+    * (spec-asserted), one slim per-arrival shuffle per trigger, cost ∝
+    * surviving-arrival rate × band-bucket occupancy.
     * Hash oracle: the batch composition replayed over the delta slice
     * (training prefix included), the duplicate stage replaying the
-    * base-probe rule and the near stage the base band replay — staged
-    * online auditing ≡ batch replay.
+    * base-probe rule and the near stage the base band replay RESTRICTED
+    * to rung-surviving arrivals (the `asurv` CTE — the oracle encodes
+    * the first-drop contract) — staged online auditing ≡ batch replay.
     */
   def streamAudit(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       val w = TextAnalysis.qualityModelWeights(s, dir)
-      val evalGrams: Set[String] = s.read
-        .parquet(Decontam.evalGramsDump(s, dir))
-        .as[String].collect().toSet
-      val bc = s.sparkContext.broadcast(evalGrams)
+      // sorted gram64 fingerprint array, not a Set[String] (r14): 8
+      // bytes per eval gram — see Decontam.evalGramHashes for the
+      // measured driver-memory class this replaces; the fused probe
+      // early-exits on the first colliding window
+      val bc = s.sparkContext.broadcast(Decontam.evalGramHashes(s, dir))
       val contamUdf = udf { text: String =>
-        graft.functions.Text.anyShingleIn(text, Decontam.N, bc.value)
+        graft.functions.Text.anyGramHashIn(text, Decontam.N, bc.value)
       }
       val fpIdx = Dedup.baseFpIndex(s, dir)
         .select($"text_hash", $"keep_id".as("base_keep"))
-      val buckets = s.read.parquet(lshBucketsDump(s, dir))
+      val bucketsDump = lshBucketsDump(s, dir)
+      sizeProbeShuffle(s, bucketsDump) // the delta-LSH probe convention
+      val buckets = s.read.parquet(bucketsDump)
       val pred = when(TextAnalysis.qmGuard($"text"),
         TextAnalysis.qmMarginCol($"text", w) >= TextAnalysis.QmScale / 2)
         .otherwise(lit(false))
+      // smallest colliding base member at est ≥ 0.7, verified IN-ROW
+      // against the bucket entry's member list (the streamSemDedup
+      // grouped-static-side device): the fold then reduces slim
+      // Option[Long] receipts instead of receiving candidate SIGNATURE
+      // arrays through the per-arrival shuffle — a partner colliding in
+      // several bands re-verifies per band (128 long-compares each,
+      // trivial) but no 1 KB sig array ever rides a shuffle row
+      val nearUdf = udf { (sig: Seq[Long], members: Seq[org.apache.spark.sql.Row]) =>
+        if (sig == null || members == null) None
+        else {
+          val a = sig.toArray
+          var best = Option.empty[Long]
+          members.foreach { m =>
+            val id = m.getLong(0)
+            if (best.forall(id < _) &&
+                graft.functions.Text.minhashJaccard(a,
+                  m.getSeq[Long](1).toArray) >= 0.7) best = Some(id)
+          }
+          best
+        }
+      }
       s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(Dedup.isDelta($"doc_id") &&
           !$"source".isInCollection(Decontam.EvalSources))
         .select($"doc_id", $"source", coalesce($"text", lit("")).as("text"))
-        .select($"doc_id", $"source",
+        .select($"doc_id", $"source", $"text",
           pred.as("q_ok"),
           contamUdf($"text").as("contam"),
           md5(graft.functions.Text.normalizeFast($"text")).as("text_hash"),
-          TextAnalysis.piiHitCol($"text").cast("int").as("scrubbed"),
-          graft.functions.ShingleGramHashes($"text").as("hashes"))
-        .withColumn("sig", when(size($"hashes") > 0,
+          TextAnalysis.piiHitCol($"text").cast("int").as("scrubbed"))
+        .join(fpIdx, Seq("text_hash"), "left") // stream-static: stateless
+        // LAZY SKETCH (r14): the ladder is first-drop — an arrival
+        // already dropped by quality/decontam/exact-dup never reaches
+        // the near rung, so it never pays the 128-perm sketch or the
+        // band probe (the early-exit the production admission path
+        // takes; its near receipt is undefined at ingest — the batch
+        // auditor owns full lineage). Only survivors sketch.
+        .withColumn("hashes", when($"q_ok" && !$"contam" && $"base_keep".isNull,
+          graft.functions.ShingleGramHashes($"text")))
+        .withColumn("sig", when($"hashes".isNotNull && size($"hashes") > 0,
           graft.functions.MinhashSig($"hashes")))
         .withColumn("bands", when($"sig".isNotNull,
           graft.functions.MinhashBands($"sig")))
-        .join(fpIdx, Seq("text_hash"), "left") // stream-static: stateless
         // arrival-stamped watermark so the zero-state fold below is
         // streaming-legal (EventTimeTimeout needs the tagged column to
         // reach it); nonzero delay for the same same-millisecond-
@@ -599,20 +635,16 @@ object StreamQueries {
           $"scrubbed", $"sig", $"text_hash", $"arrival_ts",
           posexplode_outer($"bands").as(Seq("band_idx", "band_hash")))
         .join(buckets, Seq("band_idx", "band_hash"), "left") // stream-static
-        // one row per (band, colliding base member); verification
-        // happens ONCE per unique candidate in the fold below, not per
-        // band collision (a partner colliding in all 16 bands would
-        // otherwise pay 16 full signature verifications)
         .select($"doc_id", $"source", $"q_ok", $"contam", $"base_keep",
-          $"scrubbed", $"sig", $"text_hash",
-          explode_outer($"base_members").as("cand"), $"arrival_ts")
-        .select($"doc_id", $"source", $"q_ok", $"contam", $"base_keep",
-          $"scrubbed", $"sig", $"text_hash",
-          $"cand.doc_id".as("cand_id"), $"cand.sig".as("cand_sig"),
-          $"arrival_ts")
+          $"scrubbed", nearUdf($"sig", $"base_members").as("cand_near"),
+          $"text_hash", $"arrival_ts")
         .as[(Long, String, Boolean, Boolean, Option[Long], Int,
-          Option[Seq[Long]], String, Option[Long], Option[Seq[Long]],
-          java.sql.Timestamp)]
+          Option[Long], String, java.sql.Timestamp)]
+        // key = (doc_id, text_hash): two same-id arrivals with
+        // DIFFERENT content in one micro-batch get their own verdict
+        // rows (an id-only key would nondeterministically mix their
+        // gate fields); byte-identical same-batch re-sends collapse to
+        // one verdict, the family's standing dedup semantics
         // key = (doc_id, text_hash): two same-id arrivals with
         // DIFFERENT content in one micro-batch get their own verdict
         // rows (an id-only key would nondeterministically mix their
@@ -627,23 +659,14 @@ object StreamQueries {
               state.remove()
               Iterator.empty
             } else {
-              // all band/candidate rows of an arrival fan out from one
-              // input row, so they share its micro-batch and the fold
-              // is complete at first sight: emit and store NOTHING
+              // all band rows of an arrival fan out from one input row,
+              // so they share its micro-batch and the fold is complete
+              // at first sight: emit and store NOTHING
               val rs = it.toArray
               val h = rs.head
-              // smallest base member verifying at est ≥ 0.7: unique
-              // candidates in ascending id order, early-exit on the
-              // first verification (== global smallest verified id)
-              val near = h._7.map(_.toArray).flatMap { a =>
-                rs.iterator
-                  .flatMap(r => r._9.map(cid => (cid, r._10)))
-                  .toArray.distinctBy(_._1).sortBy(_._1)
-                  .find { case (_, cs) =>
-                    cs.exists(s => graft.functions.Text.minhashJaccard(
-                      a, s.toArray) >= 0.7)
-                  }.map(_._1)
-              }
+              // smallest verified base member across the band rows
+              val near = rs.iterator.flatMap(_._7)
+                .reduceOption(math.min(_, _))
               val verdict =
                 if (!h._3) "quality"
                 else if (h._4) "decontam"
@@ -671,8 +694,15 @@ object StreamQueries {
     Audit.auditCtesSql(deltaPred = "AND doc_id % 5 = 0") + s""",
     base_fp AS (SELECT md5($norm) h, MIN(doc_id) keep_id
                 FROM documents WHERE doc_id % 5 != 0 GROUP BY 1),
+    asurv AS (SELECT a.doc_id FROM adocs a
+              LEFT JOIN scored2 ss USING (doc_id)
+              LEFT JOIN acont cc USING (doc_id)
+              JOIN afp ff USING (doc_id)
+              LEFT JOIN base_fp kk ON kk.h = ff.h
+              WHERE ss.pred = 1 AND cc.doc_id IS NULL
+                AND kk.keep_id IS NULL),
     anb AS (SELECT b.doc_id, b.band_idx, b.band_hash
-            FROM bands b JOIN adocs USING (doc_id)),
+            FROM bands b JOIN asurv USING (doc_id)),
     bnb AS (SELECT doc_id, band_idx, band_hash FROM bands
             WHERE doc_id % 5 != 0),
     acand AS (SELECT DISTINCT d.doc_id AS adoc, b.doc_id AS partner
@@ -1235,11 +1265,35 @@ object StreamQueries {
     runToTable(spark, mode = "append") { s =>
       import s.implicits._
       val bucketsDump = lshBucketsDump(s, dir)
+      sizeProbeShuffle(s, bucketsDump)
       val docs = s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter($"doc_id" % 5 === 0)
       deltaLshTopologyOnBuckets(docs, s.read.parquet(bucketsDump))
     }
+
+  /** Size the harness session's shuffle partitions from a staged probe
+    * index's ON-DISK bytes: AQE is disabled for stateful streaming
+    * queries, so the static side of a big stream-static sort-merge join
+    * sorts into whatever `spark.sql.shuffle.partitions` says — the
+    * harness floor of 8 is right for the per-query suite (the state
+    * store commits once per partition per batch, and the gate-SF index
+    * BROADCASTS anyway) but makes a multi-GB index spill its sort (the
+    * 100× fixture's 4.5 GB grouped band index into 8 partitions inside
+    * one executor-sized heap). ×3 for parquet→in-flight row expansion,
+    * 128 MiB target per task (the GraftConfig spill rule of thumb),
+    * capped like [[graft.GraftConfig.shufflePartitionsFor]]. Stateful
+    * queries pin state partitioning from the checkpoint's OWN metadata,
+    * so a fresh-checkpoint harness run simply adopts the value and a
+    * restarted one keeps its original — the setting is safe across the
+    * family's restart specs.
+    */
+  private def sizeProbeShuffle(s: SparkSession, dumpDir: String): Unit = {
+    val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(
+      new java.io.File(dumpDir))
+    val parts = math.min(10000L, math.max(8L, 3L * bytes / (128L << 20) + 1L))
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+  }
 
   /** Staged IVF serving index: the deterministic Lloyd's codebook plus
     * the cell-assigned corpus (vec_id, cell, embedding, nrm), persisted

@@ -870,8 +870,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> (("kept", None, None)),
       15L -> (("decontam", None, None)),
       20L -> (("near_duplicate", None, Some(3L)))), s"batch got $ba")
+    // the STREAM is first-drop: doc 5 drops at the exact-duplicate rung
+    // and never probes the band index (lazy sketch), so unlike the
+    // batch auditor's full lineage its near receipt stays empty
     assert(sa === Map(
-      5L -> (("duplicate", Some(1L), Some(1L))),
+      5L -> (("duplicate", Some(1L), None)),
       10L -> (("kept", None, None)),
       15L -> (("decontam", None, None)),
       20L -> (("near_duplicate", None, Some(3L)))), s"stream got $sa")

@@ -183,6 +183,28 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fingerprint probes equal their string-set twins on collision-free corpora") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text").as[String].collect().take(200) ++ edgeCases
+    val someGrams = texts.flatMap(t => Text.shingleSet(t, 7).take(2)).toSet
+    for (set <- Seq(someGrams, Set("definitely not a gram"), Set.empty[String]);
+         n <- Seq(3, 7)) {
+      // the broadcast form the streaming gates actually probe: sorted
+      // gram64 fingerprints with binary-search membership
+      val sorted = set.toArray.map(Text.gram64)
+      java.util.Arrays.sort(sorted)
+      for (t <- texts) {
+        assert(Text.anyGramHashIn(t, n, sorted) ===
+          Text.shingleSet(t, n).exists(set),
+          s"fingerprint ANY probe diverged on n=$n text=${t.take(40)}")
+        assert(Text.countGramHashesIn(t, n, sorted) ===
+          Text.shingleSet(t, n).count(set).toLong,
+          s"fingerprint COUNT probe diverged on n=$n text=${t.take(40)}")
+      }
+    }
+  }
+
   test("trained quality filter separates a planted signal and retrains bit-identically") {
     import spark.implicits._
     // label-1 sources (even) get stopword-rich text, label-0 none — the
