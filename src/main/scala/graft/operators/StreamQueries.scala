@@ -1293,6 +1293,14 @@ object StreamQueries {
       new java.io.File(dumpDir))
     val parts = math.min(10000L, math.max(8L, 3L * bytes / (128L << 20) + 1L))
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // the grouped index is WIDE-NESTED (each bucket row holds a member
+    // list of 128-long signatures, and hot buckets hold thousands of
+    // members): at the default 4096-row columnar batch a handful of hot
+    // buckets put hundreds of MB in one reader batch per scan task —
+    // 32 concurrent tasks then OOM a bounded heap (observed at the
+    // 4.5 GB 100× index). 256 rows caps the batch at ~1/16 of that
+    // with no measurable scan cost on the slim-SF indexes.
+    s.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
   }
 
   /** Staged IVF serving index: the deterministic Lloyd's codebook plus
