@@ -149,25 +149,66 @@ object Text {
     false
   }
 
-  /** FUSED shingle-and-FINGERPRINT-probe: does ANY word n-gram of the
-    * normalized text have a [[gram64]] fingerprint in `sorted` (an
-    * ascending 64-bit fingerprint array, probed by binary search)? The
-    * scale form of [[anyShingleIn]]: a broadcast probe set costs 8
-    * BYTES PER GRAM regardless of gram length — a 3.6M-gram eval suite
-    * is a 29 MB primitive array where the string `Set` is a GB-class
-    * driver-built object (collect + per-string hashing + boxed set
-    * nodes + a corpus-scaled broadcast: the driver-memory anti-pattern,
-    * measured as ~80% of the streaming decontam gate's 100×-fixture
-    * wall). The trade: membership is fingerprint equality, not string
-    * equality — a false positive needs a 64-bit [[gram64]] collision
-    * between an arrival gram and an eval gram (expected collisions
-    * ~|eval|·|grams|/2⁶⁴; deterministic when one occurs, and the DuckDB
-    * oracle replays the SAME fingerprints, so the hash gate compares
-    * like with like). Same window construction and early exit as
-    * [[anyShingleIn]] (TextFastPathSpec pins the equivalence on
-    * collision-free corpora).
+  /** Broadcastable FINGERPRINT probe set: the serialized form is the
+    * raw primitive [[gram64]] array (8 BYTES PER GRAM regardless of
+    * gram length — a 3.6M-gram eval suite is 29 MB where the string
+    * `Set` is a GB-class driver-built object: collect + per-string
+    * hashing + boxed set nodes + a corpus-scaled broadcast, the
+    * driver-memory anti-pattern measured as ~half the streaming
+    * decontam gate's 100×-fixture wall). Membership runs on a
+    * transient OPEN-ADDRESSING table (power-of-2 capacity ≥ 2×n,
+    * linear probing) built once per JVM on first use: ~1 cache miss
+    * per probe, where binary search over the 29 MB array paid ~22
+    * random misses per window — the probe is the per-window hot path
+    * of both streaming contam gates. Fingerprints are already
+    * mix64-avalanched, so the slot hash is a cheap fold of the high
+    * bits.
     */
-  def anyGramHashIn(text: String, n: Int, sorted: Array[Long]): Boolean = {
+  final class GramHashProbe(val keys: Array[Long]) extends Serializable {
+    @transient private lazy val state: (Array[Long], Int, Boolean) = {
+      var cap = 16
+      while (cap < keys.length * 2 && cap > 0) cap <<= 1
+      val t = new Array[Long](cap)
+      val m = cap - 1
+      var z = false
+      var i = 0
+      while (i < keys.length) {
+        val h = keys(i)
+        if (h == 0L) z = true
+        else {
+          var p = (h ^ (h >>> 32)).toInt & m
+          while (t(p) != 0L && t(p) != h) p = (p + 1) & m
+          t(p) = h
+        }
+        i += 1
+      }
+      (t, m, z)
+    }
+    def contains(h: Long): Boolean = {
+      val (t, m, z) = state
+      if (h == 0L) return z
+      var p = (h ^ (h >>> 32)).toInt & m
+      while (t(p) != 0L) {
+        if (t(p) == h) return true
+        p = (p + 1) & m
+      }
+      false
+    }
+  }
+
+  /** FUSED shingle-and-FINGERPRINT-probe: does ANY word n-gram of the
+    * normalized text have a [[gram64]] fingerprint in `probe`? The
+    * scale form of [[anyShingleIn]] — see [[GramHashProbe]] for the
+    * memory story. The trade: membership is fingerprint equality, not
+    * string equality — a false positive needs a 64-bit [[gram64]]
+    * collision between an arrival gram and an eval gram (expected
+    * collisions ~|eval|·|grams|/2⁶⁴; deterministic when one occurs,
+    * and the DuckDB oracle replays the SAME fingerprints, so the hash
+    * gate compares like with like). Same window construction and early
+    * exit as [[anyShingleIn]] (TextFastPathSpec pins the equivalence
+    * on collision-free corpora).
+    */
+  def anyGramHashIn(text: String, n: Int, probe: GramHashProbe): Boolean = {
     val norm = normalizeString(text)
     if (norm.isEmpty) return false
     val ws = norm.split(' ')
@@ -177,26 +218,25 @@ object Text {
       val sb = new java.lang.StringBuilder
       var k = 0
       while (k < n) { if (k > 0) sb.append(' '); sb.append(ws(i + k)); k += 1 }
-      if (java.util.Arrays.binarySearch(sorted, gram64(sb.toString)) >= 0)
-        return true
+      if (probe.contains(gram64(sb.toString))) return true
       i += 1
     }
     false
   }
 
   /** Count of DISTINCT word n-grams whose [[gram64]] fingerprint sits in
-    * `sorted` — the counting twin of [[anyGramHashIn]] (distinct gram
+    * `probe` — the counting twin of [[anyGramHashIn]] (distinct gram
     * STRINGS, as [[shingleSet]] defines them, so two distinct grams
     * colliding to one fingerprint count separately — exactly what the
     * SQL replay's `COUNT(*)` over distinct-gram rows joined by
     * fingerprint computes).
     */
-  def countGramHashesIn(text: String, n: Int, sorted: Array[Long]): Long = {
+  def countGramHashesIn(text: String, n: Int, probe: GramHashProbe): Long = {
     val sh = shingleSet(text, n)
     var c = 0L
     var i = 0
     while (i < sh.length) {
-      if (java.util.Arrays.binarySearch(sorted, gram64(sh(i))) >= 0) c += 1L
+      if (probe.contains(gram64(sh(i)))) c += 1L
       i += 1
     }
     c

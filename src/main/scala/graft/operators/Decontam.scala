@@ -45,25 +45,25 @@ object Decontam {
     }
   }
 
-  /** The staged eval-gram set as a SORTED [[Text.gram64]] fingerprint
-    * array — what the STREAMING gates broadcast instead of a
-    * `Set[String]`: 8 bytes per gram regardless of gram length (a
+  /** The staged eval-gram set as a [[Text.GramHashProbe]] — what the
+    * STREAMING gates broadcast instead of a `Set[String]`: the
+    * serialized form is 8 bytes per gram regardless of gram length (a
     * 3.6M-gram suite = 29 MB primitive array vs a GB-class boxed string
     * set built at the driver — the corpus-scaled driver-memory class,
-    * measured as ~80% of the streaming decontam gate's 100×-fixture
-    * wall). Derived from [[evalGramsDump]] at query build (one slim
-    * parquet scan + a map-side hash + a 29 MB collect + one driver
-    * sort); membership becomes binary search inside the fused probe
-    * loop. The fingerprint-equality trade and its oracle treatment are
-    * documented on [[Text.anyGramHashIn]].
+    * measured as ~half the streaming decontam gate's 100×-fixture
+    * wall), and membership runs on the probe's per-JVM open-addressing
+    * table (~1 cache miss per window, where binary search over the
+    * 29 MB array paid ~22). Derived from [[evalGramsDump]] at query
+    * build (one slim parquet scan + a map-side hash + a 29 MB
+    * collect). The fingerprint-equality trade and its oracle treatment
+    * are documented on [[Text.anyGramHashIn]].
     */
-  private[operators] def evalGramHashes(spark: SparkSession, dir: String): Array[Long] = {
+  private[operators] def evalGramProbe(spark: SparkSession, dir: String): Text.GramHashProbe = {
     import spark.implicits._
-    val hs = spark.read.parquet(evalGramsDump(spark, dir))
-      .select(Text.gram64Udf(col("s")))
-      .as[Long].collect()
-    java.util.Arrays.sort(hs)
-    hs
+    new Text.GramHashProbe(
+      spark.read.parquet(evalGramsDump(spark, dir))
+        .select(Text.gram64Udf(col("s")))
+        .as[Long].collect())
   }
 
   /** DuckDB replay oracle for the FINGERPRINT-probing streaming gate

@@ -314,11 +314,11 @@ object StreamQueries {
     * The batch op is explode → broadcast join → per-doc count; streaming
     * append mode allows no aggregation without a watermark and there is
     * no event time here, so the twin RESHAPES the plan: the eval-gram
-    * set is collected once at query build — as a sorted [[Text.gram64]]
-    * FINGERPRINT array (r14: 8 bytes per gram; the previous
+    * set is collected once at query build — as a [[Text.gram64]]
+    * FINGERPRINT probe (r14: 8 bytes per gram serialized; the previous
     * `Set[String]` form built a GB-class boxed set at the driver for
-    * the 100×-fixture's 3.6M-gram suite and was ~80% of the row's wall
-    * there — `Decontam.evalGramHashes`) — and BROADCAST; the collision
+    * the 100×-fixture's 3.6M-gram suite and was ~half the row's wall
+    * there — `Decontam.evalGramProbe`) — and BROADCAST; the collision
     * count becomes ONE fused stateless per-row probe
     * ([[Text.countGramHashesIn]]: shingle, fingerprint, binary-search
     * in a single loop — no materialized shingle array between two
@@ -339,7 +339,7 @@ object StreamQueries {
       // the gram set is STAGED once per source generation (DumpCache) —
       // re-deriving it (documents scan + shingle UDF) at every query
       // build was the r10 bench's 16 s outlier on this row
-      val bc = s.sparkContext.broadcast(Decontam.evalGramHashes(s, dir))
+      val bc = s.sparkContext.broadcast(Decontam.evalGramProbe(s, dir))
       val nHits = udf { text: String =>
         graft.functions.Text.countGramHashesIn(text, Decontam.N, bc.value)
       }
@@ -565,11 +565,11 @@ object StreamQueries {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       val w = TextAnalysis.qualityModelWeights(s, dir)
-      // sorted gram64 fingerprint array, not a Set[String] (r14): 8
-      // bytes per eval gram — see Decontam.evalGramHashes for the
-      // measured driver-memory class this replaces; the fused probe
-      // early-exits on the first colliding window
-      val bc = s.sparkContext.broadcast(Decontam.evalGramHashes(s, dir))
+      // gram64 fingerprint probe, not a Set[String] (r14) — see
+      // Decontam.evalGramProbe for the measured driver-memory class
+      // this replaces; the fused probe early-exits on the first
+      // colliding window
+      val bc = s.sparkContext.broadcast(Decontam.evalGramProbe(s, dir))
       val contamUdf = udf { text: String =>
         graft.functions.Text.anyGramHashIn(text, Decontam.N, bc.value)
       }

@@ -190,15 +190,14 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     val someGrams = texts.flatMap(t => Text.shingleSet(t, 7).take(2)).toSet
     for (set <- Seq(someGrams, Set("definitely not a gram"), Set.empty[String]);
          n <- Seq(3, 7)) {
-      // the broadcast form the streaming gates actually probe: sorted
-      // gram64 fingerprints with binary-search membership
-      val sorted = set.toArray.map(Text.gram64)
-      java.util.Arrays.sort(sorted)
+      // the broadcast form the streaming gates actually probe: gram64
+      // fingerprints behind the open-addressing membership table
+      val probe = new Text.GramHashProbe(set.toArray.map(Text.gram64))
       for (t <- texts) {
-        assert(Text.anyGramHashIn(t, n, sorted) ===
+        assert(Text.anyGramHashIn(t, n, probe) ===
           Text.shingleSet(t, n).exists(set),
           s"fingerprint ANY probe diverged on n=$n text=${t.take(40)}")
-        assert(Text.countGramHashesIn(t, n, sorted) ===
+        assert(Text.countGramHashesIn(t, n, probe) ===
           Text.shingleSet(t, n).count(set).toLong,
           s"fingerprint COUNT probe diverged on n=$n text=${t.take(40)}")
       }
