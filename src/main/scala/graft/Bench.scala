@@ -195,12 +195,19 @@ object Bench {
     // re-audited r13; it tracks box state inside a 2.7-3.7 s band
     // (3.37 r13, 3.64 twice within 2 ms r14), so its ceiling sits just
     // above the measured band and pages only on a real plan change.
+    // Per-row exceptions are sf0.1-calibrated: they apply only where
+    // the default ceiling itself does (sf0.1, no env override) — at
+    // other SFs, or under SPARK_GRAFT_CEILING, the caller's rule wins.
     val rowCeilings: Map[String, Double] =
-      Map("q_stream_audit" -> 6.0, "dedup_containment" -> 4.5)
+      if (ceiling == 3.5 && sys.env.get("SPARK_GRAFT_CEILING").isEmpty)
+        Map("q_stream_audit" -> 6.0, "dedup_containment" -> 4.5)
+      else Map.empty
     val violations = results.filter { case (k, v) =>
       v > rowCeilings.getOrElse(k, ceiling) || v < 0 }
     violations.foreach { case (k, v) =>
-      System.err.println(
+      if (v < 0)
+        System.err.println(s"[bench] ROW FAILED: $k (exception during run)")
+      else System.err.println(
         f"[bench] CEILING EXCEEDED: $k = $v%.2f s > ${rowCeilings.getOrElse(k, ceiling)} s")
     }
     val viol = violations.map { case (k, v) => s"\"" + k + "\":" + v }

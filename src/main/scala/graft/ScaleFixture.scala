@@ -263,15 +263,22 @@ object DeltaLshCycle {
       val stateDisk = {
         val p = java.nio.file.Paths.get(ckpt, "state")
         if (java.nio.file.Files.exists(p)) {
-          // close the walk stream, and tolerate files the state-store
-          // maintenance thread deletes between enumeration and stat
-          val walk = java.nio.file.Files.walk(p)
-          try walk.filter(java.nio.file.Files.isRegularFile(_))
-            .mapToLong { f =>
-              try java.nio.file.Files.size(f)
-              catch { case _: java.io.IOException | _: java.io.UncheckedIOException => 0L }
-            }.sum()
-          finally walk.close()
+          // close the walk stream, and tolerate ANYTHING the state-store
+          // maintenance thread deletes mid-walk — the traversal itself
+          // (not just the stat) throws when a version directory vanishes
+          // between enumeration steps, and a lost-metric wave beats a
+          // crashed multi-hour cycle (r14 review)
+          try {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong { f =>
+                try java.nio.file.Files.size(f)
+                catch { case _: java.io.IOException | _: java.io.UncheckedIOException => 0L }
+              }.sum()
+            finally walk.close()
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException => -1L
+          }
         } else 0L
       }
       println(f"""{"wave":$k,"provider":"$provider","sec":$sec%.2f,""" +

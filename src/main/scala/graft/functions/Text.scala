@@ -123,32 +123,6 @@ object Text {
     seen.toArray(new Array[String](seen.size))
   }
 
-  /** FUSED shingle-and-probe: does ANY word n-gram of the normalized
-    * text sit in `set`? Builds each window string exactly as
-    * [[shingleSet]] does (TextFastPathSpec pins the equivalence with
-    * `shingleSet(text, n).exists(set)`), but probes as it goes and
-    * EARLY-EXITS on the first hit — the shape a per-arrival
-    * contamination gate wants: contaminated docs short-circuit, and no
-    * doc materializes its distinct-shingle array just to scan it in a
-    * second UDF (r13 What's-wrong #3). Duplicate windows probe the set
-    * twice instead of paying the dedup hash — membership is idempotent.
-    */
-  def anyShingleIn(text: String, n: Int, set: Set[String]): Boolean = {
-    val norm = normalizeString(text)
-    if (norm.isEmpty) return false
-    val ws = norm.split(' ')
-    if (ws.length < n) return false
-    var i = 0
-    while (i + n <= ws.length) {
-      val sb = new java.lang.StringBuilder
-      var k = 0
-      while (k < n) { if (k > 0) sb.append(' '); sb.append(ws(i + k)); k += 1 }
-      if (set.contains(sb.toString)) return true
-      i += 1
-    }
-    false
-  }
-
   /** Broadcastable FINGERPRINT probe set: the serialized form is the
     * raw primitive [[gram64]] array (8 BYTES PER GRAM regardless of
     * gram length — a 3.6M-gram eval suite is 29 MB where the string
@@ -165,9 +139,16 @@ object Text {
     * bits.
     */
   final class GramHashProbe(val keys: Array[Long]) extends Serializable {
+    // 2^29 keys = 4.3 GB serialized — past any practical broadcast; the
+    // explicit bound keeps the capacity doubling below Int overflow
+    // (cap ≤ 2^30) and the table under a 0.5 load factor (r14 review:
+    // the unguarded `keys.length * 2` went negative at ~2^30 keys and
+    // the insert loop span forever on a saturated table)
+    require(keys.length <= (1 << 29),
+      s"GramHashProbe holds at most 2^29 fingerprints, got ${keys.length}")
     @transient private lazy val state: (Array[Long], Int, Boolean) = {
       var cap = 16
-      while (cap < keys.length * 2 && cap > 0) cap <<= 1
+      while (cap < keys.length * 2) cap <<= 1
       val t = new Array[Long](cap)
       val m = cap - 1
       var z = false
@@ -197,16 +178,20 @@ object Text {
   }
 
   /** FUSED shingle-and-FINGERPRINT-probe: does ANY word n-gram of the
-    * normalized text have a [[gram64]] fingerprint in `probe`? The
-    * scale form of [[anyShingleIn]] — see [[GramHashProbe]] for the
-    * memory story. The trade: membership is fingerprint equality, not
+    * normalized text have a [[gram64]] fingerprint in `probe`? Builds
+    * each window string exactly as [[shingleSet]] does but probes as
+    * it goes and EARLY-EXITS on the first hit — contaminated docs
+    * short-circuit, and no doc materializes its distinct-shingle array
+    * for a second UDF (r13 What's-wrong #3); duplicate windows probe
+    * twice instead of paying the dedup hash (membership is
+    * idempotent). See [[GramHashProbe]] for the memory story. The trade: membership is fingerprint equality, not
     * string equality — a false positive needs a 64-bit [[gram64]]
     * collision between an arrival gram and an eval gram (expected
     * collisions ~|eval|·|grams|/2⁶⁴; deterministic when one occurs,
     * and the DuckDB oracle replays the SAME fingerprints, so the hash
-    * gate compares like with like). Same window construction and early
-    * exit as [[anyShingleIn]] (TextFastPathSpec pins the equivalence
-    * on collision-free corpora).
+    * gate compares like with like). TextFastPathSpec pins the
+    * equivalence with `shingleSet(text, n).exists(set)` on
+    * collision-free corpora.
     */
   def anyGramHashIn(text: String, n: Int, probe: GramHashProbe): Boolean = {
     val norm = normalizeString(text)

@@ -99,12 +99,15 @@ object Audit {
       .filter(size($"hashes") > 0)
       .select($"doc_id", graft.functions.MinhashSig($"hashes").as("sig"))
       .select($"doc_id", $"sig", graft.functions.MinhashBands($"sig").as("bands"))
-    // cached: consumed four times (band self-join evaluates it twice,
-    // plus the two sig-attach joins) — without this the delta slice's
-    // 128-perm sketch recomputes per consumer (the minhashLsh `sigs`
-    // cache convention, Dedup.scala)
-    val sk = baseSk.select($"doc_id", $"sig", $"bands").unionByName(deltaSk)
-      .cache()
+    // the DELTA sketch is cached: consumed four times (band self-join
+    // evaluates it twice, plus the two sig-attach joins) — without this
+    // its 128-perm sketch recomputes per consumer (the minhashLsh
+    // `sigs` convention, Dedup.scala). Only the delta side: the base
+    // rows are a staged parquet read (re-scanning columnar sigs 4× is
+    // cheap; pinning a corpus-sized cache for the session's lifetime is
+    // the storage-memory class the r14 review caught).
+    val sk = baseSk.select($"doc_id", $"sig", $"bands")
+      .unionByName(deltaSk.cache())
     val bandRows = sk.select($"doc_id",
       posexplode($"bands").as(Seq("band_idx", "band_hash")))
     val candPairs = bandRows.as("x").join(bandRows.as("y"),

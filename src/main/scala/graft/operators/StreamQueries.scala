@@ -319,11 +319,14 @@ object StreamQueries {
     * `Set[String]` form built a GB-class boxed set at the driver for
     * the 100×-fixture's 3.6M-gram suite and was ~half the row's wall
     * there — `Decontam.evalGramProbe`) — and BROADCAST; the collision
-    * count becomes ONE fused stateless per-row probe
-    * ([[Text.countGramHashesIn]]: shingle, fingerprint, binary-search
-    * in a single loop — no materialized shingle array between two
-    * UDFs). No shuffle, no state store, no watermark — the gate scales
-    * with arrival rate only, and the broadcast with |eval| alone.
+    * count becomes ONE stateless per-row UDF
+    * ([[Text.countGramHashesIn]]: the distinct-shingle set fingerprints
+    * through the probe's per-JVM open-addressing table — counting
+    * needs the full distinct set, so unlike the audit gate's
+    * early-exiting [[Text.anyGramHashIn]] it does materialize the
+    * per-doc shingle array, once, inside the single UDF). No shuffle,
+    * no state store, no watermark — the gate scales with arrival rate
+    * only, and the broadcast with |eval| alone.
     *
     * Emits the batch contract (docs with ≥ 1 distinct colliding gram,
     * with the count) under FINGERPRINT equality — the honest trade
@@ -346,7 +349,11 @@ object StreamQueries {
       s.readStream.schema(docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(!$"source".isInCollection(Decontam.EvalSources))
-        .select($"doc_id", nHits($"text").as("n_collisions"))
+        // NULL text coalesced (r14 review): the probe UDF would NPE on
+        // it, while the oracle silently emits no row — an engine crash
+        // the hash gate could never see. '' has no 7-gram, so the doc
+        // filters out below, matching the oracle's absent row.
+        .select($"doc_id", nHits(coalesce($"text", lit(""))).as("n_collisions"))
         .filter($"n_collisions" > 0)
     }
 
@@ -521,7 +528,7 @@ object StreamQueries {
     *  - `decontam`: a FUSED shingle-and-FINGERPRINT-probe against the
     *    BROADCAST staged eval-gram fingerprint array
     *    ([[graft.functions.Text.anyGramHashIn]], r14: one rolling pass,
-    *    gram64 + binary search per window, early exit on the first
+    *    gram64 + open-addressing-table probe per window, early exit on the first
     *    hit — contaminated docs short-circuit, and the broadcast costs
     *    8 bytes/gram instead of a driver-built GB-class `Set[String]`
     *    at 10⁶-gram suites; the trade and its like-for-like oracle
@@ -640,11 +647,6 @@ object StreamQueries {
           $"text_hash", $"arrival_ts")
         .as[(Long, String, Boolean, Boolean, Option[Long], Int,
           Option[Long], String, java.sql.Timestamp)]
-        // key = (doc_id, text_hash): two same-id arrivals with
-        // DIFFERENT content in one micro-batch get their own verdict
-        // rows (an id-only key would nondeterministically mix their
-        // gate fields); byte-identical same-batch re-sends collapse to
-        // one verdict, the family's standing dedup semantics
         // key = (doc_id, text_hash): two same-id arrivals with
         // DIFFERENT content in one micro-batch get their own verdict
         // rows (an id-only key would nondeterministically mix their
@@ -1191,7 +1193,14 @@ object StreamQueries {
           array().cast("array<struct<doc_id:bigint,sig:array<bigint>>>"))
           .as("base_members"),
         current_timestamp().as("ingest_ts"))
-      .withWatermark("ingest_ts", "0 seconds")
+      // NONZERO delay (r14 review): with 0 seconds, two triggers
+      // resolving to the same batch-timestamp millisecond late-filter
+      // the second trigger's fresh arrivals before the fold — the
+      // annProbeServeFold silent-drop class. 200 ms defeats the
+      // same-millisecond tie while staying far under every TTL this
+      // topology runs with (spec 1 s, cycle 10 s, production 2 h);
+      // eviction shifts by the same 200 ms, semantics unchanged.
+      .withWatermark("ingest_ts", "200 milliseconds")
       .as[BandArrival]
     arriving
       .groupByKey(r => (r.band_idx, r.band_hash))

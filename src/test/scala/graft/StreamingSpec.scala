@@ -795,7 +795,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.operators.StreamQueries
     val tmp = Files.createTempDirectory("graft_audit_plant").toString
     def doc(id: Long, text: String, source: String) =
-      (id, text, "en", source, text.length.toLong)
+      (id, text, "en", source, if (text == null) 0L else text.length.toLong)
     val tDup = (0 until 50).map(i => s"alpha$i").mkString(" ")
     val tUniq = (0 until 50).map(i => s"beta$i").mkString(" ")
     val tEval = (0 until 10).map(i => s"gamma$i").mkString(" ")
@@ -819,7 +819,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       doc(5, tDup, "src4"),   // delta, byte+text twin of base 1
       doc(10, tUniq, "src4"), // delta, unique
       doc(15, tContam, "src4"), // delta, carries an eval 7-gram
-      doc(20, tNearB, "src4")) // delta, NEAR twin of base 3 (1 word off)
+      doc(20, tNearB, "src4"), // delta, NEAR twin of base 3 (1 word off)
+      doc(25, null, "src4"))  // delta, NULL text — the r13 ADVICE class:
+      // every gate must still emit its row (audit: one row per corpus
+      // doc; the NULL fingerprint would otherwise vanish from keeper
+      // joins on BOTH engines, invisible to the hash gate)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(stage)
     val part = new java.io.File(stage).listFiles()
@@ -830,7 +834,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mm = StreamQueries.streamMmDedup(spark, tmp).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         Option(r.getAs[java.lang.Long]("base_dup_of")).map(_.toLong)).toMap
-    assert(mm === Map(5L -> Some(1L), 10L -> None, 15L -> None, 20L -> None))
+    assert(mm === Map(5L -> Some(1L), 10L -> None, 15L -> None, 20L -> None,
+      25L -> None), "NULL payload must still yield an (unmatched) verdict row")
+
+    // the collision-COUNT gate (whose probe UDF would NPE on NULL text
+    // before the r14 coalesce — its oracle just emits no row, so only a
+    // planted NULL can see the crash) runs the same corpus: doc 15's
+    // single contaminated window and eval-twin doc 7's four, no row for
+    // the NULL doc ('' has no 7-gram, matching the oracle's absence)
+    val dc = StreamQueries.streamDecontam(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_collisions"))
+      .toMap
+    assert(dc === Map(15L -> 1L, 7L -> 4L), s"count gate got $dc")
 
     // streaming audit: the base-fingerprint receipt is data-independent
     // of the trained gate's verdict
@@ -838,7 +853,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("verdict"),
         Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
         Option(r.getAs[java.lang.Long]("near_dup_of")).map(_.toLong)))).toMap
-    assert(sa.keySet === Set(5L, 10L, 15L, 20L))
+    assert(sa.keySet === Set(5L, 10L, 15L, 20L, 25L))
     assert(sa(5L)._2 === Some(1L), "base-probe receipt must fire for the twin")
     assert(sa(10L)._2 === None)
     assert(sa(15L)._2 === None)
@@ -850,12 +865,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("verdict"),
         Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
         Option(r.getAs[java.lang.Long]("near_dup_of")).map(_.toLong)))).toMap
-    assert(ba.keySet === Set(1L, 3L, 5L, 7L, 10L, 15L, 20L))
+    assert(ba.keySet === Set(1L, 3L, 5L, 7L, 10L, 15L, 20L, 25L),
+      "the NULL-text doc must keep its audit row (one row per corpus doc)")
     assert(ba(5L)._2 === Some(1L))
     assert(ba(7L)._2 === None, "the eval twin must not claim the keeper role")
     assert(ba(1L)._2 === None)
     // full verdict pin — the trained gate is DETERMINISTIC for a fixed
-    // corpus (integer GD), and on this one every planted doc passes it,
+    // corpus (integer GD), and on this one every planted TEXT doc
+    // passes it (the NULL doc coalesces to '', is unfeaturizable, and
+    // fails at the quality rung — the absent-score rule),
     // so each ladder branch fires for real: the duplicate stage on 5,
     // NEAR-duplicate on 20 (one word off base 3: fingerprints differ,
     // bands collide, est ≈ 0.9 — with the band-collision receipt and
@@ -869,7 +887,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       7L -> (("decontam", None, None)),
       10L -> (("kept", None, None)),
       15L -> (("decontam", None, None)),
-      20L -> (("near_duplicate", None, Some(3L)))), s"batch got $ba")
+      20L -> (("near_duplicate", None, Some(3L))),
+      25L -> (("quality", None, None))), s"batch got $ba")
     // the STREAM is first-drop: doc 5 drops at the exact-duplicate rung
     // and never probes the band index (lazy sketch), so unlike the
     // batch auditor's full lineage its near receipt stays empty
@@ -877,7 +896,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       5L -> (("duplicate", Some(1L), None)),
       10L -> (("kept", None, None)),
       15L -> (("decontam", None, None)),
-      20L -> (("near_duplicate", None, Some(3L)))), s"stream got $sa")
+      20L -> (("near_duplicate", None, Some(3L))),
+      25L -> (("quality", None, None))), s"stream got $sa")
   }
 
   test("streaming quality-model gate equals the batch train+score row-for-row") {

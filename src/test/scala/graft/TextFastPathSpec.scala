@@ -170,19 +170,6 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("fused anyShingleIn equals shingleSet(...).exists(set) on testdata + edges") {
-    import spark.implicits._
-    val texts = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
-      .select($"text").as[String].collect().take(200) ++ edgeCases
-    // probe sets drawn FROM the corpus (guaranteed hits) plus misses
-    val someGrams = texts.flatMap(t => Text.shingleSet(t, 7).take(2)).toSet
-    for (set <- Seq(someGrams, Set("definitely not a gram"), Set.empty[String]);
-         t <- texts; n <- Seq(3, 7)) {
-      assert(Text.anyShingleIn(t, n, set) === Text.shingleSet(t, n).exists(set),
-        s"fused probe diverged on n=$n text=${t.take(40)}")
-    }
-  }
-
   test("fingerprint probes equal their string-set twins on collision-free corpora") {
     import spark.implicits._
     val texts = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
