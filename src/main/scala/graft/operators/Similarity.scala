@@ -774,8 +774,10 @@ object Similarity {
     * sampling is literally "extend the seed prefix". ≈40 training
     * vectors per cell bounds per-pass cost at Θ(40·k²) while the
     * verdict-side occupancy contract is untouched (assignment still
-    * scans the full corpus once — the flat-quantizer floor; the
-    * documented next device past ~10⁷ cells is a two-level quantizer).
+    * scans the full corpus once; past
+    * [[GraftConfig.semDedupTwoLevelMinCells]] cells that scan probes
+    * the [[CellIndex]] coarse→fine structure — the two-level device
+    * this scaladoc used to promise as prose, shipped r14).
     * INVARIANT (GraftConfigSpec-pinned): the floor of 4000 exceeds
     * every gate corpus (≤ 2000), so at gate SF the "sample" is the
     * whole corpus and every hash oracle is unchanged.
