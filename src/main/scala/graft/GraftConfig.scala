@@ -81,6 +81,20 @@ object GraftConfig {
   def semDedupTwoLevelMinCells: Int =
     operators.Similarity.SemDedupTwoLevelMinK
 
+  /** Exact→LSH edge-source swap point for graph consumers of the kNN
+    * graph (`graph_pagerank` / `graph_triangles`): at or under this
+    * many vectors the edge list is the exact all-pairs top-k (every
+    * hash-gate corpus is ≤ 2,000 vectors and the 10× fixture's 20,000
+    * measured ~6 s — all resolve exact, oracles unchanged); above it
+    * the consumers rank over the hyperplane-LSH candidate edges,
+    * because the exact builder is Θ(n²) BY CONTRACT and the 100×
+    * fixture's 200k vectors turn the "linear" graph rows into a
+    * ~2×10¹⁰-dot-product edge build (the r14 100× screen's measured
+    * wall). Spec-pinned via `knnSourceTagFor`.
+    */
+  def knnEdgesExactMaxVectors: Long =
+    operators.Similarity.KnnEdgesExactMaxVectors
+
   /** Shuffle-partition sizing: enough partitions that a partition's
     * input fits comfortably in task memory (`targetBytes`, default
     * 128 MiB — the spill threshold rule of thumb), floored at 2×cores

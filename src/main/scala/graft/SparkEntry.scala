@@ -195,7 +195,7 @@ object SparkEntry {
     "pipeline_anneal"  -> (Curation.annealMix _),
     "pipeline_cluster_balance" -> ((s: SparkSession, d: String) => Curation.clusterBalance(s, d)),
     "graph_pagerank"   -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
-    "graph_triangles"  -> (Graph.triangles _),
+    "graph_triangles"  -> ((s: SparkSession, d: String) => Graph.triangles(s, d)),
     "sink_scd2"        -> (graft.sources.Sinks.scd2Build _),
   )
 

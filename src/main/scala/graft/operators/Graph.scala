@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * Curation pipelines rank documents by graph centrality over the
   * embedding neighbourhood graph (density weighting, representative
   * selection, influence-aware sampling). The primitive is PageRank
-  * over [[Similarity.embedKnnGraph]]'s exact top-k cosine edges.
+  * over the corpus kNN edge list — size-resolved by
+  * [[Similarity.knnEdges]]: exact top-k cosine edges at gate/measured
+  * scales, hyperplane-LSH candidate edges past
+  * [[Similarity.KnnEdgesExactMaxVectors]] (the exact builder is Θ(n²)
+  * by contract; at corpus scale the ANN graph is the deployed object).
   *
   * Arithmetic is FIXED-POINT: ranks are BIGINTs scaled by 1e12 and
   * every step is integer multiply / integer (floor) division. Floating
@@ -46,9 +50,16 @@ object Graph {
     * run at hundreds of rounds would checkpoint every few like
     * [[Clusters.dedupClusters]] does.
     */
-  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3,
+      exactMax: Long = Similarity.KnnEdgesExactMaxVectors): DataFrame = {
     import spark.implicits._
-    val edges = Similarity.embedKnnGraph(spark, dir)
+    // edge source resolves by corpus size ([[Similarity.knnEdges]]):
+    // exact top-k edges at every gate/measured SF (≤ 100k vectors —
+    // oracle replay unchanged), LSH candidate edges past it, where the
+    // exact builder's Θ(n²) contract would be the whole row's wall
+    // (measured: the 100×-fixture graph rows were this quadratic
+    // edge-build, not the linear rank iterations)
+    val edges = Similarity.knnEdges(spark, dir, exactMax = exactMax)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       .cache()
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
@@ -131,9 +142,11 @@ object Graph {
     * fixed double expression over exact integer (T, d), hash-stable
     * across engines.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  def triangles(spark: SparkSession, dir: String,
+      exactMax: Long = Similarity.KnnEdgesExactMaxVectors): DataFrame = {
     import spark.implicits._
-    val knn = Similarity.embedKnnGraph(spark, dir)
+    // same size-resolved edge source as [[pagerank]] — see the note there
+    val knn = Similarity.knnEdges(spark, dir, exactMax = exactMax)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
     val und = knn
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))

@@ -281,12 +281,14 @@ object Similarity {
     FROM s QUALIFY rank <= $k"""
 
   /** The sublinear scale path for embedding near-dup: hyperplane-LSH
-    * bucketed candidate generation (reusing [[Vectors.lshKeys]], the same
-    * machinery as [[annLsh]]) + exact [[Vectors.dot]] rescore of
-    * candidates only. Each vector lands in `tables` buckets; the
-    * self-join touches only same-bucket pairs (expected bucket size
-    * n/2^bits per table), so candidate volume is sublinear in n² and the
-    * join is an ordinary bucketed equi-join — no all-pairs anywhere.
+    * buckets (reusing [[Vectors.lshKeys]], the same machinery as
+    * [[annLsh]]) + an exact in-bucket rescore that emits ONLY pairs at
+    * the threshold. Each vector lands in `tables` buckets (expected
+    * occupancy held ≈ 125 by [[lshBitsFor]]); each bucket group folds
+    * its pairwise comparisons in one primitive loop (r14 — the
+    * [[embedKnnGraphLsh]] device), so compare volume is linear in n
+    * and no sub-threshold candidate ever becomes a row — no all-pairs,
+    * no candidate-pair join, no payload-attach joins anywhere.
     *
     * Approximate by construction: a true pair colliding in no table is
     * missed. Rows-only driver check; SketchSpec asserts precision 1.0
@@ -310,32 +312,49 @@ object Similarity {
     // unchanged; the parquet row-count read is footer-only.
     val bits = lshBitsFor(Tables.embeddings(spark, dir).count())
     val keyer = Vectors.lshKeys(dim = 64, tables = 16, bits = bits)
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"))
-    // slim candidate generation: only (vec_id, bucket) rides the self-join
-    // and the pair-dedup shuffle; embeddings attach post-candidate via two
-    // id equi-joins (the same shape as minhash LSH's signature attach) —
-    // never shuffle 64-float payloads through the candidate explosion
-    val keys = emb.select($"vec_id", explode(keyer($"embedding")).as("bucket"))
-    val cand = keys.toDF("vec_id_a", "bucket")
-      .join(keys.toDF("vec_id_b", "bucket"), Seq("bucket"))
-      .filter($"vec_id_a" < $"vec_id_b")
-      .select($"vec_id_a", $"vec_id_b")
-    val a = emb.select($"vec_id".as("vec_id_a"), $"embedding".as("ea"), $"nrm".as("na"))
-    val b = emb.select($"vec_id".as("vec_id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
-    // dedupe AFTER the rescore+threshold: when the embedding side is
-    // small the planner broadcasts the attach joins (map-side, codegen'd
-    // dot ~ns/pair) and only the tiny surviving pair set hits the dedup
-    // shuffle. NO broadcast hint here: the attach side is the FULL
-    // embedding table — corpus-sized at scale — so a hard-coded hint
-    // would OOM a 100 TB run. Catalyst broadcasts it while its estimate
-    // clears spark.sql.autoBroadcastJoinThreshold and AQE re-plans on
-    // runtime sizes; above that it degrades to ordinary vec_id shuffle
-    // joins. Both shapes are pinned in PlanShapeSpec.
-    cand.join(a, Seq("vec_id_a")).join(b, Seq("vec_id_b"))
-      .select($"vec_id_a", $"vec_id_b",
-        (Vectors.dot($"ea", $"eb") / ($"na" * $"nb")).as("cos"))
-      .filter($"cos" >= 0.4)
+    // Per-bucket in-memory rescore — the [[embedKnnGraphLsh]] fold
+    // device (one shared [[dotD]] loop, slot-free because the contract
+    // here is a THRESHOLD, not a top-k): each bucket group compares its
+    // members pairwise in a primitive loop and emits ONLY the pairs at
+    // cos ≥ 0.4, so nothing sub-threshold ever materializes as a row.
+    // The r14 100× screen measured the previous shape — slim
+    // (id, bucket) self-join to ~1000·n candidate ROWS, then TWO
+    // embedding-attach joins — at 271 s where this twin fold's
+    // kNN-graph form took 33 s on the SAME buckets: candidate volume
+    // was linear as designed, but every candidate paid two join hops
+    // and a corpus-sized attach shuffle. Here the 64-float payloads
+    // shuffle exactly once (the bucket groupByKey, n·tables rows) and
+    // the only later exchange carries true pairs. dotD ≡ the codegen'd
+    // [[Vectors.dot]] fold (both sequential ascending-index double
+    // folds), so every emitted cos is bit-identical to the previous
+    // plan's and the DuckDB replay below still hash-matches.
+    val keyed = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"),
+        explode(keyer($"embedding")).as("bucket"))
+      .as[(Long, Array[Float], Double, Long)]
+    keyed.groupByKey(_._4).flatMapGroups { (_, it) =>
+      val m = it.map { case (id, v, nrm, _) => (id, v, nrm) }.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var x = 0
+      while (x < m.length) {
+        val (ida, va, na) = m(x)
+        var y = x + 1
+        while (y < m.length) {
+          val (idb, vb, nb) = m(y)
+          val c = dotD(va, vb) / (na * nb)
+          // NaN (zero-norm member) fails the threshold, as it failed
+          // the previous plan's post-attach filter
+          if (c >= 0.4)
+            out += (if (ida < idb) (ida, idb, c) else (idb, ida, c))
+          y += 1
+        }
+        x += 1
+      }
+      out.iterator
+    }.toDF("vec_id_a", "vec_id_b", "cos")
+      // a true pair colliding in several tables emits once per table
+      // with the identical cos; one survives, same as the old plan's
+      // post-rescore dedup
       .dropDuplicates("vec_id_a", "vec_id_b")
   }
 
@@ -450,6 +469,52 @@ object Similarity {
     SELECT vid AS vec_id, nid AS neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nid) AS INT) AS rank
     FROM scored QUALIFY rank <= $k"""
+
+  /** Vector-count ceiling for building a kNN EDGE LIST by the exact
+    * all-pairs builder when the caller's semantics is "the neighborhood
+    * graph", not "the exact-contract kNN row": at or below, consumers
+    * get [[embedKnnGraph]]'s exact edges (every hash-gate corpus is
+    * ≤ 2,000 vectors and the 10× fixture's 20,000 measured ~6 s — both
+    * resolve exact, so every oracle and every committed decade number
+    * is unchanged); above, [[knnEdges]] switches to
+    * [[embedKnnGraphLsh]]'s bucket-bounded edges, because the exact
+    * builder is Θ(n²) BY CONTRACT and at the 100×-fixture's 200k
+    * vectors that contract is a ~2×10¹⁰-dot-product job — measured
+    * as the whole wall of the r14 graph-row 100× screen, the
+    * quadratic-input-hiding-inside-a-linear-operator class.
+    */
+  private[graft] val KnnEdgesExactMaxVectors: Long = 100000L
+
+  /** The resolved edge-source tag for a corpus of `n` vectors —
+    * spec-pinned (GraphSpec) so the swap point is executable knowledge,
+    * the [[CellIndex.tag]]/`assignTagFor` convention.
+    */
+  private[graft] def knnSourceTagFor(n: Long): String =
+    if (n <= KnnEdgesExactMaxVectors) "exact" else "lsh"
+
+  /** The kNN edge list for graph CONSUMERS ([[Graph.pagerank]],
+    * [[Graph.triangles]]): exact top-k cosine edges up to
+    * [[KnnEdgesExactMaxVectors]] vectors, hyperplane-LSH candidate
+    * edges past it. Both builders emit the same
+    * (vec_id, neighbor_id, cos, rank) schema and the same
+    * (cos desc, id asc) rank order, so consumers are source-agnostic.
+    *
+    * HONEST TRADE above the threshold: LSH recall < 1 (a true neighbor
+    * colliding in no table is missed), so centrality/density then
+    * measures the APPROXIMATE neighborhood graph — which is the graph
+    * production curation pipelines actually rank over at corpus scale
+    * (nobody materializes an exact 10⁹-vector kNN; the ANN graph IS the
+    * deployed object). The LSH row's own recall spec (SketchSpec vs the
+    * exact twin) bounds the edge loss; out-degree may drop below k for
+    * bucket-orphaned nodes, which both consumers already handle (degree
+    * is COMPUTED, never assumed k).
+    */
+  def knnEdges(spark: SparkSession, dir: String, k: Int = 3,
+      exactMax: Long = KnnEdgesExactMaxVectors): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    if (n <= exactMax) embedKnnGraph(spark, dir, k = k)
+    else embedKnnGraphLsh(spark, dir, k = k)
+  }
 
   /** Sequential double left fold — bit-identical to the DuckDB oracle's
     * list_sum(list_transform(list_zip(...))).

@@ -91,4 +91,48 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       "incident counts must triple-count each triangle")
     assert(got.values.exists(_._2 > 0), "k-NN graph should close some triangles")
   }
+
+  test("knn edge source resolves exact at every gate corpus, lsh past the swap point") {
+    import graft.operators.Similarity
+    // every hash-gate corpus (sf0.001/0.01/0.1 ≤ 2,000 vectors) and the
+    // 10x fixture (20,000) sit under the threshold — the oracles replay
+    // exact edges; the 100x fixture's 200k sits above
+    for (n <- Seq(50L, 500L, 5000L, 50000L, Similarity.KnnEdgesExactMaxVectors))
+      assert(Similarity.knnSourceTagFor(n) === "exact", s"n=$n")
+    for (n <- Seq(Similarity.KnnEdgesExactMaxVectors + 1, 500000L, 5000000L))
+      assert(Similarity.knnSourceTagFor(n) === "lsh", s"n=$n")
+    assert(GraftConfig.knnEdgesExactMaxVectors ===
+      Similarity.KnnEdgesExactMaxVectors)
+  }
+
+  test("knnEdges IS the builder its tag names (forced-lsh ≡ the lsh twin)") {
+    import graft.operators.Similarity
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getInt(3))
+    // default resolution at gate SF = the exact builder, row for row
+    val auto = Similarity.knnEdges(spark, sf).collect().map(key).toSet
+    val exact = Similarity.embedKnnGraph(spark, sf).collect().map(key).toSet
+    assert(auto === exact)
+    // exactMax = 0 forces every corpus onto the lsh path
+    val forced = Similarity.knnEdges(spark, sf, exactMax = 0L)
+      .collect().map(key).toSet
+    val lsh = Similarity.embedKnnGraphLsh(spark, sf).collect().map(key).toSet
+    assert(forced === lsh)
+  }
+
+  test("pagerank over forced-lsh edges keeps the consumer contracts") {
+    // the at-scale shape: out-degree may drop below k for bucket-orphaned
+    // nodes; degree is COMPUTED so ranks stay positive and mass bounded
+    val lshPr = Graph.pagerank(spark, sf, exactMax = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lshPr.nonEmpty)
+    assert(lshPr.values.forall(_ > 0))
+    assert(lshPr.values.sum <= Graph.Scale)
+    val triRows = Graph.triangles(spark, sf, exactMax = 0L).collect()
+    assert(triRows.nonEmpty)
+    triRows.foreach { r =>
+      val cc = r.getDouble(3)
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+  }
 }

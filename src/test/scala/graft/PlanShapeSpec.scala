@@ -333,17 +333,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("dedup_embed_lsh: un-hinted attach joins broadcast small, shuffle large") {
+  test("dedup_embed_lsh: in-bucket fold — no candidate-pair join in the plan") {
+    // r14: the slim-candidate self-join + two payload-attach joins were
+    // replaced by the per-bucket fold (the embedKnnGraphLsh device) —
+    // the r14 100x screen measured the join shape at 271 s vs the
+    // fold's 33 s on identical buckets. The plan must stay join-free:
+    // payloads shuffle exactly once (the bucket groupByKey), and the
+    // only aggregate exchange carries true pairs.
     val plan = executedPlanString(Similarity.embedPairsLsh(spark, sf))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"small embedding attach should broadcast:\n$plan")
-    withoutAutoBroadcast {
-      val big = executedPlanString(Similarity.embedPairsLsh(spark, sf))
-      assert(!big.contains("BroadcastHashJoin"),
-        s"hard-coded broadcast reappeared in embedPairsLsh:\n$big")
-      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
-        s"embedding attach lost its shuffle-join fallback:\n$big")
-    }
+    assert(!plan.contains("Join"),
+      s"a candidate or attach join reappeared in embedPairsLsh:\n$plan")
+    assert(plan.contains("MapGroups"),
+      s"the per-bucket fold vanished from embedPairsLsh:\n$plan")
   }
 
   test("sink_dpp: runtime-derived dim join prunes fact partitions dynamically") {
