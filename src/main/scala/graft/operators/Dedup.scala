@@ -952,13 +952,17 @@ object Dedup {
       (0 until 4).map(b => struct(lit(b).as("blk"),
         (shiftright($"sig", b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*)).as("e"))
       .select($"doc_id", $"sig", $"e.blk", $"e.bh")
-    val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    // verify-then-dedup, native bit_count (r14 — the mm_simhash 100×
+    // find, same order applied to this twin): the Hamming check runs
+    // codegen'd inside the join stage, so only verified pairs reach
+    // the pair-dedup shuffle; identical results (a pair's block
+    // duplicates carry identical sigs/hamming)
     blocked.as("a").join(blocked.as("b"),
         $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_id_a"), $"b.doc_id".as("doc_id_b"),
-        hammingUdf($"a.sig", $"b.sig").as("hamming"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("int").as("hamming"))
       .filter($"hamming" <= 3)
+      .dropDuplicates("doc_id_a", "doc_id_b")
   }
 
   /** DuckDB replay oracle for [[simhash]]: gram64 shingle hashes → the

@@ -302,13 +302,24 @@ object Multimodal {
       (0 until 4).map(b => struct(lit(b).as("blk"),
         (shiftright($"sig", b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*)).as("e"))
       .select($"doc_id", $"sig", $"e.blk", $"e.bh")
-    val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    // Hamming verify INSIDE the join stage (native codegen'd
+    // bit_count over columns already in the joined row), THEN the
+    // pair dedup — so only verified pairs ever reach a shuffle.
+    // Results are identical either way (a pair's duplicates across
+    // blocks carry the same sigs, hence the same hamming), but the
+    // order is the row's whole 100× wall: byte-gram signatures of the
+    // fixture's near-dup copies collide block-wise in ~100-copy
+    // cliques, and verifying AFTER dropDuplicates shuffled ~10⁸
+    // candidate rows (each paying a non-codegen UDF) into the dedup
+    // only to drop nearly all of them — 193 s at 100×, vs the same
+    // real-corpus shape any near-dup clique produces. Candidate
+    // volume is output-bounded now, not collision-bounded.
     blocked.as("a").join(blocked.as("b"),
         $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_id_a"), $"b.doc_id".as("doc_id_b"),
-        hammingUdf($"a.sig", $"b.sig").as("hamming"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("int").as("hamming"))
       .filter($"hamming" <= 3)
+      .dropDuplicates("doc_id_a", "doc_id_b")
   }
 
   /** DuckDB oracle for [[payloadSimhash]] — the byte-level sketch
