@@ -175,12 +175,13 @@ object Bench {
     // Violations ride the JSON line AND page on stderr; the exit code
     // stays 0 so the driver's protocol (one JSON line) is never broken
     // by a perf regression — the regression is data, not a crash.
-    val ceiling = sys.env.get("SPARK_GRAFT_CEILING")
+    val ceilingOverride = sys.env.get("SPARK_GRAFT_CEILING")
       .flatMap(s => scala.util.Try(s.toDouble).toOption.orElse {
         // a malformed override must not crash AFTER the suite has run —
         // the one-JSON-line protocol outranks the knob
         System.err.println(s"[bench] ignoring unparseable SPARK_GRAFT_CEILING='$s'"); None
       })
+    val ceiling = ceilingOverride
       .getOrElse(if (sfDir.endsWith("sf0.1")) 3.5 else Double.MaxValue)
     // Documented per-row exceptions to the default ceiling — each is a
     // COMPOSITE row whose floor is the sum of its component rows' own
@@ -196,10 +197,14 @@ object Bench {
     // (3.37 r13, 3.64 twice within 2 ms r14), so its ceiling sits just
     // above the measured band and pages only on a real plan change.
     // Per-row exceptions are sf0.1-calibrated: they apply only where
-    // the default ceiling itself does (sf0.1, no env override) — at
-    // other SFs, or under SPARK_GRAFT_CEILING, the caller's rule wins.
+    // the default ceiling itself does (sf0.1, no PARSED env override) —
+    // at other SFs, or under an effective SPARK_GRAFT_CEILING, the
+    // caller's rule wins. Gated on ceilingOverride (the parsed Option),
+    // not the raw env var: an unparseable override already fell back to
+    // the default ceiling above, so it must not also strip the
+    // default's documented exceptions (r14 ADVICE).
     val rowCeilings: Map[String, Double] =
-      if (ceiling == 3.5 && sys.env.get("SPARK_GRAFT_CEILING").isEmpty)
+      if (ceiling == 3.5 && ceilingOverride.isEmpty)
         Map("q_stream_audit" -> 6.0, "dedup_containment" -> 4.5)
       else Map.empty
     val violations = results.filter { case (k, v) =>

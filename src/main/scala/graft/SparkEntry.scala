@@ -159,6 +159,7 @@ object SparkEntry {
     "decontam_embed" -> ((s: SparkSession, d: String) => Decontam.embedDecontam(s, d)),
     "decontam_embed_lsh" -> ((s: SparkSession, d: String) => Decontam.embedDecontamLsh(s, d)),
     "q_stream_decontam_embed" -> ((s: SparkSession, d: String) => StreamQueries.streamEmbedDecontam(s, d)),
+    "q_stream_decontam_embed_lsh" -> ((s: SparkSession, d: String) => StreamQueries.streamEmbedDecontamLsh(s, d)),
     "text_decontam_bloom" -> ((s: SparkSession, d: String) => Decontam.bloomDecontam(s, d)),
     "sink_partitioned" -> (graft.sources.Sinks.partitionedRoundTrip _),
     "sink_csv"         -> (graft.sources.Sinks.csvRoundTrip _),
@@ -438,6 +439,10 @@ object SparkEntry {
     // q_stream_decontam_embed: stateless per-arrival scoring against the
     // broadcast eval suite — same full replay oracle as the batch row
     "q_stream_decontam_embed" -> Decontam.embedDecontamSql,
+    // q_stream_decontam_embed_lsh: staged-bucket online gating ≡ the
+    // batch prescreen's replay (same planes/bits/tables by shared
+    // code), so the batch LSH oracle hash-checks the streaming gate
+    "q_stream_decontam_embed_lsh" -> Decontam.embedDecontamLshSql(),
     // identical output contract via the Bloom pre-filter path (exact
     // verify behind the sketch) — same oracle as text_decontam
     "text_decontam_bloom" -> Decontam.ngramCollisionsSql,

@@ -35,6 +35,7 @@ object Staging {
     "base_fp" -> ((s: SparkSession, d: String) => ops.Dedup.baseFpIndex(s, d)),
     "base_chunks" -> ((s: SparkSession, d: String) => ops.Dedup.baseChunkIndex(s, d)),
     "base_minhash" -> ((s: SparkSession, d: String) => ops.Dedup.baseMinhashIndex(s, d)),
+    "delta_minhash" -> ((s: SparkSession, d: String) => ops.Dedup.deltaMinhashIndex(s, d)),
     "base_winfp" -> ((s: SparkSession, d: String) => ops.Dedup.baseWindowIndex(s, d)),
     "base_payload" -> ((s: SparkSession, d: String) => ops.Multimodal.basePayloadIndex(s, d)),
     // connected-component labels over the verified pair set (full
@@ -61,6 +62,7 @@ object Staging {
     "hll_daily" -> ((s: SparkSession, d: String) => ops.Analytics.qHllMerge(s, d)),
     // streaming serving-side indexes
     "lsh_buckets" -> ((s: SparkSession, d: String) => ops.StreamQueries.lshBucketsDump(s, d)),
+    "eval_lsh_index" -> ((s: SparkSession, d: String) => ops.StreamQueries.evalLshIndexDump(s, d)),
     "ivf_index" -> ((s: SparkSession, d: String) => ops.StreamQueries.ivfIndexDump(s, d)),
     "events_sentinel" -> ((s: SparkSession, d: String) => ops.StreamQueries.sentinelEventsDump(s, d)),
     "traffic_msgs" -> ((s: SparkSession, d: String) => ops.StreamQueries.messageDump(s, d)),

@@ -94,20 +94,20 @@ object Audit {
     // with the smallest such partner as the lineage receipt.
     val baseSk = graft.operators.Dedup.baseMinhashIndex(spark, dir)
       .join(docs.select($"doc_id"), Seq("doc_id"))
-    val deltaSk = docs.filter(Dedup.isDelta($"doc_id"))
-      .select($"doc_id", graft.functions.ShingleGramHashes($"text").as("hashes"))
-      .filter(size($"hashes") > 0)
-      .select($"doc_id", graft.functions.MinhashSig($"hashes").as("sig"))
-      .select($"doc_id", $"sig", graft.functions.MinhashBands($"sig").as("bands"))
-    // the DELTA sketch is cached: consumed four times (band self-join
-    // evaluates it twice, plus the two sig-attach joins) — without this
-    // its 128-perm sketch recomputes per consumer (the minhashLsh
-    // `sigs` convention, Dedup.scala). Only the delta side: the base
-    // rows are a staged parquet read (re-scanning columnar sigs 4× is
-    // cheap; pinning a corpus-sized cache for the session's lifetime is
-    // the storage-memory class the r14 review caught).
+    // the DELTA sketch is a STAGED read too (r15; the r14 shape cached
+    // it in storage memory for the session's lifetime — the exact class
+    // the r14 review caught on the base side, found by ADVICE on this
+    // one). It is consumed four times (band self-join twice + the two
+    // sig-attach joins); like the base index, re-scanning slim columnar
+    // sigs beats both re-running the 128-perm sketch per consumer and a
+    // never-released cache. The audited-slice join drops eval-source
+    // entries, same as the base side. NULL-text delta docs land in
+    // neither sketch (empty gram sets are filtered identically), so the
+    // keeper/near joins see the same rows as the inline derivation did.
+    val deltaSk = graft.operators.Dedup.deltaMinhashIndex(spark, dir)
+      .join(docs.select($"doc_id"), Seq("doc_id"))
     val sk = baseSk.select($"doc_id", $"sig", $"bands")
-      .unionByName(deltaSk.cache())
+      .unionByName(deltaSk.select($"doc_id", $"sig", $"bands"))
     val bandRows = sk.select($"doc_id",
       posexplode($"bands").as(Seq("band_idx", "band_hash")))
     val candPairs = bandRows.as("x").join(bandRows.as("y"),

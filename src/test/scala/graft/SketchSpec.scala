@@ -541,6 +541,82 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Jaccard unexpectedly caught the embedded pair — planting is wrong")
   }
 
+  test("containment df cap: hot shingles cut from the count, genuine pairs " +
+      "intact with identical values, auto cap inactive on a small corpus") {
+    // Planted hot-shingle corpus for the r15 skew guard: one 3-word
+    // phrase shared by 31 docs (df 31), a tiny doc T that IS the phrase
+    // (its whole shingle set is the hot shingle), and a genuine
+    // doc-in-doc pair sharing only cold shingles. The cap must cut
+    // exactly the pairs whose counted overlap was hot-only (disclosed
+    // false negatives) and leave every other pair bit-identical.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dfcap").toString
+    val hot = "h1 h2 h3"
+    val core = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val shell = (100 to 400).map(i => s"pad$i").mkString(" ") + " " + core
+    val noise = (1 to 30).map(k =>
+      (100L + k, s"$hot " + (1 to 40).map(i => s"n${k}w$i").mkString(" ")))
+    val docs = (Seq((1L, core), (2L, shell), (3L, hot)) ++ noise)
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def res(cap: Option[Long]) =
+      Dedup.containment(spark, tmp, checkpoint = false, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val un = res(Some(Long.MaxValue))
+    // T is contained (1.0) in every phrase-carrying doc; A in its shell
+    assert(un.get((1L, 2L)).exists(_._3 >= 0.999), s"genuine pair lost: $un")
+    assert(noise.forall(n => un.contains((3L, n._1))),
+      "hot-only containments missing from the uncapped run")
+    val capped = res(Some(10L))
+    // the hot shingle (df 31 > 10) no longer counts: hot-only pairs are
+    // the documented false negatives...
+    assert(!capped.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"capped run still emits hot-only pairs: ${capped.keySet.filter(p => p._1 == 3L || p._2 == 3L)}")
+    // ...and every other pair survives with identical n_a/inter/score
+    assert(capped === un.filter { case ((a, b), _) => a != 3L && b != 3L })
+    // the auto-sized cap (max(4096, n/20)) resolves inactive here
+    assert(res(None) === un, "auto cap unexpectedly active on a 33-doc corpus")
+    assert(Dedup.containmentDfCapFor(33) === 4096L &&
+      Dedup.containmentDfCapFor(500000) === 25000L)
+  }
+
+  test("embedPairsLsh: identity cliques collapse before bucketing and expand " +
+      "back losslessly; zero-norm cliques emit nothing") {
+    // Planted identical-embedding cliques (r15 ADVICE: the defining
+    // skew input of an embedding dedup — the fixtures hold none, so
+    // this corpus pins the collapse): clique A (3 copies), clique B
+    // (2 copies of a near-identical vector), one anti-correlated
+    // outsider, and a 2-copy ZERO-vector clique whose NaN cosine must
+    // produce no pairs, exactly as the doc-level plan dropped it.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clique").toString
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val b = a.clone(); b(0) = a(0) + 0.01f
+    val far = a.map(x => -x)
+    val zero = Array.fill(64)(0f)
+    val rows = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b),
+      (6L, far), (7L, zero), (8L, zero))
+      .map { case (id, v) => (id, v.toSeq, 0) }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rowsOut = Similarity.embedPairsLsh(spark, tmp).collect()
+    val out = rowsOut.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val within = Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    val cross = Set((1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L), (3L, 4L), (3L, 5L))
+    assert(out.keySet === within ++ cross,
+      s"expected cliques + cross pairs, got ${out.keySet}")
+    // one row per pair: the expansion must not duplicate
+    assert(rowsOut.length === out.size)
+    within.foreach(p => assert(math.abs(out(p) - 1.0) < 1e-9,
+      s"identical pair $p cos ${out(p)}"))
+    // every A-B member pair carries the ONE representative cosine
+    assert(cross.map(out).size === 1 && out((1L, 4L)) >= 0.99)
+  }
+
   test("substring dedup: keeper kept, later spans excised, overlap-merge + islands exact") {
     // Planted corpus for every branch of the contract (W = 20):
     //  doc 1  u1..u5 S(21) v1..v4      — first occurrence of S: untouched

@@ -933,6 +933,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateRows === 0L, s"expected a stateless plan, got $stateRows state rows")
   }
 
+  test("streaming LSH decontam gate equals the batch prescreen; precision 1.0 " +
+      "and measured recall vs the exact streaming gate") {
+    import graft.operators.{Decontam, StreamQueries}
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("n_eval_hits"),
+        r.getAs[Double]("best_cos"), r.getAs[Long]("witness_id"))
+    val batchLsh = Decontam.embedDecontamLsh(spark, dir).collect().map(key).toSet
+    val stream = StreamQueries.streamEmbedDecontamLsh(spark, dir)
+      .collect().map(key).toSet
+    assert(stream === batchLsh,
+      "staged-bucket online gating diverged from the batch LSH prescreen")
+    assert(stream.nonEmpty)
+    // the honesty contract vs the EXACT streaming gate: every emitted
+    // flag is exact-verified (a candidate subset can never invent hits:
+    // count/best bounded above, witness only later), recall floored
+    // well under the measured value so the spec pins breakage not noise
+    val exact = StreamQueries.streamEmbedDecontam(spark, dir).collect()
+      .map(key).map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    stream.foreach { case (id, hits, best, wit) =>
+      assert(exact.contains(id), s"vec $id flagged by LSH gate but not exact")
+      val (eh, eb, ew) = exact(id)
+      assert(hits <= eh && best <= eb + 1e-12 && wit >= ew,
+        s"vec $id LSH aggregates exceed the exact gate's")
+    }
+    val recall = stream.size.toDouble / exact.size
+    assert(recall >= 0.5, s"flag recall $recall collapsed")
+  }
+
   test("streaming calibration monitor equals the batch reliability table, grid-bounded state") {
     import graft.operators.{Profile, StreamQueries}
     val dir = "/root/testdata/sf0.001"
