@@ -1,0 +1,41 @@
+#!/bin/bash
+# Drift A/B for a single bench row (r14 verdict item 7): measure the
+# row with the WORKING TREE code, then with committed HEAD (via git
+# stash), and emit both numbers as one JSON line — the §6 protocol that
+# separates box-wide streaming drift from real regressions before any
+# "regression" is believed or optimized. With a clean tree the two runs
+# measure the same code twice, i.e. pure box noise.
+#
+# Usage: scripts/ab.sh <query> [sfdir]   (default sf0.1)
+# Both runs share whatever DumpCache artifacts are already staged, so
+# run a warm pass first if cold-staging noise would pollute the compare.
+set -e
+cd "$(dirname "$0")/.."
+Q="$1"
+SF="${2:-/root/testdata/sf0.1}"
+[ -n "$Q" ] || { echo "usage: scripts/ab.sh <query> [sfdir]" >&2; exit 2; }
+
+run_once() {
+  sbt -batch compile >/dev/null 2>&1
+  SPARK_GRAFT_ONLY="$Q" SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CEILING=999 \
+    scripts/run.sh graft.Bench 2>/dev/null | grep '"metric"' |
+    python3 -c "import json,sys; print(json.loads(sys.stdin.read())['queries'].get('$Q', -1))"
+}
+
+WORK_SEC=$(run_once)
+
+BEFORE=$(git stash list | wc -l)
+git stash push -q --include-untracked -m "ab_sh_tmp" >/dev/null 2>&1 || true
+AFTER=$(git stash list | wc -l)
+STASHED=false
+[ "$AFTER" -gt "$BEFORE" ] && STASHED=true
+
+HEAD_SEC=$(run_once)
+
+if [ "$STASHED" = true ]; then
+  git stash pop -q
+  # leave the compiled classes matching the working tree again
+  sbt -batch compile >/dev/null 2>&1
+fi
+
+echo "{\"query\":\"$Q\",\"sf\":\"$SF\",\"worktree_sec\":$WORK_SEC,\"head_sec\":$HEAD_SEC,\"tree_differed\":$STASHED}"

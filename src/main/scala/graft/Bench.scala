@@ -185,17 +185,19 @@ object Bench {
       .getOrElse(if (sfDir.endsWith("sf0.1")) 3.5 else Double.MaxValue)
     // Documented per-row exceptions to the default ceiling — each is a
     // COMPOSITE row whose floor is the sum of its component rows' own
-    // honest fixed costs, not a regression: `q_stream_audit` runs four
-    // gate families (trained-quality margin + decontam fingerprint
-    // probe + exact-dup index probe + the near-dup band probe, i.e.
-    // `q_stream_delta_lsh`'s whole plan) plus TWO stateful micro-batch
-    // cycles of state-store commits in one harness stream; its
-    // standalone components alone sum past 3.5 s warm at sf0.1.
+    // honest fixed costs, not a regression. `q_stream_audit`: four gate
+    // families in one harness stream; exception RECALIBRATED r15 from a
+    // committed 10-run ISOLATED warm band at sf0.1 (decades_r15 Section
+    // E: 2.79-3.90 s, mean 3.18, itemized harness ~0.9 / stateless
+    // probes ~1.2 / near rung ~1.0) after the NoTimeout fold cut the
+    // second stateful micro-batch cycle (the r14 band was 5.3-7.6 s).
+    // PROTOCOL: the ceiling governs the isolated warm run — the
+    // calibration protocol — and in-suite times have measured at or
+    // under the isolated band, so it covers both without paging.
     // `dedup_containment`: the suite's standing max row — an honest
-    // prefix-filter pair-derivation cost, plan unchanged since r11 and
-    // re-audited r13; it tracks box state inside a 2.7-3.7 s band
-    // (3.37 r13, 3.64 twice within 2 ms r14), so its ceiling sits just
-    // above the measured band and pages only on a real plan change.
+    // pair-derivation cost (r15: the zero-join co-occurrence plan);
+    // its ceiling sits just above the measured band and pages only on
+    // a real plan change.
     // Per-row exceptions are sf0.1-calibrated: they apply only where
     // the default ceiling itself does (sf0.1, no PARSED env override) —
     // at other SFs, or under an effective SPARK_GRAFT_CEILING, the
@@ -205,7 +207,7 @@ object Bench {
     // default's documented exceptions (r14 ADVICE).
     val rowCeilings: Map[String, Double] =
       if (ceiling == 3.5 && ceilingOverride.isEmpty)
-        Map("q_stream_audit" -> 6.0, "dedup_containment" -> 4.5)
+        Map("q_stream_audit" -> 4.5, "dedup_containment" -> 4.5)
       else Map.empty
     val violations = results.filter { case (k, v) =>
       v > rowCeilings.getOrElse(k, ceiling) || v < 0 }

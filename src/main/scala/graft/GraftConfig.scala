@@ -33,6 +33,24 @@ object GraftConfig {
     * per-entity folds at 10⁸+ live entities). One conf, no operator
     * change, byte-identical results (spec-pinned at the provider
     * level AND value level). Returns the session for chaining.
+    *
+    * Operating evidence (decades_r15 Section D, the r14 wave-1 anomaly
+    * attributed): at equal state (530k rows, identical pairs), RocksDB
+    * holds 0.27 GB in-JVM where heap holds 1.88 GB — the number that
+    * motivates the flip, stable across runs. Its wall costs are
+    * NAMED, not anomalous: the FIRST commit of a fresh store pays a
+    * one-time state-materialization surcharge (the whole initial state
+    * becomes SSTs + a full snapshot zip — rocksdbCommitCheckpointLatency
+    * 195.7 s summed/32 partitions in wave 1, collapsing to 8.8 s then
+    * 0.5 s in waves 2-3 as rocksdbFilesReused takes over), and
+    * steady-state waves run within the measurement box's own
+    * session-to-session swing (heap's wave walls moved 26.8-69.8 s on
+    * identical code across r14/r15 sessions — larger than any
+    * heap-vs-RocksDB steady-state delta measured). RECOMMENDATION:
+    * default to heap while total state fits executor heap with
+    * headroom; flip here when it does not — the flip buys ~7× in-JVM
+    * state compression for a one-time first-commit surcharge and
+    * box-noise-level steady-state cost.
     */
   def useRocksDbStateStore(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -281,11 +281,24 @@ object DeltaLshCycle {
           }
         } else 0L
       }
+      // provider-internal attribution (r15 — the r14 wave-1 anomaly):
+      // the nonzero state-store custom metrics, summed across operators,
+      // name WHERE a wave's wall went (RocksDB commit/flush/compact/
+      // fileSync/snapshot latencies vs the heap provider's near-empty
+      // map) instead of leaving a 25 s gap unexplained
+      val custom = {
+        import scala.jdk.CollectionConverters._
+        so.flatMap(_.customMetrics.asScala)
+          .groupBy(_._1).view.mapValues(_.map(_._2.longValue()).sum)
+          .filter(_._2 != 0L).toSeq.sortBy(_._1)
+          .map { case (k2, v) => s""""$k2":$v""" }.mkString("{", ",", "}")
+      }
       println(f"""{"wave":$k,"provider":"$provider","sec":$sec%.2f,""" +
         s""""state_rows":${so.map(_.numRowsTotal).sum},""" +
         s""""state_bytes":${so.map(_.memoryUsedBytes).sum},""" +
         s""""state_disk_bytes":$stateDisk,""" +
-        s""""pairs_total":${spark.read.parquet(outDir).count()}}""")
+        s""""pairs_total":${spark.read.parquet(outDir).count()},""" +
+        s""""custom_metrics":$custom}""")
       // compaction: the next generation owns every wave fed so far
       gen = writeGen(k, $"doc_id" % 5 === 0 && ($"doc_id" / 5).cast("long") % waves < k)
       Thread.sleep(ttlSec * 1000L + 500L) // let this wave's buckets go quiet
@@ -295,6 +308,131 @@ object DeltaLshCycle {
     // checkpoint — ~22 GB at the 100× fixture; leaving it behind is how
     // a measurement box runs out of disk mid-round (it did, r14)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+}
+
+/** Dev tool (r15, verdict item 4): itemize `q_stream_audit`'s wall —
+  * N isolated runs each of (a) the full ladder, (b) the ladder with the
+  * near rung's sketch + band probe switched off (the measurement-only
+  * `nearRung=false` flag), and (c) `q_stream_pii` as the harness+source
+  * floor (same readStream → memory-sink AvailableNow shape, one
+  * stateless map). full−noNear ≈ the near rung (sketch+probe+fold);
+  * noNear−pii ≈ the three stateless gate probes; pii ≈ harness. One
+  * JSON line per run; a warm-up pass of each variant runs first so JIT
+  * and dump staging bill nobody.
+  *
+  * Usage: runMain graft.AuditItemize <sfDir> [runs]
+  */
+object AuditItemize {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-audit-itemize")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val variants: Seq[(String, () => Long)] = Seq(
+      "audit_full" -> (() =>
+        graft.operators.StreamQueries.streamAudit(spark, dir).count()),
+      "audit_no_near" -> (() =>
+        graft.operators.StreamQueries.streamAudit(spark, dir,
+          nearRung = false).count()),
+      "pii_floor" -> (() =>
+        graft.operators.StreamQueries.streamPii(spark, dir).count()))
+    variants.foreach { case (_, f) => f() } // warm-up: JIT + dumps
+    (1 to runs).foreach { r =>
+      variants.foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        val n = f()
+        println(s"""{"variant":"$name","run":$r,"sec":${
+          (System.nanoTime() - t0) / 1e9},"rows":$n}""")
+      }
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool (r15, verdict item 1): candidate-stream itemization for
+  * the SimHash clique collapse — doc-level vs signature-level blocking
+  * volumes for both sketch variants at an arbitrary fixture, the
+  * numbers behind decades_r15 Section B.
+  *
+  * Usage: runMain graft.SimhashCandProbe <sfDir>
+  */
+object SimhashCandProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-simhash-cand-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.sources.Tables
+
+    def blockCols(sigCol: String) = explode(array(
+      (0 until 4).map(b => struct(lit(b).as("blk"),
+        (shiftright(col(sigCol), b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*))
+
+    def report(name: String, sigs: org.apache.spark.sql.DataFrame): Unit = {
+      sigs.cache().count()
+      val docBlocked = sigs.select($"doc_id", $"sig", blockCols("sig").as("e"))
+        .select($"doc_id", $"e.blk", $"e.bh")
+      val docCand = docBlocked.as("a").join(docBlocked.as("b"),
+        $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id").count()
+      val reps = sigs.groupBy($"sig").agg(count(lit(1)).as("c"))
+      val nSigs = reps.count()
+      val repBlocked = reps.select($"sig", blockCols("sig").as("e"))
+        .select($"sig", $"e.blk", $"e.bh")
+      val repCand = repBlocked.as("a").join(repBlocked.as("b"),
+        $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" &&
+          $"a.sig" < $"b.sig").count()
+      val maxClique = reps.agg(max($"c")).head().getLong(0)
+      println(s"[cand] $name docs=${sigs.count()} distinct_sigs=$nSigs " +
+        s"max_sig_clique=$maxClique doc_level_candidates=$docCand " +
+        s"sig_level_candidates=$repCand")
+      sigs.unpersist()
+    }
+
+    report("mm_simhash(byte-gram)", Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        (id, graft.functions.Text.simhash64(
+          graft.operators.Multimodal.byteGramHashes(p)))
+      }.toDF("doc_id", "sig"))
+    report("dedup_simhash(word-shingle)", Tables.documents(spark, dir)
+      .select($"doc_id", graft.functions.SimHash64(
+        graft.functions.ShingleGramHashes($"text")).as("sig")))
+    spark.stop()
+  }
+}
+
+/** Dev tool (r15, verdict item 6): driver-local CellIndex coarse-train
+  * wall at synthetic codebook sizes — the measurement behind
+  * `CellIndex.MaxDriverTrainK`'s pinned boundary.
+  *
+  * Usage: runMain graft.CoarseTrainProbe
+  */
+object CoarseTrainProbe {
+  def main(args: Array[String]): Unit = {
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    for (k <- Seq(10000, 30000, 100000, 300000)) {
+      val fine = Array.fill(k)(Array.fill(dim)(rnd.nextDouble()))
+      val t0 = System.nanoTime()
+      val idx = graft.operators.Similarity.CellIndex.of(fine)
+      println(f"[coarse] k=$k%7d kc=${idx.coarse.length}%5d " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
   }
 }
 

@@ -78,7 +78,7 @@ object SparkEntry {
     "q_stream_pii"     -> (StreamQueries.streamPii _),
     "q_stream_tokens_bpe" -> (StreamQueries.streamTokensBpe _),
     "q_stream_quality_model" -> (StreamQueries.streamQualityModel _),
-    "q_stream_audit"   -> (StreamQueries.streamAudit _),
+    "q_stream_audit"   -> ((s: SparkSession, d: String) => StreamQueries.streamAudit(s, d)),
     "q_stream_mm_dedup" -> (StreamQueries.streamMmDedup _),
     "q_stream_calibration" -> (StreamQueries.streamCalibration _),
     "q_stream_confusion" -> (StreamQueries.streamConfusion _),

@@ -1066,18 +1066,24 @@ object Dedup {
   private[operators] def simhashPairs(spark: SparkSession, sigs: DataFrame): DataFrame = {
     import spark.implicits._
     val groups = sigs.groupBy($"sig").agg(collect_list($"doc_id").as("members"))
-    // 4 blocks of 16 bits; Hamming <= 3 pairs must agree on >= 1 block
-    val blocked = groups.select($"sig", explode(array(
+    // 4 blocks of 16 bits; Hamming <= 3 pairs must agree on >= 1 block.
+    // Member lists ride the block join (they are 1-element on a
+    // clique-free corpus), so verified pairs expand WITHOUT joining
+    // back to the group table — a first r15 cut attached members via
+    // two post-verify joins and the two extra corpus-sized shuffles
+    // cost dedup_simhash +6 s at 100×.
+    val blocked = groups.select($"sig", $"members", explode(array(
       (0 until 4).map(b => struct(lit(b).as("blk"),
         (shiftright($"sig", b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*)).as("e"))
-      .select($"sig", $"e.blk", $"e.bh")
+      .select($"sig", $"members", $"e.blk", $"e.bh")
     // verify-then-dedup, native bit_count (r14): the Hamming check runs
     // codegen'd inside the join stage, so only verified signature pairs
     // reach the pair-dedup shuffle
     val sigPairs = blocked.as("a").join(blocked.as("b"),
         $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" && $"a.sig" < $"b.sig")
       .select($"a.sig".as("sig_a"), $"b.sig".as("sig_b"),
-        bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("int").as("hamming"))
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("int").as("hamming"),
+        $"a.members".as("ma"), $"b.members".as("mb"))
       .filter($"hamming" <= 3)
       .dropDuplicates("sig_a", "sig_b")
     val within = groups
@@ -1087,9 +1093,7 @@ object Dedup {
       .select($"da".as("doc_id_a"), $"db".as("doc_id_b"),
         lit(0).cast("int").as("hamming"))
     val cross = sigPairs
-      .join(groups.as("ga"), col("ga.sig") === $"sig_a")
-      .join(groups.as("gb"), col("gb.sig") === $"sig_b")
-      .select(explode(col("ga.members")).as("da"), col("gb.members").as("mb"), $"hamming")
+      .select(explode($"ma").as("da"), $"mb", $"hamming")
       .select($"da", explode($"mb").as("db"), $"hamming")
       .select(least($"da", $"db").as("doc_id_a"),
         greatest($"da", $"db").as("doc_id_b"), $"hamming")

@@ -832,17 +832,37 @@ object Similarity {
   }
 
   private[graft] object CellIndex {
-    /** Deterministic driver-local build: kc = ⌈√k⌉ coarse cells, seeds
-      * = the first kc fine centroids in (md5(cell_id), cell_id) order
-      * (the corpus trainer's seed rule applied to the codebook), 4
-      * Lloyd iterations with ties → lowest coarse id and empty cells
-      * keeping their previous centroid — single-threaded plain-double
-      * arithmetic, so the structure is a pure function of `fine`.
-      * Cost: 4·k·⌈√k⌉·dim driver flops — at the k = 10⁶ clamp region
-      * that is ~2.6e11 · dim ops, still driver-feasible and amortized
-      * once per staged generation.
+
+    /** Driver-feasibility boundary for the coarse train, MEASURED r15
+      * (dim 64, one core): k = 10⁴ → 0.87 s, 3×10⁴ → 1.86 s,
+      * 10⁵ → 9.6 s, 3×10⁵ → 46.4 s; the flops grow as k^1.5, so the
+      * k = 10⁶ clamp region extrapolates to ~5 driver-minutes — a
+      * one-core stall the r14 verdict flagged (item 3 there). At or
+      * under this k the build runs fully driver-local; past it, the
+      * assign scans (the k·⌈√k⌉·dim term — everything that grows
+      * super-linearly) distribute over the cluster while the
+      * ORDER-SENSITIVE double summation stays on the driver in
+      * ascending fine-id order, so both routes produce bit-identical
+      * structures (GraftConfigSpec pins the parity at a lowered
+      * crossover).
       */
-    def of(fine: Array[Array[Double]]): CellIndex = {
+    private[graft] val MaxDriverTrainK: Int = 100000
+
+    /** Deterministic build: kc = ⌈√k⌉ coarse cells, seeds = the first
+      * kc fine centroids in (md5(cell_id), cell_id) order (the corpus
+      * trainer's seed rule applied to the codebook), 4 Lloyd iterations
+      * with ties → lowest coarse id and empty cells keeping their
+      * previous centroid — plain-double arithmetic, a pure function of
+      * `fine` regardless of route. `spark` enables the distributed
+      * assign route past `maxDriverK` cells: per-row nearestCell is
+      * embarrassingly parallel and arithmetic-identical on both routes
+      * (each row's distance fold is self-contained), and the centroid
+      * means — the only order-sensitive doubles — are summed on the
+      * driver in ascending fine-id order on BOTH routes, so the
+      * structure cannot depend on partitioning.
+      */
+    def of(fine: Array[Array[Double]], spark: Option[SparkSession] = None,
+        maxDriverK: Int = MaxDriverTrainK): CellIndex = {
       if (fine.length <= SemDedupTwoLevelMinK)
         return CellIndex(fine, Array.empty, Array.empty)
       val k = fine.length
@@ -854,18 +874,35 @@ object Similarity {
       val seedOrder = (0 until k).map(i => (md5hex(i.toString), i))
         .sorted.map(_._2)
       var coarse = seedOrder.take(kc).map(fine(_).clone).toArray
+      val dist = spark.filter(_ => k > maxDriverK)
+      val rdd = dist.map { s =>
+        s.sparkContext.parallelize(
+          fine.indices.map(i => (i, fine(i))),
+          math.min(s.sparkContext.defaultParallelism * 2, 256)).cache()
+      }
+      def assignAll(cs: Array[Array[Double]]): Array[Int] = rdd match {
+        case Some(r) =>
+          val bc = dist.get.sparkContext.broadcast(cs)
+          val out = Array.ofDim[Int](k)
+          r.map { case (i, v) => (i, nearestCell(v.map(_.toFloat), bc.value)._1) }
+            .collect().foreach { case (i, c) => out(i) = c }
+          bc.unpersist(blocking = false)
+          out
+        case None =>
+          val out = Array.ofDim[Int](k)
+          var f = 0
+          while (f < k) {
+            out(f) = nearestCell(fine(f).map(_.toFloat), cs)._1
+            f += 1
+          }
+          out
+      }
       var it = 0
       while (it < 4) {
-        val assignTo = Array.ofDim[Int](k)
-        var f = 0
-        while (f < k) {
-          val (c, _) = nearestCell(fine(f).map(_.toFloat), coarse)
-          assignTo(f) = c
-          f += 1
-        }
+        val assignTo = assignAll(coarse)
         val cnt = Array.ofDim[Long](kc)
         val sums = Array.ofDim[Double](kc, dim)
-        f = 0
+        var f = 0
         while (f < k) {
           val c = assignTo(f)
           cnt(c) += 1
@@ -879,12 +916,8 @@ object Similarity {
         }
         it += 1
       }
-      val finalAssign = Array.ofDim[Int](k)
-      var f = 0
-      while (f < k) {
-        finalAssign(f) = nearestCell(fine(f).map(_.toFloat), coarse)._1
-        f += 1
-      }
+      val finalAssign = assignAll(coarse)
+      rdd.foreach(_.unpersist(blocking = false))
       val members = Array.tabulate(kc) { c =>
         (0 until k).filter(finalAssign(_) == c).toArray // ascending ids
       }
@@ -1107,7 +1140,7 @@ object Similarity {
       kmeansCodebook(spark, dir, kk, iters, semDedupTrainCap(kk))
     // flat scan at gate k; two-level coarse→fine past the swap point —
     // the structure is broadcast WHOLE so assignment stays a per-row map
-    val bc = spark.sparkContext.broadcast(CellIndex.of(codebook))
+    val bc = spark.sparkContext.broadcast(CellIndex.of(codebook, Some(spark)))
     val assigned = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -1185,7 +1218,7 @@ object Similarity {
       codebook.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .coalesce(1).write.parquet(s"$tmp/codebook")
-      val bc = spark.sparkContext.broadcast(CellIndex.of(codebook))
+      val bc = spark.sparkContext.broadcast(CellIndex.of(codebook, Some(spark)))
       val assigned = baseRows.map { case (id, v) =>
         (bc.value.assign(v)._1, id, v, math.sqrt(selfDot(v)))
       }
@@ -1230,7 +1263,7 @@ object Similarity {
     // CellIndex.of is a pure function of the fine codebook, so the
     // delta merge rebuilds the IDENTICAL structure the generation was
     // assigned under — arrivals and base members can never disagree
-    val bc = spark.sparkContext.broadcast(CellIndex.of(codebook))
+    val bc = spark.sparkContext.broadcast(CellIndex.of(codebook, Some(spark)))
     val delta = Tables.embeddings(spark, dir)
       .filter(isPcaDelta($"vec_id"))
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]

@@ -147,6 +147,29 @@ class GraftConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tl.members.map(_.toSeq).toSeq === tl2.members.map(_.toSeq).toSeq)
   }
 
+  test("CellIndex distributed coarse train is BIT-IDENTICAL to the driver " +
+      "build at the crossover, and the production boundary is the measured one") {
+    import graft.operators.Similarity
+    // lowered crossover so the spec exercises the real distributed
+    // route in seconds: k = 700 > maxDriverK = 600 → distributed
+    // assign; same k driver-local → must agree bit-for-bit (per-row
+    // nearestCell is arithmetic-identical and the order-sensitive
+    // centroid sums run on the driver in ascending fine-id order on
+    // BOTH routes)
+    val k = 700
+    val fine = synthCodebook(k)
+    val driver = Similarity.CellIndex.of(fine, None, maxDriverK = k + 1)
+    val dist = Similarity.CellIndex.of(fine, Some(spark), maxDriverK = 600)
+    assert(driver.coarse.map(_.toSeq).toSeq === dist.coarse.map(_.toSeq).toSeq,
+      "distributed coarse centroids diverged from the driver build")
+    assert(driver.members.map(_.toSeq).toSeq === dist.members.map(_.toSeq).toSeq,
+      "distributed member partition diverged from the driver build")
+    assert(driver.tag === dist.tag)
+    // the production boundary pins the r15 measurement (9.6 s at 1e5,
+    // 46 s at 3e5, ~minutes at the 1e6 clamp — scaladoc)
+    assert(Similarity.CellIndex.MaxDriverTrainK === 100000)
+  }
+
   test("semDedup two-level assignment: probed result is exact within the probed " +
       "coarse cells and agrees with the flat scan on >= 90% of vectors") {
     import graft.operators.Similarity

@@ -505,17 +505,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "moments must attach via broadcast, never a shuffle join")
   }
 
-  test("dedup_containment: probe/index/verify joins all keyed — no cartesian") {
+  test("dedup_containment: the r15 co-occurrence plan is JOIN-FREE and " +
+      "window-free — two exchanges, generators, nothing attaches payloads") {
     val nodes = physical(Dedup.containment(spark, sf, checkpoint = false))
-    assert(!nodes.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
-      "containment must join on shingle / doc_id keys, never a cross product")
-    val windows = nodes.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
-    assert(windows.nonEmpty)
-    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
-      "prefix rank window lost its PARTITION BY doc_id"))
+    // the r11-r14 plan's cost classes, pinned ABSENT: no join of any
+    // kind (the array-attach verify measured ~375 s marginal at 100×)
+    // and no window (the df-ranked prefix rank's two corpus-wide sorts
+    // measured ~180 s) — see decades_r15 Section A
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "containment must not join — co-occurrence counts carry everything")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "containment must not rank a prefix window any more")
+    // the pair stream comes from generators over posting lists
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.GenerateExec]),
+      "expected the posting-list pair generator")
   }
 
   test("q_session_paths: two aggregations + TakeOrdered, no global sort") {
