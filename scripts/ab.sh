@@ -30,12 +30,20 @@ AFTER=$(git stash list | wc -l)
 STASHED=false
 [ "$AFTER" -gt "$BEFORE" ] && STASHED=true
 
-HEAD_SEC=$(run_once)
+# a failing HEAD run (row absent at HEAD, HEAD does not compile, ...)
+# must NEVER strand the developer's uncommitted work in the stash:
+# restore on ANY exit once the stash exists (r15 review)
+restore() {
+  if [ "$STASHED" = true ]; then
+    git stash pop -q && STASHED=false
+    sbt -batch compile >/dev/null 2>&1
+  fi
+}
+trap restore EXIT
 
-if [ "$STASHED" = true ]; then
-  git stash pop -q
-  # leave the compiled classes matching the working tree again
-  sbt -batch compile >/dev/null 2>&1
-fi
+HEAD_SEC=$(run_once || echo -1)
+
+restore
+trap - EXIT
 
 echo "{\"query\":\"$Q\",\"sf\":\"$SF\",\"worktree_sec\":$WORK_SEC,\"head_sec\":$HEAD_SEC,\"tree_differed\":$STASHED}"

@@ -470,28 +470,39 @@ object Dedup {
     val cap = dfCap.getOrElse(
       containmentDfCapFor(Tables.documents(spark, dir).count()))
     // each doc's distinct-shingle count rides along FREE from the
-    // pre-explode array — no size aggregation, no size join anywhere
+    // pre-explode array — no size aggregation, no size join anywhere.
+    // text coalesced: shinglesFastUdf NPEs on a NULL (the Audit NULL-
+    // text corpus case, r15 review); '' shingles to an empty array, so
+    // the doc is absent — exactly the oracle's behavior on NULL
     val base = Tables.documents(spark, dir)
-      .select($"doc_id", Text.shinglesFastUdf($"text").as("ss"))
+      .select($"doc_id", Text.shinglesFastUdf(coalesce($"text", lit(""))).as("ss"))
       .select($"doc_id", size($"ss").cast("long").as("n"),
         explode($"ss").as("s"))
-    // ONE groupBy(shingle) shuffle builds each posting list; the df cap
-    // is the `size ≤ cap` filter on the list itself (free — no separate
-    // df aggregation, no anti-join); a lazy generator streams each
-    // list's ≤ df²/2 unordered pairs; ONE pair-agg counts them carrying
-    // both docs' sizes in the grouping key (n is functionally dependent
-    // on the id); both directions then EXPLODE from each aggregated row
-    // — so the whole operator is two exchanges and zero joins, and no
-    // payload ever attaches to a candidate.
+    // ONE groupBy(shingle) shuffle builds each posting list through the
+    // BOUNDED collector (the df cap decided inside the aggregation
+    // buffer: a corpus-hot shingle costs O(cap) memory in every
+    // partial/merge buffer and finishes as an over-cap marker — never
+    // materializing its full posting list first, the r15 review find on
+    // the naive `size(ds) ≤ cap` post-filter); a lazy generator streams
+    // each surviving list's ≤ df²/2 unordered pairs; ONE pair-agg
+    // counts them carrying both docs' sizes in the grouping key (n is
+    // functionally dependent on the id); both directions then EXPLODE
+    // from each aggregated row — so the whole operator is two exchanges
+    // and zero joins, and no payload ever attaches to a candidate.
+    // explicit-cap callers may pass Long.MaxValue ("uncapped"): clamp
+    // before the Int narrowing or it wraps negative and drops everything
+    val collector = udaf(new CappedPostings(
+        math.min(cap, Int.MaxValue.toLong).toInt),
+      org.apache.spark.sql.Encoders.product[(Long, Long)])
     val grouped = base.groupBy($"s")
-      .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
-      .filter(size($"ds") <= cap)
+      .agg(collector($"doc_id", $"n").as("ds"))
+      .filter(!$"ds.over")
     val co = grouped
-      .select(explode($"ds").as("a"), $"ds")
-      .select($"a", explode($"ds").as("b"))
-      .filter($"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("ida"), $"a.n".as("na"),
-        $"b.doc_id".as("idb"), $"b.n".as("nb"))
+      .select(explode($"ds.entries").as("a"), $"ds")
+      .select($"a", explode($"ds.entries").as("b"))
+      .filter($"a.id" < $"b.id")
+      .groupBy($"a.id".as("ida"), $"a.n".as("na"),
+        $"b.id".as("idb"), $"b.n".as("nb"))
       .agg(count(lit(1)).as("inter"))
     val verified = co.select(explode(array(
         struct($"ida".as("doc_id_a"), $"idb".as("doc_id_b"),
@@ -508,19 +519,24 @@ object Dedup {
     if (checkpoint) verified.localCheckpoint() else verified
   }
 
-  /** Auto-sized df cap for [[containment]]'s co-occurrence join: a
+  /** Auto-sized df cap for [[containment]]'s co-occurrence count: a
     * shingle present in more than ~5% of the corpus identifies nothing
-    * about doc-in-doc containment but contributes df² joined rows, so
-    * it is cut from the intersection COUNT (never from n_a). The 4096
-    * floor keeps small-and-mid corpora exact — the gate corpora
+    * about doc-in-doc containment but contributes df² generated pairs,
+    * so it is cut from the intersection COUNT (never from n_a). The
+    * 4096 floor keeps small-and-mid corpora exact — the gate corpora
     * (max df 7 at sf0.01, 25 at sf0.1) and the 100× fixture (max df
     * still 25: fixture copies perturb every shingle) sit orders of
     * magnitude under it, measured r15, so the cap is provably inactive
     * everywhere the hash gate runs and activates only on real
-    * stopword-shingle skew at corpus scale.
+    * stopword-shingle skew at corpus scale. The 65536 CEILING is what
+    * makes the volume claim honest at any n (r15 review): generated
+    * pairs ≤ cap·postings needs cap = O(1), and the ceiling also
+    * bounds every [[CappedPostings]] buffer at ≤ 64Ki entries (~1 MB)
+    * — an uncapped n/20 would itself grow a 10⁹-doc corpus's hot
+    * buffers to hundreds of MB and its pair bound to quadratic.
     */
   private[graft] def containmentDfCapFor(nDocs: Long): Long =
-    math.max(4096L, nDocs / 20)
+    math.min(65536L, math.max(4096L, nDocs / 20))
 
   val containmentSql: String = """
     WITH docs AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) t FROM documents),
@@ -1065,7 +1081,15 @@ object Dedup {
     */
   private[operators] def simhashPairs(spark: SparkSession, sigs: DataFrame): DataFrame = {
     import spark.implicits._
-    val groups = sigs.groupBy($"sig").agg(collect_list($"doc_id").as("members"))
+    // NULL sigs (a NULL-text doc: the sketch expressions are
+    // null-intolerant) emitted NOTHING under doc-level blocking — a
+    // null block hash satisfies no equi-join — but SQL GROUP BY groups
+    // nulls TOGETHER, so without this filter the within-group expansion
+    // would invent hamming-0 pairs among null-text docs the doc-level
+    // plan never emitted (r15 review find; distinct from sig 0, which
+    // short-text docs legitimately share and pair under both plans)
+    val groups = sigs.filter($"sig".isNotNull)
+      .groupBy($"sig").agg(collect_list($"doc_id").as("members"))
     // 4 blocks of 16 bits; Hamming <= 3 pairs must agree on >= 1 block.
     // Member lists ride the block join (they are 1-element on a
     // clique-free corpus), so verified pairs expand WITHOUT joining
@@ -1133,4 +1157,49 @@ object Dedup {
     SELECT ida AS doc_id_a, idb AS doc_id_b,
            CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+}
+
+/** One (doc_id, |shingles|) posting entry of [[Dedup.containment]]'s
+  * inverted index.
+  */
+private[operators] final case class Posting(id: Long, n: Long)
+
+/** A bounded posting buffer: `over` marks a group that exceeded the df
+  * cap (its entries are discarded — the group is dropped anyway, and
+  * keeping them would defeat the bound).
+  */
+private[operators] final case class PostingBuf(
+    over: Boolean, entries: Vector[Posting])
+
+/** Bounded-buffer posting-list collector behind [[Dedup.containment]]'s
+  * df cap (r15 review find): a naive `collect_list` + `size ≤ cap`
+  * post-filter must MATERIALIZE a hot shingle's complete posting list
+  * in one aggregation buffer before the size is known — a stopword
+  * 3-shingle in 30% of a 10⁹-doc corpus is a multi-GB single-group
+  * buffer, i.e. the exact blowup the cap exists to prevent. This
+  * aggregator decides the cap INSIDE the buffer: the (cap+1)-th
+  * arrival (or an over-cap merge) flips the group to an `over` marker
+  * and drops its entries, so every partial and merge buffer holds at
+  * most cap entries (≤ 64Ki by [[Dedup.containmentDfCapFor]]'s
+  * ceiling ≈ 1 MB) no matter the skew. Groups finishing `over` are
+  * filtered — the same drop the post-filter made, decided without
+  * ever holding the list.
+  */
+private[operators] final class CappedPostings(cap: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long), PostingBuf, PostingBuf] {
+  def zero: PostingBuf = PostingBuf(over = false, Vector.empty)
+  def reduce(b: PostingBuf, a: (Long, Long)): PostingBuf =
+    if (b.over) b
+    else if (b.entries.length >= cap) PostingBuf(over = true, Vector.empty)
+    else PostingBuf(over = false, b.entries :+ Posting(a._1, a._2))
+  def merge(x: PostingBuf, y: PostingBuf): PostingBuf =
+    if (x.over || y.over || x.entries.length + y.entries.length > cap)
+      PostingBuf(over = true, Vector.empty)
+    else PostingBuf(over = false, x.entries ++ y.entries)
+  def finish(b: PostingBuf): PostingBuf = b
+  def bufferEncoder: org.apache.spark.sql.Encoder[PostingBuf] =
+    org.apache.spark.sql.Encoders.product[PostingBuf]
+  def outputEncoder: org.apache.spark.sql.Encoder[PostingBuf] =
+    org.apache.spark.sql.Encoders.product[PostingBuf]
 }

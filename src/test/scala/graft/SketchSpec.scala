@@ -579,7 +579,10 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the auto-sized cap (max(4096, n/20)) resolves inactive here
     assert(res(None) === un, "auto cap unexpectedly active on a 33-doc corpus")
     assert(Dedup.containmentDfCapFor(33) === 4096L &&
-      Dedup.containmentDfCapFor(500000) === 25000L)
+      Dedup.containmentDfCapFor(500000) === 25000L &&
+      // the O(1) ceiling that keeps pair volume <= cap*postings linear
+      // and every CappedPostings buffer <= 64Ki entries at any corpus
+      Dedup.containmentDfCapFor(10000000000L) === 65536L)
   }
 
   test("embedPairsLsh: identity cliques collapse before bucketing and expand " +
