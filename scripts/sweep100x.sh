@@ -1,0 +1,58 @@
+#!/bin/bash
+# THE 100x suite sweep protocol (r15 verdict item 7). Section G of
+# decades_r15.txt burned ~8,100 s on two wrong-protocol sweeps before
+# matching r14's; this script encodes the matched protocol so every
+# future 100x map is comparable by construction:
+#
+#   1. SPARK_DRIVER_MEM=16g — NOT larger. A 100 GB driver heap on the
+#      125 GB box starves the page cache under the sweep's sustained
+#      100x reads; unchanged streaming rows then read 2-6x slower
+#      (decades_r15 Section G, protocol discard #2).
+#   2. ONLY list = the PRIOR round's committed map keys (+ SWEEP_EXTRA
+#      for rows new this round). This keeps the two exact-Theta(n^2)
+#      CONTRACT rows (embed_knn_graph ~2054 s, dedup_embed ~377 s at
+#      100x) out of the map, exactly as every committed map since r14.
+#   3. TWO passes: pass 1 pays cold staging / first-touch reads and is
+#      saved as *_firstpass.json for attribution only; pass 2 (warm) is
+#      the committed, diffable map. Comparing a first-pass map against
+#      a prior warm map shows phantom 3-7x "regressions" on unchanged
+#      streaming rows (decades_r15 Section G, protocol discard #1).
+#
+# Usage: scripts/sweep100x.sh [prior_map.json] [out.json] [sfdir]
+#   defaults: the newest bench_local_100x_r*.json, bench_100x_sweep.json
+#             in /tmp, /tmp/graft_sf_100x
+#   SWEEP_EXTRA=comma,list  adds rows not present in the prior map.
+set -e
+cd "$(dirname "$0")/.."
+
+PRIOR="${1:-$(ls -1 bench_local_100x_r*.json 2>/dev/null | grep -v firstpass | sort | tail -1)}"
+OUT="${2:-/tmp/bench_100x_sweep.json}"
+SF="${3:-/tmp/graft_sf_100x}"
+[ -f "$PRIOR" ] || { echo "prior map not found: $PRIOR" >&2; exit 2; }
+[ -d "$SF" ] || { echo "100x fixture missing: $SF (graft.ScaleFixture /root/testdata/sf0.1 $SF 100)" >&2; exit 2; }
+
+ONLY=$(python3 -c "
+import json,os
+keys = sorted(json.load(open('$PRIOR'))['queries'].keys())
+extra = [k for k in os.environ.get('SWEEP_EXTRA','').split(',') if k]
+print(','.join(keys + [k for k in extra if k not in keys]))
+")
+N=$(echo "$ONLY" | tr ',' '\n' | wc -l)
+echo "[sweep100x] prior=$PRIOR rows=$N sf=$SF out=$OUT" >&2
+
+sbt -batch compile >/dev/null 2>&1
+
+run_pass() {
+  SPARK_DRIVER_MEM=16g SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_SF_DIR="$SF" \
+    SPARK_GRAFT_CEILING=999 scripts/run.sh graft.Bench 2>/dev/null | grep '"metric"'
+}
+
+echo "[sweep100x] pass 1 (staging/first-touch — attribution only)" >&2
+run_pass > "${OUT%.json}_firstpass.json"
+echo "[sweep100x] pass 2 (warm — THE committed map)" >&2
+run_pass > "$OUT"
+python3 -c "
+import json
+w=json.load(open('$OUT')); f=json.load(open('${OUT%.json}_firstpass.json'))
+print(f'[sweep100x] first-pass total {f[\"value\"]:.1f} s, warm total {w[\"value\"]:.1f} s, {len(w[\"queries\"])} rows')
+" >&2
