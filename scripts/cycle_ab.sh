@@ -1,0 +1,47 @@
+#!/bin/bash
+# Interleaved heap/RocksDB state-store A/B (r15 verdict item 2): the
+# r14 and r15 cycles measured the two providers in DIFFERENT sessions,
+# and the box's session-to-session swing (heap wave-1 moved 44.8 ->
+# 69.8 s on identical code) exceeded every steady-state provider delta
+# — so the steady-state story flipped between rounds. Running the
+# cycles H/R/H/R inside ONE session cancels that confound: each
+# provider is measured twice, bracketing the other, so a provider
+# delta that survives the interleave is real and one that doesn't is
+# box noise.
+#
+# Protocol per cycle = decades_r15 Section D exactly: DeltaLshCycle,
+# 16g driver, minBatchesToRetain=1 (in-harness), 3 waves, TTL 10 s.
+# Usage: scripts/cycle_ab.sh [sfdir] [outprefix]
+set -e
+cd "$(dirname "$0")/.."
+SF="${1:-/tmp/graft_sf_100x}"
+PREFIX="${2:-/tmp/cycle_ab_r16}"
+sbt -batch compile >/dev/null 2>&1
+for RUN in h1 r1 h2 r2; do
+  case $RUN in
+    h*) ENV="" ;;
+    r*) ENV="1" ;;
+  esac
+  echo "[cycle_ab] run $RUN (rocksdb=${ENV:-0})" >&2
+  SPARK_DRIVER_MEM=16g SPARK_GRAFT_ROCKSDB="$ENV" \
+    scripts/run.sh graft.DeltaLshCycle "$SF" 3 10 2>/dev/null |
+    grep '"wave"' > "${PREFIX}_${RUN}.txt"
+  cat "${PREFIX}_${RUN}.txt"
+done
+python3 - "$PREFIX" <<'EOF'
+import json, sys
+p = sys.argv[1]
+rows = {}
+for run in ("h1", "r1", "h2", "r2"):
+    rows[run] = [json.loads(l) for l in open(f"{p}_{run}.txt")]
+print("run  provider  w1      w2      w3      state_bytes")
+for run, ws in rows.items():
+    print(f"{run:4} {ws[0]['provider']:8} " +
+          " ".join(f"{w['sec']:7.2f}" for w in ws) +
+          f"  {ws[-1]['state_bytes']/1e9:.2f} GB")
+h = [w['sec'] for run in ('h1','h2') for w in rows[run][1:]]
+r = [w['sec'] for run in ('r1','r2') for w in rows[run][1:]]
+print(f"steady-state (waves 2-3): heap {min(h):.1f}-{max(h):.1f} "
+      f"(mean {sum(h)/len(h):.1f}), rocksdb {min(r):.1f}-{max(r):.1f} "
+      f"(mean {sum(r)/len(r):.1f})")
+EOF

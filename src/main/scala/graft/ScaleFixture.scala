@@ -66,6 +66,16 @@ object ScaleFixture {
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesS) = args.take(3)
     val copies = copiesS.toInt
+    // Optional 4th arg (r15 verdict item 4): fixed-eval mode. The
+    // decontam rows define their eval suite as vec_id % evalMod == 0,
+    // and Stride % 50 == 0, so plain copying grows the eval suite with
+    // the corpus — a stress case, not the production contract (a
+    // benchmark suite is FIXED while the corpus grows). With a mod
+    // passed here, copies k > 0 drop their eval-slice rows: the fixture
+    // keeps the base generation's eval suite verbatim and scales only
+    // the corpus side. Pass the same mod the measured row uses
+    // (default 50 everywhere).
+    val fixedEvalMod: Option[Long] = args.lift(3).map(_.toLong)
     new java.io.File(out).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -109,7 +119,11 @@ object ScaleFixture {
       val cols = Seq(($"vec_id" + lit(k * Stride)).as("vec_id"),
         shifted.as("embedding")) ++
         emb.columns.filter(c => c != "vec_id" && c != "embedding").map(col)
-      emb.select(cols: _*)
+      val src0 = fixedEvalMod match {
+        case Some(m) if k > 0 => emb.filter($"vec_id" % m =!= 0)
+        case _ => emb
+      }
+      src0.select(cols: _*)
     }.reduce(_ unionByName _)
     writeSingleFile(embCopies, out, "embeddings")
 
@@ -127,7 +141,8 @@ object ScaleFixture {
     }.reduce(_ unionByName _)
     writeSingleFile(evCopies, out, "events")
 
-    println(s"wrote ${copies}x fixture to $out")
+    println(s"wrote ${copies}x fixture to $out" +
+      fixedEvalMod.map(m => s" (fixed eval slice: vec_id % $m)").getOrElse(""))
     spark.stop()
   }
 }
@@ -456,6 +471,50 @@ object StateProbe {
     val n = SparkEntry.queries(key)(spark, dir).count()
     println(s"""{"query":"$key","rows":$n,"progress":${
       graft.operators.StreamQueries.lastProgress.getOrElse("null")}}""")
+    spark.stop()
+  }
+}
+
+/** Dev tool (r16, r15 verdict item 5): stage itemization of
+  * `dedup_containment`'s zero-join plan — times each named sub-plan
+  * ([[graft.operators.Dedup.containmentPlan]]: shingle explode →
+  * bounded posting agg → lazy pair stream → pair-count agg → verified)
+  * with an independent count, so the marginal deltas attribute the
+  * row's wall (and the in-suite vs isolated gap) to a stage instead of
+  * a guess. Each count re-executes its upstream (no caching — the
+  * point is the operator's own cost shape), so stage k's marginal is
+  * t(k) − t(k−1). A warm-up pass of the full plan runs first.
+  *
+  * Usage: runMain graft.ContainmentProbe <sfDir> [runs]
+  */
+object ContainmentProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-containment-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val plan = graft.operators.Dedup.containmentPlan(spark, dir)
+    val stages: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "base_explode" -> plan.base,
+      "posting_agg" -> plan.grouped,
+      "pair_stream" -> plan.pairStream,
+      "pair_agg" -> plan.co,
+      "verified" -> plan.verified)
+    plan.verified.count() // warm-up: JIT + parquet footer cache
+    (1 to runs).foreach { r =>
+      stages.foreach { case (name, df) =>
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(s"""{"stage":"$name","run":$r,"sec":${
+          (System.nanoTime() - t0) / 1e9},"rows":$n}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -465,6 +465,24 @@ object Dedup {
     */
   def containment(spark: SparkSession, dir: String,
       checkpoint: Boolean = true, dfCap: Option[Long] = None): DataFrame = {
+    val verified = containmentPlan(spark, dir, dfCap).verified
+    // checkpoint=true materializes the small verified pair set so
+    // downstream consumers reuse it without recompute; checkpoint=false
+    // keeps the plan inspectable for PlanShapeSpec
+    if (checkpoint) verified.localCheckpoint() else verified
+  }
+
+  /** [[containment]]'s intermediates, named — so the stage probe
+    * ([[graft.ContainmentProbe]], r15 verdict item 5) times the SAME
+    * sub-plans the operator runs instead of a hand-copied twin that
+    * could drift.
+    */
+  private[graft] final case class ContainmentPlan(
+      base: DataFrame, grouped: DataFrame, pairStream: DataFrame,
+      co: DataFrame, verified: DataFrame)
+
+  private[graft] def containmentPlan(spark: SparkSession, dir: String,
+      dfCap: Option[Long] = None): ContainmentPlan = {
     import spark.implicits._
     val t = 0.9
     val cap = dfCap.getOrElse(
@@ -497,10 +515,11 @@ object Dedup {
     val grouped = base.groupBy($"s")
       .agg(collector($"doc_id", $"n").as("ds"))
       .filter(!$"ds.over")
-    val co = grouped
+    val pairStream = grouped
       .select(explode($"ds.entries").as("a"), $"ds")
       .select($"a", explode($"ds.entries").as("b"))
       .filter($"a.id" < $"b.id")
+    val co = pairStream
       .groupBy($"a.id".as("ida"), $"a.n".as("na"),
         $"b.id".as("idb"), $"b.n".as("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -513,10 +532,7 @@ object Dedup {
         $"e.n_a".as("n_a"), $"e.inter".as("inter"),
         ($"e.inter" * lit(1.0) / $"e.n_a").as("containment"))
       .filter($"containment" >= t)
-    // checkpoint=true materializes the small verified pair set so
-    // downstream consumers reuse it without recompute; checkpoint=false
-    // keeps the plan inspectable for PlanShapeSpec
-    if (checkpoint) verified.localCheckpoint() else verified
+    ContainmentPlan(base, grouped, pairStream, co, verified)
   }
 
   /** Auto-sized df cap for [[containment]]'s co-occurrence count: a
@@ -1074,12 +1090,25 @@ object Dedup {
     * The quadratic-in-clique term that remains is the within-group
     * expansion — the operator's own OUTPUT (every such pair is a true
     * near-dup pair), streamed by a generator that never buffers it.
-    * `sigs` is consumed once into the group-by exchange; the four
-    * consumers of `groups` reuse that exchange (ReusedExchange), so the
-    * signature pass itself — the expensive part for the byte-gram
-    * variant — runs once and the r14 `.cache()` crutch is gone.
+    *
+    * ROUTING (r16, r15 verdict item 3): the collapse costs a
+    * corpus-wide signature group-by even when it collapses nothing —
+    * a flat +6 s at the 100× fixture's clique-free word-shingle corpus
+    * (498.5k distinct sigs / 500k docs, r15 measurement). So the
+    * signature pass is materialized ONCE into a slim (doc_id, sig)
+    * cache, a one-row probe reads (count, countDistinct) off it, and
+    * [[simhashCliquesNegligible]] routes: clique-free corpora go
+    * straight to the r14 doc-level block join
+    * ([[simhashPairsDocLevel]]), cliqued corpora (the mm byte-payload
+    * mode) through the collapse ([[simhashPairsCollapsed]]). The two
+    * routes emit the SAME pair set — the case-split above proves the
+    * collapse hash-neutral vs doc-level blocking for ANY corpus, so
+    * routing can only change the plan, never the rows; SketchSpec pins
+    * both routes on the same planted corpus. The cache holds 16-byte
+    * rows (≈ 8 MB per 500k docs), not payloads, and the probe is the
+    * same single signature pass the group-by exchange used to pay.
     */
-  private[operators] def simhashPairs(spark: SparkSession, sigs: DataFrame): DataFrame = {
+  private[graft] def simhashPairs(spark: SparkSession, sigs: DataFrame): DataFrame = {
     import spark.implicits._
     // NULL sigs (a NULL-text doc: the sketch expressions are
     // null-intolerant) emitted NOTHING under doc-level blocking — a
@@ -1088,7 +1117,68 @@ object Dedup {
     // would invent hamming-0 pairs among null-text docs the doc-level
     // plan never emitted (r15 review find; distinct from sig 0, which
     // short-text docs legitimately share and pair under both plans)
-    val groups = sigs.filter($"sig".isNotNull)
+    val slim = sigs.filter($"sig".isNotNull).cache()
+    val probe = slim.agg(count(lit(1)), countDistinct($"sig")).head
+    if (simhashCliquesNegligible(probe.getLong(0), probe.getLong(1)))
+      simhashPairsDocLevel(spark, slim)
+    else simhashPairsCollapsed(spark, slim)
+  }
+
+  /** Route predicate for [[simhashPairs]]: true ⟺ doc-level blocking's
+    * clique exposure is provably negligible. The d = n − distinctSigs
+    * excess docs maximize doc-level candidate volume as ONE clique of
+    * d+1 members — (d+1)d/2 extra candidate rows — so doc-level
+    * blocking is safe exactly when that worst case stays linear in the
+    * corpus (≤ 4n; doubles — it is a routing heuristic between two
+    * output-identical plans, not a correctness bound). A 10⁶-copy
+    * viral-file corpus has d ≥ 10⁶ ⟹ collapse; the 100× word-shingle
+    * fixture (d = 1.5k, n = 500k: 1.1M ≤ 2M) ⟹ doc-level.
+    */
+  private[graft] def simhashCliquesNegligible(n: Long, distinctSigs: Long): Boolean = {
+    val d = (n - distinctSigs).toDouble
+    (d + 1.0) * d / 2.0 <= 4.0 * n
+  }
+
+  /** The r14 doc-level pigeonhole route of [[simhashPairs]]: block join
+    * directly on (doc_id, sig) rows, Hamming verify codegen'd in the
+    * join stage, pair-dedup after. Quadratic per signature clique —
+    * the router guarantees cliques are negligible on this path.
+    */
+  private[graft] def simhashPairsDocLevel(spark: SparkSession, slim: DataFrame): DataFrame = {
+    import spark.implicits._
+    val blocked = slim.select($"doc_id", $"sig", explode(array(
+      (0 until 4).map(b => struct(lit(b).as("blk"),
+        (shiftright($"sig", b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*)).as("e"))
+      .select($"doc_id", $"sig", $"e.blk", $"e.bh")
+    blocked.as("a").join(blocked.as("b"),
+        $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_id_a"), $"b.doc_id".as("doc_id_b"),
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("int").as("hamming"))
+      .filter($"hamming" <= 3)
+      .dropDuplicates("doc_id_a", "doc_id_b")
+  }
+
+  /** The clique-collapse route of [[simhashPairs]] (r15) — see the
+    * case-split proof there.
+    *
+    * Member-list buffer bound (r15 verdict item 6): the `collect_list`
+    * below is the one uncapped per-group buffer in this plan —
+    * deliberately. It holds ONE long per clique member (8 B + array
+    * overhead), so the 10⁶-copy viral-file clique that routes here
+    * costs an ≈ 8 MB aggregation buffer, and ≈ 32 MB total riding the
+    * ×4 block rows — against the Θ(c²) = 5·10¹¹ candidate rows the
+    * collapse saves on that same clique. A [[CappedPostings]]-style
+    * bound is NOT used on purpose: an over-cap marker would drop the
+    * clique's members and break the output-identity proof (every
+    * within-clique pair IS output), and the buffer is linear in clique
+    * size where the alternative is quadratic. If a corpus ever holds a
+    * clique big enough to matter (10⁹ copies ≈ 8 GB), the right fix is
+    * sampling representatives upstream, not capping here.
+    */
+  private[graft] def simhashPairsCollapsed(spark: SparkSession, slim: DataFrame): DataFrame = {
+    import spark.implicits._
+    val groups = slim
       .groupBy($"sig").agg(collect_list($"doc_id").as("members"))
     // 4 blocks of 16 bits; Hamming <= 3 pairs must agree on >= 1 block.
     // Member lists ride the block join (they are 1-element on a

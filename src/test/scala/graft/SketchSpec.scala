@@ -111,6 +111,47 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(truePos >= 0.9, s"precision $truePos; fp pairs: ${sh.diff(exact).take(5)}")
   }
 
+  test("simhash routing predicate: clique-free corpora go doc-level, cliqued ones collapse") {
+    // the 100x word-shingle fixture's shape: d = 1.5k excess docs on
+    // 500k — worst-case clique volume 1.1M <= 4n = 2M -> doc-level
+    assert(Dedup.simhashCliquesNegligible(500000L, 498500L))
+    // a 10k-excess corpus: (10001*10000)/2 = 5e7 > 2e6 -> collapse
+    assert(!Dedup.simhashCliquesNegligible(500000L, 490000L))
+    // fully distinct and tiny corpora always doc-level; empty is safe
+    assert(Dedup.simhashCliquesNegligible(1000L, 1000L))
+    assert(Dedup.simhashCliquesNegligible(0L, 0L))
+    // a viral-file corpus (one 1e6-copy clique) must collapse
+    assert(!Dedup.simhashCliquesNegligible(2000000L, 1000001L))
+  }
+
+  test("simhash doc-level and collapsed routes emit the identical pair set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted signatures: a 4-copy clique (sig 0x1111), a near-dup at
+    // Hamming 2 of it, a second 3-copy clique far away (>3 bits), and
+    // two unrelated sigs — exercises within-group, cross-group, and
+    // no-pair cases on BOTH routes regardless of what the router picks
+    val sigs = Seq(
+      1L -> 0x1111L, 2L -> 0x1111L, 3L -> 0x1111L, 4L -> 0x1111L,
+      5L -> 0x1113L,                       // Hamming 1 from the clique
+      6L -> 0xff00f0L, 7L -> 0xff00f0L, 8L -> 0xff00f0L,
+      9L -> 0xabcdef0123L, 10L -> 0x5555aaaa5555L
+    ).toDF("doc_id", "sig")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id_a", "doc_id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val doc = norm(Dedup.simhashPairsDocLevel(spark, sigs))
+    val col = norm(Dedup.simhashPairsCollapsed(spark, sigs))
+    assert(doc === col, s"routes diverge: doc-only ${doc.diff(col)}, collapsed-only ${col.diff(doc)}")
+    // the clique pairs and the near-dup are all present
+    assert(doc.contains((1L, 2L, 0)) && doc.contains((3L, 4L, 0)))
+    assert(doc.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 1))
+    // no cross-clique or unrelated pair leaked
+    assert(!doc.exists(p => p._2 >= 9L || (p._1 <= 5L && p._2 >= 6L && p._2 <= 8L)))
+    // and the routed entrypoint agrees with both
+    assert(norm(Dedup.simhashPairs(spark, sigs)) === doc)
+  }
+
   test("lsh ANN candidates achieve usable recall vs brute force on top-5") {
     val brute = Similarity.annBruteforce(spark, sf)
       .select("query_id", "neighbor_id").collect()
