@@ -34,23 +34,27 @@ object GraftConfig {
     * change, byte-identical results (spec-pinned at the provider
     * level AND value level). Returns the session for chaining.
     *
-    * Operating evidence (decades_r15 Section D, the r14 wave-1 anomaly
-    * attributed): at equal state (530k rows, identical pairs), RocksDB
-    * holds 0.27 GB in-JVM where heap holds 1.88 GB — the number that
-    * motivates the flip, stable across runs. Its wall costs are
-    * NAMED, not anomalous: the FIRST commit of a fresh store pays a
-    * one-time state-materialization surcharge (the whole initial state
-    * becomes SSTs + a full snapshot zip — rocksdbCommitCheckpointLatency
-    * 195.7 s summed/32 partitions in wave 1, collapsing to 8.8 s then
-    * 0.5 s in waves 2-3 as rocksdbFilesReused takes over), and
-    * steady-state waves run within the measurement box's own
-    * session-to-session swing (heap's wave walls moved 26.8-69.8 s on
-    * identical code across r14/r15 sessions — larger than any
-    * heap-vs-RocksDB steady-state delta measured). RECOMMENDATION:
-    * default to heap while total state fits executor heap with
-    * headroom; flip here when it does not — the flip buys ~7× in-JVM
-    * state compression for a one-time first-commit surcharge and
-    * box-noise-level steady-state cost.
+    * Operating evidence (decades_r16 Section B — the INTERLEAVED
+    * same-session H/R/H/R cycle A/B, which removes the cross-session
+    * box swing that flipped the r14/r15 steady-state stories): at
+    * equal state (530k rows, identical pairs every wave), RocksDB
+    * holds 0.28 GB in-JVM where heap holds 1.88 GB — the ~7×
+    * compression that motivates the flip, stable across every session
+    * measured. Wall costs, confound removed: steady-state waves run
+    * ~1.7× heap's on this in-heap-sized workload (waves 2-3 over two
+    * interleaved cycles each: RocksDB 32.0-76.8 s mean 55.8, heap
+    * 18.0-41.0 s mean 33.5 — JNI get/put per row plus SST
+    * flush/copy/sync at commit, itemized in the wave metrics), and the
+    * FIRST commit of a fresh store pays the named state-materialization
+    * surcharge (full SST + snapshot build; rocksdbCommitCheckpointLatency
+    * 195.7 s summed/32 partitions in the r15 session, 34.8 s in the
+    * calmer r16 one, collapsing to sub-second once rocksdbFilesReused
+    * takes over). RECOMMENDATION unchanged in direction, sharpened in
+    * cost: default to heap while total state fits executor heap with
+    * headroom; flip when it does not — you buy ~7× in-JVM compression
+    * and pay a measured ~1.3-1.9× steady-state wall premium at
+    * in-heap sizes (at beyond-heap sizes heap's alternative is OOM,
+    * not a faster wave).
     */
   def useRocksDbStateStore(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
