@@ -141,6 +141,19 @@ object ScaleFixture {
     }.reduce(_ unionByName _)
     writeSingleFile(evCopies, out, "events")
 
+    // the TPC-H tables are not scaled (no query consumes them at the
+    // fixture SFs) but Bench's staging phase reads some of them, so a
+    // fixture dir without them fails staging (r16 find: the fixed-eval
+    // fixture's first Bench run died on lineitem.parquet — the main
+    // fixture had been hand-symlinked in r14 and the step was never
+    // folded into the generator). Symlink them from the source dir.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      val link = java.nio.file.Paths.get(out, s"$t.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(src, s"$t.parquet").toAbsolutePath)
+    }
     println(s"wrote ${copies}x fixture to $out" +
       fixedEvalMod.map(m => s" (fixed eval slice: vec_id % $m)").getOrElse(""))
     spark.stop()
@@ -512,6 +525,66 @@ object ContainmentProbe {
         val t0 = System.nanoTime()
         val n = df.count()
         println(s"""{"stage":"$name","run":$r,"sec":${
+          (System.nanoTime() - t0) / 1e9},"rows":$n}""")
+      }
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool (r16, r15 verdict item 5 follow-through): the containment
+  * stage probe attributed the row's 100× wall to the POSTING
+  * AGGREGATION (the CappedPostings typed-Aggregator groupBy: ~50-60 s
+  * marginal over the 19 s shingle explode), NOT the pair stream the
+  * scaladoc blamed (double-explode marginal ≈ 0). This probe times the
+  * collector variants that could replace it, same fixture, same
+  * upstream:
+  *   count_floor — groupBy(s).count(): the exchange+agg machinery floor
+  *   udaf        — the shipped CappedPostings collector
+  *   collect     — native collect_list + post-hoc size filter (the
+  *                 UNSHIPPABLE baseline: unbounded hot-group buffers)
+  *   twopass     — df-count pass → anti-join hot shingles → native
+  *                 collect_list (bounded BY CONSTRUCTION: no group
+  *                 above cap ever reaches the collector)
+  *
+  * Usage: runMain graft.PostingAggProbe <sfDir> [runs]
+  */
+object PostingAggProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-posting-agg-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val plan = graft.operators.Dedup.containmentPlan(spark, dir)
+    val base = plan.base
+    val cap = graft.operators.Dedup.containmentDfCapFor(
+      graft.sources.Tables.documents(spark, dir).count())
+    val variants: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "base_explode" -> base,
+      "count_floor" -> base.groupBy($"s").count(),
+      "udaf" -> plan.grouped,
+      "collect" -> base.groupBy($"s")
+        .agg(collect_list(struct($"doc_id".as("id"), $"n")).as("es"))
+        .filter(size($"es") <= cap),
+      "twopass" -> {
+        val hot = base.groupBy($"s").agg(count(lit(1)).as("df"))
+          .filter($"df" > cap).select($"s")
+        base.join(hot, Seq("s"), "left_anti").groupBy($"s")
+          .agg(collect_list(struct($"doc_id".as("id"), $"n")).as("es"))
+      })
+    variants.foreach { case (_, df) => df.count() } // warm-up
+    (1 to runs).foreach { r =>
+      variants.foreach { case (name, df) =>
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(s"""{"variant":"$name","run":$r,"sec":${
           (System.nanoTime() - t0) / 1e9},"rows":$n}""")
       }
     }
