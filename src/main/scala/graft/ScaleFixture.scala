@@ -540,12 +540,20 @@ object ContainmentProbe {
   * collector variants that could replace it, same fixture, same
   * upstream:
   *   count_floor — groupBy(s).count(): the exchange+agg machinery floor
-  *   udaf        — the shipped CappedPostings collector
+  *   udaf        — the r15 CappedPostings collector (retired by this
+  *                 probe's measurement; kept HERE as a local class so
+  *                 the comparison stays reproducible)
   *   collect     — native collect_list + post-hoc size filter (the
   *                 UNSHIPPABLE baseline: unbounded hot-group buffers)
-  *   twopass     — df-count pass → anti-join hot shingles → native
-  *                 collect_list (bounded BY CONSTRUCTION: no group
-  *                 above cap ever reaches the collector)
+  *   shipped     — the r16 plan: df-count pass → anti-join hot
+  *                 shingles → native collect_list (bounded BY
+  *                 CONSTRUCTION: no group above cap ever reaches the
+  *                 collector; ≈ the machinery floor because the
+  *                 anti-join's SMJ pre-sorts the rows the fallback
+  *                 sort-aggregation needs anyway)
+  *
+  * Measured at the 100× fixture (decades_r16 Section E): floor
+  * 47.6-49.6 s, udaf 74.7-80.1, collect 75.4-77.0, shipped 47.9-51.7.
   *
   * Usage: runMain graft.PostingAggProbe <sfDir> [runs]
   */
@@ -566,19 +574,18 @@ object PostingAggProbe {
     val base = plan.base
     val cap = graft.operators.Dedup.containmentDfCapFor(
       graft.sources.Tables.documents(spark, dir).count())
+    val collector = udaf(new CappedPostings(
+        math.min(cap, Int.MaxValue.toLong).toInt),
+      org.apache.spark.sql.Encoders.product[(Long, Long)])
     val variants: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "base_explode" -> base,
       "count_floor" -> base.groupBy($"s").count(),
-      "udaf" -> plan.grouped,
+      "udaf" -> base.groupBy($"s")
+        .agg(collector($"doc_id", $"n").as("ds")).filter(!$"ds.over"),
       "collect" -> base.groupBy($"s")
         .agg(collect_list(struct($"doc_id".as("id"), $"n")).as("es"))
         .filter(size($"es") <= cap),
-      "twopass" -> {
-        val hot = base.groupBy($"s").agg(count(lit(1)).as("df"))
-          .filter($"df" > cap).select($"s")
-        base.join(hot, Seq("s"), "left_anti").groupBy($"s")
-          .agg(collect_list(struct($"doc_id".as("id"), $"n")).as("es"))
-      })
+      "shipped" -> plan.grouped)
     variants.foreach { case (_, df) => df.count() } // warm-up
     (1 to runs).foreach { r =>
       variants.foreach { case (name, df) =>
@@ -590,4 +597,33 @@ object PostingAggProbe {
     }
     spark.stop()
   }
+}
+
+/** The r15 bounded posting collector, RETIRED r16 ([[PostingAggProbe]]'s
+  * measurement): it enforced the df cap inside the aggregation buffer
+  * (over-marker past cap), but every object-collector aggregation falls
+  * back to sort-based past 128 hash-map keys, and the shipped two-pass
+  * plan gets the same bound by construction at the machinery floor.
+  * Lives here only so the probe's comparison stays reproducible.
+  */
+private final case class PostingBuf(
+    over: Boolean, entries: Vector[(Long, Long)])
+
+private final class CappedPostings(cap: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long), PostingBuf, PostingBuf] {
+  def zero: PostingBuf = PostingBuf(over = false, Vector.empty)
+  def reduce(b: PostingBuf, a: (Long, Long)): PostingBuf =
+    if (b.over) b
+    else if (b.entries.length >= cap) PostingBuf(over = true, Vector.empty)
+    else PostingBuf(over = false, b.entries :+ ((a._1, a._2)))
+  def merge(x: PostingBuf, y: PostingBuf): PostingBuf =
+    if (x.over || y.over || x.entries.length + y.entries.length > cap)
+      PostingBuf(over = true, Vector.empty)
+    else PostingBuf(over = false, x.entries ++ y.entries)
+  def finish(b: PostingBuf): PostingBuf = b
+  def bufferEncoder: org.apache.spark.sql.Encoder[PostingBuf] =
+    org.apache.spark.sql.Encoders.product[PostingBuf]
+  def outputEncoder: org.apache.spark.sql.Encoder[PostingBuf] =
+    org.apache.spark.sql.Encoders.product[PostingBuf]
 }

@@ -496,28 +496,39 @@ object Dedup {
       .select($"doc_id", Text.shinglesFastUdf(coalesce($"text", lit(""))).as("ss"))
       .select($"doc_id", size($"ss").cast("long").as("n"),
         explode($"ss").as("s"))
-    // ONE groupBy(shingle) shuffle builds each posting list through the
-    // BOUNDED collector (the df cap decided inside the aggregation
-    // buffer: a corpus-hot shingle costs O(cap) memory in every
-    // partial/merge buffer and finishes as an over-cap marker — never
-    // materializing its full posting list first, the r15 review find on
-    // the naive `size(ds) ≤ cap` post-filter); a lazy generator streams
-    // each surviving list's ≤ df²/2 unordered pairs; ONE pair-agg
-    // counts them carrying both docs' sizes in the grouping key (n is
-    // functionally dependent on the id); both directions then EXPLODE
-    // from each aggregated row — so the whole operator is two exchanges
-    // and zero joins, and no payload ever attaches to a candidate.
-    // explicit-cap callers may pass Long.MaxValue ("uncapped"): clamp
-    // before the Int narrowing or it wraps negative and drops everything
-    val collector = udaf(new CappedPostings(
-        math.min(cap, Int.MaxValue.toLong).toInt),
-      org.apache.spark.sql.Encoders.product[(Long, Long)])
-    val grouped = base.groupBy($"s")
-      .agg(collector($"doc_id", $"n").as("ds"))
-      .filter(!$"ds.over")
+    // The posting lists build in TWO passes (r16 collector rewrite —
+    // stage-probed first, decades_r16 Sections D/E): the r15 stage
+    // probe attributed this row's 100× wall to the POSTING AGGREGATION
+    // (~50-60 s marginal for the bounded typed-Aggregator collector
+    // over 26M rows), not the pair stream its scaladoc blamed
+    // (double-explode marginal ≈ 0); the variant probe then measured a
+    // codegen'd df-count pass + LEFT ANTI join of the hot shingles +
+    // native collect_list at the groupBy-count machinery floor
+    // (~48-52 s vs the UDAF's 75-80 — every object-collector falls
+    // back to sort-based aggregation past 128 hash-map keys, and the
+    // anti-join's SMJ already leaves the rows sorted by shingle, so
+    // the collector's sort is satisfied for free). The df cap is still
+    // decided BEFORE any list materializes — no group above cap ever
+    // reaches the collector, so every aggregation buffer is ≤ cap
+    // entries (≤ 64Ki ≈ 1 MB) BY CONSTRUCTION, the same bound the r15
+    // in-buffer over-marker enforced, now with no custom aggregator.
+    // The anti-join is NOT the r11-r14 payload-attach join class the
+    // plan-shape spec forbids: it carries shingle keys only and
+    // REMOVES groups; hot is exchanged on the same key as the groupBy,
+    // so the whole operator stays two corpus exchanges + one hot-set
+    // exchange of df-capped keys. A lazy generator then streams each
+    // list's ≤ df²/2 unordered pairs; ONE pair-agg counts them
+    // carrying both docs' sizes in the grouping key (n is functionally
+    // dependent on the id); both directions then EXPLODE from each
+    // aggregated row — no payload ever attaches to a candidate.
+    val hot = base.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > cap).select($"s")
+    val grouped = base.join(hot, Seq("s"), "left_anti")
+      .groupBy($"s")
+      .agg(collect_list(struct($"doc_id".as("id"), $"n")).as("entries"))
     val pairStream = grouped
-      .select(explode($"ds.entries").as("a"), $"ds")
-      .select($"a", explode($"ds.entries").as("b"))
+      .select(explode($"entries").as("a"), $"entries")
+      .select($"a", explode($"entries").as("b"))
       .filter($"a.id" < $"b.id")
     val co = pairStream
       .groupBy($"a.id".as("ida"), $"a.n".as("na"),
@@ -547,9 +558,11 @@ object Dedup {
     * stopword-shingle skew at corpus scale. The 65536 CEILING is what
     * makes the volume claim honest at any n (r15 review): generated
     * pairs ≤ cap·postings needs cap = O(1), and the ceiling also
-    * bounds every [[CappedPostings]] buffer at ≤ 64Ki entries (~1 MB)
-    * — an uncapped n/20 would itself grow a 10⁹-doc corpus's hot
-    * buffers to hundreds of MB and its pair bound to quadratic.
+    * bounds every surviving collect_list buffer at ≤ 64Ki entries
+    * (~1 MB — the anti-join removes every hotter group before the
+    * collector) — an uncapped n/20 would itself grow a 10⁹-doc
+    * corpus's hot buffers to hundreds of MB and its pair bound to
+    * quadratic.
     */
   private[graft] def containmentDfCapFor(nDocs: Long): Long =
     math.min(65536L, math.max(4096L, nDocs / 20))
@@ -1091,22 +1104,25 @@ object Dedup {
     * expansion — the operator's own OUTPUT (every such pair is a true
     * near-dup pair), streamed by a generator that never buffers it.
     *
-    * ROUTING (r16, r15 verdict item 3): the collapse costs a
-    * corpus-wide signature group-by even when it collapses nothing —
-    * a flat +6 s at the 100× fixture's clique-free word-shingle corpus
-    * (498.5k distinct sigs / 500k docs, r15 measurement). So the
-    * signature pass is materialized ONCE into a slim (doc_id, sig)
-    * cache, a one-row probe reads (count, countDistinct) off it, and
-    * [[simhashCliquesNegligible]] routes: clique-free corpora go
-    * straight to the r14 doc-level block join
-    * ([[simhashPairsDocLevel]]), cliqued corpora (the mm byte-payload
-    * mode) through the collapse ([[simhashPairsCollapsed]]). The two
-    * routes emit the SAME pair set — the case-split above proves the
-    * collapse hash-neutral vs doc-level blocking for ANY corpus, so
-    * routing can only change the plan, never the rows; SketchSpec pins
-    * both routes on the same planted corpus. The cache holds 16-byte
-    * rows (≈ 8 MB per 500k docs), not payloads, and the probe is the
-    * same single signature pass the group-by exchange used to pay.
+    * ROUTING, MEASURED AND REJECTED (r16, r15 verdict item 3): the
+    * verdict prescribed a one-row (count, countDistinct) pre-probe
+    * routing clique-free corpora straight to doc-level blocking, to
+    * recover the "+6 s guard tax" inferred from the r14→r15 map diff
+    * (28.5 → 34.9 s at 100×). Shipped and measured (decades_r16
+    * Section C), the probe+cache cost ~+8 s on BOTH twins — any probe
+    * must pay the full signature pass, so it must cache the slim sig
+    * relation, and the cache materialization + exact distinct agg
+    * exceed the ≤ ~3 s the doc-level plan actually saves on a
+    * clique-free corpus in same-environment measurement (the original
+    * "+6 s tax" was an artifact of the r14→r15 environment boundary
+    * this round's Section A adjudicated). So the collapse runs
+    * UNCONDITIONALLY — its clique-free overhead is one corpus-wide
+    * group-by whose output is corpus-sized only when the input is,
+    * and its cliqued-corpus saving is the r15-measured 5.9× candidate
+    * cut. [[simhashPairsDocLevel]] stays as the executable reference
+    * twin: SketchSpec proves the two plans emit the identical pair
+    * set on a planted corpus, which is the case-split proof above,
+    * run rather than argued.
     */
   private[graft] def simhashPairs(spark: SparkSession, sigs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -1117,32 +1133,17 @@ object Dedup {
     // would invent hamming-0 pairs among null-text docs the doc-level
     // plan never emitted (r15 review find; distinct from sig 0, which
     // short-text docs legitimately share and pair under both plans)
-    val slim = sigs.filter($"sig".isNotNull).cache()
-    val probe = slim.agg(count(lit(1)), countDistinct($"sig")).head
-    if (simhashCliquesNegligible(probe.getLong(0), probe.getLong(1)))
-      simhashPairsDocLevel(spark, slim)
-    else simhashPairsCollapsed(spark, slim)
+    simhashPairsCollapsed(spark, sigs.filter($"sig".isNotNull))
   }
 
-  /** Route predicate for [[simhashPairs]]: true ⟺ doc-level blocking's
-    * clique exposure is provably negligible. The d = n − distinctSigs
-    * excess docs maximize doc-level candidate volume as ONE clique of
-    * d+1 members — (d+1)d/2 extra candidate rows — so doc-level
-    * blocking is safe exactly when that worst case stays linear in the
-    * corpus (≤ 4n; doubles — it is a routing heuristic between two
-    * output-identical plans, not a correctness bound). A 10⁶-copy
-    * viral-file corpus has d ≥ 10⁶ ⟹ collapse; the 100× word-shingle
-    * fixture (d = 1.5k, n = 500k: 1.1M ≤ 2M) ⟹ doc-level.
-    */
-  private[graft] def simhashCliquesNegligible(n: Long, distinctSigs: Long): Boolean = {
-    val d = (n - distinctSigs).toDouble
-    (d + 1.0) * d / 2.0 <= 4.0 * n
-  }
-
-  /** The r14 doc-level pigeonhole route of [[simhashPairs]]: block join
-    * directly on (doc_id, sig) rows, Hamming verify codegen'd in the
-    * join stage, pair-dedup after. Quadratic per signature clique —
-    * the router guarantees cliques are negligible on this path.
+  /** The r14 doc-level pigeonhole plan: block join directly on
+    * (doc_id, sig) rows, Hamming verify codegen'd in the join stage,
+    * pair-dedup after. Quadratic per signature clique, so the
+    * collapsed route ships; THIS twin exists as the spec reference —
+    * SketchSpec asserts both plans emit the identical pair set, the
+    * executable form of the collapse's case-split proof. (Routing
+    * real traffic here was tried and measured slower — see
+    * [[simhashPairs]].)
     */
   private[graft] def simhashPairsDocLevel(spark: SparkSession, slim: DataFrame): DataFrame = {
     import spark.implicits._
@@ -1159,22 +1160,23 @@ object Dedup {
       .dropDuplicates("doc_id_a", "doc_id_b")
   }
 
-  /** The clique-collapse route of [[simhashPairs]] (r15) — see the
+  /** The clique-collapse plan behind [[simhashPairs]] (r15) — see the
     * case-split proof there.
     *
     * Member-list buffer bound (r15 verdict item 6): the `collect_list`
     * below is the one uncapped per-group buffer in this plan —
     * deliberately. It holds ONE long per clique member (8 B + array
-    * overhead), so the 10⁶-copy viral-file clique that routes here
-    * costs an ≈ 8 MB aggregation buffer, and ≈ 32 MB total riding the
-    * ×4 block rows — against the Θ(c²) = 5·10¹¹ candidate rows the
-    * collapse saves on that same clique. A [[CappedPostings]]-style
-    * bound is NOT used on purpose: an over-cap marker would drop the
-    * clique's members and break the output-identity proof (every
-    * within-clique pair IS output), and the buffer is linear in clique
-    * size where the alternative is quadratic. If a corpus ever holds a
-    * clique big enough to matter (10⁹ copies ≈ 8 GB), the right fix is
-    * sampling representatives upstream, not capping here.
+    * overhead), so a 10⁶-copy viral-file clique costs an ≈ 8 MB
+    * aggregation buffer, and ≈ 32 MB total riding the ×4 block rows —
+    * against the Θ(c²) = 5·10¹¹ candidate rows the collapse saves on
+    * that same clique. A bounded over-marker collector (the
+    * containment plan's device) is NOT used on purpose: an over-cap
+    * marker would drop the clique's members and break the
+    * output-identity proof (every within-clique pair IS output), and
+    * the buffer is linear in clique size where the alternative is
+    * quadratic. If a corpus ever holds a clique big enough to matter
+    * (10⁹ copies ≈ 8 GB), the right fix is sampling representatives
+    * upstream, not capping here.
     */
   private[graft] def simhashPairsCollapsed(spark: SparkSession, slim: DataFrame): DataFrame = {
     import spark.implicits._
@@ -1249,47 +1251,3 @@ object Dedup {
     FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
 }
 
-/** One (doc_id, |shingles|) posting entry of [[Dedup.containment]]'s
-  * inverted index.
-  */
-private[operators] final case class Posting(id: Long, n: Long)
-
-/** A bounded posting buffer: `over` marks a group that exceeded the df
-  * cap (its entries are discarded — the group is dropped anyway, and
-  * keeping them would defeat the bound).
-  */
-private[operators] final case class PostingBuf(
-    over: Boolean, entries: Vector[Posting])
-
-/** Bounded-buffer posting-list collector behind [[Dedup.containment]]'s
-  * df cap (r15 review find): a naive `collect_list` + `size ≤ cap`
-  * post-filter must MATERIALIZE a hot shingle's complete posting list
-  * in one aggregation buffer before the size is known — a stopword
-  * 3-shingle in 30% of a 10⁹-doc corpus is a multi-GB single-group
-  * buffer, i.e. the exact blowup the cap exists to prevent. This
-  * aggregator decides the cap INSIDE the buffer: the (cap+1)-th
-  * arrival (or an over-cap merge) flips the group to an `over` marker
-  * and drops its entries, so every partial and merge buffer holds at
-  * most cap entries (≤ 64Ki by [[Dedup.containmentDfCapFor]]'s
-  * ceiling ≈ 1 MB) no matter the skew. Groups finishing `over` are
-  * filtered — the same drop the post-filter made, decided without
-  * ever holding the list.
-  */
-private[operators] final class CappedPostings(cap: Int)
-    extends org.apache.spark.sql.expressions.Aggregator[
-      (Long, Long), PostingBuf, PostingBuf] {
-  def zero: PostingBuf = PostingBuf(over = false, Vector.empty)
-  def reduce(b: PostingBuf, a: (Long, Long)): PostingBuf =
-    if (b.over) b
-    else if (b.entries.length >= cap) PostingBuf(over = true, Vector.empty)
-    else PostingBuf(over = false, b.entries :+ Posting(a._1, a._2))
-  def merge(x: PostingBuf, y: PostingBuf): PostingBuf =
-    if (x.over || y.over || x.entries.length + y.entries.length > cap)
-      PostingBuf(over = true, Vector.empty)
-    else PostingBuf(over = false, x.entries ++ y.entries)
-  def finish(b: PostingBuf): PostingBuf = b
-  def bufferEncoder: org.apache.spark.sql.Encoder[PostingBuf] =
-    org.apache.spark.sql.Encoders.product[PostingBuf]
-  def outputEncoder: org.apache.spark.sql.Encoder[PostingBuf] =
-    org.apache.spark.sql.Encoders.product[PostingBuf]
-}

@@ -505,16 +505,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "moments must attach via broadcast, never a shuffle join")
   }
 
-  test("dedup_containment: the r15 co-occurrence plan is JOIN-FREE and " +
-      "window-free — two exchanges, generators, nothing attaches payloads") {
+  test("dedup_containment: co-occurrence plan — the only join is the " +
+      "slim hot-shingle ANTI join; window-free; nothing attaches payloads") {
     val nodes = physical(Dedup.containment(spark, sf, checkpoint = false))
-    // the r11-r14 plan's cost classes, pinned ABSENT: no join of any
-    // kind (the array-attach verify measured ~375 s marginal at 100×)
-    // and no window (the df-ranked prefix rank's two corpus-wide sorts
-    // measured ~180 s) — see decades_r15 Section A
-    assert(!nodes.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.joins.BaseJoinExec]),
-      "containment must not join — co-occurrence counts carry everything")
+    // the r11-r14 plan's cost classes, pinned ABSENT: no PAYLOAD join
+    // (the array-attach verify measured ~375 s marginal at 100×) and
+    // no window (the df-ranked prefix rank's two corpus-wide sorts
+    // measured ~180 s) — see decades_r15 Section A. The r16 collector
+    // rewrite introduced exactly ONE join: the LEFT ANTI that removes
+    // df-capped shingles BEFORE the posting collector (decades_r16
+    // Section E — it carries shingle keys only and REMOVES rows, the
+    // opposite of the attach class), so every join in the plan must be
+    // a LeftAnti.
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected the df-cap anti-join")
+    assert(joins.forall(_.joinType == org.apache.spark.sql.catalyst
+        .plans.LeftAnti),
+      s"containment may only anti-join the hot-shingle set; found ${joins.map(_.joinType)}")
     assert(!nodes.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.window.WindowExec]),
       "containment must not rank a prefix window any more")

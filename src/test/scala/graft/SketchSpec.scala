@@ -111,26 +111,17 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(truePos >= 0.9, s"precision $truePos; fp pairs: ${sh.diff(exact).take(5)}")
   }
 
-  test("simhash routing predicate: clique-free corpora go doc-level, cliqued ones collapse") {
-    // the 100x word-shingle fixture's shape: d = 1.5k excess docs on
-    // 500k — worst-case clique volume 1.1M <= 4n = 2M -> doc-level
-    assert(Dedup.simhashCliquesNegligible(500000L, 498500L))
-    // a 10k-excess corpus: (10001*10000)/2 = 5e7 > 2e6 -> collapse
-    assert(!Dedup.simhashCliquesNegligible(500000L, 490000L))
-    // fully distinct and tiny corpora always doc-level; empty is safe
-    assert(Dedup.simhashCliquesNegligible(1000L, 1000L))
-    assert(Dedup.simhashCliquesNegligible(0L, 0L))
-    // a viral-file corpus (one 1e6-copy clique) must collapse
-    assert(!Dedup.simhashCliquesNegligible(2000000L, 1000001L))
-  }
-
-  test("simhash doc-level and collapsed routes emit the identical pair set") {
+  test("simhash doc-level and collapsed plans emit the identical pair set") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // planted signatures: a 4-copy clique (sig 0x1111), a near-dup at
-    // Hamming 2 of it, a second 3-copy clique far away (>3 bits), and
-    // two unrelated sigs — exercises within-group, cross-group, and
-    // no-pair cases on BOTH routes regardless of what the router picks
+    // the executable form of the collapse's case-split proof: planted
+    // signatures — a 4-copy clique (sig 0x1111), a near-dup at
+    // Hamming 1 of it, a second 3-copy clique far away (>3 bits), and
+    // two unrelated sigs — exercise within-group, cross-group, and
+    // no-pair cases on both the shipped collapse and the doc-level
+    // reference twin (routing between them was measured and REJECTED
+    // r16 — see simhashPairs' scaladoc — but the equality proof is
+    // what makes the collapse trustworthy, so it stays executable)
     val sigs = Seq(
       1L -> 0x1111L, 2L -> 0x1111L, 3L -> 0x1111L, 4L -> 0x1111L,
       5L -> 0x1113L,                       // Hamming 1 from the clique
@@ -148,7 +139,7 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doc.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 1))
     // no cross-clique or unrelated pair leaked
     assert(!doc.exists(p => p._2 >= 9L || (p._1 <= 5L && p._2 >= 6L && p._2 <= 8L)))
-    // and the routed entrypoint agrees with both
+    // and the shipped entrypoint (the collapse) agrees with both
     assert(norm(Dedup.simhashPairs(spark, sigs)) === doc)
   }
 
@@ -622,7 +613,7 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.containmentDfCapFor(33) === 4096L &&
       Dedup.containmentDfCapFor(500000) === 25000L &&
       // the O(1) ceiling that keeps pair volume <= cap*postings linear
-      // and every CappedPostings buffer <= 64Ki entries at any corpus
+      // and every surviving collect_list buffer <= 64Ki entries at any corpus
       Dedup.containmentDfCapFor(10000000000L) === 65536L)
   }
 
