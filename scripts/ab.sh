@@ -10,10 +10,13 @@
 # Both runs share whatever DumpCache artifacts are already staged, so
 # run a warm pass first if cold-staging noise would pollute the compare.
 #
-# Sentinels: -1 = row absent from the bench map (e.g. query not
-# registered at HEAD); -2 = the run itself failed or printed something
-# that is not a single numeric token (compile error, crash, truncated
-# output). Distinct on purpose (r15 ADVICE).
+# Sentinels (r15 ADVICE + r16 review — all three causes distinct):
+#   -1 = Bench RAN and recorded the row as failed (Bench catches a
+#        throwing query, emits -1.0, exits 0 — a crash in the QUERY)
+#   -2 = the run itself failed: compile error, Bench crash, or output
+#        that is not a single numeric token
+#   -3 = the row is absent from the bench map (query not registered
+#        at that commit)
 set -e
 cd "$(dirname "$0")/.."
 Q="$1"
@@ -21,19 +24,23 @@ SF="${2:-/root/testdata/sf0.1}"
 [ -n "$Q" ] || { echo "usage: scripts/ab.sh <query> [sfdir]" >&2; exit 2; }
 
 run_once() {
-  sbt -batch compile >/dev/null 2>&1
+  # errexit is suspended inside a function invoked in a ||-list, so a
+  # failed compile must bail EXPLICITLY — otherwise run.sh would
+  # measure the STALE classes still on disk and report the number as
+  # real (r16 review)
+  sbt -batch compile >/dev/null 2>&1 || return 1
   SPARK_GRAFT_ONLY="$Q" SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CEILING=999 \
     scripts/run.sh graft.Bench 2>/dev/null | grep '"metric"' |
-    python3 -c "import json,sys; print(json.loads(sys.stdin.read())['queries'].get('$Q', -1))"
+    python3 -c "import json,sys; print(json.loads(sys.stdin.read())['queries'].get('$Q', -3))"
 }
 
-# run_once may fail mid-print (partial text + a fallback echo would
-# break the single-JSON-line contract — r15 ADVICE): capture first,
-# then validate the capture is ONE numeric token, else the -2 sentinel.
+# Capture first, then validate the capture is ONE numeric token as a
+# WHOLE-STRING match (a per-line grep would bless a multi-line blob
+# that merely contains a numeric line — r16 review), else -2.
 run_validated() {
   local out
   out=$(run_once) || { echo -2; return 0; }
-  if printf '%s' "$out" | grep -qE '^-?[0-9]+([.][0-9]+)?$'; then
+  if [[ $out =~ ^-?[0-9]+(\.[0-9]+)?$ ]]; then
     echo "$out"
   else
     echo -2

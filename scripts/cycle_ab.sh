@@ -26,6 +26,15 @@ for RUN in h1 r1 h2 r2; do
   SPARK_DRIVER_MEM=16g SPARK_GRAFT_ROCKSDB="$ENV" \
     scripts/run.sh graft.DeltaLshCycle "$SF" 3 10 2>/dev/null |
     grep '"wave"' > "${PREFIX}_${RUN}.txt"
+  # the pipeline's status is grep's, so a runner that crashed mid-cycle
+  # with >=1 wave printed would slip past set -e and poison the
+  # interleaved summary with a truncated cycle — verify all 3 waves
+  # landed before proceeding (r16 review)
+  WAVES=$(wc -l < "${PREFIX}_${RUN}.txt")
+  [ "$WAVES" -eq 3 ] || {
+    echo "[cycle_ab] run $RUN truncated: $WAVES/3 waves — aborting" >&2
+    exit 1
+  }
   cat "${PREFIX}_${RUN}.txt"
 done
 python3 - "$PREFIX" <<'EOF'

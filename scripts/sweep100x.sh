@@ -42,17 +42,26 @@ echo "[sweep100x] prior=$PRIOR rows=$N sf=$SF out=$OUT" >&2
 
 sbt -batch compile >/dev/null 2>&1
 
-run_pass() {
+# Bench's stderr carries the ROW FAILED / ceiling pages (a crashed row
+# still exits 0 and lands in the map as -1.0) — keep it in a log and
+# SAY SO in the summary instead of silently committing a poisoned map
+# (r16 review).
+run_pass() { # $1 = pass tag
   SPARK_DRIVER_MEM=16g SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_SF_DIR="$SF" \
-    SPARK_GRAFT_CEILING=999 scripts/run.sh graft.Bench 2>/dev/null | grep '"metric"'
+    SPARK_GRAFT_CEILING=999 scripts/run.sh graft.Bench \
+    2>"${OUT%.json}_$1.stderr" | grep '"metric"'
 }
 
 echo "[sweep100x] pass 1 (staging/first-touch — attribution only)" >&2
-run_pass > "${OUT%.json}_firstpass.json"
+run_pass p1 > "${OUT%.json}_firstpass.json"
 echo "[sweep100x] pass 2 (warm — THE committed map)" >&2
-run_pass > "$OUT"
+run_pass p2 > "$OUT"
 python3 -c "
 import json
 w=json.load(open('$OUT')); f=json.load(open('${OUT%.json}_firstpass.json'))
+bad=sorted(k for k,v in w['queries'].items() if v < 0)
 print(f'[sweep100x] first-pass total {f[\"value\"]:.1f} s, warm total {w[\"value\"]:.1f} s, {len(w[\"queries\"])} rows')
+if bad:
+    print(f'[sweep100x] WARNING: {len(bad)} FAILED rows in the warm map (recorded -1.0, total not comparable): {\",\".join(bad)}')
+    print(f'[sweep100x] see ${OUT%.json}_p2.stderr for the failure pages')
 " >&2

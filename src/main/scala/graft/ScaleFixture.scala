@@ -76,6 +76,14 @@ object ScaleFixture {
     // the corpus side. Pass the same mod the measured row uses
     // (default 50 everywhere).
     val fixedEvalMod: Option[Long] = args.lift(3).map(_.toLong)
+    // the mode only holds when id-shifting cannot move a copy's rows
+    // INTO the eval residue class: shifted ids are vec_id + k·Stride,
+    // so Stride % m == 0 is load-bearing (with mod 7, 10⁷ % 7 = 3 and
+    // copies' rows land at residue 0 again — the exact artifact the
+    // mode removes, silently). Fail loudly instead (r16 review).
+    fixedEvalMod.foreach(m => require(m > 0 && Stride % m == 0,
+      s"fixedEvalMod=$m must divide the id stride $Stride or copies' " +
+        "shifted ids re-enter the eval slice"))
     new java.io.File(out).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -147,12 +155,21 @@ object ScaleFixture {
     // fixture's first Bench run died on lineitem.parquet — the main
     // fixture had been hand-symlinked in r14 and the step was never
     // folded into the generator). Symlink them from the source dir.
+    // guards (r16 review): createSymbolicLink happily creates DANGLING
+    // links (the fixture would "succeed" and fail later inside Bench
+    // staging — the exact trap this step closes), and out == src would
+    // delete the REAL source tables before self-linking them.
+    require(java.nio.file.Paths.get(out).toAbsolutePath.normalize !=
+      java.nio.file.Paths.get(src).toAbsolutePath.normalize,
+      s"fixture outDir must differ from srcDir ($src)")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem").foreach { t =>
+      val target = java.nio.file.Paths.get(src, s"$t.parquet").toAbsolutePath
+      require(java.nio.file.Files.exists(target),
+        s"source table missing: $target — refusing to create a dangling symlink")
       val link = java.nio.file.Paths.get(out, s"$t.parquet")
       java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(src, s"$t.parquet").toAbsolutePath)
+      java.nio.file.Files.createSymbolicLink(link, target)
     }
     println(s"wrote ${copies}x fixture to $out" +
       fixedEvalMod.map(m => s" (fixed eval slice: vec_id % $m)").getOrElse(""))
@@ -405,9 +422,10 @@ object SimhashCandProbe {
     import spark.implicits._
     import graft.sources.Tables
 
-    def blockCols(sigCol: String) = explode(array(
-      (0 until 4).map(b => struct(lit(b).as("blk"),
-        (shiftright(col(sigCol), b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*))
+    // the SAME block expression the shipped plans use (r16 review: a
+    // third hand-copy here could silently measure a different scheme)
+    def blockCols(sigCol: String) =
+      graft.operators.Dedup.simhashBlockCols(col(sigCol))
 
     def report(name: String, sigs: org.apache.spark.sql.DataFrame): Unit = {
       sigs.cache().count()
@@ -496,7 +514,12 @@ object StateProbe {
   * row's wall (and the in-suite vs isolated gap) to a stage instead of
   * a guess. Each count re-executes its upstream (no caching — the
   * point is the operator's own cost shape), so stage k's marginal is
-  * t(k) − t(k−1). A warm-up pass of the full plan runs first.
+  * t(k) − t(k−1) — with ONE caveat under the r16 plan (review find):
+  * the grouped stage internally derives `base` TWICE (the df-count
+  * pass and the anti-join's left side), so t(posting_agg) −
+  * t(base_explode) OVERSTATES the collector machinery by about one
+  * extra base pass (~19 s at 100×). A warm-up pass of the full plan
+  * runs first.
   *
   * Usage: runMain graft.ContainmentProbe <sfDir> [runs]
   */

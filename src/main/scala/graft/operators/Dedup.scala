@@ -1136,6 +1136,16 @@ object Dedup {
     simhashPairsCollapsed(spark, sigs.filter($"sig".isNotNull))
   }
 
+  /** The 4×16-bit pigeonhole block expression — ONE definition shared
+    * by the shipped collapse, its doc-level spec twin, and
+    * [[graft.SimhashCandProbe]], so the plans whose OUTPUT EQUALITY the
+    * spec proves cannot silently drift apart on the blocking scheme
+    * (r16 review).
+    */
+  private[graft] def simhashBlockCols(sig: Column): Column = explode(array(
+    (0 until 4).map(b => struct(lit(b).as("blk"),
+      (shiftright(sig, b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*))
+
   /** The r14 doc-level pigeonhole plan: block join directly on
     * (doc_id, sig) rows, Hamming verify codegen'd in the join stage,
     * pair-dedup after. Quadratic per signature clique, so the
@@ -1147,9 +1157,8 @@ object Dedup {
     */
   private[graft] def simhashPairsDocLevel(spark: SparkSession, slim: DataFrame): DataFrame = {
     import spark.implicits._
-    val blocked = slim.select($"doc_id", $"sig", explode(array(
-      (0 until 4).map(b => struct(lit(b).as("blk"),
-        (shiftright($"sig", b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*)).as("e"))
+    val blocked = slim
+      .select($"doc_id", $"sig", simhashBlockCols($"sig").as("e"))
       .select($"doc_id", $"sig", $"e.blk", $"e.bh")
     blocked.as("a").join(blocked.as("b"),
         $"a.blk" === $"b.blk" && $"a.bh" === $"b.bh" &&
@@ -1188,9 +1197,8 @@ object Dedup {
     // back to the group table — a first r15 cut attached members via
     // two post-verify joins and the two extra corpus-sized shuffles
     // cost dedup_simhash +6 s at 100×.
-    val blocked = groups.select($"sig", $"members", explode(array(
-      (0 until 4).map(b => struct(lit(b).as("blk"),
-        (shiftright($"sig", b * 16) bitwiseAND lit(0xffffL)).as("bh"))): _*)).as("e"))
+    val blocked = groups
+      .select($"sig", $"members", simhashBlockCols($"sig").as("e"))
       .select($"sig", $"members", $"e.blk", $"e.bh")
     // verify-then-dedup, native bit_count (r14): the Hamming check runs
     // codegen'd inside the join stage, so only verified signature pairs
