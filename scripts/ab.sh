@@ -75,4 +75,10 @@ HEAD_SEC=$(run_validated)
 restore
 trap - EXIT
 
-echo "{\"query\":\"$Q\",\"sf\":\"$SF\",\"worktree_sec\":$WORK_SEC,\"head_sec\":$HEAD_SEC,\"tree_differed\":$DIFFERED}"
+# the A/B line is primary adjudication evidence — append it into the
+# repo (bench_raw/) so it survives the box, as well as printing it
+# (r16 verdict item 3); GRAFT_ROUND files under bench_raw/r<N>/
+RAWDIR="bench_raw/${GRAFT_ROUND:+r$GRAFT_ROUND}"; RAWDIR="${RAWDIR%/}"
+mkdir -p "$RAWDIR"
+LINE="{\"query\":\"$Q\",\"sf\":\"$SF\",\"worktree_sec\":$WORK_SEC,\"head_sec\":$HEAD_SEC,\"tree_differed\":$DIFFERED}"
+echo "$LINE" | tee -a "$RAWDIR/ab.jsonl"

@@ -15,7 +15,11 @@
 set -e
 cd "$(dirname "$0")/.."
 SF="${1:-/tmp/graft_sf_100x}"
-PREFIX="${2:-/tmp/cycle_ab_r16}"
+# raw cycle outputs default INTO the repo so the A/B evidence survives
+# the box (r16 verdict item 3); GRAFT_ROUND files under bench_raw/r<N>/
+RAWDIR="bench_raw/${GRAFT_ROUND:+r$GRAFT_ROUND}"; RAWDIR="${RAWDIR%/}"
+mkdir -p "$RAWDIR"
+PREFIX="${2:-$RAWDIR/cycle_ab}"
 sbt -batch compile >/dev/null 2>&1
 for RUN in h1 r1 h2 r2; do
   case $RUN in
@@ -23,9 +27,12 @@ for RUN in h1 r1 h2 r2; do
     r*) ENV="1" ;;
   esac
   echo "[cycle_ab] run $RUN (rocksdb=${ENV:-0})" >&2
+  # `|| true`: if the run crashes before printing ANY wave line, grep
+  # exits 1 and set -e would abort with no message — let the WAVES
+  # check below report zero-wave runs too (r16 ADVICE)
   SPARK_DRIVER_MEM=16g SPARK_GRAFT_ROCKSDB="$ENV" \
     scripts/run.sh graft.DeltaLshCycle "$SF" 3 10 2>/dev/null |
-    grep '"wave"' > "${PREFIX}_${RUN}.txt"
+    grep '"wave"' > "${PREFIX}_${RUN}.txt" || true
   # the pipeline's status is grep's, so a runner that crashed mid-cycle
   # with >=1 wave printed would slip past set -e and poison the
   # interleaved summary with a truncated cycle — verify all 3 waves

@@ -25,8 +25,16 @@
 set -e
 cd "$(dirname "$0")/.."
 
-PRIOR="${1:-$(ls -1 bench_local_100x_r*.json 2>/dev/null | grep -v firstpass | sort | tail -1)}"
-OUT="${2:-/tmp/bench_100x_sweep.json}"
+# sort -V, not plain sort: lexicographic ordering mis-orders round
+# numbers across digit-length boundaries (r100 before r99, r9 after
+# r16) and would silently diff against the wrong prior map (r16 ADVICE)
+PRIOR="${1:-$(ls -1 bench_local_100x_r*.json 2>/dev/null | grep -v firstpass | sort -V | tail -1)}"
+# raw outputs default INTO the repo (bench_raw/) so the sweep's primary
+# data survives the box — set GRAFT_ROUND to file under bench_raw/r<N>/
+# (r16 verdict item 3: adjudication evidence must not die in /tmp)
+RAWDIR="bench_raw/${GRAFT_ROUND:+r$GRAFT_ROUND}"; RAWDIR="${RAWDIR%/}"
+mkdir -p "$RAWDIR"
+OUT="${2:-$RAWDIR/bench_100x_sweep.json}"
 SF="${3:-/tmp/graft_sf_100x}"
 [ -f "$PRIOR" ] || { echo "prior map not found: $PRIOR" >&2; exit 2; }
 [ -d "$SF" ] || { echo "100x fixture missing: $SF (graft.ScaleFixture /root/testdata/sf0.1 $SF 100)" >&2; exit 2; }

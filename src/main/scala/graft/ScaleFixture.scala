@@ -168,7 +168,18 @@ object ScaleFixture {
       require(java.nio.file.Files.exists(target),
         s"source table missing: $target — refusing to create a dangling symlink")
       val link = java.nio.file.Paths.get(out, s"$t.parquet")
-      java.nio.file.Files.deleteIfExists(link)
+      // only replace a prior SYMLINK: a real parquet directory here (a
+      // hand-copied table from before this generator change) would make
+      // deleteIfExists throw a raw DirectoryNotEmptyException — and a
+      // real FILE would be silently destroyed and replaced by a link
+      // (r16 ADVICE). Refuse with a message instead.
+      if (java.nio.file.Files.isSymbolicLink(link)) {
+        java.nio.file.Files.delete(link)
+      } else {
+        require(!java.nio.file.Files.exists(link),
+          s"$link exists and is not a symlink — a stale real table is " +
+            s"sitting in the fixture dir; clear it by hand before regenerating")
+      }
       java.nio.file.Files.createSymbolicLink(link, target)
     }
     println(s"wrote ${copies}x fixture to $out" +
