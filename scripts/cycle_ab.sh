@@ -21,10 +21,16 @@ RAWDIR="bench_raw/${GRAFT_ROUND:+r$GRAFT_ROUND}"; RAWDIR="${RAWDIR%/}"
 mkdir -p "$RAWDIR"
 PREFIX="${2:-$RAWDIR/cycle_ab}"
 sbt -batch compile >/dev/null 2>&1
-for RUN in h1 r1 h2 r2; do
+# third arm (r16 verdict item 4): RocksDB + changelog checkpointing —
+# the Section B itemization showed the steady-state premium is
+# commit-dominated (SST flush/copy/fileSync), the cost class changelog
+# checkpointing exists to defer; interleaving it with H and R in ONE
+# session answers whether the premium is inherent or configuration
+for RUN in h1 r1 c1 h2 r2 c2; do
   case $RUN in
     h*) ENV="" ;;
     r*) ENV="1" ;;
+    c*) ENV="changelog" ;;
   esac
   echo "[cycle_ab] run $RUN (rocksdb=${ENV:-0})" >&2
   # `|| true`: if the run crashes before printing ANY wave line, grep
@@ -48,16 +54,18 @@ python3 - "$PREFIX" <<'EOF'
 import json, sys
 p = sys.argv[1]
 rows = {}
-for run in ("h1", "r1", "h2", "r2"):
+for run in ("h1", "r1", "c1", "h2", "r2", "c2"):
     rows[run] = [json.loads(l) for l in open(f"{p}_{run}.txt")]
-print("run  provider  w1      w2      w3      state_bytes")
+print("run  provider    w1      w2      w3      state_bytes")
 for run, ws in rows.items():
-    print(f"{run:4} {ws[0]['provider']:8} " +
+    print(f"{run:4} {ws[0]['provider']:10} " +
           " ".join(f"{w['sec']:7.2f}" for w in ws) +
           f"  {ws[-1]['state_bytes']/1e9:.2f} GB")
-h = [w['sec'] for run in ('h1','h2') for w in rows[run][1:]]
-r = [w['sec'] for run in ('r1','r2') for w in rows[run][1:]]
-print(f"steady-state (waves 2-3): heap {min(h):.1f}-{max(h):.1f} "
-      f"(mean {sum(h)/len(h):.1f}), rocksdb {min(r):.1f}-{max(r):.1f} "
-      f"(mean {sum(r)/len(r):.1f})")
+def steady(runs):
+    return [w['sec'] for run in runs for w in rows[run][1:]]
+for label, runs in (("heap", ("h1","h2")), ("rocksdb", ("r1","r2")),
+                    ("rocksdb_cl", ("c1","c2"))):
+    v = steady(runs)
+    print(f"steady-state (waves 2-3) {label}: {min(v):.1f}-{max(v):.1f} "
+          f"(mean {sum(v)/len(v):.1f})")
 EOF

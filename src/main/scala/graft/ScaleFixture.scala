@@ -266,11 +266,24 @@ object DeltaLshCycle {
     // SPARK_GRAFT_ROCKSDB=1 runs the cycle under the spec-pinned
     // production provider flip (GraftConfig.useRocksDbStateStore) —
     // the r13 cycle measured 1.88 GB of heap-provider state at 100×,
-    // exactly the size the flip exists for, but never measured under it
-    val provider =
-      if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1")) {
+    // exactly the size the flip exists for, but never measured under it.
+    // SPARK_GRAFT_ROCKSDB=changelog adds RocksDB changelog
+    // checkpointing (r16 verdict item 4): the Section B itemization
+    // showed the steady-state premium is COMMIT-dominated (SST
+    // flush/copy/fileSync — 871 MB copied in one wave), which is the
+    // exact cost class changelog checkpointing defers to async snapshot
+    // maintenance; the third interleaved arm measures whether the
+    // 1.3-1.9× premium is inherent or configuration.
+    val provider = sys.env.get("SPARK_GRAFT_ROCKSDB") match {
+      case Some("1") =>
         graft.GraftConfig.useRocksDbStateStore(spark); "rocksdb"
-      } else "heap"
+      case Some("changelog") =>
+        graft.GraftConfig.useRocksDbStateStore(spark)
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+          ".changelogCheckpointing.enabled", "true")
+        "rocksdb_cl"
+      case _ => "heap"
+    }
     import spark.implicits._
     import graft.functions.{MinhashBands, MinhashSig, ShingleGramHashes}
     import graft.operators.{Dedup, StreamQueries}
@@ -627,6 +640,109 @@ object PostingAggProbe {
         val n = df.count()
         println(s"""{"variant":"$name","run":$r,"sec":${
           (System.nanoTime() - t0) / 1e9},"rows":$n}""")
+      }
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool (r17, r16 verdict item 1): full-row A/B of
+  * `dedup_containment`'s grouping shapes — the r16 two-pass collector
+  * re-derives the scan+shingle-explode once per consumer (the df-count
+  * pass and the anti-join's left side each consume `base`, ~20 s at
+  * 100×), and this probe adjudicates the two candidate cures against
+  * the shipped shape on the FULL row (verified.count — the r16 lesson:
+  * the collector rewrite's 27 s stage win shrank to ~13 s at the row
+  * because the extra base pass clawed half back; stage deltas lie):
+  *   anti    — shipped r16 shape (two base passes + hot anti-join)
+  *   window  — one base pass: df rides count(*) OVER (PARTITION BY s)
+  *             on the same exchange+sort the collector needs; filter
+  *             df<=cap BEFORE any list materializes; same-partitioning
+  *             collect_list (zero joins, zero second exchange)
+  *   persist — the anti shape over a persisted slim base (one
+  *             materialization, two cached reads); the probe clears the
+  *             cache after each run so every run pays materialization
+  * Variants are interleaved per run (a/w/p, a/w/p, ...) so the box's
+  * drift brackets every arm — the only valid A/B on this box
+  * (decades_r16 Section A).
+  *
+  * Usage: runMain graft.ContainmentShapeProbe <sfDir> [runs]
+  */
+object ContainmentShapeProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-containment-shape-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val variants = Seq("anti", "window", "persist")
+    // warm-up: JIT + parquet footer cache, shipped shape
+    graft.operators.Dedup.containmentPlan(spark, dir).verified.count()
+    (1 to runs).foreach { r =>
+      variants.foreach { name =>
+        val plan = graft.operators.Dedup.containmentPlan(
+          spark, dir, grouping = name)
+        val t0 = System.nanoTime()
+        val n = plan.verified.count()
+        println(s"""{"variant":"$name","run":$r,"sec":${
+          (System.nanoTime() - t0) / 1e9},"rows":$n}""")
+        if (name == "persist") spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool (r17, r16 verdict item 5): stage itemization of
+  * `q_stream_session_paths` — five legs over the same events stream
+  * ([[graft.operators.StreamQueries.sessionPathsItemize]]) whose
+  * marginal deltas split the row's wall into source+harness floor /
+  * session-store merge machinery / in-state event accumulation /
+  * ordered path build, plus the `slim` dictionary-coded candidate the
+  * verdict asked to check. Legs interleave per run so box drift
+  * brackets every arm; each line carries the state operator's
+  * memoryUsedBytes and commit/update times from the final
+  * StreamingQueryProgress.
+  *
+  * Usage: runMain graft.SessionPathsProbe <sfDir> [runs]
+  */
+object SessionPathsProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-session-paths-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val legs = Seq("floor_tumble", "session_count", "session_nosort",
+      "shipped", "slim")
+    def metric(json: String, key: String): String =
+      s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("null")
+    // warm-up: events-stream first-touch lands on the FIRST streaming
+    // query in a JVM (r12 attribution) — keep it off leg 1
+    graft.operators.StreamQueries.sessionPathsItemize(spark, dir,
+      "floor_tumble").count()
+    (1 to runs).foreach { r =>
+      legs.foreach { leg =>
+        val t0 = System.nanoTime()
+        val n = graft.operators.StreamQueries
+          .sessionPathsItemize(spark, dir, leg).count()
+        val p = graft.operators.StreamQueries.lastProgress.getOrElse("")
+        println(s"""{"leg":"$leg","run":$r,"sec":${
+          (System.nanoTime() - t0) / 1e9},"rows":$n,"state_bytes":${
+          metric(p, "memoryUsedBytes")},"commit_ms":${
+          metric(p, "commitTimeMs")},"update_ms":${
+          metric(p, "allUpdatesTimeMs")}}""")
       }
     }
     spark.stop()

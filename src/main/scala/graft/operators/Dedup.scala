@@ -482,7 +482,7 @@ object Dedup {
       co: DataFrame, verified: DataFrame)
 
   private[graft] def containmentPlan(spark: SparkSession, dir: String,
-      dfCap: Option[Long] = None): ContainmentPlan = {
+      dfCap: Option[Long] = None, grouping: String = "window"): ContainmentPlan = {
     import spark.implicits._
     val t = 0.9
     val cap = dfCap.getOrElse(
@@ -496,36 +496,55 @@ object Dedup {
       .select($"doc_id", Text.shinglesFastUdf(coalesce($"text", lit(""))).as("ss"))
       .select($"doc_id", size($"ss").cast("long").as("n"),
         explode($"ss").as("s"))
-    // The posting lists build in TWO passes (r16 collector rewrite —
-    // stage-probed first, decades_r16 Sections D/E): the r15 stage
-    // probe attributed this row's 100× wall to the POSTING AGGREGATION
-    // (~50-60 s marginal for the bounded typed-Aggregator collector
-    // over 26M rows), not the pair stream its scaladoc blamed
-    // (double-explode marginal ≈ 0); the variant probe then measured a
-    // codegen'd df-count pass + LEFT ANTI join of the hot shingles +
-    // native collect_list at the groupBy-count machinery floor
-    // (~48-52 s vs the UDAF's 75-80 — every object-collector falls
-    // back to sort-based aggregation past 128 hash-map keys, and the
-    // anti-join's SMJ already leaves the rows sorted by shingle, so
-    // the collector's sort is satisfied for free). The df cap is still
-    // decided BEFORE any list materializes — no group above cap ever
-    // reaches the collector, so every aggregation buffer is ≤ cap
-    // entries (≤ 64Ki ≈ 1 MB) BY CONSTRUCTION, the same bound the r15
-    // in-buffer over-marker enforced, now with no custom aggregator.
-    // The anti-join is NOT the r11-r14 payload-attach join class the
-    // plan-shape spec forbids: it carries shingle keys only and
-    // REMOVES groups; hot is exchanged on the same key as the groupBy,
-    // so the whole operator stays two corpus exchanges + one hot-set
-    // exchange of df-capped keys. A lazy generator then streams each
-    // list's ≤ df²/2 unordered pairs; ONE pair-agg counts them
-    // carrying both docs' sizes in the grouping key (n is functionally
-    // dependent on the id); both directions then EXPLODE from each
-    // aggregated row — no payload ever attaches to a candidate.
-    val hot = base.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" > cap).select($"s")
-    val grouped = base.join(hot, Seq("s"), "left_anti")
-      .groupBy($"s")
-      .agg(collect_list(struct($"doc_id".as("id"), $"n")).as("entries"))
+    // The posting lists build in ONE base pass (r17 grouping-shape A/B,
+    // decades_r17 Section A; history: the r15 stage probe attributed
+    // this row's 100× wall to the POSTING AGGREGATION, not the pair
+    // stream; the r16 variant probe replaced the typed-Aggregator
+    // collector with a df-count pass + LEFT ANTI of hot shingles +
+    // native collect_list at the groupBy-count machinery floor — but
+    // that shape derived `base` TWICE, once per consumer, ~20 s/pass
+    // at 100×). The shipped r17 shape computes df as
+    // count(*) OVER (PARTITION BY s): the window rides the SAME
+    // exchange+sort the collector needs anyway, the df<=cap filter
+    // runs BEFORE any list materializes, and the collect_list groups
+    // on the window's own partitioning — one base derivation, one
+    // exchange, zero joins. Full-row interleaved A/B at 100×
+    // (ContainmentShapeProbe, 3 runs each): window 50.4-52.3 s vs
+    // two-pass anti 64.2-66.9 vs persisted-base anti 76.4-78.7 (the
+    // persist arm re-confirms the r16 simhash lesson: materializing
+    // the expensive relation costs more than one recompute).
+    // Bounds unchanged: no group above cap ever reaches the collector,
+    // so every aggregation buffer is ≤ cap entries (≤ 64Ki ≈ 1 MB) BY
+    // CONSTRUCTION; a corpus-hot shingle's rows buffer in WindowExec's
+    // SPILLING row array (ExternalAppendOnlyUnsafeRowArray — disk past
+    // the in-memory threshold, never OOM) before the cap filter drops
+    // them — the same rows the anti shape shuffled and SMJ-streamed,
+    // now counted where they already sit. A lazy generator then
+    // streams each list's ≤ df²/2 unordered pairs; ONE pair-agg counts
+    // them carrying both docs' sizes in the grouping key (n is
+    // functionally dependent on the id); both directions then EXPLODE
+    // from each aggregated row — no payload ever attaches to a
+    // candidate.
+    // grouping arms (kept so ContainmentShapeProbe's A/B stays
+    // reproducible): "window" is shipped (decades_r17 Section A);
+    // "anti" is the retired r16 two-pass shape; "persist" is the anti
+    // shape over a persisted base (probe-only — the unpersist
+    // lifecycle is the caller's).
+    val grouped = grouping match {
+      case "window" =>
+        base
+          .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
+          .filter($"df" <= cap)
+          .groupBy($"s")
+          .agg(collect_list(struct($"doc_id".as("id"), $"n")).as("entries"))
+      case "anti" | "persist" =>
+        val b = if (grouping == "persist") base.persist() else base
+        val hot = b.groupBy($"s").agg(count(lit(1)).as("df"))
+          .filter($"df" > cap).select($"s")
+        b.join(hot, Seq("s"), "left_anti")
+          .groupBy($"s")
+          .agg(collect_list(struct($"doc_id".as("id"), $"n")).as("entries"))
+    }
     val pairStream = grouped
       .select(explode($"entries").as("a"), $"entries")
       .select($"a", explode($"entries").as("b"))
@@ -559,7 +578,7 @@ object Dedup {
     * makes the volume claim honest at any n (r15 review): generated
     * pairs ≤ cap·postings needs cap = O(1), and the ceiling also
     * bounds every surviving collect_list buffer at ≤ 64Ki entries
-    * (~1 MB — the anti-join removes every hotter group before the
+    * (~1 MB — the window-df filter drops every hotter group before the
     * collector) — an uncapped n/20 would itself grow a 10⁹-doc
     * corpus's hot buffers to hundreds of MB and its pair bound to
     * quadratic.

@@ -505,32 +505,45 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "moments must attach via broadcast, never a shuffle join")
   }
 
-  test("dedup_containment: co-occurrence plan — the only join is the " +
-      "slim hot-shingle ANTI join; window-free; nothing attaches payloads") {
+  test("dedup_containment: co-occurrence plan — JOIN-FREE; one per-shingle " +
+      "df window on the collector's own exchange; nothing attaches payloads") {
     val nodes = physical(Dedup.containment(spark, sf, checkpoint = false))
-    // the r11-r14 plan's cost classes, pinned ABSENT: no PAYLOAD join
-    // (the array-attach verify measured ~375 s marginal at 100×) and
-    // no window (the df-ranked prefix rank's two corpus-wide sorts
-    // measured ~180 s) — see decades_r15 Section A. The r16 collector
-    // rewrite introduced exactly ONE join: the LEFT ANTI that removes
-    // df-capped shingles BEFORE the posting collector (decades_r16
-    // Section E — it carries shingle keys only and REMOVES rows, the
-    // opposite of the attach class), so every join in the plan must be
-    // a LeftAnti.
+    // the r11-r14 plan's cost classes stay pinned ABSENT: no PAYLOAD
+    // join (the array-attach verify measured ~375 s marginal at 100×)
+    // and no CORPUS-WIDE RANK window (the df-ranked prefix rank's two
+    // corpus-wide sorts measured ~180 s) — see decades_r15 Section A.
+    // The r16 shape's hot-shingle LEFT ANTI is gone too (r17: the
+    // df-count pass and the anti-join's left side each re-derived the
+    // shingle explode; decades_r17 Section A measured the join-free
+    // window-df shape at 50.4-52.3 s vs 64.2-66.9 full-row at 100×),
+    // so the plan must now contain NO join at all. The one WindowExec
+    // that replaces it is a DIFFERENT cost class from the banned
+    // prefix rank: count(*) OVER (PARTITION BY s) rides the single
+    // per-shingle exchange+sort the posting collector needs anyway —
+    // pinned here as: exactly one window, partitioned (never
+    // corpus-wide), and ZERO extra exchanges beyond it for the
+    // collector (the groupBy(s) reuses the window's partitioning).
     val joins = nodes.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
-    assert(joins.nonEmpty, "expected the df-cap anti-join")
-    assert(joins.forall(_.joinType == org.apache.spark.sql.catalyst
-        .plans.LeftAnti),
-      s"containment may only anti-join the hot-shingle set; found ${joins.map(_.joinType)}")
-    assert(!nodes.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.window.WindowExec]),
-      "containment must not rank a prefix window any more")
+    assert(joins.isEmpty,
+      s"containment is join-free since r17; found ${joins.map(_.joinType)}")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length === 1, s"expected the one df window, got $windows")
+    assert(windows.head.partitionSpec.nonEmpty,
+      "the df window must partition by shingle — a corpus-wide window " +
+        "is the banned r11-r14 prefix-rank cost class")
     // the pair stream comes from generators over posting lists
     assert(nodes.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.GenerateExec]),
       "expected the posting-list pair generator")
+    // one corpus exchange (shared by window + collector) + one
+    // pair-count exchange — a third would mean the collector stopped
+    // reusing the window's partitioning
+    val df2 = Dedup.containment(spark, sf, checkpoint = false)
+    assert(shuffles(df2) <= 2, s"containment shuffles ${shuffles(df2)} > 2")
   }
 
   test("q_session_paths: two aggregations + TakeOrdered, no global sort") {

@@ -574,12 +574,12 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("containment df cap boundary: df == cap kept, df == cap + 1 dropped") {
-    // the r16 collector rewrite moved the cap decision from an
-    // in-buffer over-marker (kept iff entries <= cap) to a df-count +
-    // anti-join (dropped iff df > cap) — this pins that the boundary
-    // itself is unchanged: four byte-identical one-shingle docs give
-    // the shingle df = 4, so cap 4 keeps all 12 ordered pairs and
-    // cap 3 drops the shingle (and with it every pair)
+    // the cap decision has moved twice (r15 in-buffer over-marker:
+    // kept iff entries <= cap → r16 df-count + anti-join → r17
+    // window-df filter: dropped iff df > cap) — this pins that the
+    // boundary itself never moves: four byte-identical one-shingle
+    // docs give the shingle df = 4, so cap 4 keeps all 12 ordered
+    // pairs and cap 3 drops the shingle (and with it every pair)
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dfcap_b").toString
     (1L to 4L).map(id => (id, "x y z", "en", "web", 5L))
@@ -587,7 +587,7 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     def n(cap: Long) = graft.operators.Dedup
       .containment(spark, tmp, checkpoint = false, dfCap = Some(cap)).count()
-    assert(n(4L) === 12L, "df == cap must survive the anti-join")
+    assert(n(4L) === 12L, "df == cap must survive the cap filter")
     assert(n(3L) === 0L, "df == cap + 1 must be cut")
   }
 
