@@ -1897,6 +1897,19 @@ object StreamQueries {
     * rollup stays a batch/downstream concern (it would be a second
     * streaming aggregation); per-session paths ARE the streaming
     * contract. Hash-matches the batch gaps-and-islands path oracle.
+    *
+    * Stage itemization (decades_r17 Section B, [[graft.SessionPathsProbe]]
+    * at the 100× fixture): the wall is the MACHINERY FLOOR — a plain
+    * watermarked tumble count on the same 10M arrivals runs 33-67 s
+    * (source + 9.5M-group windowed state + sink collection); the
+    * session store adds ~0, in-state event accumulation 0-16 s, the
+    * ordered path build ~9 s at emit. A dictionary-coded state row
+    * (`sessionPathsItemize("slim")`) cuts summed state-update time
+    * ~40% but only 2% of state bytes and 5-12% of wall — and needs a
+    * CLOSED event-type vocabulary collected before the stream starts,
+    * which this row's open-world contract refuses. Adjudicated
+    * no-change-needed; the scale path stays the bounded-state twin
+    * [[streamSessionPathsCapped]].
     */
   def streamSessionPaths(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark) { s =>
