@@ -49,16 +49,36 @@ object GraftConfig {
     * surcharge (full SST + snapshot build; rocksdbCommitCheckpointLatency
     * 195.7 s summed/32 partitions in the r15 session, 34.8 s in the
     * calmer r16 one, collapsing to sub-second once rocksdbFilesReused
-    * takes over). RECOMMENDATION unchanged in direction, sharpened in
-    * cost: default to heap while total state fits executor heap with
-    * headroom; flip when it does not — you buy ~7× in-JVM compression
-    * and pay a measured ~1.3-1.9× steady-state wall premium at
-    * in-heap sizes (at beyond-heap sizes heap's alternative is OOM,
-    * not a faster wave).
+    * takes over).
+    *
+    * r17 (decades_r17 Section C — the THREE-arm interleaved cycle
+    * h/r/c/h/r/c in one session): that 1.3-1.9× steady-state premium
+    * was CONFIGURATION, not engine. With changelog checkpointing
+    * enabled, every per-commit SST metric (BytesCopied 574 MB,
+    * FilesCopied, CommitFlush 3.3 s, SaveZipFiles 2.0 s, FileSync
+    * 3.6 s, compaction) vanishes from the wave path — only the
+    * changelog writer's commit remains (7.2 s summed/32 partitions) —
+    * and RocksDB becomes the FASTEST arm (steady waves mean 59.8 s vs
+    * heap's 85.1 and plain-RocksDB's 89.6 on the same session's box).
+    * So this flip now enables changelog checkpointing BY DEFAULT; the
+    * trades, measured: state stays memtable-resident until background
+    * snapshot maintenance (provider memory reads heap-like in a
+    * short-cycle harness — 1.98 GB vs the flushed 0.28 GB working
+    * set; the ~7× compression applies to the flushed steady state),
+    * and recovery replays the changelog against the last snapshot
+    * (Spark's documented longer-failover trade). Pass
+    * `changelogCheckpointing = false` for snapshot-per-commit
+    * durability (fastest recovery), accepting the measured commit
+    * premium. RECOMMENDATION: default to heap while total state fits
+    * executor heap with headroom; flip (with the changelog default)
+    * when it does not.
     */
-  def useRocksDbStateStore(spark: SparkSession): SparkSession = {
+  def useRocksDbStateStore(spark: SparkSession,
+      changelogCheckpointing: Boolean = true): SparkSession = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       RocksDbProvider)
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled", changelogCheckpointing.toString)
     spark
   }
 

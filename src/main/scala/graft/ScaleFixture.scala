@@ -274,13 +274,16 @@ object DeltaLshCycle {
     // exact cost class changelog checkpointing defers to async snapshot
     // maintenance; the third interleaved arm measures whether the
     // 1.3-1.9× premium is inherent or configuration.
+    // "1" = plain RocksDB (changelog OFF — the pre-r17 shape, kept as
+    // its own arm so the Section C A/B reruns against the new default);
+    // "changelog" = the shipped default (changelog ON)
     val provider = sys.env.get("SPARK_GRAFT_ROCKSDB") match {
       case Some("1") =>
-        graft.GraftConfig.useRocksDbStateStore(spark); "rocksdb"
+        graft.GraftConfig.useRocksDbStateStore(spark,
+          changelogCheckpointing = false)
+        "rocksdb"
       case Some("changelog") =>
         graft.GraftConfig.useRocksDbStateStore(spark)
-        spark.conf.set("spark.sql.streaming.stateStore.rocksdb" +
-          ".changelogCheckpointing.enabled", "true")
         "rocksdb_cl"
       case _ => "heap"
     }

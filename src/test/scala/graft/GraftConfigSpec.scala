@@ -47,6 +47,15 @@ class GraftConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics.exists(_.startsWith("rocksdb")),
       s"expected RocksDB state metrics, got $metrics; progresses=" +
         q.recentProgress.map(_.json).mkString("\n"))
+    // r17 (decades_r17 Section C): the flip enables changelog
+    // checkpointing by default — the measured config that removes the
+    // commit-time SST premium — and the opt-out leaves it off
+    assert(s2.conf.get("spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled") === "true")
+    val s3 = GraftConfig.useRocksDbStateStore(spark.newSession(),
+      changelogCheckpointing = false)
+    assert(s3.conf.get("spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled") === "false")
   }
 
   test("useAdaptiveSkewHandling: the AQE skew confs flip on the session") {
