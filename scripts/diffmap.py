@@ -8,7 +8,10 @@ Usage: python3 scripts/diffmap.py prior.json current.json [thresh] [floor]
   thresh: ratio that counts as a move (default 2.0)
   floor:  ignore rows where both values are under this many seconds
           (default 0.3 — sub-floor rows are timer noise)
-Exit status: number of >thresh movers (0 = clean diff).
+Exit status: min(movers + removed, 125); 0 = clean diff. Removed rows
+gate too — a row silently vanishing from the suite is NOT a clean diff
+(r17 ADVICE: sys.exit(len(movers)) alone wraps mod 256 on POSIX, so
+256+ movers would read as clean, and removed rows never gated).
 """
 import json, sys
 
@@ -45,4 +48,6 @@ if added:
     print("added:   " + ", ".join(f"{k}={cur[k]:.2f}" for k in added))
 if removed:
     print("removed: " + ", ".join(f"{k}={prior[k]:.2f}" for k in removed))
-sys.exit(len(movers))
+# cap at 125 (POSIX exit codes are mod 256; >125 collides with shell
+# signal/exec conventions) so a huge diff can never wrap back to 0
+sys.exit(min(len(movers) + len(removed), 125))

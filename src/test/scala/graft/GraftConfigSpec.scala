@@ -58,6 +58,143 @@ class GraftConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
       ".changelogCheckpointing.enabled") === "false")
   }
 
+  // shared fixture for the changelog-engagement tests: a watermarked
+  // keyed count over two parquet files processed one-per-trigger, so the
+  // state store commits (at least) two versions and the recovery path
+  // has a changelog chain to replay
+  private def writeTwoBatches(): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cfg_cl").toString
+    def batch(offset: Int): Unit =
+      spark.range(50)
+        .select(expr(s"timestamp_micros(${1700000000000000L} + (id + $offset) * 1000000)")
+          .as("ts"), (col("id") % 7).as("k"))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/t.parquet")
+    batch(0); batch(50)
+    tmp
+  }
+
+  private def runKeyedCount(s: SparkSession, src: String, ckpt: String,
+      name: String): Map[Long, Long] = {
+    val q = s.readStream.schema("ts timestamp, k bigint")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/t.parquet")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("k")).count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  // every state file the store wrote under the checkpoint, by extension
+  private def stateFiles(ckpt: String, ext: String): Seq[java.nio.file.Path] = {
+    val state = java.nio.file.Paths.get(ckpt, "state")
+    if (!java.nio.file.Files.exists(state)) Seq.empty
+    else {
+      val s = java.nio.file.Files.walk(state)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        while (it.hasNext) { val p = it.next(); if (p.toString.endsWith(ext)) buf += p }
+        buf.toSeq
+      } finally s.close()
+    }
+  }
+
+  test("changelog checkpointing ENGAGES at runtime under the default flip: " +
+      ".changelog versions written, changelog commit metric reported") {
+    // r17 ADVICE: the prior spec pinned only the conf STRING — this one
+    // pins the behavior. Under the default arm every commit must write a
+    // <version>.changelog (snapshots move to background maintenance), and
+    // the provider must report the changelog writer's commit latency
+    // metric the decades_r17 Section C itemization keyed on.
+    val s2 = GraftConfig.useRocksDbStateStore(spark.newSession())
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    val src = writeTwoBatches()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfg_cl_on").toString
+    val q = s2.readStream.schema("ts timestamp, k bigint")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/t.parquet")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("k")).count()
+      .writeStream.format("memory").queryName("cfg_cl_on")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val changelogs = stateFiles(ckpt, ".changelog")
+    assert(changelogs.nonEmpty,
+      s"default arm wrote NO .changelog files under $ckpt/state — " +
+        "changelog checkpointing did not engage")
+    val metrics = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .flatMap(_.customMetrics.entrySet().toArray
+        .map(_.asInstanceOf[java.util.Map.Entry[String, java.lang.Long]])
+        .map(e => e.getKey -> e.getValue.longValue())).toMap
+    assert(metrics.contains("rocksdbChangeLogWriterCommitLatencyMs"),
+      s"changelog commit metric missing; got ${metrics.keys.toSeq.sorted}")
+  }
+
+  test("changelog OPT-OUT actually runs snapshot-per-commit: zero .changelog " +
+      "files, a snapshot per committed version") {
+    // r17 ADVICE: no stream had ever run through the opt-out path
+    val s3 = GraftConfig.useRocksDbStateStore(spark.newSession(),
+      changelogCheckpointing = false)
+    s3.conf.set("spark.sql.shuffle.partitions", "2")
+    val src = writeTwoBatches()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfg_cl_off").toString
+    runKeyedCount(s3, src, ckpt, "cfg_cl_off")
+    assert(stateFiles(ckpt, ".changelog").isEmpty,
+      "opt-out arm wrote .changelog files — the flag did not reach the store")
+    assert(stateFiles(ckpt, ".zip").nonEmpty,
+      "opt-out arm wrote no snapshot zips — no state was committed at all?")
+  }
+
+  test("RocksDB+changelog state RECOVERS across a restart: resumed query " +
+      "equals a never-stopped run (changelog replayed against the snapshot)") {
+    // r17 verdict item 3: the flip's documented trade is recovery via
+    // changelog REPLAY; this is the executable proof. Run batch 1 under
+    // the default flip, STOP, add batch 2, restart from the SAME
+    // checkpoint — the resumed totals must include batch 1's counts
+    // (state recovered, not recounted) and match a single never-stopped
+    // run over both batches.
+    val s2 = GraftConfig.useRocksDbStateStore(spark.newSession())
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cfg_cl_rec").toString
+    def writeBatch(offset: Int): Unit =
+      spark.range(50)
+        .select(expr(s"timestamp_micros(${1700000000000000L} + (id + $offset) * 1000000)")
+          .as("ts"), (col("id") % 7).as("k"))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/t.parquet")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfg_cl_rec_ck").toString
+
+    writeBatch(0)
+    val first = runKeyedCount(s2, tmp, ckpt, "cfg_cl_rec1")
+    assert(first.values.sum === 50L, s"first segment saw $first")
+    assert(stateFiles(ckpt, ".changelog").nonEmpty,
+      "segment 1 left no changelog to replay — the test would not " +
+        "exercise the recovery path it claims to")
+
+    // job is DOWN while batch 2 arrives
+    writeBatch(50)
+    // restart on a FRESH session (same conf): provider must load the
+    // last snapshot and replay the changelog chain to the head version
+    val s2b = GraftConfig.useRocksDbStateStore(spark.newSession())
+    s2b.conf.set("spark.sql.shuffle.partitions", "2")
+    val resumed = runKeyedCount(s2b, tmp, ckpt, "cfg_cl_rec2")
+
+    // never-stopped reference run over both batches, heap provider —
+    // the provider-parity contract: byte-identical results
+    val single = runKeyedCount(spark.newSession(), tmp,
+      java.nio.file.Files.createTempDirectory("graft_cfg_cl_rec_ref").toString,
+      "cfg_cl_rec_ref")
+    assert(resumed === single,
+      s"resumed=$resumed != single-run=$single — state did not recover")
+    assert(resumed.values.sum === 100L)
+  }
+
   test("useAdaptiveSkewHandling: the AQE skew confs flip on the session") {
     val before = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     val s2 = spark.newSession()
