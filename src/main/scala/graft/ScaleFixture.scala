@@ -752,6 +752,92 @@ object SessionPathsProbe {
   }
 }
 
+/** Dev tool (r18, r17 verdict item 4): stage itemization of
+  * `q_stream_delta_lsh` — four legs over the same arriving docs
+  * ([[graft.operators.StreamQueries.deltaLshItemize]]) whose marginal
+  * deltas split the wall into source+harness floor / map-side
+  * shingle→minhash→band sketch / stream-static index join / stateful
+  * verify fold. Legs interleave per run so box drift brackets every
+  * arm; each line carries the state operator's memoryUsedBytes and
+  * commit/update times from the final StreamingQueryProgress.
+  *
+  * Usage: runMain graft.DeltaLshProbe <sfDir> [runs]
+  */
+object DeltaLshProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-delta-lsh-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val legs = Seq("floor_source", "sketch", "probe_join", "shipped")
+    def metric(json: String, key: String): String =
+      s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("null")
+    // warm-up: docs-stream first-touch + index staging land on the
+    // first query in a JVM — keep them off leg 1
+    graft.operators.StreamQueries.deltaLshItemize(spark, dir,
+      "probe_join").count()
+    (1 to runs).foreach { r =>
+      legs.foreach { leg =>
+        val t0 = System.nanoTime()
+        val n = graft.operators.StreamQueries
+          .deltaLshItemize(spark, dir, leg).count()
+        val p = graft.operators.StreamQueries.lastProgress.getOrElse("")
+        println(s"""{"leg":"$leg","run":$r,"sec":${
+          (System.nanoTime() - t0) / 1e9},"rows":$n,"state_bytes":${
+          metric(p, "memoryUsedBytes")},"commit_ms":${
+          metric(p, "commitTimeMs")},"update_ms":${
+          metric(p, "allUpdatesTimeMs")}}""")
+      }
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool (r18, r17 verdict item 5): full-row A/B of the three
+  * `text_tfidf` df-attach shapes
+  * ([[graft.operators.TextAnalysis.tfidfShape]]) — join (shipped r16),
+  * window (join-free df over the word exchange, the containment
+  * device), bcast (broadcast df, zero word-shuffles of tf). Interleaved
+  * arms, warm-up excluded, per-run row counts printed so arm
+  * equivalence is verified in the raw output.
+  *
+  * Usage: runMain graft.TfidfShapeProbe <sfDir> [runs]
+  */
+object TfidfShapeProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-tfidf-shape-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shapes = Seq("join", "window", "bcast")
+    // warm-up: JIT + parquet footer cache, shipped shape
+    graft.operators.TextAnalysis.tfidf(spark, dir).count()
+    (1 to runs).foreach { r =>
+      shapes.foreach { name =>
+        val t0 = System.nanoTime()
+        val n = graft.operators.TextAnalysis
+          .tfidfShape(spark, dir, name).count()
+        println(s"""{"shape":"$name","run":$r,"sec":${
+          (System.nanoTime() - t0) / 1e9},"rows":$n}""")
+      }
+    }
+    spark.stop()
+  }
+}
+
 /** The r15 bounded posting collector, RETIRED r16 ([[PostingAggProbe]]'s
   * measurement): it enforced the df cap inside the aggregation buffer
   * (over-marker past cap), but every object-collector aggregation falls

@@ -1294,6 +1294,63 @@ object StreamQueries {
       deltaLshTopologyOnBuckets(docs, s.read.parquet(bucketsDump))
     }
 
+  /** Stage itemization of [[streamDeltaLsh]] (r17 verdict item 4 — the
+    * top streaming wall at 100×, 68.4 s isolated, never stage-split).
+    * Four legs, each a FULL streaming query over the same arriving
+    * docs, whose marginal deltas attribute the wall
+    * ([[sessionPathsItemize]]'s method):
+    *
+    *   floor_source — arrivals streamed to the memory sink, one
+    *                  stateless projection (source + harness floor)
+    *   sketch       — + shingle→minhash→band explode map-side (the
+    *                  128-perm signature cost; sig length emitted so
+    *                  the signatures actually materialize)
+    *   probe_join   — + the stream-static left join against the staged
+    *                  grouped band index, shuffle sized from the index
+    *                  bytes exactly like shipped ([[sizeProbeShuffle]]);
+    *                  sig carried through the join (the fold needs it in
+    *                  shipped, so the join leg must pay its width),
+    *                  member lists reduced to a size at the sink
+    *   shipped      — [[streamDeltaLsh]] itself (adds the watermark +
+    *                  per-bucket flatMapGroupsWithState verify fold)
+    *
+    * Driven by [[graft.DeltaLshProbe]]; not a queries() row.
+    */
+  private[graft] def deltaLshItemize(spark: SparkSession, dir: String,
+      leg: String): DataFrame = leg match {
+    case "shipped" => streamDeltaLsh(spark, dir)
+    case _ => runToTable(spark, mode = "append") { s =>
+      import s.implicits._
+      import graft.functions.{MinhashBands, MinhashSig, ShingleGramHashes}
+      val docs = s.readStream.schema(docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter($"doc_id" % 5 === 0)
+      def sketched = docs
+        .select($"doc_id", ShingleGramHashes($"text").as("hashes"))
+        .filter(size($"hashes") > 0)
+        .select($"doc_id", MinhashSig($"hashes").as("sig"))
+        .select($"doc_id", $"sig", posexplode(MinhashBands($"sig"))
+          .as(Seq("band_idx", "band_hash")))
+      leg match {
+        case "floor_source" => docs.select($"doc_id")
+        case "sketch" =>
+          sketched.select($"doc_id", $"band_idx", $"band_hash",
+            size($"sig").as("sig_len"))
+        case "probe_join" =>
+          val bucketsDump = lshBucketsDump(s, dir)
+          sizeProbeShuffle(s, bucketsDump)
+          sketched
+            .join(s.read.parquet(bucketsDump),
+              Seq("band_idx", "band_hash"), "left")
+            .select($"doc_id", $"band_idx", size($"sig").as("sig_len"),
+              size(coalesce($"base_members", array()
+                .cast("array<struct<doc_id:bigint,sig:array<bigint>>>")))
+                .as("n_base"))
+        case other => throw new IllegalArgumentException(s"unknown leg $other")
+      }
+    }
+  }
+
   /** Size the harness session's shuffle partitions from a staged probe
     * index's ON-DISK bytes: AQE is disabled for stateful streaming
     * queries, so the static side of a big stream-static sort-merge join
