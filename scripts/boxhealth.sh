@@ -24,7 +24,10 @@ SF="${1:-/tmp/graft_sf_100x}"
 GATE_S="${2:-55}"
 RAWDIR="bench_raw/${GRAFT_ROUND:+r$GRAFT_ROUND}"; RAWDIR="${RAWDIR%/}"
 mkdir -p "$RAWDIR"
-OUT="$RAWDIR/boxhealth.txt"
+# one file per invocation: repeated gate runs in a session must not
+# clobber each other's record (the r18 session ran the gate twice and
+# run 1's waves survived only in the transcript)
+OUT="$RAWDIR/boxhealth_$(date +%H%M%S).txt"
 [ -d "$SF" ] || { echo "fixture missing: $SF" >&2; exit 2; }
 
 # probe 2 first (cheap, and it must run before probe 1 warms the file)
