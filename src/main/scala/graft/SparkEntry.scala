@@ -53,6 +53,10 @@ object SparkEntry {
     "stats_calibration" -> (Profile.statsCalibration _),
     "stats_confusion" -> (Profile.statsConfusion _),
     "stats_pr_curve" -> (Profile.statsPrCurve _),
+    "stats_chi2"   -> (Profile.statsChi2 _),
+    "stats_gini"   -> (Profile.statsGini _),
+    "text_ttr"     -> (TextAnalysis.ttr _),
+    "embed_stats"  -> (Similarity.embedStats _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
     "q_slide_distinct" -> (Windows.slideDistinct _),
@@ -244,6 +248,10 @@ object SparkEntry {
     "stats_calibration" -> Profile.statsCalibrationSql,
     "stats_confusion" -> Profile.statsConfusionSql,
     "stats_pr_curve" -> Profile.statsPrCurveSql,
+    "stats_chi2"   -> Profile.statsChi2Sql,
+    "stats_gini"   -> Profile.statsGiniSql,
+    "text_ttr"     -> TextAnalysis.ttrSql,
+    "embed_stats"  -> Similarity.embedStatsSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,
     "q_slide_distinct" -> Windows.slideDistinctSql,

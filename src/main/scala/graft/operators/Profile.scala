@@ -753,4 +753,116 @@ object Profile {
            CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE) AS accuracy
     FROM cells WHERE tp + fp > 0 AND tp + fn > 0"""
   }
+
+  /** Pearson χ² contingency diagnostic for lang × source independence —
+    * the "is my language mix confounded with my source mix?" check a
+    * curation pipeline runs before trusting per-source sampling weights
+    * (a lang/source dependence means source-level up/down-sampling
+    * silently reshapes the language distribution). Emits the FULL
+    * contingency diagnostic, one row per (lang, source) cell INCLUDING
+    * structurally-absent cells (observed = 0 contributes (0−e)²/e like
+    * any other cell): observed count, row/col/grand totals, the exact
+    * integer residual diff = o·N − n_lang·n_source (diff/N is o−e), and
+    * the cell's χ² contribution (o−e)²/e = diff²/(N·n_lang·n_source) as
+    * ONE fixed double expression over exact integers — the [[statsCorr]]
+    * device; Σ contrib over the ≤|L|·|S| cells is the χ² statistic with
+    * (|L|−1)(|S|−1) dof (ProfileSpec pins it against a hand-computed
+    * table; the hash-compared surface stays per-cell so no float SUM's
+    * association order is ever compared).
+    *
+    * Sub-2^53 contract (same as [[statsCorr]]): |diff| ≤ N·max(o, n_l)
+    * stays double-exact to ~10^8 docs; past that, decimal moments.
+    *
+    * Scale: ONE map-side-combined corpus pass onto the ≤|L|·|S| cell
+    * grid, which is COLLECTED (bounded by the key domain, never the
+    * corpus — the embed_pca / k-means-codebook device) so marginals,
+    * totals, and the zero-cell completion are grid-side driver math;
+    * nothing after the single shuffle touches corpus rows, and the
+    * static plan has exactly one corpus scan (PlanShapeSpec pins it).
+    */
+  def statsChi2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ONE corpus pass; the collected grid is bounded by the KEY DOMAIN
+    // (|L|·|S|), never the corpus — the embed_pca/codebook device. A
+    // DataFrame formulation would branch the cells subtree four ways
+    // (marginals, totals, zero-cell completion) and re-scan the corpus
+    // per branch in the static plan; grid-side math has no such hazard.
+    val cells = Tables.documents(spark, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nLang = cells.groupBy(_._1).map { case (l, cs) => l -> cs.map(_._3).sum }
+    val nSource = cells.groupBy(_._2).map { case (s, cs) => s -> cs.map(_._3).sum }
+    val nTotal = cells.map(_._3).sum
+    val o = cells.map { case (l, s, c) => (l, s) -> c }.toMap
+    val rows = for {
+      l <- nLang.keys.toSeq.sorted
+      s <- nSource.keys.toSeq.sorted
+    } yield {
+      val oc = o.getOrElse((l, s), 0L)
+      val diff = oc * nTotal - nLang(l) * nSource(s)
+      val contrib = (diff.toDouble * diff.toDouble) /
+        (nTotal.toDouble * nLang(l).toDouble * nSource(s).toDouble)
+      (l, s, oc, nLang(l), nSource(s), nTotal, diff, contrib)
+    }
+    rows.toDF("lang", "source", "o", "n_lang", "n_source", "n_total",
+      "diff", "contrib")
+  }
+
+  val statsChi2Sql: String = """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS n_lang FROM cells GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_source FROM cells GROUP BY 1),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells),
+    full_grid AS (
+      SELECT r.lang, c.source, COALESCE(cells.o, 0) AS o,
+             r.n_lang, c.n_source, t.n_total
+      FROM r CROSS JOIN c CROSS JOIN t
+      LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source)
+    SELECT lang, source, o, n_lang, n_source, n_total,
+           o * n_total - n_lang * n_source AS diff,
+           (CAST(o * n_total - n_lang * n_source AS DOUBLE) *
+            CAST(o * n_total - n_lang * n_source AS DOUBLE)) /
+           (CAST(n_total AS DOUBLE) * CAST(n_lang AS DOUBLE) *
+            CAST(n_source AS DOUBLE)) AS contrib
+    FROM full_grid"""
+
+  /** Per-language Gini impurity of the SOURCE mix — the diversity score
+    * a mixture-balancing pass reads per stratum (gini → 0 means one
+    * source dominates the language; → 1−1/|S| means a uniform mix): the
+    * probability two random docs of the language come from DIFFERENT
+    * sources, 1 − Σ_s (c_s/n)². Exact integer moments (n, Σ c_s², and
+    * the dominant source count) with gini as one fixed double expression
+    * — order-independent BIGINTs, so the float column hash-matches.
+    *
+    * Scale: the same one-pass grid shape as [[statsChi2]] — corpus →
+    * ≤|L|·|S| cells map-side-combined, then per-lang folds over the
+    * grid only.
+    */
+  def statsGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    cells.groupBy($"lang").agg(
+      sum($"o").as("n_docs"),
+      count(lit(1)).as("n_sources"),
+      max($"o").as("top_source_docs"),
+      sum($"o" * $"o").as("sum_sq"))
+      .select($"lang", $"n_docs", $"n_sources", $"top_source_docs", $"sum_sq",
+        (lit(1.0) - $"sum_sq".cast("double") /
+          ($"n_docs".cast("double") * $"n_docs".cast("double"))).as("gini"))
+  }
+
+  val statsGiniSql: String = """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(o) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_sources,
+           CAST(MAX(o) AS BIGINT) AS top_source_docs,
+           CAST(SUM(o * o) AS BIGINT) AS sum_sq,
+           1.0 - CAST(CAST(SUM(o * o) AS BIGINT) AS DOUBLE) /
+                 (CAST(CAST(SUM(o) AS BIGINT) AS DOUBLE) *
+                  CAST(CAST(SUM(o) AS BIGINT) AS DOUBLE)) AS gini
+    FROM cells GROUP BY lang"""
 }

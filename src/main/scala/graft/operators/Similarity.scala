@@ -25,6 +25,48 @@ object Similarity {
       |           FROM embeddings),
       |n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) nrm FROM e)""".stripMargin
 
+  /** Embedding-column health profile — the sanity gate an embedding
+    * pipeline runs before building any index over a new vector batch:
+    * per observed DIMENSIONALITY (a mixed-dim batch is the classic
+    * upstream-encoder-version bug, and it surfaces here as two rows
+    * instead of a crash inside the index builder), the vector count,
+    * zero-norm count (degenerate vectors that break cosine — every
+    * cosine op here divides by the norm), and the norm / element value
+    * ranges. All aggregates are order-independent (COUNT / integer SUM /
+    * MIN / MAX — no float summation across rows), and the per-row norm
+    * is the same codegen'd sequential double fold every similarity op
+    * uses ([[graft.functions.Vectors.norm2]]), so the float columns
+    * hash-match the oracle's list fold.
+    *
+    * Scale: one scan, map-side-combined aggregation onto a ≤|distinct
+    * dims| grid — the profiler shape, corpus-size-independent output.
+    */
+  def embedStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(size($"embedding").as("dim"),
+        Vectors.norm2($"embedding").as("nrm"),
+        array_min($"embedding").cast("double").as("mn"),
+        array_max($"embedding").cast("double").as("mx"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(($"nrm" === 0.0).cast("long")).as("n_zero_norm"),
+        min($"nrm").as("norm_min"),
+        max($"nrm").as("norm_max"),
+        min($"mn").as("elem_min"),
+        max($"mx").as("elem_max"))
+  }
+
+  val embedStatsSql: String = duckEmb + """,
+    s AS (SELECT CAST(len(emb) AS INT) AS dim, nrm,
+                 list_min(emb) AS mn, list_max(emb) AS mx
+          FROM n)
+    SELECT dim, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           MIN(nrm) AS norm_min, MAX(nrm) AS norm_max,
+           MIN(mn) AS elem_min, MAX(mx) AS elem_max
+    FROM s GROUP BY dim"""
+
   /** Exact cosine top-5 neighbours for the 10 query vectors (vec_id < 10). */
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

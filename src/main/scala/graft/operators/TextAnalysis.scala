@@ -507,6 +507,38 @@ object TextAnalysis {
       length(text) * 1.0 / greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1) AS chars_per_token
     FROM wd"""
 
+  /** Lexical diversity per document: type-token ratio (distinct words /
+    * total words) — the repetitiveness signal quality filters threshold
+    * on (Gopher/RefinedWeb-style rules drop pages with abnormally low
+    * TTR: boilerplate, keyword stuffing, template spam). Complements
+    * [[repetition]]: that scores REPEATED-SEQUENCE mass (n-gram loops),
+    * TTR scores vocabulary coverage — a page can loop n-grams with high
+    * vocabulary and vice versa. Counts are exact integers off the shared
+    * normalize→split tokenizer (the [[tokens]] twin); the ratio is ONE
+    * double division, hash-safe.
+    *
+    * Scale: per-row map over the words array, no shuffle, no state —
+    * the distinct fold is per-document (arrays are page-sized), inside
+    * one projection.
+    */
+  def ttr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Text.wordsFast($"text")
+    Tables.documents(spark, dir).select($"doc_id",
+      size(w).as("n_tokens"),
+      size(array_distinct(w)).as("n_types"),
+      (size(array_distinct(w)).cast("double") /
+        greatest(size(w), lit(1)).cast("double")).as("ttr"))
+  }
+
+  val ttrSql: String = sqlWords + """
+    SELECT doc_id,
+      CAST(len(w) AS INT) AS n_tokens,
+      CAST(len(list_distinct(w)) AS INT) AS n_types,
+      CAST(len(list_distinct(w)) AS DOUBLE) /
+        CAST(greatest(len(w), 1) AS DOUBLE) AS ttr
+    FROM wd"""
+
   /** The wordpiece vocabulary for [[tokensBpe]]: common English merges
     * plus every single character of the normalized alphabet ([a-z0-9]),
     * so greedy matching always progresses and no word is untokenizable.

@@ -55,6 +55,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(shuffles(df) === 0, s"$name grew a shuffle")
   }
 
+  test("r18 profilers: one corpus scan each, grid-sized downstream, no sort-merge") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // ttr is a pure per-row map
+    assert(shuffles(TextAnalysis.ttr(spark, sf)) === 0, "text_ttr grew a shuffle")
+    // embed_stats: one scan, one map-side-combined shuffle onto the dim grid
+    val es = Similarity.embedStats(spark, sf)
+    assert(shuffles(es) === 1, "embed_stats shuffle count changed")
+    // gini: cells grid -> per-lang fold is one linear chain — exactly one
+    // corpus scan, no joins
+    val gini = Profile.statsGini(spark, sf)
+    assert(physical(gini).count(_.isInstanceOf[FileSourceScanExec]) === 1,
+      "stats_gini re-scans the corpus")
+    assert(physical(gini).count(_.isInstanceOf[SortMergeJoinExec]) === 0,
+      "stats_gini grew a sort-merge join")
+    // chi2: the corpus pass happens ONCE at build time (grid collect);
+    // the returned frame is pure grid-side local math — no corpus scan,
+    // no shuffle, no join may ever appear in it
+    val chi2 = Profile.statsChi2(spark, sf)
+    assert(physical(chi2).count(_.isInstanceOf[FileSourceScanExec]) === 0,
+      "stats_chi2 result must be grid-local (corpus pass is at build time)")
+    assert(shuffles(chi2) === 0, "stats_chi2 result grew a shuffle")
+  }
+
   test("single-shuffle operators stay single-shuffle") {
     for ((name, df, n) <- Seq(
         ("dedup_exact", Dedup.exact(spark, sf), 1),

@@ -190,4 +190,84 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.getAs[Double]("ks_d_lower") <= exactD + 1e-12)
     assert(exactD <= b.getAs[Double]("ks_d_upper") + 1e-12)
   }
+
+  /** Planted 2×2-plus-a-zero-cell contingency table for chi2/gini:
+    * en = (src0 30, src1 10), de = (src0 10, src1 30), fr = (src0 8).
+    */
+  private def plantedContingency(): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chi2").toString
+    val rows =
+      (1 to 30).map(i => (i.toLong, "en", "src0")) ++
+      (31 to 40).map(i => (i.toLong, "en", "src1")) ++
+      (41 to 50).map(i => (i.toLong, "de", "src0")) ++
+      (51 to 80).map(i => (i.toLong, "de", "src1")) ++
+      (81 to 88).map(i => (i.toLong, "fr", "src0"))
+    rows.toDF("doc_id", "lang", "source")
+      .withColumn("text", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("chi2 contingency: hand-computed statistic, zero cells present") {
+    val dir = plantedContingency()
+    val cells = Profile.statsChi2(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("o"), r.getAs[Long]("diff"),
+          r.getAs[Double]("contrib")))).toMap
+    // the full grid: 3 langs × 2 sources, INCLUDING the absent fr/src1
+    assert(cells.size === 6)
+    val (oZero, _, contribZero) = cells(("fr", "src1"))
+    assert(oZero === 0L)
+    // zero cell contributes exactly e = n_fr * n_src1 / N = 8*40/88
+    assert(math.abs(contribZero - 8.0 * 40.0 / 88.0) < 1e-12)
+    // diff is the exact integer residual o*N - n_l*n_s
+    val (oEn0, diffEn0, _) = cells(("en", "src0"))
+    assert(oEn0 === 30L && diffEn0 === 30L * 88L - 40L * 48L)
+    // hand-computed full statistic over the 6 cells
+    val chi2 = cells.values.map(_._3).toSeq.sorted.sum
+    val expect = Seq(
+      (30.0, 40.0 * 48.0 / 88.0), (10.0, 40.0 * 40.0 / 88.0),
+      (10.0, 40.0 * 48.0 / 88.0), (30.0, 40.0 * 40.0 / 88.0),
+      (8.0, 8.0 * 48.0 / 88.0), (0.0, 8.0 * 40.0 / 88.0))
+      .map { case (o, e) => (o - e) * (o - e) / e }.sorted.sum
+    assert(math.abs(chi2 - expect) < 1e-9, s"chi2 $chi2 vs $expect")
+  }
+
+  test("gini impurity: hand-computed per-lang values") {
+    val dir = plantedContingency()
+    val g = Profile.statsGini(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"),
+          r.getAs[Long]("top_source_docs"), r.getAs[Double]("gini")))).toMap
+    // en: 30/10 -> 1 - (900+100)/1600 = 0.375; fr: single source -> 0
+    assert(g("en") === ((40L, 2L, 30L, 1.0 - 1000.0 / 1600.0)))
+    assert(g("de") === ((40L, 2L, 30L, 1.0 - 1000.0 / 1600.0)))
+    assert(g("fr") === ((8L, 1L, 8L, 0.0)))
+  }
+
+  test("embed_stats: mixed dims, zero norms, and value ranges surface") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_estats").toString
+    val rows = Seq(
+      (1L, Array(3f, 4f), 0),          // norm 5
+      (2L, Array(0f, 0f), 0),          // the degenerate zero vector
+      (3L, Array(-1f, 2f), 0),
+      (4L, Array(1f, 2f, 2f), 0))      // the stray 3-dim encoder output
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = graft.operators.Similarity.embedStats(spark, tmp).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_zero_norm"),
+          r.getAs[Double]("norm_min"), r.getAs[Double]("norm_max"),
+          r.getAs[Double]("elem_min"), r.getAs[Double]("elem_max")))).toMap
+    assert(out.keySet === Set(2, 3))
+    val (n2, z2, nmin2, nmax2, emin2, emax2) = out(2)
+    assert(n2 === 3L && z2 === 1L)
+    assert(nmin2 === 0.0 && nmax2 === 5.0)
+    assert(emin2 === -1.0 && emax2 === 4.0)
+    val (n3, z3, _, nmax3, _, _) = out(3)
+    assert(n3 === 1L && z3 === 0L && nmax3 === 3.0)
+  }
 }

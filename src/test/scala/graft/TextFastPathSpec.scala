@@ -220,4 +220,27 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(scored.sortBy(_._1) === repart.sortBy(_._1))
   }
+
+  test("ttr: hand-computed type/token ratios on planted docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ttr").toString
+    val rows = Seq(
+      (1L, "the cat the dog"),              // 4 tokens, 3 types
+      (2L, "repeat repeat repeat repeat"),  // 4 tokens, 1 type
+      (3L, "all four words differ"),        // 4 tokens, 4 types
+      (4L, "Punct!! folds, CASE folds."))   // punct/case fold first
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis.ttr(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_types"),
+          r.getAs[Double]("ttr")))).toMap
+    assert(out(1L) === ((4, 3, 0.75)))
+    assert(out(2L) === ((4, 1, 0.25)))
+    assert(out(3L) === ((4, 4, 1.0)))
+    // "punct folds case folds" -> 4 tokens, 3 types
+    assert(out(4L) === ((4, 3, 0.75)))
+  }
 }
