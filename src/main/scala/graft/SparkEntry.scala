@@ -56,6 +56,7 @@ object SparkEntry {
     "stats_chi2"   -> (Profile.statsChi2 _),
     "stats_gini"   -> (Profile.statsGini _),
     "text_ttr"     -> (TextAnalysis.ttr _),
+    "text_hapax"   -> (TextAnalysis.hapax _),
     "embed_stats"  -> (Similarity.embedStats _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
@@ -251,6 +252,7 @@ object SparkEntry {
     "stats_chi2"   -> Profile.statsChi2Sql,
     "stats_gini"   -> Profile.statsGiniSql,
     "text_ttr"     -> TextAnalysis.ttrSql,
+    "text_hapax"   -> TextAnalysis.hapaxSql,
     "embed_stats"  -> Similarity.embedStatsSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,

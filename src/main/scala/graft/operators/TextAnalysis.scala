@@ -539,6 +539,52 @@ object TextAnalysis {
         CAST(greatest(len(w), 1) AS DOUBLE) AS ttr
     FROM wd"""
 
+  /** Corpus vocabulary-tail profile: hapax legomena (words occurring
+    * EXACTLY ONCE in the whole corpus) and dis legomena (exactly twice)
+    * — the rarity mass a tokenizer/vocab decision is made against (a
+    * natural corpus runs ~40-60% hapax types; far below that signals
+    * template/duplicated text, far above signals OCR noise or
+    * tokenization breakage) and the Good–Turing unseen-mass estimate
+    * (P(next token is novel) ≈ n_hapax/n_tokens). One row, exact
+    * BIGINTs + two single divisions.
+    *
+    * Scale: explode → ONE word-keyed map-side-combined count (grid =
+    * vocabulary-sized, Heaps-law sublinear in the corpus), then a 1-row
+    * fold over the vocab grid. Same shape as the `text_cooccur` df
+    * stage; nothing corpus-sized past the first shuffle.
+    */
+  def hapax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(Text.wordsFast($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+    counts.agg(
+      sum($"c").as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(($"c" === 1L).cast("long")).as("n_hapax"),
+      sum(($"c" === 2L).cast("long")).as("n_dis"))
+      .select($"n_tokens", $"n_types", $"n_hapax", $"n_dis",
+        ($"n_hapax".cast("double") / $"n_types".cast("double"))
+          .as("hapax_type_share"),
+        ($"n_hapax".cast("double") / $"n_tokens".cast("double"))
+          .as("unseen_mass_gt"))
+  }
+
+  val hapaxSql: String = sqlWords + """,
+    words AS (SELECT unnest(w) AS word FROM wd),
+    counts AS (SELECT word, COUNT(*) AS c FROM words
+               WHERE word != '' GROUP BY word)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+           CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE) AS hapax_type_share,
+           CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) /
+             CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS unseen_mass_gt
+    FROM counts"""
+
   /** The wordpiece vocabulary for [[tokensBpe]]: common English merges
     * plus every single character of the normalized alphabet ([a-z0-9]),
     * so greedy matching always progresses and no word is untokenizable.

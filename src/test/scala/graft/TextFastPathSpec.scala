@@ -243,4 +243,23 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     // "punct folds case folds" -> 4 tokens, 3 types
     assert(out(4L) === ((4, 3, 0.75)))
   }
+
+  test("hapax: hand-computed corpus vocabulary tail") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hapax").toString
+    // corpus tokens: the x3, cat x2, dog x1, bird x1 -> 7 tokens,
+    // 4 types, 2 hapax (dog, bird), 1 dis (cat)
+    val rows = Seq((1L, "the cat the dog"), (2L, "THE cat... bird!"))
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.operators.TextAnalysis.hapax(spark, tmp).head()
+    assert(r.getAs[Long]("n_tokens") === 7L)
+    assert(r.getAs[Long]("n_types") === 4L)
+    assert(r.getAs[Long]("n_hapax") === 2L)
+    assert(r.getAs[Long]("n_dis") === 1L)
+    assert(r.getAs[Double]("hapax_type_share") === 0.5)
+    assert(r.getAs[Double]("unseen_mass_gt") === 2.0 / 7.0)
+  }
 }
