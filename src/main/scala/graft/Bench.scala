@@ -30,11 +30,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // r18 verdict item 2: the stateful streaming rows run under the
+    // SHIPPED state-store default (GraftConfig.useRocksDbStateStore —
+    // RocksDB + changelog checkpointing), so the suite measures the
+    // production provider instead of the heap provider's 3.7 GB-per-
+    // batch full snapshots (the dominant in-suite noise term on a
+    // slow-fsync disk, adjudicate_movers_r18.json). Set in SparkConf
+    // (not session conf) so every harness `newSession()` clone
+    // inherits it. SPARK_GRAFT_STATESTORE=heap|rocksdb|rocksdb-
+    // changelog overrides for A/B work; the r19 before/after maps are
+    // bench_raw/r19/bench_local_r19_heap.json vs bench_local_r19.json.
+    val stateStore =
+      sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "rocksdb-changelog")
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder = stateStore match {
+      case "heap" => builder0
+      case other =>
+        builder0
+          .config("spark.sql.streaming.stateStore.providerClass",
+            GraftConfig.RocksDbProvider)
+          .config("spark.sql.streaming.stateStore.rocksdb" +
+            ".changelogCheckpointing.enabled",
+            (other != "rocksdb").toString)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // full-column warm-up scans (noop sink: decode every column, write
     // nothing) so per-query timings measure the operator, not whichever
@@ -223,7 +245,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""staging":$st,"staging_total":$stagingTotal,""" +
         s""""ceiling_sec":${if (ceiling == Double.MaxValue) "null" else ceiling},""" +
-        s""""ceiling_violations":$viol,"sf":"$sfDir"}"""
+        s""""ceiling_violations":$viol,"stateStore":"$stateStore","sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_rN.json keeps only a truncated stdout tail, so
     // also persist the FULL per-query map to a parseable file (committed

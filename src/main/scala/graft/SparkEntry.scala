@@ -53,10 +53,15 @@ object SparkEntry {
     "stats_calibration" -> (Profile.statsCalibration _),
     "stats_confusion" -> (Profile.statsConfusion _),
     "stats_pr_curve" -> (Profile.statsPrCurve _),
+    // stats_chi2 / stats_mi are the suite's two EAGER entries: the
+    // bounded lang×source grid is collected at frame-construction time
+    // (documented in their scaladoc — r18 ADVICE).
     "stats_chi2"   -> (Profile.statsChi2 _),
     "stats_gini"   -> (Profile.statsGini _),
+    "stats_mi"     -> (Profile.statsMi _),
     "text_ttr"     -> (TextAnalysis.ttr _),
     "text_hapax"   -> (TextAnalysis.hapax _),
+    "text_zipf"    -> (TextAnalysis.zipf _),
     "embed_stats"  -> (Similarity.embedStats _),
     "q_tumble_count"   -> (Windows.tumbleCount _),
     "q_slide_count"    -> (Windows.slideCount _),
@@ -251,8 +256,10 @@ object SparkEntry {
     "stats_pr_curve" -> Profile.statsPrCurveSql,
     "stats_chi2"   -> Profile.statsChi2Sql,
     "stats_gini"   -> Profile.statsGiniSql,
+    "stats_mi"     -> Profile.statsMiSql,
     "text_ttr"     -> TextAnalysis.ttrSql,
     "text_hapax"   -> TextAnalysis.hapaxSql,
+    "text_zipf"    -> TextAnalysis.zipfSql,
     "embed_stats"  -> Similarity.embedStatsSql,
     "q_tumble_count"   -> Windows.tumbleCountSql,
     "q_slide_count"    -> Windows.slideCountSql,

@@ -779,6 +779,18 @@ object Profile {
     * totals, and the zero-cell completion are grid-side driver math;
     * nothing after the single shuffle touches corpus rows, and the
     * static plan has exactly one corpus scan (PlanShapeSpec pins it).
+    *
+    * EAGER contract (r18 ADVICE): because the grid is collected at
+    * DataFrame-CONSTRUCTION time, this is the one queries-map entry
+    * that executes its corpus pass before the caller ever acts on the
+    * returned frame — a plan-dump/explain consumer pays the
+    * aggregation. Accepted and documented (the grid device needs the
+    * values to build the zero-completed frame); [[statsMi]] shares the
+    * contract. Null lang/source is REJECTED loudly rather than
+    * half-flowing: the DuckDB oracle's equi-join would drop a NULL
+    * cell's observed count while keeping it in the marginals — an
+    * inconsistent grid — so a null key is a fixture/contract error,
+    * not a value.
     */
   def statsChi2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -787,9 +799,7 @@ object Profile {
     // DataFrame formulation would branch the cells subtree four ways
     // (marginals, totals, zero-cell completion) and re-scan the corpus
     // per branch in the static plan; grid-side math has no such hazard.
-    val cells = Tables.documents(spark, dir)
-      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val cells = chi2Cells(spark, dir)
     val nLang = cells.groupBy(_._1).map { case (l, cs) => l -> cs.map(_._3).sum }
     val nSource = cells.groupBy(_._2).map { case (s, cs) => s -> cs.map(_._3).sum }
     val nTotal = cells.map(_._3).sum
@@ -806,6 +816,25 @@ object Profile {
     }
     rows.toDF("lang", "source", "o", "n_lang", "n_source", "n_total",
       "diff", "contrib")
+  }
+
+  /** The shared collected lang×source cell grid behind [[statsChi2]] /
+    * [[statsMi]] — one map-side-combined corpus pass, null keys
+    * rejected (see the statsChi2 scaladoc for why null must not
+    * half-flow through the grid device).
+    */
+  private def chi2Cells(spark: SparkSession,
+      dir: String): Array[(String, String, Long)] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      .collect().map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"null lang/source cell in documents ($dir): the grid " +
+            "contract requires non-null keys (a null would join " +
+            "inconsistently in the SQL oracle)")
+        (r.getString(0), r.getString(1), r.getLong(2))
+      }
   }
 
   val statsChi2Sql: String = """
@@ -865,4 +894,66 @@ object Profile {
                  (CAST(CAST(SUM(o) AS BIGINT) AS DOUBLE) *
                   CAST(CAST(SUM(o) AS BIGINT) AS DOUBLE)) AS gini
     FROM cells GROUP BY lang"""
+
+  /** Pointwise-mutual-information grid for lang × source — the signed
+    * association readout the [[statsChi2]] magnitude test doesn't give
+    * (χ² says "dependent", PMI says WHICH cells are over/under-
+    * represented and by how much): per cell the joint probability
+    * p_cell = o/N and the LIFT o·N/(n_lang·n_source) = e^PMI (the
+    * [[TextAnalysis.cooccur]] device — lift > 1 means the language is
+    * over-represented in the source, < 1 under-represented, and the
+    * ln that would turn it into PMI-in-nats stays OUT of the
+    * hash-compared contract because the JVM's Math.log and libm
+    * diverge in the last ulp, measured at text_cooccur). The corpus
+    * mutual information I(L;S) = Σ p_cell·ln(lift) over the o>0 cells
+    * is a ProfileSpec-pinned SCALAR, not a hashed column. Zero cells
+    * emit p_cell = 0, lift = 0 (their MI contribution is 0 by the
+    * 0·ln 0 convention) so the grid completion matches statsChi2
+    * row-for-row.
+    *
+    * Sub-2^53 contract: o·N and n_lang·n_source are Long products cast
+    * once to double — exact to ~10^8 docs, then the two divisions are
+    * IEEE correctly rounded, hence bit-stable across engines.
+    *
+    * Scale + EAGER contract: identical to [[statsChi2]] — one
+    * map-side-combined corpus pass onto the collected ≤|L|·|S| grid at
+    * construction time; everything after is driver-side grid math.
+    */
+  def statsMi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = chi2Cells(spark, dir)
+    val nLang = cells.groupBy(_._1).map { case (l, cs) => l -> cs.map(_._3).sum }
+    val nSource = cells.groupBy(_._2).map { case (s, cs) => s -> cs.map(_._3).sum }
+    val nTotal = cells.map(_._3).sum
+    val o = cells.map { case (l, s, c) => (l, s) -> c }.toMap
+    val rows = for {
+      l <- nLang.keys.toSeq.sorted
+      s <- nSource.keys.toSeq.sorted
+    } yield {
+      val oc = o.getOrElse((l, s), 0L)
+      val pCell = oc.toDouble / nTotal.toDouble
+      val lift = (oc * nTotal).toDouble /
+        (nLang(l) * nSource(s)).toDouble
+      (l, s, oc, nLang(l), nSource(s), nTotal, pCell, lift)
+    }
+    rows.toDF("lang", "source", "o", "n_lang", "n_source", "n_total",
+      "p_cell", "lift")
+  }
+
+  val statsMiSql: String = """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS n_lang FROM cells GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_source FROM cells GROUP BY 1),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells),
+    full_grid AS (
+      SELECT r.lang, c.source, COALESCE(cells.o, 0) AS o,
+             r.n_lang, c.n_source, t.n_total
+      FROM r CROSS JOIN c CROSS JOIN t
+      LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source)
+    SELECT lang, source, o, n_lang, n_source, n_total,
+           CAST(o AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_cell,
+           CAST(o * n_total AS DOUBLE) /
+             CAST(n_lang * n_source AS DOUBLE) AS lift
+    FROM full_grid"""
 }

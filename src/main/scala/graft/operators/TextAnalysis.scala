@@ -523,7 +523,12 @@ object TextAnalysis {
     */
   def ttr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Text.wordsFast($"text")
+    // array_remove('') : split(normalize, ' ') yields one empty-string
+    // token for a blank/punct-only page; unfiltered, such a page would
+    // report n_tokens=1, n_types=1, ttr=1.0 — MAXIMUM diversity for an
+    // empty doc, the exact inversion a low-TTR filter must not see
+    // (r18 ADVICE). hapax applies the same filter post-explode.
+    val w = array_remove(Text.wordsFast($"text"), "")
     Tables.documents(spark, dir).select($"doc_id",
       size(w).as("n_tokens"),
       size(array_distinct(w)).as("n_types"),
@@ -533,10 +538,10 @@ object TextAnalysis {
 
   val ttrSql: String = sqlWords + """
     SELECT doc_id,
-      CAST(len(w) AS INT) AS n_tokens,
-      CAST(len(list_distinct(w)) AS INT) AS n_types,
-      CAST(len(list_distinct(w)) AS DOUBLE) /
-        CAST(greatest(len(w), 1) AS DOUBLE) AS ttr
+      CAST(len(list_filter(w, x -> x != '')) AS INT) AS n_tokens,
+      CAST(len(list_distinct(list_filter(w, x -> x != ''))) AS INT) AS n_types,
+      CAST(len(list_distinct(list_filter(w, x -> x != ''))) AS DOUBLE) /
+        CAST(greatest(len(list_filter(w, x -> x != '')), 1) AS DOUBLE) AS ttr
     FROM wd"""
 
   /** Corpus vocabulary-tail profile: hapax legomena (words occurring
@@ -584,6 +589,64 @@ object TextAnalysis {
            CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) /
              CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS unseen_mass_gt
     FROM counts"""
+
+  /** Zipf rank-frequency profile of the corpus vocabulary at the
+    * power-of-two ranks 1, 2, 4, …, 1024 — the "is this a natural
+    * corpus?" shape check next to [[hapax]]'s tail mass: natural text
+    * follows f(r) ∝ r^(−s) with s ≈ 1, so the frequency RATIO between
+    * rank r and rank 2r is ≈ 2^s — a constant down the profile.
+    * Template/duplicated corpora flatten the head (ratios → 1),
+    * OCR/tokenizer breakage fattens it. Emitting the doubling ratio
+    * instead of a fitted log-log slope keeps the hash contract
+    * transcendental-free (the [[cooccur]] lift device): rank, count,
+    * and the next-doubling count are exact integers; the ratio is one
+    * IEEE-correctly-rounded division of two exact ints, and the slope
+    * s = log2(ratio) is a ZipfSpec-pinned scalar, never a hashed
+    * column.
+    *
+    * Scale: the hapax word-count grid (vocab-sized, Heaps-sublinear) →
+    * top-1025 cut as TakeOrdered (orderBy+limit — no global sort
+    * shuffle), then two windows over the CONSTANT ≤1025/≤11-row
+    * remnant — single-partition by construction-bounded size, the
+    * grid-math device, never corpus-sized.
+    */
+  def zipf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(Text.wordsFast($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+    // total order (c desc, word) → the limit cut is deterministic
+    val top = counts.orderBy($"c".desc, $"word".asc).limit(1025)
+    val byRank = org.apache.spark.sql.expressions.Window
+      .orderBy($"c".desc, $"word".asc)
+    val powers = (0 to 10).map(1L << _)
+    val ranked = top
+      .withColumn("rank", row_number().over(byRank).cast("long"))
+      .filter($"rank".isInCollection(powers))
+    val byPow = org.apache.spark.sql.expressions.Window.orderBy($"rank")
+    ranked
+      .withColumn("c_next", lead($"c", 1).over(byPow))
+      .select($"rank", $"word", $"c", $"c_next",
+        ($"c".cast("double") / $"c_next".cast("double"))
+          .as("doubling_ratio"))
+  }
+
+  val zipfSql: String = sqlWords + """,
+    words AS (SELECT unnest(w) AS word FROM wd),
+    counts AS (SELECT word, COUNT(*) AS c FROM words
+               WHERE word != '' GROUP BY word),
+    top AS (SELECT word, c FROM counts
+            ORDER BY c DESC, word LIMIT 1025),
+    ranked AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word) AS BIGINT) AS rank,
+                      word, c FROM top),
+    pow AS (SELECT rank, word, c FROM ranked
+            WHERE rank IN (1,2,4,8,16,32,64,128,256,512,1024))
+    SELECT rank, word, c,
+           LEAD(c) OVER (ORDER BY rank) AS c_next,
+           CAST(c AS DOUBLE) /
+             CAST(LEAD(c) OVER (ORDER BY rank) AS DOUBLE) AS doubling_ratio
+    FROM pow"""
 
   /** The wordpiece vocabulary for [[tokensBpe]]: common English merges
     * plus every single character of the normalized alphabet ([a-z0-9]),

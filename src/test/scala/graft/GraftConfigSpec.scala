@@ -152,6 +152,63 @@ class GraftConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
       "opt-out arm wrote no snapshot zips — no state was committed at all?")
   }
 
+  test("sync-bytes cost model: on a standard wave the changelog arm syncs " +
+      "FEWER commit-path bytes than the snapshot arm") {
+    // r18 verdict item 3: both the r17 (calm) and r18 (degraded) state-
+    // store cycles agree on the MECHANISM — on an fsync-constrained
+    // disk the wave cost is bytes synced per commit: plain RocksDB
+    // ships a full-state SST zip every commit, the changelog arm ships
+    // only the update delta (its snapshots move to BACKGROUND
+    // maintenance, off the commit path). This pins that cost model
+    // executably on a standard wave shape — a large state touched by
+    // small per-commit deltas — so the changelog default's
+    // justification survives environment changes instead of living in
+    // narrative: Σ bytes(<v>.changelog) over the delta commits must be
+    // well under Σ bytes(<v>.zip) the snapshot arm syncs for the SAME
+    // commits.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cfg_wave").toString
+    // commit 1 materializes a 20k-key state; commits 2-4 each touch
+    // 500 of those keys (2.5%) — the deployment wave shape
+    spark.range(20000)
+      .select(expr(s"timestamp_micros(${1700000000000000L} + id)").as("ts"),
+        col("id").as("k"))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/t.parquet")
+    for (b <- 1 to 3)
+      spark.range(500)
+        .select(expr(s"timestamp_micros(${1700000000000000L} + 30000 + $b)")
+          .as("ts"), col("id").as("k"))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/t.parquet")
+    def commitPathBytes(changelog: Boolean): (Long, Long) = {
+      val s = GraftConfig.useRocksDbStateStore(spark.newSession(),
+        changelogCheckpointing = changelog)
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_cfg_wave_$changelog").toString
+      runKeyedCount(s, tmp, ckpt,
+        s"cfg_wave_${if (changelog) "cl" else "snap"}")
+      def versionOf(p: java.nio.file.Path): Long =
+        scala.util.Try(p.getFileName.toString.takeWhile(_ != '.').toLong)
+          .getOrElse(-1L)
+      // commit-path artifact of each arm, DELTA commits only (both
+      // arms pay the full first-materialization at version 1)
+      val ext = if (changelog) ".changelog" else ".zip"
+      val files = stateFiles(ckpt, ext).filter(versionOf(_) >= 2L)
+      (files.map(java.nio.file.Files.size).sum, files.size.toLong)
+    }
+    val (clBytes, clFiles) = commitPathBytes(changelog = true)
+    val (zipBytes, zipFiles) = commitPathBytes(changelog = false)
+    assert(clFiles > 0, "changelog arm wrote no delta-commit changelogs")
+    assert(zipFiles > 0, "snapshot arm wrote no delta-commit zips")
+    // the model, not a box-dependent timing: delta syncs << full-state
+    // syncs. 0.5 is a loose bound — measured ~2.5% state touched per
+    // commit puts the true ratio far lower; the assert only has to
+    // catch the model INVERTING.
+    assert(clBytes < zipBytes / 2,
+      s"changelog arm synced $clBytes B on the delta commits vs the " +
+        s"snapshot arm's $zipBytes B — the sync-bytes cost model " +
+        "behind the changelog default no longer holds")
+  }
+
   test("RocksDB+changelog state RECOVERS across a restart: resumed query " +
       "equals a never-stopped run (changelog replayed against the snapshot)") {
     // r17 verdict item 3: the flip's documented trade is recovery via

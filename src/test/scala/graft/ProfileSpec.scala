@@ -235,6 +235,35 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(chi2 - expect) < 1e-9, s"chi2 $chi2 vs $expect")
   }
 
+  test("mi grid: hand-computed lifts, zero-cell convention, pinned MI scalar") {
+    val dir = plantedContingency()
+    val rows = Profile.statsMi(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("o"), r.getAs[Double]("p_cell"),
+          r.getAs[Double]("lift")))).toMap
+    // same zero-completed grid as chi2: 3 langs × 2 sources
+    assert(rows.size === 6)
+    // lift is the exact-int ratio o*N / (n_l*n_s), one correctly-
+    // rounded division — assert EXACT equality, not tolerance
+    assert(rows(("en", "src0")) === ((30L, 30.0 / 88.0, 2640.0 / 1920.0)))
+    assert(rows(("de", "src1")) === ((30L, 30.0 / 88.0, 2640.0 / 1600.0)))
+    assert(rows(("fr", "src0")) === ((8L, 8.0 / 88.0, 704.0 / 384.0)))
+    // the absent cell: p = 0, lift = 0 (MI contribution 0 by 0·ln 0)
+    assert(rows(("fr", "src1")) === ((0L, 0.0, 0.0)))
+    // the MI SCALAR (ln stays out of the hash contract; pinned here):
+    // I(L;S) = Σ_{o>0} p·ln(lift), hand-built from the planted table
+    val mi = rows.values.filter(_._1 > 0L)
+      .map { case (_, p, lift) => p * math.log(lift) }.sum
+    val expect = Seq(
+      (30.0, 40.0 * 48.0), (10.0, 40.0 * 40.0),
+      (10.0, 40.0 * 48.0), (30.0, 40.0 * 40.0),
+      (8.0, 8.0 * 48.0))
+      .map { case (o, nls) => (o / 88.0) * math.log(o * 88.0 / nls) }.sum
+    assert(math.abs(mi - expect) < 1e-12, s"MI $mi vs $expect")
+    // independence sanity: the planted table is confounded, MI > 0
+    assert(mi > 0.05)
+  }
+
   test("gini impurity: hand-computed per-lang values") {
     val dir = plantedContingency()
     val g = Profile.statsGini(spark, dir).collect()

@@ -228,7 +228,8 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "the cat the dog"),              // 4 tokens, 3 types
       (2L, "repeat repeat repeat repeat"),  // 4 tokens, 1 type
       (3L, "all four words differ"),        // 4 tokens, 4 types
-      (4L, "Punct!! folds, CASE folds."))   // punct/case fold first
+      (4L, "Punct!! folds, CASE folds."),   // punct/case fold first
+      (5L, "?!... !!"))                     // EMPTY after normalize
     rows.toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -242,6 +243,35 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) === ((4, 4, 1.0)))
     // "punct folds case folds" -> 4 tokens, 3 types
     assert(out(4L) === ((4, 3, 0.75)))
+    // blank/punct-only page: the empty-string token is FILTERED (r18
+    // ADVICE) — 0 tokens, ttr 0.0, never the 1/1/1.0 inversion
+    assert(out(5L) === ((0, 0, 0.0)))
+  }
+
+  test("zipf: hand-computed power-rank profile and doubling ratios") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zipf").toString
+    // counts: aa 16, bb 8, cc 4, dd 4, ee 2, ff 1 — the count-4 tie
+    // breaks by word (cc rank 3, dd rank 4), so rank 4 = dd
+    val text = (Seq.fill(16)("aa") ++ Seq.fill(8)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(4)("dd") ++
+      Seq.fill(2)("ee") ++ Seq("ff")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis.zipf(spark, tmp).collect()
+      .map(r => r.getAs[Long]("rank") ->
+        ((r.getAs[String]("word"), r.getAs[Long]("c"),
+          Option(r.getAs[java.lang.Long]("c_next")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("doubling_ratio")).map(_.toDouble))))
+      .toMap
+    // only the power-of-two ranks that exist in a 6-word vocab: 1, 2, 4
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L) === (("aa", 16L, Some(8L), Some(2.0))))
+    assert(out(2L) === (("bb", 8L, Some(4L), Some(2.0))))
+    // rank 4 is the LAST power rank present -> next-doubling count null
+    assert(out(4L) === (("dd", 4L, None, None)))
   }
 
   test("hapax: hand-computed corpus vocabulary tail") {
