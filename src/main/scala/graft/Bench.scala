@@ -30,24 +30,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // r18 verdict item 2: the stateful streaming rows run under the
-    // SHIPPED state-store default (GraftConfig.useRocksDbStateStore —
-    // RocksDB + changelog checkpointing), so the suite measures the
-    // production provider instead of the heap provider's 3.7 GB-per-
-    // batch full snapshots (the dominant in-suite noise term on a
-    // slow-fsync disk, adjudicate_movers_r18.json). Set in SparkConf
-    // (not session conf) so every harness `newSession()` clone
-    // inherits it. SPARK_GRAFT_STATESTORE=heap|rocksdb|rocksdb-
-    // changelog overrides for A/B work; the r19 before/after maps are
-    // bench_raw/r19/bench_local_r19_heap.json vs bench_local_r19.json.
-    val stateStore =
-      sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "rocksdb-changelog")
+    // r18 verdict item 2, resolved by measurement (decades_r19 Sections
+    // C/C2): the suite runs the SHIPPED size-conditioned state-store
+    // recommendation, made executable. Default "auto" = the four
+    // heavy-state harness rows (delta-LSH fold, audit ladder, session
+    // stores — 0.2-3.7 GB of state at 100×) flip to RocksDB+changelog
+    // via StreamQueries.harnessStateStore WHEN the corpus is at
+    // 100×-class scale (documents >= GraftConfig.StateStoreFlipDocs);
+    // everything else stays heap. Both halves are measured, same box,
+    // committed at bench_raw/r19/: at 100× the flip is 0.67-0.94× on
+    // exactly those rows (delta_lsh 157.9→105.2 s) and 1.3-4.4×
+    // AGAINST on high-throughput small-state rows (slide_distinct
+    // 34.3→152.1 s — per-row JNI, no sync term to delete since
+    // harness checkpoints are tmpfs); at sf0.1 every row's state fits
+    // heap and a global flip costs +69 s of fixed store overhead
+    // (bench_local_r19_heap.json vs the rocksdb-changelog arm).
+    // SPARK_GRAFT_STATESTORE=heap|rocksdb|rocksdb-changelog forces a
+    // GLOBAL provider (SparkConf-level, inherited by every harness
+    // clone) for A/B work.
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "auto")
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     val builder = stateStore match {
-      case "heap" => builder0
+      case "auto" | "heap" => builder0
       case other =>
         builder0
           .config("spark.sql.streaming.stateStore.providerClass",
@@ -170,9 +177,19 @@ object Bench {
     // the staging pre-pass, so no query needs force-ordering)
     val ordered = selected.toSeq.sortBy(_._1)
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(1)
+    // the size condition of the auto policy: documents row count (the
+    // proxy the auto-sizing rules already key on) — at sf0.1 the
+    // corpus is 5k docs (every row's state fits heap), the 100×
+    // fixture is 500k (the heavy rows' state is 0.2-3.7 GB)
+    val autoFlip = stateStore == "auto" &&
+      graft.sources.Tables.documents(spark, sfDir).count() >=
+        GraftConfig.StateStoreFlipDocs
     var results = Seq.empty[(String, Double)]
     for (_ <- 1 to passes) {
       results = ordered.map { case (name, fn) =>
+        if (autoFlip && GraftConfig.HeavyStateHarnessRows(name))
+          graft.operators.StreamQueries.harnessStateStore =
+            Some("rocksdb-changelog")
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
@@ -180,6 +197,8 @@ object Bench {
             System.err.println(
               s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             false
+        } finally {
+          graft.operators.StreamQueries.harnessStateStore = None
         }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
@@ -245,7 +264,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""staging":$st,"staging_total":$stagingTotal,""" +
         s""""ceiling_sec":${if (ceiling == Double.MaxValue) "null" else ceiling},""" +
-        s""""ceiling_violations":$viol,"stateStore":"$stateStore","sf":"$sfDir"}"""
+        s""""ceiling_violations":$viol,"stateStore":"${
+          if (stateStore == "auto")
+            (if (autoFlip) "auto-flip" else "auto-heap")
+          else stateStore}","sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_rN.json keeps only a truncated stdout tail, so
     // also persist the FULL per-query map to a parseable file (committed

@@ -82,6 +82,31 @@ object GraftConfig {
     spark
   }
 
+  /** The corpus size (documents rows) at which the HEAVY-state harness
+    * rows cross from the heap regime into the flip regime — the
+    * executable form of the size-conditioned recommendation above for
+    * [[graft.Bench]]'s suite runs. Calibrated r19 from the committed
+    * two-scale A/B (bench_raw/r19/stateful100x_*.json + the sf0.1
+    * pair): at 5k docs (sf0.1) every suite row's state is 0.5-40 MB
+    * and the flip only adds fixed store overhead; at 500k docs (the
+    * 100× fixture) the heavy rows hold 0.2-3.7 GB of state and the
+    * flip measured 0.67-0.94× on exactly those rows. 50k sits an
+    * order of magnitude from both measured points.
+    */
+  val StateStoreFlipDocs: Long = 50000L
+
+  /** The harness rows whose state is heavy enough to cross the flip
+    * threshold: the delta-LSH signature fold, the audit ladder's
+    * stateful rungs, and the two session stores. Chosen by the r19
+    * measurement, not by name: these are the rows where the flip won
+    * at 100× (q_stream_hot_lines, named by the r18 verdict alongside
+    * them, measured 1.34× AGAINST — its per-line window state stays
+    * small — so it stays heap).
+    */
+  val HeavyStateHarnessRows: Set[String] = Set(
+    "q_stream_delta_lsh", "q_stream_audit",
+    "q_stream_session_paths", "q_stream_session_paths_capped")
+
   /** Enable the adaptive-execution skew defaults: AQE re-planning,
     * skew-join splitting, and partition coalescing — remedy (2) of the
     * skew ladder, the one that needs no code. (1) is Catalyst's own

@@ -68,10 +68,28 @@ object StreamQueries {
     * partitioning-independent; a real deployment sizes this to the key
     * cardinality instead).
     */
+  /** Harness state-store override for the next [[runToTable]] stream:
+    * None (default) inherits the session's SparkConf provider (heap
+    * unless the caller configured otherwise); Some("rocksdb") /
+    * Some("rocksdb-changelog") applies [[graft.GraftConfig
+    * .useRocksDbStateStore]] to the cloned session. [[graft.Bench]]
+    * sets this around the HEAVY-state rows at 100×-class corpus scale
+    * — the executable form of the shipped size-conditioned
+    * recommendation (flip when state outgrows heap headroom; r19
+    * measured the flip 0.67-0.94× on exactly those rows at 100× and
+    * 1.2-2.8× AGAINST on small-state rows, bench_raw/r19/
+    * stateful100x_*.json).
+    */
+  @volatile private[graft] var harnessStateStore: Option[String] = None
+
   private def runToTable(spark0: SparkSession, mode: String = "complete")(
       build: SparkSession => DataFrame): DataFrame = {
     val spark = spark0.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    harnessStateStore.foreach { p =>
+      graft.GraftConfig.useRocksDbStateStore(spark,
+        changelogCheckpointing = p != "rocksdb")
+    }
     val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
     val ckptDir = harnessCheckpointDir(s"graft_ckpt_$name")
     val q = build(spark).writeStream.format("memory").queryName(name)
