@@ -601,8 +601,8 @@ object TextAnalysis {
     * transcendental-free (the [[cooccur]] lift device): rank, count,
     * and the next-doubling count are exact integers; the ratio is one
     * IEEE-correctly-rounded division of two exact ints, and the slope
-    * s = log2(ratio) is a ZipfSpec-pinned scalar, never a hashed
-    * column.
+    * s = log2(ratio) is a TextFastPathSpec-pinned scalar, never a
+    * hashed column.
     *
     * Scale: the hapax word-count grid (vocab-sized, Heaps-sublinear) →
     * top-1025 cut as TakeOrdered (orderBy+limit — no global sort

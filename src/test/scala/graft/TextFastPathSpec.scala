@@ -272,6 +272,11 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) === (("bb", 8L, Some(4L), Some(2.0))))
     // rank 4 is the LAST power rank present -> next-doubling count null
     assert(out(4L) === (("dd", 4L, None, None)))
+    // the slope scalar (kept out of the hash contract): s = log2(ratio)
+    // — the planted profile halves per doubling, so s = 1 exactly
+    val slopes = out.values.flatMap(_._4)
+      .map(r => math.log(r) / math.log(2.0))
+    assert(slopes.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
   test("hapax: hand-computed corpus vocabulary tail") {
