@@ -78,6 +78,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(chi2) === 0, "stats_chi2 result grew a shuffle")
   }
 
+  test("r19 profilers: mi shares chi2's grid-local contract, zipf cuts by " +
+      "TakeOrdered with no global sort and no corpus-sized window") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec,
+      TakeOrderedAndProjectExec}
+    // mi: the same build-time grid collect as chi2 — the returned frame
+    // must be pure local grid math
+    val mi = Profile.statsMi(spark, sf)
+    assert(physical(mi).count(_.isInstanceOf[FileSourceScanExec]) === 0,
+      "stats_mi result must be grid-local (corpus pass is at build time)")
+    assert(shuffles(mi) === 0, "stats_mi result grew a shuffle")
+    // zipf: ONE corpus scan -> word-count shuffle; the top-1025 cut must
+    // be TakeOrderedAndProject (per-partition heaps), never a global
+    // SortExec over the vocab; the two windows run on the post-cut
+    // constant-size remnant (their single-partition exchange moves <=
+    // 1025 rows — the bounded grid-math device, not a corpus sort)
+    val z = TextAnalysis.zipf(spark, sf)
+    val plan = physical(z)
+    assert(plan.count(_.isInstanceOf[FileSourceScanExec]) === 1,
+      "text_zipf re-scans the corpus")
+    assert(plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "text_zipf lost its TakeOrdered top-k cut")
+    // every SortExec must sit ABOVE the TakeOrdered cut (window sorts on
+    // the <=1025-row remnant); a sort below it would be a vocab-global sort
+    def below(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(below)
+    val cut = plan.collectFirst { case t: TakeOrderedAndProjectExec => t }.get
+    assert(!below(cut).drop(1).exists(_.isInstanceOf[SortExec]),
+      "text_zipf grew a global sort below the TakeOrdered cut")
+  }
+
   test("single-shuffle operators stay single-shuffle") {
     for ((name, df, n) <- Seq(
         ("dedup_exact", Dedup.exact(spark, sf), 1),
