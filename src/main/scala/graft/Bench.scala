@@ -48,20 +48,31 @@ object Bench {
     // SPARK_GRAFT_STATESTORE=heap|rocksdb|rocksdb-changelog forces a
     // GLOBAL provider (SparkConf-level, inherited by every harness
     // clone) for A/B work.
-    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "auto")
+    // closed value set (r19 ADVICE: the old catch-all silently ran a
+    // typo'd A/B arm as rocksdb-changelog) — anything unrecognized
+    // warns loudly and falls back to auto, the shipped default
+    val stateStoreRaw = sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "auto")
+    val stateStore = stateStoreRaw match {
+      case v @ ("auto" | "heap" | "rocksdb" | "rocksdb-changelog") => v
+      case other =>
+        System.err.println(s"[bench] UNRECOGNIZED SPARK_GRAFT_STATESTORE=" +
+          s"'$other' (valid: auto|heap|rocksdb|rocksdb-changelog) — " +
+          "falling back to 'auto'")
+        "auto"
+    }
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     val builder = stateStore match {
       case "auto" | "heap" => builder0
-      case other =>
+      case rocks =>
         builder0
           .config("spark.sql.streaming.stateStore.providerClass",
             GraftConfig.RocksDbProvider)
           .config("spark.sql.streaming.stateStore.rocksdb" +
             ".changelogCheckpointing.enabled",
-            (other != "rocksdb").toString)
+            (rocks != "rocksdb").toString)
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -185,20 +196,33 @@ object Bench {
       graft.sources.Tables.documents(spark, sfDir).count() >=
         GraftConfig.StateStoreFlipDocs
     var results = Seq.empty[(String, Double)]
+    // per-row EFFECTIVE state-store provider, observed from each harness
+    // stream's resolved session conf (r19 verdict item 3: the map itself
+    // must prove which store each heavy row ran — Bench recorded only
+    // the global mode, so the 100× delta-LSH number couldn't be
+    // attributed to store vs disk without an isolated arm). Rows that
+    // run no harness stream never set the observable and stay absent.
+    var rowProviders = Map.empty[String, String]
     for (_ <- 1 to passes) {
       results = ordered.map { case (name, fn) =>
-        if (autoFlip && GraftConfig.HeavyStateHarnessRows(name))
-          graft.operators.StreamQueries.harnessStateStore =
+        val override_ =
+          if (autoFlip && GraftConfig.HeavyStateHarnessRows(name))
             Some("rocksdb-changelog")
+          else None
+        graft.operators.StreamQueries.lastStateStore = None
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            // keep the row (visible -1 sentinel) but make the failure loud
-            System.err.println(
-              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            false
-        } finally {
-          graft.operators.StreamQueries.harnessStateStore = None
+        val ok = graft.operators.StreamQueries.harnessStateStore
+          .withValue(override_) {
+            try { fn(spark, sfDir).count(); true } catch {
+              case e: Throwable =>
+                // keep the row (visible -1 sentinel) but make the failure loud
+                System.err.println(
+                  s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+                false
+            }
+          }
+        graft.operators.StreamQueries.lastStateStore.foreach { p =>
+          rowProviders += name -> p
         }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
@@ -260,6 +284,17 @@ object Bench {
     }
     val viol = violations.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rowSt = rowProviders.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    // free-text environment annotation for the committed record (r19
+    // verdict item 7: ceiling violations on a degraded box must carry
+    // the gate reading so a future regression is distinguishable from
+    // the environment floor) — the sweep scripts pass the boxhealth
+    // gate summary through SPARK_GRAFT_GATE_NOTE
+    val gateNote = sys.env.get("SPARK_GRAFT_GATE_NOTE")
+      .map(n => s""","gate_note":"${n.replace("\\", "\\\\")
+        .replace("\"", "\\\"")}"""").getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""staging":$st,"staging_total":$stagingTotal,""" +
@@ -267,7 +302,7 @@ object Bench {
         s""""ceiling_violations":$viol,"stateStore":"${
           if (stateStore == "auto")
             (if (autoFlip) "auto-flip" else "auto-heap")
-          else stateStore}","sf":"$sfDir"}"""
+          else stateStore}","rowStateStore":$rowSt$gateNote,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_rN.json keeps only a truncated stdout tail, so
     // also persist the FULL per-query map to a parseable file (committed

@@ -43,6 +43,12 @@ object Staging {
     "cc_labels" -> ((s: SparkSession, d: String) => ops.Clusters.clusterLabels(s, d)),
     "cc_labels_base" -> ((s: SparkSession, d: String) => ops.Clusters.baseClusterLabels(s, d)),
     "cc_delta_pairs" -> ((s: SparkSession, d: String) => ops.Clusters.deltaPairsDump(s, d)),
+    // the shared corpus word-count grid (r19 verdict item 1) — the
+    // vocab-keyed intermediate its five consumers (text_hapax,
+    // text_zipf, text_heavyhitters, text_cms, text_bpe_train) read
+    // back; MUST precede bpe_model, which trains from the grid's
+    // top-maxVocab cut
+    "word_grid" -> ((s: SparkSession, d: String) => ops.TextAnalysis.wordGridDump(s, d)),
     // trained / derived model artifacts
     "bpe_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.bpeModelDump(s, d)),
     "qm_model" -> ((s: SparkSession, d: String) => ops.TextAnalysis.qualityModelDump(s, d)),

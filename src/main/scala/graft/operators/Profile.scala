@@ -771,7 +771,9 @@ object Profile {
     * association order is ever compared).
     *
     * Sub-2^53 contract (same as [[statsCorr]]): |diff| ≤ N·max(o, n_l)
-    * stays double-exact to ~10^8 docs; past that, decimal moments.
+    * ≤ N² stays double-exact while N² < 2^53, i.e. to ~9·10^7 docs
+    * (the [[statsMi]] bound, tightened per the r19 ADVICE); past that,
+    * decimal moments.
     *
     * Scale: ONE map-side-combined corpus pass onto the ≤|L|·|S| cell
     * grid, which is COLLECTED (bounded by the key domain, never the
@@ -912,8 +914,11 @@ object Profile {
     * row-for-row.
     *
     * Sub-2^53 contract: o·N and n_lang·n_source are Long products cast
-    * once to double — exact to ~10^8 docs, then the two divisions are
-    * IEEE correctly rounded, hence bit-stable across engines.
+    * once to double — exact while o·N < 2^53 ≈ 9.0·10^15, i.e. to
+    * ~9·10^7 docs in the worst case (a cell holding the whole corpus
+    * makes o·N = N²; r19 ADVICE tightened the former ~10^8 claim) —
+    * then the two divisions are IEEE correctly rounded, hence
+    * bit-stable across engines. Past that bound, decimal moments.
     *
     * Scale + EAGER contract: identical to [[statsChi2]] — one
     * map-side-combined corpus pass onto the collected ≤|L|·|S| grid at

@@ -68,27 +68,51 @@ object StreamQueries {
     * partitioning-independent; a real deployment sizes this to the key
     * cardinality instead).
     */
-  /** Harness state-store override for the next [[runToTable]] stream:
-    * None (default) inherits the session's SparkConf provider (heap
-    * unless the caller configured otherwise); Some("rocksdb") /
-    * Some("rocksdb-changelog") applies [[graft.GraftConfig
-    * .useRocksDbStateStore]] to the cloned session. [[graft.Bench]]
-    * sets this around the HEAVY-state rows at 100×-class corpus scale
-    * — the executable form of the shipped size-conditioned
-    * recommendation (flip when state outgrows heap headroom; r19
-    * measured the flip 0.67-0.94× on exactly those rows at 100× and
-    * 1.2-2.8× AGAINST on small-state rows, bench_raw/r19/
-    * stateful100x_*.json).
+  /** Harness state-store override for the [[runToTable]] streams built
+    * inside the dynamic scope: None (default) inherits the session's
+    * SparkConf provider (heap unless the caller configured otherwise);
+    * Some("rocksdb") / Some("rocksdb-changelog") applies
+    * [[graft.GraftConfig.useRocksDbStateStore]] to the cloned session.
+    * [[graft.Bench]] scopes this around the HEAVY-state rows at
+    * 100×-class corpus scale — the executable form of the shipped
+    * size-conditioned recommendation (flip when state outgrows heap
+    * headroom; r19 measured the flip 0.67-0.94× on exactly those rows
+    * at 100× and 1.2-2.8× AGAINST on small-state rows,
+    * bench_raw/r19/stateful100x_*.json). A DynamicVariable, not a
+    * shared var (r19 ADVICE): the override is visible only inside the
+    * caller's `withValue` scope (thread-inherited), so concurrent
+    * harness queries — parallel spec suites, a future parallel bench
+    * pass — can never observe another thread's flip.
     */
-  @volatile private[graft] var harnessStateStore: Option[String] = None
+  private[graft] val harnessStateStore =
+    new scala.util.DynamicVariable[Option[String]](None)
+
+  /** The EFFECTIVE state-store provider of the most recent
+    * [[runToTable]] stream in this JVM, observed from the cloned
+    * session's resolved conf at start (not from what a caller intended
+    * to set). [[graft.Bench]] reads it after each streaming row and
+    * emits a per-row provider map into the bench JSON, so a committed
+    * 100× map itself proves which store each heavy row ran (r19
+    * verdict item 3). Observability only — nothing branches on it.
+    */
+  @volatile private[graft] var lastStateStore: Option[String] = None
 
   private def runToTable(spark0: SparkSession, mode: String = "complete")(
       build: SparkSession => DataFrame): DataFrame = {
     val spark = spark0.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    harnessStateStore.foreach { p =>
+    harnessStateStore.value.foreach { p =>
       graft.GraftConfig.useRocksDbStateStore(spark,
         changelogCheckpointing = p != "rocksdb")
+    }
+    lastStateStore = Some {
+      val cls = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "")
+      if (cls == graft.GraftConfig.RocksDbProvider) {
+        val chg = spark.conf.get("spark.sql.streaming.stateStore.rocksdb" +
+          ".changelogCheckpointing.enabled", "false")
+        if (chg == "true") "rocksdb-changelog" else "rocksdb"
+      } else "heap"
     }
     val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
     val ckptDir = harnessCheckpointDir(s"graft_ckpt_$name")

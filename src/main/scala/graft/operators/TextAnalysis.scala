@@ -544,6 +544,44 @@ object TextAnalysis {
         CAST(greatest(len(list_filter(w, x -> x != '')), 1) AS DOUBLE) AS ttr
     FROM wd"""
 
+  /** The STAGED corpus word-count grid — (word, c) for every non-empty
+    * normalized word, derived ONCE per corpus generation (the corpus
+    * explode → word-keyed map-side-combined count) and published
+    * through DumpCache (r19 verdict item 1: five vocab-keyed rows —
+    * [[hapax]], [[zipf]], [[heavyHitters]], [[cms]], [[bpeTrain]] —
+    * each independently re-paid the same explode+groupBy, ~4 s/row of
+    * redundant derivation at the 100× fixture). The grid is the
+    * "materialize shared intermediates" pattern a 100 TB text pipeline
+    * runs between its corpus scan and its vocab-keyed consumers: one
+    * Heaps-sublinear vocab table (word-keyed, so every later filter /
+    * top-k / fold is vocab-rate, never corpus-rate), written by its own
+    * job, read by everything downstream. Values are deterministic exact
+    * counts, so every consumer's DuckDB oracle (which replays the full
+    * explode+count from `documents`) is UNCHANGED — staged ≡ recomputed
+    * bit-for-bit.
+    */
+  private[graft] def wordGridDump(spark: SparkSession, dir: String): String = {
+    val base = graft.sources.DumpCache.dirFor("graft_word_grid",
+      dir, "documents.parquet")
+    graft.sources.DumpCache.ensure(base) { tmp =>
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(explode(Text.wordsFast($"text")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word").agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    base
+  }
+
+  /** The staged grid read back — (word STRING, c BIGINT), one row per
+    * distinct non-empty corpus word. The ONE reader every vocab-keyed
+    * consumer goes through, so the dump's layout is interpreted in
+    * exactly one place (the [[qualityModelWeights]] convention).
+    */
+  private[graft] def wordGrid(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(wordGridDump(spark, dir))
+
   /** Corpus vocabulary-tail profile: hapax legomena (words occurring
     * EXACTLY ONCE in the whole corpus) and dis legomena (exactly twice)
     * — the rarity mass a tokenizer/vocab decision is made against (a
@@ -553,17 +591,14 @@ object TextAnalysis {
     * (P(next token is novel) ≈ n_hapax/n_tokens). One row, exact
     * BIGINTs + two single divisions.
     *
-    * Scale: explode → ONE word-keyed map-side-combined count (grid =
-    * vocabulary-sized, Heaps-law sublinear in the corpus), then a 1-row
-    * fold over the vocab grid. Same shape as the `text_cooccur` df
-    * stage; nothing corpus-sized past the first shuffle.
+    * Scale: the STAGED word-count grid ([[wordGrid]] — vocab-sized,
+    * Heaps-law sublinear in the corpus, derived once per generation),
+    * then a 1-row fold over the vocab grid. Nothing corpus-sized
+    * touches this row at query time.
     */
   def hapax(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val counts = Tables.documents(spark, dir)
-      .select(explode(Text.wordsFast($"text")).as("word"))
-      .filter($"word" =!= "")
-      .groupBy($"word").agg(count(lit(1)).as("c"))
+    val counts = wordGrid(spark, dir)
     counts.agg(
       sum($"c").as("n_tokens"),
       count(lit(1)).as("n_types"),
@@ -604,20 +639,21 @@ object TextAnalysis {
     * s = log2(ratio) is a TextFastPathSpec-pinned scalar, never a
     * hashed column.
     *
-    * Scale: the hapax word-count grid (vocab-sized, Heaps-sublinear) →
-    * top-1025 cut as TakeOrdered (orderBy+limit — no global sort
-    * shuffle), then two windows over the CONSTANT ≤1025/≤11-row
-    * remnant — single-partition by construction-bounded size, the
-    * grid-math device, never corpus-sized.
+    * Scale: the STAGED word-count grid ([[wordGrid]] — vocab-sized,
+    * Heaps-sublinear, derived once per corpus generation) → top-1024
+    * cut as TakeOrdered (orderBy+limit — no global sort shuffle), then
+    * two windows over the CONSTANT ≤1024/≤11-row remnant —
+    * single-partition by construction-bounded size, the grid-math
+    * device, never corpus-sized.
     */
   def zipf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val counts = Tables.documents(spark, dir)
-      .select(explode(Text.wordsFast($"text")).as("word"))
-      .filter($"word" =!= "")
-      .groupBy($"word").agg(count(lit(1)).as("c"))
-    // total order (c desc, word) → the limit cut is deterministic
-    val top = counts.orderBy($"c".desc, $"word".asc).limit(1025)
+    val counts = wordGrid(spark, dir)
+    // total order (c desc, word) → the limit cut is deterministic.
+    // 1024 ranks suffice: rank 1024's doubling partner would be rank
+    // 2048 — outside the powers list — so its c_next is null by
+    // contract and a 1025th row would be dead weight (r19 ADVICE).
+    val top = counts.orderBy($"c".desc, $"word".asc).limit(1024)
     val byRank = org.apache.spark.sql.expressions.Window
       .orderBy($"c".desc, $"word".asc)
     val powers = (0 to 10).map(1L << _)
@@ -637,7 +673,7 @@ object TextAnalysis {
     counts AS (SELECT word, COUNT(*) AS c FROM words
                WHERE word != '' GROUP BY word),
     top AS (SELECT word, c FROM counts
-            ORDER BY c DESC, word LIMIT 1025),
+            ORDER BY c DESC, word LIMIT 1024),
     ranked AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word) AS BIGINT) AS rank,
                       word, c FROM top),
     pow AS (SELECT rank, word, c FROM ranked
@@ -755,8 +791,9 @@ object TextAnalysis {
     * (rank, left_tok, right_tok, merged, pair_count).
     *
     * The CLASSIC scale shape, exactly how production BPE trainers run:
-    * the corpus is touched ONCE, distributed (the word-frequency
-    * groupBy — one shuffle on the word key), capped to the top-`maxVocab`
+    * the corpus is touched ONCE, distributed — since r20 that pass is
+    * the STAGED word grid ([[wordGrid]], shared with the other
+    * vocab-keyed rows) — capped to the top-`maxVocab`
     * words by (freq DESC, word ASC) — the practical vocabulary bound
     * every real trainer applies — and the iteration loop runs
     * DRIVER-SIDE on that collected model table. The collect is
@@ -776,11 +813,11 @@ object TextAnalysis {
   def bpeTrain(spark: SparkSession, dir: String, merges: Int = 8,
       maxVocab: Int = 65536): DataFrame = {
     import spark.implicits._
-    val wf: Array[(String, Long)] = Tables.documents(spark, dir)
-      .select(explode(Text.wordsFast($"text")).as("word"))
-      .filter(length($"word") > 0)
-      .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .orderBy($"freq".desc, $"word".asc).limit(maxVocab)
+    // the distributed corpus pass is the staged word grid (r19 verdict
+    // item 1); training consumes its top-maxVocab cut — a TakeOrdered
+    // over the vocab table, model-sized collect by construction
+    val wf: Array[(String, Long)] = wordGrid(spark, dir)
+      .orderBy($"c".desc, $"word".asc).limit(maxVocab)
       .as[(String, Long)].collect()
     var vocab: Array[(Array[String], Long)] =
       wf.map { case (word, f) => (word.map(_.toString).toArray, f) }
@@ -1159,55 +1196,65 @@ object TextAnalysis {
   }
 
   /** Corpus heavy hitters (top-10 words) WITHOUT a full-vocabulary
-    * groupBy: the two-pass sketch-then-verify pattern.
+    * sort: the two-pass sketch-then-verify pattern, run over the
+    * STAGED word-count grid (r19 verdict item 1 — the corpus explode
+    * and word-keyed count are [[wordGrid]]'s one staged derivation, so
+    * this row's own work is vocab-rate, never corpus-rate).
     *
-    * Pass 1 runs a Misra–Gries summary (k counters, decrement-on-full)
-    * per partition inside `mapPartitions` — O(k) memory per task, no
+    * Pass 1 runs a WEIGHTED Misra–Gries summary (k counters; Agarwal
+    * et al. 2012, "Mergeable Summaries" §3 — each grid row arrives as
+    * one (word, count) weighted item; on overflow the minimum counter
+    * value is subtracted from every counter and zeros evict) per grid
+    * partition inside `mapPartitions` — O(k) memory per task, no
     * shuffle — and emits each partition's surviving candidate words.
-    * MG guarantees any word with frequency > n_p/(k+1) within a
-    * partition survives that partition's summary; a global heavy hitter
-    * is guaranteed a candidate slot only if it clears that rate in AT
-    * LEAST ONE partition (true whenever its global rate exceeds
-    * 1/(k+1), since its best per-partition rate is ≥ its global rate).
-    * Pass 2 exact-counts ONLY the candidate words (a broadcast
-    * semi-join filter feeding one small groupBy) and keeps the top-10
-    * by (count desc, word asc).
+    * Weighted MG guarantees any word with weight > W_p/(k+1) within a
+    * partition survives that partition's summary; the grid is
+    * word-keyed (one row per word, whole weight in one partition), so
+    * a global heavy hitter survives whenever its count clears its OWN
+    * partition's W_p/(k+1) ≈ W/(32·(k+1)) of total corpus weight.
+    * Pass 2 exact-counts ONLY the candidates — and on the grid the
+    * exact count is already a column, so verification is a broadcast
+    * semi-join filter + TakeOrdered top-10 by (count desc, word asc),
+    * no recount shuffle at all.
     *
-    * With k=2048 a word needs ≥ 1/2049 of some partition's words to be
+    * With k=2048 a word needs ≥ 1/2049 of its partition's weight to be
     * a candidate — orders of magnitude below any Zipf-like corpus's
     * top-10 rate, so the result equals the exact top-10 and the driver
     * gate hash-matches it against the plain SQL oracle at both SFs. A
-    * pathologically flat distribution (10th word under 1/2049
+    * pathologically flat distribution (10th word under the rate
     * everywhere) would need a larger k — size k to ~10× the inverse of
     * the lowest rate you must capture. At 100 TB this replaces a
-    * words-cardinality shuffle with a k-sized one; the same summary is
-    * the classic first stage for vocab builds and stopword mining.
+    * vocab-cardinality sort with a k-sized summary; the same summary
+    * is the classic first stage for vocab builds and stopword mining.
     */
   def heavyHitters(spark: SparkSession, dir: String, k: Int = 2048): DataFrame = {
     import spark.implicits._
-    val words = Tables.documents(spark, dir)
-      .select(explode(Text.wordsFast($"text")).as("word"))
-      .filter(length($"word") >= 3)
-    val candidates = words.as[String].mapPartitions { it =>
+    val grid = wordGrid(spark, dir).filter(length($"word") >= 3)
+    val candidates = grid.as[(String, Long)].mapPartitions { it =>
       val counters = new java.util.HashMap[String, Long](k * 2)
-      it.foreach { w =>
-        if (counters.containsKey(w) || counters.size < k)
-          counters.merge(w, 1L, (a, b) => a + b)
-        else {
-          // decrement every counter; evict zeros (the MG step)
+      it.foreach { case (w, c) =>
+        counters.merge(w, c, (a, b) => a + b)
+        if (counters.size > k) {
+          // weighted MG step: subtract the minimum counter from every
+          // counter; zeros (at least the minimum itself) evict, so the
+          // table returns to <= k entries. Total subtracted mass is
+          // <= W_p/(k+1), the classic MG error bound.
+          var m = Long.MaxValue
+          val vs = counters.values().iterator()
+          while (vs.hasNext) { val v = vs.next(); if (v < m) m = v }
           val e = counters.entrySet().iterator()
           while (e.hasNext) {
             val kv = e.next()
-            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+            if (kv.getValue <= m) e.remove() else kv.setValue(kv.getValue - m)
           }
         }
       }
       counters.keySet().iterator().asScala
     }.toDF("word").distinct()
-    words.join(broadcast(candidates), "word")
-      .groupBy($"word").agg(count(lit(1)).as("n"))
-      .orderBy($"n".desc, $"word".asc)
+    grid.join(broadcast(candidates), "word")
+      .orderBy($"c".desc, $"word".asc)
       .limit(10)
+      .select($"word", $"c".as("n"))
   }
 
   val heavyHittersSql: String = sqlWords + """,
@@ -1259,10 +1306,10 @@ object TextAnalysis {
 
   private def cmsWordCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(explode(Text.wordsFast($"text")).as("word"))
-      .filter(length($"word") > 0)
-      .groupBy($"word").agg(count(lit(1)).as("true_count"))
+    // the staged grid IS the word-frequency table (same tokenizer, same
+    // non-empty filter) — read back per query instead of re-paying the
+    // corpus explode+count (r19 verdict item 1)
+    wordGrid(spark, dir).select($"word", $"c".as("true_count"))
   }
 
   /** The counter pipeline over a (word, true_count) table — ONE shared
@@ -1286,7 +1333,9 @@ object TextAnalysis {
 
   def cms(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
     import spark.implicits._
-    val wordCounts = cmsWordCounts(spark, dir).cache()
+    // no .cache(): the staged grid parquet is already the materialized
+    // common subexpression the old cache existed to protect
+    val wordCounts = cmsWordCounts(spark, dir)
     val counters = cmsCountersFrom(wordCounts)
     val top = wordCounts.orderBy($"true_count".desc, $"word".asc).limit(topK)
     top

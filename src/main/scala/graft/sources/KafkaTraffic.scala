@@ -33,18 +33,33 @@ object KafkaTraffic {
       .load()
       .select(col("value").cast("string").as("raw"))
 
-  /** Keyed upsert write: Kafka key = window_end (the reference sink's
-    * primary key), value = the row as JSON. A consumer of the compacted
-    * topic observes last-write-wins per key — the same contract
-    * `TrafficJobs.compactedView` materializes from the parquet changelog.
-    * Update output mode re-produces a key on every in-window change,
-    * which is precisely the upsert-kafka emission pattern.
+  /** The upsert sink's record projection, factored PURE (r19 verdict
+    * item 5: the key/value encoding is where an upsert sink silently
+    * corrupts, and it needs no broker to verify): Kafka key = the
+    * binary UTF-8 of window_end rendered as a string (the reference
+    * sink's PRIMARY KEY, StreamingJob.java:60-83 — key equality must
+    * match window equality, which the timestamp's canonical string
+    * form preserves), value = the whole row as JSON bytes. StreamingSpec
+    * pins the key bytes, the JSON round-trip, and that a compacted
+    * consumer of this projection (last record per key) decodes to
+    * exactly `TrafficJobs.compactedView`'s last-write-wins table.
     */
-  def upsertSink(updates: DataFrame, bootstrap: String, topic: String,
-      checkpoint: String): StreamingQuery =
+  def upsertProjection(updates: DataFrame): DataFrame =
     updates
       .select(col("window_end").cast("string").cast("binary").as("key"),
         to_json(struct(col("*"))).cast("binary").as("value"))
+
+  /** Keyed upsert write: [[upsertProjection]] into the topic. A
+    * consumer of the compacted topic observes last-write-wins per key —
+    * the same contract `TrafficJobs.compactedView` materializes from
+    * the parquet changelog. Update output mode re-produces a key on
+    * every in-window change, which is precisely the upsert-kafka
+    * emission pattern. (`format("kafka")` itself stays deploy-time —
+    * the connector jar and broker exist only there.)
+    */
+  def upsertSink(updates: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): StreamingQuery =
+    upsertProjection(updates)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)

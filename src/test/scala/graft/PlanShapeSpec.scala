@@ -88,24 +88,50 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(physical(mi).count(_.isInstanceOf[FileSourceScanExec]) === 0,
       "stats_mi result must be grid-local (corpus pass is at build time)")
     assert(shuffles(mi) === 0, "stats_mi result grew a shuffle")
-    // zipf: ONE corpus scan -> word-count shuffle; the top-1025 cut must
-    // be TakeOrderedAndProject (per-partition heaps), never a global
-    // SortExec over the vocab; the two windows run on the post-cut
-    // constant-size remnant (their single-partition exchange moves <=
-    // 1025 rows — the bounded grid-math device, not a corpus sort)
+    // zipf: ONE scan — of the STAGED word grid since r20, never the
+    // corpus — then the top-1024 cut must be TakeOrderedAndProject
+    // (per-partition heaps), never a global SortExec over the vocab;
+    // the two windows run on the post-cut constant-size remnant (their
+    // single-partition exchange moves <= 1024 rows — the bounded
+    // grid-math device, not a corpus sort)
     val z = TextAnalysis.zipf(spark, sf)
     val plan = physical(z)
     assert(plan.count(_.isInstanceOf[FileSourceScanExec]) === 1,
-      "text_zipf re-scans the corpus")
+      "text_zipf must scan exactly the staged grid")
     assert(plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
       "text_zipf lost its TakeOrdered top-k cut")
     // every SortExec must sit ABOVE the TakeOrdered cut (window sorts on
-    // the <=1025-row remnant); a sort below it would be a vocab-global sort
+    // the <=1024-row remnant); a sort below it would be a vocab-global sort
     def below(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
       p +: p.children.flatMap(below)
     val cut = plan.collectFirst { case t: TakeOrderedAndProjectExec => t }.get
     assert(!below(cut).drop(1).exists(_.isInstanceOf[SortExec]),
       "text_zipf grew a global sort below the TakeOrdered cut")
+  }
+
+  test("r20: the vocab-keyed rows read the STAGED word grid, not the corpus") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // r19 verdict item 1: text_hapax / text_zipf / text_heavyhitters /
+    // text_cms recomputed the same corpus explode+count per row. Their
+    // query-time plans must now scan ONLY the staged graft_word_grid
+    // parquet — any documents.parquet scan means the shared
+    // intermediate silently stopped being shared. (text_bpe_train
+    // consumes the grid at BUILD time and returns a local model frame,
+    // so it has no scan to pin; its staging is exercised by the same
+    // dump key these four resolve.)
+    def scanPaths(df: DataFrame): Seq[String] = physical(df).collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    for ((name, df) <- Seq(
+        "text_hapax" -> TextAnalysis.hapax(spark, sf),
+        "text_zipf" -> TextAnalysis.zipf(spark, sf),
+        "text_heavyhitters" -> TextAnalysis.heavyHitters(spark, sf),
+        "text_cms" -> TextAnalysis.cms(spark, sf))) {
+      val paths = scanPaths(df)
+      assert(paths.nonEmpty && paths.forall(_.contains("graft_word_grid")),
+        s"$name must scan only the staged word grid, scanned: $paths")
+    }
   }
 
   test("single-shuffle operators stay single-shuffle") {

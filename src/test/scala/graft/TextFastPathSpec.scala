@@ -279,6 +279,39 @@ class TextFastPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slopes.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
+  test("zipf: a count tie straddling the limit-1024 cut resolves deterministically " +
+      "by word order") {
+    // r19 verdict item 6: rank 1024 is deterministic under (c desc,
+    // word asc), but no spec planted a tie ACROSS the cut boundary —
+    // this corpus has one head word then 1040 singletons, so the cut
+    // falls mid-tie and must keep exactly the 1023 lexicographically
+    // smallest singletons.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zipf_tie").toString
+    val singletons = (0 until 1040).map(i => f"w$i%04d")
+    val text = (Seq("aa", "aa") ++ singletons).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis.zipf(spark, tmp).collect()
+      .map(r => r.getAs[Long]("rank") ->
+        ((r.getAs[String]("word"), r.getAs[Long]("c"),
+          Option(r.getAs[java.lang.Long]("c_next")).map(_.toLong))))
+      .toMap
+    // all 11 power ranks exist; rank 1 is the head word, every power
+    // rank r >= 2 is the singleton at alphabetical index r-2
+    assert(out.keySet === (0 to 10).map(1L << _).toSet)
+    assert(out(1L) === (("aa", 2L, Some(1L))))
+    for (r <- (1 to 10).map(1 << _))
+      assert(out(r.toLong)._1 === f"w${r - 2}%04d",
+        s"rank $r must be the (r-2)th singleton — the tie broke wrong")
+    // the cut boundary itself: rank 1024 = w1022 (w1023..w1039 are the
+    // SAME count but lexicographically greater, so they fall outside),
+    // and its doubling partner (rank 2048) is out of range -> null
+    assert(out(1024L) === (("w1022", 1L, None)))
+  }
+
   test("hapax: hand-computed corpus vocabulary tail") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_hapax").toString
