@@ -13,6 +13,7 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftConfig.useSplittableWrites(spark)
     val keys = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     keys.foreach { k =>
       println(s"\n=================== $k ===================")

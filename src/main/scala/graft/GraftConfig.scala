@@ -82,6 +82,40 @@ object GraftConfig {
     spark
   }
 
+  /** Parquet row-group size (bytes) for every file this engine writes —
+    * staged DumpCache artifacts, sink round-trips, and the scale
+    * fixture (r20 optimization round, guide §2.5 "one huge unsplittable
+    * file" + §6 file layout). A parquet SCAN parallelizes at row-group
+    * granularity: Spark plans byte-range splits (min-partition floor =
+    * default parallelism), but a split only produces rows if a
+    * row-group MIDPOINT falls inside it — with the parquet default
+    * 128 MB block size, every artifact under 128 MB is ONE row group
+    * and its scan runs on ONE core no matter how many splits are
+    * planned. Measured on the 100× fixture's 59 MB documents file
+    * (32 cores, decades_r20 Section E): full-column noop scan 4.88 s
+    * as one row group vs 0.28 s after an 8 MB-row-group rewrite of the
+    * SAME rows in the SAME single file (17×); a regex projection over
+    * text 8.65 → 0.94 s (9×). 8 MB keeps a single-file artifact
+    * splittable ~8-16 ways per 100 MB while staying far above the
+    * per-row-group metadata/compression floor; a petabyte deployment
+    * writing many ≥1 GB files per table should raise it back toward
+    * 128 MB (splits then come from file count), which is why it is a
+    * named constant and not a scattered literal.
+    */
+  val ParquetRowGroupBytes: Long = 8L * 1024 * 1024
+
+  /** Apply the write-side layout defaults to a session: row-group size
+    * for every parquet write in the process (Hadoop conf, read by the
+    * parquet writer). Content is byte-identical row-for-row — only the
+    * row-group boundaries move — so no oracle changes; reads of the
+    * artifacts parallelize per the measurement above.
+    */
+  def useSplittableWrites(spark: SparkSession): SparkSession = {
+    spark.sparkContext.hadoopConfiguration
+      .setLong("parquet.block.size", ParquetRowGroupBytes)
+    spark
+  }
+
   /** The corpus size (documents rows) at which the HEAVY-state harness
     * rows cross from the heap regime into the flip regime — the
     * executable form of the size-conditioned recommendation above for

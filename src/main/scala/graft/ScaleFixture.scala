@@ -92,6 +92,11 @@ object ScaleFixture {
       .config("spark.ui.enabled", "false")
       .appName("graft-scale-fixture")
       .getOrCreate()
+    // the fixture's single-file tables must stay SPLITTABLE: with the
+    // parquet default 128 MB block size every table here is one row
+    // group and a 32-core scan runs on one core (measured 17× on the
+    // 100× documents full scan — GraftConfig.ParquetRowGroupBytes)
+    GraftConfig.useSplittableWrites(spark)
     import spark.implicits._
 
     val docs = graft.sources.Tables.documents(spark, src)
@@ -526,6 +531,7 @@ object StateProbe {
       .appName("graft-state-probe")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftConfig.useSplittableWrites(spark)
     val n = SparkEntry.queries(key)(spark, dir).count()
     println(s"""{"query":"$key","rows":$n,"progress":${
       graft.operators.StreamQueries.lastProgress.getOrElse("null")}}""")

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // splittable row groups for every parquet this process writes
+    // (staged DumpCache artifacts, sink round-trips, result dumps) —
+    // content identical, scans of the artifacts parallelize (r20)
+    GraftConfig.useSplittableWrites(spark)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for targeted local checks; the
     // driver sets no filter and always dumps the full suite

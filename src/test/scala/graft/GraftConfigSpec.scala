@@ -319,6 +319,50 @@ class GraftConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftConfig.shufflePartitionsFor(Long.MaxValue - 1, cores = 32) === 10000)
   }
 
+  test("useSplittableWrites: a single-file parquet write past the row-group " +
+      "target lands MULTIPLE row groups (the r20 scan-parallelism fix), " +
+      "where the parquet default packs the same rows into one") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def rowGroups(dir: String): Int = {
+      val part = new java.io.File(dir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $dir"))
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getPath),
+        spark.sparkContext.hadoopConfiguration))
+      try rd.getFooter.getBlocks.size finally rd.close()
+    }
+    // ~25 MB on disk: deterministic high-entropy pad (md5 chains), so
+    // the write must cross the 8 MB row-group target several times
+    val df = spark.range(120000).select(col("id"),
+      expr("concat(md5(cast(id as string)), md5(cast(id+1 as string)), " +
+        "md5(cast(id*7 as string)), md5(cast(id*13 as string)))").as("p"))
+      .select(col("id"), expr("repeat(p, 2)").as("pad"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cfg_rg").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prior = Option(hc.get("parquet.block.size"))
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/default")
+      assert(rowGroups(s"$tmp/default") === 1,
+        "parquet default: one row group (the unsplittable shape)")
+      GraftConfig.useSplittableWrites(spark)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/split")
+      assert(rowGroups(s"$tmp/split") >= 2,
+        "row-group target applied: the same rows split into several groups")
+      // content identical row-for-row — layout only
+      val a = spark.read.parquet(s"$tmp/default")
+      val b = spark.read.parquet(s"$tmp/split")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    } finally {
+      prior match {
+        case Some(v) => hc.set("parquet.block.size", v)
+        case None => hc.unset("parquet.block.size")
+      }
+      graft.operators.StreamQueries.deleteRecursively(new java.io.File(tmp))
+    }
+  }
+
   // deterministic synthetic codebook: k well-spread 8-dim centroids
   private def synthCodebook(k: Int): Array[Array[Double]] =
     Array.tabulate(k)(c =>
