@@ -64,6 +64,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // r20 suite hygiene: a terminated harness stream's state-store
+      // providers stay cached in StateStore.loadedProviders until the
+      // MAINTENANCE task notices the query is gone — at the default
+      // 60 s interval a fast-moving suite stacks many rows' heap state
+      // (GB-class at 100×: one session-window row alone holds ~9.5M
+      // state rows) before anything unloads. 15 s bounds that overhang
+      // at ~4 rows' state with no semantic effect (maintenance only
+      // compacts snapshots and unloads INACTIVE providers).
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
     val builder = stateStore match {
       case "auto" | "heap" => builder0
       case rocks =>
@@ -248,6 +257,10 @@ object Bench {
         graft.operators.StreamQueries.lastStateStore.foreach { p =>
           rowProviders += name -> p
         }
+        // the row is consumed — drop its memory-sink temp view(s) so
+        // the sink's driver-held rows don't stack across the suite
+        // (suite hygiene, not part of the row's work: outside the timer)
+        graft.operators.StreamQueries.releaseHarnessSinks()
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // terminated harness streams' state stores unload on the
+      // maintenance tick — shortened so a full-suite run doesn't stack
+      // many rows' heap state before anything unloads (see Bench)
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // splittable row groups for every parquet this process writes
@@ -33,6 +37,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // dumped — release the row's memory-sink view(s) so streaming
+      // results don't stack on the driver heap across the full suite
+      graft.operators.StreamQueries.releaseHarnessSinks()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -274,12 +274,21 @@ object Dedup {
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", Text.wordsFast($"text").as("w")).cache()
 
-    // ~n_tokens slim rows straight off the native expression (docs
-    // shorter than W emit an empty array — no explicit guard needed).
-    val wins = Tables.documents(spark, dir)
+    // ~n_tokens slim rows. r20 optimization: the BASE corpus's window
+    // fingerprints come from the STAGED index ([[baseWindowIndex]] —
+    // already the delta row's static side and a Staging pre-pass
+    // artifact), so only the delta slice pays the explode+hash at
+    // query time; the old shape re-derived the FULL corpus explode
+    // TWICE (the `hot` aggregation and the candidate rebuild each
+    // re-executed it). Same (doc_id, pos, fp) set by construction —
+    // base ∪ delta partitions the corpus — so the oracle is unchanged.
+    // (Docs shorter than W emit an empty array — no guard needed.)
+    val deltaWins = Tables.documents(spark, dir).filter(isDelta($"doc_id"))
       .select($"doc_id",
         posexplode(graft.functions.WordWindowHashes($"text", w)).as(Seq("i", "fp")))
       .select($"doc_id", ($"i" + 1).as("pos"), $"fp")
+    val wins = baseWindowIndex(spark, dir, w)
+      .select($"doc_id", $"pos", $"fp").unionByName(deltaWins)
 
     val hot = wins.groupBy($"fp").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" > 1).select($"fp")
@@ -1022,22 +1031,39 @@ object Dedup {
 
     val baseIdx = baseWindowIndex(spark, dir, w)
 
-    // candidate fps: in the base index, or duplicated within the delta
-    val deltaDupFp = deltaWins.groupBy($"fp").agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" > 1).select($"fp")
-    val baseHitFp = baseIdx.join(deltaWins.select($"fp").distinct(), "fp")
+    // candidate fps: in the base index, or duplicated within the delta.
+    // r20: ONE delta-window aggregation feeds both branches (the old
+    // shape re-derived the delta explode for the distinct-fp probe),
+    // and its fp column is already distinct — no second distinct pass.
+    val fpCnt = deltaWins.groupBy($"fp").agg(count(lit(1)).as("cnt"))
+    val deltaDupFp = fpCnt.filter($"cnt" > 1).select($"fp")
+    val baseHitFp = baseIdx.join(fpCnt.select($"fp"), "fp")
       .select($"fp").distinct()
-    val candFp = deltaDupFp.unionByName(baseHitFp).distinct()
+    // cached: the candidate-fp sliver is collision-sized, and three
+    // consumers below would otherwise each inline and RE-EXECUTE the
+    // whole union-of-aggregations subtree (the uncached draft of this
+    // shape grew the plan 92 → 120 Exchanges and measured 6 s SLOWER
+    // at 100× — decades_r20 Section F)
+    val candFp = deltaDupFp.unionByName(baseHitFp).distinct().cache()
 
-    // exact verify: rebuild candidate window strings on BOTH sides
+    // exact verify: rebuild candidate window strings on BOTH sides.
+    // r20: tokenize ONLY the candidate base docs — the old shape put
+    // `wordsFast` below the join, so every base doc tokenized before
+    // the join dropped the non-candidates; restricting docs by the
+    // candidate id set first moves the tokenization after the join
+    // (candidate-sized), same rows out.
     val deltaCand = deltaWins.join(candFp, "fp")
       .join(deltaToks, "doc_id")
       .select($"doc_id", $"pos",
         concat_ws(" ", slice($"w", $"pos", lit(w))).as("win"))
-    val baseToks = docs.filter(!isDelta($"doc_id"))
+    // candidate base occurrences, cached for the same two-consumer
+    // reason (id set for the tokenize restriction + the rebuild join)
+    val baseCandOcc = baseIdx.join(candFp, "fp").cache()
+    val candIds = baseCandOcc.select($"doc_id").distinct()
+    val candToks = docs.filter(!isDelta($"doc_id")).join(candIds, "doc_id")
       .select($"doc_id", Text.wordsFast($"text").as("w"))
-    val baseWins = baseIdx.join(candFp, "fp")
-      .join(baseToks, "doc_id")
+    val baseWins = baseCandOcc
+      .join(candToks, "doc_id")
       .select(concat_ws(" ", slice($"w", $"pos", lit(w))).as("win"))
       .distinct().withColumn("in_base", lit(true))
 

@@ -97,6 +97,31 @@ object StreamQueries {
     */
   @volatile private[graft] var lastStateStore: Option[String] = None
 
+  /** Memory-sink tables published by [[runToTable]] in this JVM and not
+    * yet released: (cloned session, table name). A complete-mode sink
+    * holds its FULL result on the driver heap for as long as the temp
+    * view pins it — at the 100× fixture q_stream_session alone leaves
+    * ~9.5M rows (hundreds of MB) pinned after its row is consumed, and
+    * a full-suite run stacks every streaming row's sink on the heap
+    * (r20 optimization round). [[graft.Bench]] / [[graft.Verify]] call
+    * [[releaseHarnessSinks]] after consuming each row; ad-hoc callers
+    * that keep the returned frame simply don't release.
+    */
+  private val retainedSinks =
+    scala.collection.mutable.ArrayBuffer.empty[(SparkSession, String)]
+
+  /** Drop every harness memory-sink temp view registered since the last
+    * release, so the sinks' driver-held rows become collectable. Safe
+    * only once the caller is done with the returned DataFrames (their
+    * plans read the dropped sink).
+    */
+  def releaseHarnessSinks(): Unit = retainedSinks.synchronized {
+    retainedSinks.foreach { case (s, name) =>
+      try s.catalog.dropTempView(name) catch { case _: Exception => () }
+    }
+    retainedSinks.clear()
+  }
+
   private def runToTable(spark0: SparkSession, mode: String = "complete")(
       build: SparkSession => DataFrame): DataFrame = {
     val spark = spark0.newSession()
@@ -123,6 +148,7 @@ object StreamQueries {
       q.awaitTermination()
       lastProgress = Option(q.lastProgress).map(_.json)
     } finally deleteRecursively(new java.io.File(ckptDir))
+    retainedSinks.synchronized { retainedSinks += ((spark, name)) }
     spark.table(name)
   }
 

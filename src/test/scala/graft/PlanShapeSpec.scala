@@ -467,14 +467,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // not a row UDF
     assert(plan.contains("graft_window_hashes"), "native expression missing")
     assert(!plan.contains("UDF"), "a UDF crept into the fingerprint path")
-    // every parquet scan reads at most (doc_id, text) — the rewrite never
+    // every parquet scan reads at most (doc_id, text) from the corpus
+    // or (fp, doc_id, pos) from the staged base window index (r20: the
+    // base half of the fingerprint set reads the staged artifact
+    // instead of re-exploding the corpus twice) — the rewrite never
     // drags lang/source/n_chars through the pipeline
     val scans = nodes.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
     assert(scans.nonEmpty)
     scans.foreach { s =>
       val cols = s.requiredSchema.fieldNames.toSet
-      assert(cols.subsetOf(Set("doc_id", "text")), s"unpruned scan: $cols")
+      assert(cols.subsetOf(Set("doc_id", "text")) ||
+        cols.subsetOf(Set("fp", "doc_id", "pos")), s"unpruned scan: $cols")
     }
     assert(!plan.contains("CartesianProduct"), "cartesian product appeared")
   }
