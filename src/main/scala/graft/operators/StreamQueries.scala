@@ -123,9 +123,33 @@ object StreamQueries {
   }
 
   private def runToTable(spark0: SparkSession, mode: String = "complete")(
+      build: SparkSession => DataFrame): DataFrame =
+    runToTableSized(spark0, mode, 0L)(build)
+
+  /** [[runToTable]] with a SIZE-ADAPTIVE state-partition count (r20
+    * optimization round). The harness floor of 8 state partitions is
+    * right at gate SFs (state-store commit I/O per partition per batch
+    * dominates there), but a CPU-heavy stateful aggregation over a
+    * 100×-class ingest runs its post-exchange state machine at
+    * parallelism 8 on a 32-core box — measured isolated on the 100×
+    * hop-count shape: 25.6-27.9 s at 8 partitions vs 17.7 s at 32
+    * (decades_r20 Section F). `inputBytes` > 0 (the source file's
+    * on-disk size, the same proxy [[sizeProbeShuffle]] uses) raises
+    * the count to one partition per 8 MiB of source, capped at 2×cores
+    * (keeps per-partition state large enough that commit overhead
+    * stays amortized, and bounds the per-batch provider memory that
+    * OOM'd a 16 GiB probe at 64 partitions) — at sf0.1 every source
+    * is under 8 MiB so the floor of 8 is unchanged and the driver's
+    * per-row machinery costs stay comparable.
+    */
+  private def runToTableSized(spark0: SparkSession, mode: String,
+      inputBytes: Long)(
       build: SparkSession => DataFrame): DataFrame = {
     val spark = spark0.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val cores = spark.sparkContext.defaultParallelism
+    val parts = math.max(8L,
+      math.min(2L * cores, inputBytes / (8L << 20))).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     harnessStateStore.value.foreach { p =>
       graft.GraftConfig.useRocksDbStateStore(spark,
         changelogCheckpointing = p != "rocksdb")
@@ -150,6 +174,22 @@ object StreamQueries {
     } finally deleteRecursively(new java.io.File(ckptDir))
     retainedSinks.synchronized { retainedSinks += ((spark, name)) }
     spark.table(name)
+  }
+
+  /** On-disk bytes of a source table file (or staged dump directory) —
+    * the size proxy [[runToTableSized]] derives state partitions from;
+    * follows the fixture's symlinks, 0 when absent (floor applies).
+    */
+  private def sourceFileBytes(dir: String, name: String): Long =
+    sourcePathBytes(new java.io.File(dir, name).getPath)
+
+  /** [[sourceFileBytes]] for a full path (staged dump directories). */
+  private def sourcePathBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (!f.exists()) 0L
+    else if (f.isDirectory)
+      Option(f.listFiles()).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+    else f.length
   }
 
   /** Checkpoint root for the bounded-replay harness streams: tmpfs when
@@ -857,7 +897,10 @@ object StreamQueries {
     * merge-on-overlap session state machine.
     */
   def streamSessionWindow(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark) { s =>
+    // user-keyed session store: state cardinality ∝ ingest, so the
+    // partition count sizes from the source (r20 — runToTableSized)
+    runToTableSized(spark, "complete",
+      sourceFileBytes(dir, "events.parquet")) { s =>
       import s.implicits._
       eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
@@ -877,7 +920,9 @@ object StreamQueries {
     * batch distinct-count oracle.
     */
   def streamSlideDistinct(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark) { s =>
+    // (user, window)-keyed dedup state ∝ ingest — size-adaptive parts
+    runToTableSized(spark, "complete",
+      sourceFileBytes(dir, "events.parquet")) { s =>
       import s.implicits._
       eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
@@ -931,7 +976,10 @@ object StreamQueries {
     * interval-join oracle.
     */
   def streamRangeJoin(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, mode = "append") { s =>
+    // stream-stream join buffers both sides' rows in user-keyed state
+    // within the time bound — state ∝ ingest; size-adaptive parts
+    runToTableSized(spark, "append",
+      sourceFileBytes(dir, "events.parquet")) { s =>
       import s.implicits._
       val ev = eventsStream(s, dir)
       val errors = ev.filter($"event_type" === "error")
@@ -972,7 +1020,8 @@ object StreamQueries {
     */
   def streamRangeJoinOuter(spark: SparkSession, dir: String): DataFrame = {
     val dump = sentinelEventsDump(spark, dir)
-    val joined = runToTable(spark, mode = "append") { s =>
+    val joined = runToTableSized(spark, "append",
+      sourcePathBytes(dump)) { s =>
       import s.implicits._
       val ev = s.readStream.schema(eventsNormSchema).parquet(dump)
       val errors = ev.filter($"event_type" === "error")
@@ -1997,7 +2046,9 @@ object StreamQueries {
     * expansion with HAVING.
     */
   def streamRateSpikes(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark) { s =>
+    // (user, hop-window)-keyed counts ∝ ingest — size-adaptive parts
+    runToTableSized(spark, "complete",
+      sourceFileBytes(dir, "events.parquet")) { s =>
       import s.implicits._
       eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
@@ -2037,7 +2088,10 @@ object StreamQueries {
     * [[streamSessionPathsCapped]].
     */
   def streamSessionPaths(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark) { s =>
+    // user-keyed session store with in-state accumulation — the
+    // heaviest state row; size-adaptive parts
+    runToTableSized(spark, "complete",
+      sourceFileBytes(dir, "events.parquet")) { s =>
       import s.implicits._
       eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
@@ -2262,7 +2316,8 @@ object StreamQueries {
     */
   def streamSessionPathsCapped(spark: SparkSession, dir: String): DataFrame = {
     val dump = sentinelEventsDump(spark, dir)
-    val sessions = runToTable(spark, mode = "append") { s =>
+    val sessions = runToTableSized(spark, "append",
+      sourcePathBytes(dump)) { s =>
       import s.implicits._
       sessionPathsCappedFold(
         s.readStream.schema(eventsNormSchema).parquet(dump)
