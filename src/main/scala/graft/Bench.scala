@@ -90,6 +90,12 @@ object Bench {
     // identical, scans of the staged artifacts parallelize (r20
     // optimization round; measured 17× on the 100× single-file scan)
     GraftConfig.useSplittableWrites(spark)
+    // let AQE coalesce shuffles that feed/read a .cache() — without it
+    // every cached subtree keeps the static shuffle-partition count and
+    // per-task fixed costs grow with the core count instead of the data
+    // (r21: full cold sf0.1 suite 162.5→143.9 s, measured rows in the
+    // GraftConfig scaladoc)
+    GraftConfig.useAdaptiveCachedPlanPartitioning(spark)
     // full-column warm-up scans (noop sink: decode every column, write
     // nothing) so per-query timings measure the operator, not whichever
     // query first faults each table's pages in; also primes the typed
@@ -261,6 +267,13 @@ object Bench {
         // the sink's driver-held rows don't stack across the suite
         // (suite hygiene, not part of the row's work: outside the timer)
         graft.operators.StreamQueries.releaseHarnessSinks()
+        // and release the row's .cache() pins: operator caches are
+        // per-row devices against plan re-execution, never cross-row
+        // state, but the block manager pins them for the rest of the
+        // suite (GB-class at 100× — r20 ADVICE on candFp/baseCandOcc)
+        // and a later row that silently reuses an earlier row's cached
+        // subtree gets an order-dependent timing. Outside the timer.
+        spark.catalog.clearCache()
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }

@@ -14,6 +14,8 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftConfig.useSplittableWrites(spark)
+    // plans must be captured under the suite's shipped config (r21)
+    GraftConfig.useAdaptiveCachedPlanPartitioning(spark)
     val keys = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     keys.foreach { k =>
       println(s"\n=================== $k ===================")

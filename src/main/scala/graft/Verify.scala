@@ -22,6 +22,9 @@ object Verify {
     // (staged DumpCache artifacts, sink round-trips, result dumps) —
     // content identical, scans of the artifacts parallelize (r20)
     GraftConfig.useSplittableWrites(spark)
+    // same cached-plan AQE coalescing as Bench: the dump must execute
+    // the plans the bench times (r21)
+    GraftConfig.useAdaptiveCachedPlanPartitioning(spark)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for targeted local checks; the
     // driver sets no filter and always dumps the full suite
@@ -38,8 +41,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // dumped — release the row's memory-sink view(s) so streaming
-      // results don't stack on the driver heap across the full suite
+      // results don't stack on the driver heap across the full suite,
+      // and the row's .cache() pins (per-row devices, never cross-row
+      // state — r20 ADVICE)
       graft.operators.StreamQueries.releaseHarnessSinks()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -135,20 +135,28 @@ object StreamQueries {
     * hop-count shape: 25.6-27.9 s at 8 partitions vs 17.7 s at 32
     * (decades_r20 Section F). `inputBytes` > 0 (the source file's
     * on-disk size, the same proxy [[sizeProbeShuffle]] uses) raises
-    * the count to one partition per 8 MiB of source, capped at 2×cores
-    * (keeps per-partition state large enough that commit overhead
-    * stays amortized, and bounds the per-batch provider memory that
-    * OOM'd a 16 GiB probe at 64 partitions) — at sf0.1 every source
-    * is under 8 MiB so the floor of 8 is unchanged and the driver's
-    * per-row machinery costs stay comparable.
+    * the count to one partition per 8 MiB of source, capped at the
+    * LOWER of 2×cores (keeps per-partition state large enough that
+    * commit overhead stays amortized) and heap/512 MiB (the memory
+    * guard: 64 partitions OOM'd a 16 GiB-heap probe — ~256 MiB of
+    * per-batch provider memory per partition was not survivable, so
+    * the cap budgets 512 MiB of heap per partition and the documented
+    * OOM configuration is unreachable by construction: 16 GiB → ≤32.
+    * The r20 cap was core-derived only, which on a 32-core/16 GiB box
+    * permitted exactly the 64 that OOM'd — r20 ADVICE). At sf0.1 every
+    * source is under 8 MiB so the floor of 8 is unchanged and the
+    * driver's per-row machinery costs stay comparable; at the 100×
+    * fixture the largest source (157 MB events) sizes to 19, under
+    * both caps, so no measured number moves.
     */
   private def runToTableSized(spark0: SparkSession, mode: String,
       inputBytes: Long)(
       build: SparkSession => DataFrame): DataFrame = {
     val spark = spark0.newSession()
     val cores = spark.sparkContext.defaultParallelism
+    val heapCap = Runtime.getRuntime.maxMemory() / (512L << 20)
     val parts = math.max(8L,
-      math.min(2L * cores, inputBytes / (8L << 20))).toInt
+      math.min(math.min(2L * cores, heapCap), inputBytes / (8L << 20))).toInt
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     harnessStateStore.value.foreach { p =>
       graft.GraftConfig.useRocksDbStateStore(spark,
@@ -168,11 +176,15 @@ object StreamQueries {
     val q = build(spark).writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckptDir).start()
+    // registered for release BEFORE the drain: if awaitTermination
+    // throws (the Bench -1-sentinel path), the partial sink result must
+    // still be droppable — registering after the drain leaked exactly
+    // the failed rows' sinks for the JVM lifetime (r20 ADVICE)
+    retainedSinks.synchronized { retainedSinks += ((spark, name)) }
     try {
       q.awaitTermination()
       lastProgress = Option(q.lastProgress).map(_.json)
     } finally deleteRecursively(new java.io.File(ckptDir))
-    retainedSinks.synchronized { retainedSinks += ((spark, name)) }
     spark.table(name)
   }
 

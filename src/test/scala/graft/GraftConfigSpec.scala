@@ -363,6 +363,35 @@ class GraftConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("useAdaptiveCachedPlanPartitioning: AQE coalesces the shuffle under a " +
+      ".cache() to fewer partitions than the static count, with the cached " +
+      "result identical either way (the r21 per-task-overhead fix)") {
+    def cachedParts(flagged: Boolean): (Int, Seq[(Long, Long)]) = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      if (flagged) GraftConfig.useAdaptiveCachedPlanPartitioning(s2)
+      else s2.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
+      import s2.implicits._
+      // tiny shuffle (97 groups, a few KB): the static plan keeps all 32
+      // post-shuffle partitions; the adaptive one coalesces them
+      val agg = s2.range(10000).select(col("id"),
+          (col("id") % 97).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")).cache()
+      try {
+        agg.count() // materialize the cache
+        (agg.rdd.getNumPartitions,
+          agg.orderBy("k").as[(Long, Long)].collect().toSeq)
+      } finally { agg.unpersist(); () }
+    }
+    val (staticParts, staticRows) = cachedParts(flagged = false)
+    val (adaptiveParts, adaptiveRows) = cachedParts(flagged = true)
+    assert(staticParts === 32, "flag off: the static shuffle count sticks")
+    assert(adaptiveParts < 32,
+      "flag on: AQE coalesced the cached plan's tiny shuffle")
+    assert(staticRows === adaptiveRows, "results are layout-independent")
+  }
+
   // deterministic synthetic codebook: k well-spread 8-dim centroids
   private def synthCodebook(k: Int): Array[Array[Double]] =
     Array.tabulate(k)(c =>
