@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Primitive cores of the sketch pipeline, shared by the native
@@ -121,6 +121,60 @@ object SketchNative {
     UnsafeArrayData.fromPrimitiveArray(Text.bandHashesFromSig(a.toLongArray))
 
   def simhash64(a: ArrayData): Long = Text.simhash64(a.toLongArray)
+
+  /** word → its d count-min bucket ids in one pass: the Mersenne-61
+    * roll over the word's bytes (== chars: the normalized alphabet is
+    * ASCII, same contract as [[shingleGramHashes]]) finished with
+    * mix64 — bit-identical to `Text.gram64(word)` — then each hash row
+    * r derives its bucket from the shared hash plus its splitmix64
+    * stream draw at seed 11, exactly `TextAnalysis.allBucketsUdf`.
+    */
+  def cmsBuckets(u: UTF8String, d: Int, bits: Int): ArrayData = {
+    val b = u.getBytes
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = (Text.mulMod61(h, 257L) + b(i)) % M61; i += 1 }
+    val g = Text.mix64(h)
+    val out = new Array[Int](d)
+    var r = 0
+    while (r < d) {
+      out(r) =
+        (Text.mix64(g + Text.splitmix64(11L, r.toLong)) >>> (64 - bits)).toInt
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** word → its count-min bucket ids inside whole-stage codegen. The
+  * STREAMING sketch (`q_stream_cms`) evaluates this per word OCCURRENCE
+  * (corpus rate — the batch row reads the staged grid and pays only per
+  * vocab word), and as a ScalaUDF it was the one remaining codegen
+  * break + UTF8String⇄String/ArrayData⇄Array conversion pair on that
+  * path (r20 "not yet optimized" item 1). `TextAnalysis.allBucketsUdf`
+  * stays as the registered spec-reference twin; SketchExprSpec pins
+  * bit-parity.
+  */
+case class CmsBuckets(child: Expression, d: Int, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cms_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchNative.cmsBuckets(input.asInstanceOf[UTF8String], d, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchNative.cmsBuckets($c, $d, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CmsBuckets {
+  def apply(c: Column, d: Int, bits: Int): Column =
+    ColumnBridge.column(CmsBuckets(ColumnBridge.expression(c), d, bits))
 }
 
 /** text → gram64 hashes of its distinct 3-shingles, inside whole-stage

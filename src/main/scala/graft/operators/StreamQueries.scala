@@ -900,7 +900,8 @@ object StreamQueries {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(explode(graft.functions.Text.wordsFast($"text")).as("word"))
         .filter(length($"word") > 0)
-        .select(posexplode(TextAnalysis.allBucketsUdf($"word")).as(Seq("r", "bucket")))
+        .select(posexplode(graft.functions.CmsBuckets($"word",
+          TextAnalysis.CmsD, TextAnalysis.CmsBits)).as(Seq("r", "bucket")))
         .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
     }
 

@@ -1289,16 +1289,19 @@ object TextAnalysis {
     * top-k is TakeOrdered; estimates join the counter table (KBs —
     * broadcast by construction).
     */
-  private[operators] val CmsD = 4
-  private[operators] val CmsBits = 10 // w = 2^10 = 1024 buckets per row
+  private[graft] val CmsD = 4
+  private[graft] val CmsBits = 10 // w = 2^10 = 1024 buckets per row
 
   /** All CmsD buckets of one word in one call: gram64 rolls the word's
     * characters ONCE, then each row derives its bucket from the shared
     * hash + its stream seed — posexplode's index IS the row id. (A
     * per-(word, r) UDF would redo the character roll CmsD times — cheap
     * on the vocab table, corpus-rate waste on the streaming path.)
+    * Since r21 the query paths evaluate the codegen'd
+    * [[graft.functions.CmsBuckets]] instead; this UDF remains the
+    * readable spec-reference twin, bit-parity pinned in SketchExprSpec.
     */
-  private[operators] val allBucketsUdf = udf { word: String =>
+  private[graft] val allBucketsUdf = udf { word: String =>
     val g = Text.gram64(word)
     Array.tabulate(CmsD)(r =>
       (Text.mix64(g + Text.splitmix64(11L, r.toLong)) >>> (64 - CmsBits)).toInt)
@@ -1320,7 +1323,8 @@ object TextAnalysis {
     import wordCounts.sparkSession.implicits._
     wordCounts
       .select($"word", $"true_count",
-        posexplode(allBucketsUdf($"word")).as(Seq("r", "bucket")))
+        posexplode(graft.functions.CmsBuckets($"word", CmsD, CmsBits))
+          .as(Seq("r", "bucket")))
       .groupBy($"r", $"bucket").agg(sum($"true_count").as("c"))
   }
 
@@ -1340,7 +1344,8 @@ object TextAnalysis {
     val top = wordCounts.orderBy($"true_count".desc, $"word".asc).limit(topK)
     top
       .select($"word", $"true_count",
-        posexplode(allBucketsUdf($"word")).as(Seq("r", "bucket")))
+        posexplode(graft.functions.CmsBuckets($"word", CmsD, CmsBits))
+          .as(Seq("r", "bucket")))
       .join(counters, Seq("r", "bucket"))
       .groupBy($"word")
       .agg(any_value($"true_count").as("true_count"), min($"c").as("cms_estimate"))

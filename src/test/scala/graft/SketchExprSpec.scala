@@ -53,6 +53,27 @@ class SketchExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CmsBuckets: the codegen'd bucket expression is bit-equal to " +
+      "allBucketsUdf on every real word and edge token (the r21 streaming " +
+      "hot-path swap)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // the expression's contract input is a wordsFast token ([a-z0-9]+) —
+    // feed it the real vocab plus hand-picked boundary tokens
+    val words = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(Text.wordsFast($"text")).as("word"))
+      .filter(length($"word") > 0).distinct()
+      .as[String].collect().toSeq ++ Seq("a", "0", "z9", "qqqqqqqqqqqqqqqqqqqq")
+    val both = words.toDF("word").select(
+        graft.functions.CmsBuckets($"word",
+          TextAnalysis.CmsD, TextAnalysis.CmsBits).as("nb"),
+        TextAnalysis.allBucketsUdf($"word").as("ub"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    words.zip(both).foreach { case (w, (nb, ub)) =>
+      assert(nb === ub, s"cms buckets diverge on <$w>")
+    }
+  }
+
   test("wordWindowHashes: prefix-roll O(n) path equals gram64 of every rebuilt window") {
     import spark.implicits._
     val w = 5
